@@ -1,0 +1,73 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion via a count over the result (forces the
+full plan; avoids driver-side collect cost dominating small results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from hdp2_5_hive2_spark.queries import REGISTRY
+from hdp2_5_hive2_spark.session import get_session
+
+# Headline set: one per operator family — scan/agg, joins, window, topk,
+# setop/subquery, LLM ops and event-time windows as they land.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "agg_multi_distinct",
+    "groupby_cube",
+    "join_left_anti",
+    "window_ranking",
+    "window_running_sum",
+    "window_topn_per_group",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="hdp2_5_hive2_spark-bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    extra = [n for n in REGISTRY if n not in names and REGISTRY[n].tags and "bench" in REGISTRY[n].tags]
+    names += extra
+
+    # Warm the JVM + parquet footer caches with one cheap query.
+    REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

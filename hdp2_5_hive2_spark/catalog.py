@@ -1,0 +1,79 @@
+"""Table registry: the engine's stand-in for the Hive metastore.
+
+The reference keeps table/partition/storage metadata in a Thrift metastore
+(metastore/if/hive_metastore.thrift:294 `struct Table`, :311 `struct
+Partition` — SURVEY.md §1.1). Here the catalog is parquet directories plus
+Spark's own catalog: `register_views` materializes the driver's tables as
+temp views so both the DataFrame and SQL APIs see them, with partition
+pruning / predicate pushdown handled by the parquet source.
+
+At 100 TB these would be real catalog tables (`saveAsTable`, partitioned by
+date keys and bucketed on join keys); the query code below only depends on
+view names, so that swap is config, not code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+        # Read it as epoch-nanos long, then truncate to microseconds — Spark's
+        # native timestamp precision. Set the conf here (not only in
+        # session.py) because the driver may hand us its own SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows double precision
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+class LazyTables(dict):
+    """Mapping table-name → DataFrame that defers parquet footer reads until a
+    table is actually used (queries touch 1-4 of the 10 tables)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(name)
+        df = _load_one(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> LazyTables:
+    """Lazy mapping of every driver table for a scale-factor directory."""
+    return LazyTables(spark, sf_dir)
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register all tables as temp views (idempotent) and return the DataFrames."""
+    dfs = load_tables(spark, sf_dir)
+    for name in TABLES:
+        dfs[name].createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,541 @@
+"""Relational operator corpus: all join variants, set ops, subqueries,
+grouping sets, distinct, limit/offset, pivot.
+
+Parity targets (SURVEY.md §2.3/2.7/2.8):
+  - CommonJoinOperator INNER/LEFT/RIGHT/FULL/LEFT SEMI + cartesian + <=>
+    (ql/exec/CommonJoinOperator.java:49; null-safe = FunctionRegistry.java:337)
+  - NOT IN / NOT EXISTS rewrites (ql/parse/QBSubQuery.java:42-46,
+    SemanticAnalyzer.java:3001) → Spark left_anti
+  - UNION ALL / UNION DISTINCT (HiveParser.g:2274-2279,
+    ql/exec/UnionOperator.java:39); Spark's intersect/except are a bonus
+  - GROUPING SETS / ROLLUP / CUBE + GROUPING__ID
+    (SemanticAnalyzer.java:1538-1557, :3753-3784; VirtualColumn.java:66)
+  - multi-DISTINCT aggregates (SemanticAnalyzer.java:4555)
+  - LIMIT/OFFSET (ql/exec/LimitOperator.java:32, genLimitPlan :7268)
+
+Scale notes: dimension joins broadcast (no shuffle); the only shuffles are on
+aggregation keys. Anti/semi joins against `orders` broadcast the filtered
+side when small, else shuffle once on the key — exactly what AQE picks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables, register_views
+from hdp2_5_hive2_spark.queries.registry import query
+
+
+@query(
+    "join_inner_dim",
+    oracle="""
+    SELECT n.n_name, r.r_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_inner_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join chain through the dimension hierarchy (broadcast both dims)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey
+    """,
+    tags=("join", "outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with an ON-clause residual predicate (FilterOperator on join
+    residuals, ql/exec/JoinOperator.java:44)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    c = t["customer"]
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F")
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+    FROM customer c
+    RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("join", "outer"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c, n = t["customer"], t["nation"]
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cust_n AS (
+      SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
+    ), supp_n AS (
+      SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM cust_n c FULL OUTER JOIN supp_n s ON c.k = s.k
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (both sides may have unmatched keys)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_cust"))
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        c.join(s, "k", "full")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "semi", "subquery"),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → LEFT SEMI JOIN (TOK_LEFTSEMIJOIN, FromClauseParser.g:125)."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "anti", "subquery"),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → LEFT ANTI JOIN (Hive rewrites onto outer join + null filter,
+    SemanticAnalyzer.java:3001; Spark has the operator natively)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT COUNT(*) AS n_pairs
+    FROM (SELECT NULLIF(c_nationkey % 5, 0) AS k FROM customer) a
+    JOIN (SELECT NULLIF(s_nationkey % 5, 0) AS k FROM supplier) b
+      ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "nullsafe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join `<=>` (GenericUDFOPEqualNS,
+    FunctionRegistry.java:337): NULL keys match each other."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k"))
+    b = t["supplier"].select(F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("k2"))
+    return a.join(b, a.k.eqNullSafe(b.k2)).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, m.c_mktsegment, COUNT(*) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) m
+    GROUP BY r.r_name, m.c_mktsegment
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (CrossProductCheck warns in the reference;
+    Spark requires explicit crossJoin)."""
+    t = load_tables(spark, sf_dir)
+    segs = t["customer"].select("c_mktsegment").distinct()
+    return (
+        t["region"]
+        .crossJoin(segs)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-DISTINCT aggregate (SemanticAnalyzer.java:4555,
+    HiveExpandDistinctAggregatesRule — Catalyst expands the same way)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "groupby_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name, GROUPING(r.r_name, n.n_name) AS gid, COUNT(*) AS n_supp
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("agg", "rollup", "grouping"),
+)
+def groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + GROUPING__ID (SemanticAnalyzer.java:3753-3784 bitmask;
+    VirtualColumn.java:66). Spark's grouping_id uses the same MSB-first bitmask
+    as ANSI GROUPING(a,b)."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n_supp")
+    ).select("r_name", "n_name", "gid", "n_supp")
+
+
+@query(
+    "groupby_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube", "grouping"),
+)
+def groupby_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty")
+
+
+@query(
+    "groupby_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping"),
+)
+def groupby_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (token dispatch parity with
+    SemanticAnalyzer.java:1538-1557)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "union_all",
+    oracle="""
+    SELECT k, v FROM (
+      SELECT c_custkey AS k, c_acctbal AS v FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT s_suppkey AS k, s_acctbal AS v FROM supplier
+    ) u
+    """,
+    tags=("setop",),
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with schema-harmonizing selects (UnionOperator.java:39)."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("v")
+    )
+    b = t["supplier"].select(F.col("s_suppkey").alias("k"), F.col("s_acctbal").alias("v"))
+    return a.unionAll(b)
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT n_regionkey AS k FROM nation
+    UNION
+    SELECT r_regionkey AS k FROM region
+    """,
+    tags=("setop",),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT = UNION ALL + dedup (SemanticAnalyzer genUnionPlan :9504)."""
+    t = load_tables(spark, sf_dir)
+    a = t["nation"].select(F.col("n_regionkey").alias("k"))
+    b = t["region"].select(F.col("r_regionkey").alias("k"))
+    return a.union(b).distinct()
+
+
+@query(
+    "intersect_distinct",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    tags=("setop",),
+)
+def intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (absent from Hive 2.1's grammar — Spark superset, SURVEY §2.7)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("k"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("k")))
+    )
+
+
+@query(
+    "except_distinct",
+    oracle="""
+    SELECT n_nationkey AS k FROM nation
+    EXCEPT
+    SELECT c_nationkey AS k FROM customer
+    """,
+    tags=("setop",),
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"].select(F.col("n_nationkey").alias("k"))
+        .subtract(t["customer"].select(F.col("c_nationkey").alias("k")))
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_above
+    FROM customer
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer
+    )
+    GROUP BY c_mktsegment
+    """,
+    tags=("subquery", "scalar"),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in WHERE (not supported by Hive 2.1 — Spark superset;
+    threshold computed exactly so the comparison is engine-stable)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_above
+        FROM customer
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "subquery_not_in",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part
+    WHERE p_partkey NOT IN (
+      SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+    )
+    GROUP BY p_brand
+    """,
+    tags=("subquery", "anti"),
+)
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with non-null keys (QBSubQuery NOT_IN → outer join + null guard)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part
+        WHERE p_partkey NOT IN (
+          SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48
+    )
+    GROUP BY o_orderstatus
+    """,
+    tags=("subquery", "semi"),
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48
+        )
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    tags=("agg", "having"),
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING → post-aggregation FilterOperator (ql/exec/FilterOperator.java:37)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "select_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("distinct",),
+)
+def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["customer"].select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "order_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 10
+    """,
+    tags=("sort", "limit", "offset"),
+)
+def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT/OFFSET (genLimitPlan :7268 takes an offset arg;
+    Spark TakeOrderedAndProjectExec). Fully tie-broken for determinism."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(50)
+    )
+
+
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("pivot", "agg"),
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (Spark-native; Hive expresses this as CASE WHEN aggregation)."""
+    t = load_tables(spark, sf_dir)
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )

@@ -1,0 +1,29 @@
+"""Correctness gate: every corpus query with an oracle must match DuckDB
+exactly at sf0.01 — the same check the driver runs for CORRECTNESS_r{N}.json.
+Oracle-less queries get a rows-run sanity check."""
+
+from __future__ import annotations
+
+import pytest
+
+from hdp2_5_hive2_spark.queries import REGISTRY
+from tests.conftest import SF_CORRECT
+from tests.oracle import compare, duckdb_conn
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_CORRECT)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_vs_oracle(spark, con, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_CORRECT)
+    if spec.oracle is None:
+        n = df.count()
+        assert n >= 0
+    else:
+        compare(df, con, spec.oracle, name=name)
