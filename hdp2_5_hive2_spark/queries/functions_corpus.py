@@ -1,1 +1,425 @@
-"""Scalar-function surface corpus — filled in incrementally (SURVEY.md §2.9)."""
+"""Scalar-function surface corpus (SURVEY.md §2.9 — FunctionRegistry.java:170-470).
+
+One query per function family, each projecting many functions at once so the
+whole Hive scalar surface is oracle-checked. DuckDB spellings differ in
+places (strpos/instr, to_hex/hex, epoch/unix_timestamp, unnest/explode) —
+the oracle uses DuckDB's names; result values are what must match.
+
+Everything here is a narrow projection over one table: Catalyst collapses it
+to a single whole-stage-codegen scan with column pruning — no shuffle at any
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables, register_views
+from hdp2_5_hive2_spark.queries.registry import query
+
+
+@query(
+    "fn_string_basic",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, '_', p_type)            AS c1,
+           upper(p_name)                           AS up,
+           lower(p_type)                           AS lo,
+           substr(p_name, 1, 5)                    AS sub5,
+           length(p_name)                          AS len,
+           reverse(p_brand)                        AS rev,
+           replace(p_type, ' ', '_')               AS repl,
+           lpad(CAST(p_size AS VARCHAR), 5, '0')   AS lp,
+           rpad(p_brand, 12, '.')                  AS rp,
+           strpos(p_name, 'a')                     AS pos_a,
+           levenshtein(p_brand, 'Brand#1')         AS lev,
+           concat_ws('-', p_brand, p_type)         AS cw,
+           repeat('ab', p_size % 4)                AS rep,
+           ascii(p_name)                           AS asc1,
+           trim(concat(' ', p_name, ' '))          AS trimmed,
+           ltrim(concat('  ', p_name))             AS ltrimmed,
+           rtrim(concat(p_name, '  '))             AS rtrimmed
+    FROM part WHERE p_partkey <= 300
+    """,
+    tags=("functions", "string"),
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (FunctionRegistry.java:176-268): concat/substr/lpad/rpad/
+    trim/length/reverse/replace/instr/levenshtein/concat_ws/repeat/ascii."""
+    p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.concat("p_brand", F.lit("_"), "p_type").alias("c1"),
+        F.upper("p_name").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.length("p_name").alias("len"),
+        F.reverse("p_brand").alias("rev"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("repl"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("lp"),
+        F.rpad("p_brand", 12, ".").alias("rp"),
+        F.instr("p_name", "a").alias("pos_a"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("lev"),
+        F.concat_ws("-", "p_brand", "p_type").alias("cw"),
+        F.repeat(F.lit("ab"), F.col("p_size") % 4).alias("rep"),
+        F.ascii("p_name").alias("asc1"),
+        F.trim(F.concat(F.lit(" "), "p_name", F.lit(" "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("  "), "p_name")).alias("ltrimmed"),
+        F.rtrim(F.concat("p_name", F.lit("  "))).alias("rtrimmed"),
+    )
+
+
+@query(
+    "fn_string_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([a-z]+)', 1)                    AS first_word,
+           regexp_replace(p_type, '[aeiou]', '*', 'g')              AS starred,
+           CASE WHEN regexp_matches(p_name, '^[a-m]') THEN TRUE ELSE FALSE END AS first_half,
+           string_split(p_type, ' ')[1]                             AS tok0,
+           len(string_split(p_type, ' '))                           AS n_tok,
+           translate(p_brand, '#', '-')                             AS transl,
+           COALESCE(NULLIF(list_position(string_split('STANDARD,SMALL,MEDIUM,LARGE,ECONOMY,PROMO', ','),
+                                         string_split(upper(p_type), ' ')[1]), 0), 0) AS fis
+    FROM part WHERE p_partkey <= 300
+    """,
+    tags=("functions", "regex"),
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family + find_in_set (FunctionRegistry.java:259-269).
+
+    Note Spark regexp_replace replaces all matches by default; DuckDB needs
+    the 'g' flag — semantics aligned in the oracle, not the engine."""
+    p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[aeiou]", "*").alias("starred"),
+        F.col("p_name").rlike("^[a-m]").alias("first_half"),
+        F.split("p_type", " ").getItem(0).alias("tok0"),
+        F.size(F.split("p_type", " ")).alias("n_tok"),
+        F.translate("p_brand", "#", "-").alias("transl"),
+        F.expr(
+            "find_in_set(split(upper(p_type), ' ')[0], 'STANDARD,SMALL,MEDIUM,LARGE,ECONOMY,PROMO')"
+        ).alias("fis"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_size - 25)                              AS a,
+           floor(CAST(p_retailprice AS DOUBLE))          AS fl,
+           ceil(CAST(p_retailprice AS DOUBLE))           AS ce,
+           round(CAST(p_retailprice AS DOUBLE))          AS rnd,
+           sqrt(CAST(p_retailprice AS DOUBLE))           AS sq,
+           ((p_size - 50) % 7 + 7) % 7                   AS pm,
+           pow(p_size, 2)                                AS p2,
+           sign(p_size - 25)                             AS sg,
+           greatest(p_size, 25)                          AS gr,
+           least(p_size, 25)                             AS le,
+           upper(to_hex(p_partkey))                      AS hx,
+           bin(p_size)                                   AS bn,
+           to_base(p_partkey, 16)                        AS cnv,
+           p_size << 2                                   AS shl,
+           p_size >> 1                                   AS shr,
+           p_size & 12                                   AS band,
+           p_size | 3                                    AS bor,
+           xor(p_size, 5)                                AS bxor,
+           ~p_size                                       AS bnot,
+           factorial(p_size % 8)                         AS fact
+    FROM part WHERE p_partkey <= 300
+    """,
+    tags=("functions", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (FunctionRegistry.java:196-233). Only functions with
+    bit-exact cross-engine results (no libm transcendentals — those are
+    covered Spark-side in tests/test_functions.py)."""
+    p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("a"),
+        F.floor(F.col("p_retailprice")).cast("double").alias("fl"),
+        F.ceil(F.col("p_retailprice")).cast("double").alias("ce"),
+        F.round(F.col("p_retailprice"), 0).alias("rnd"),
+        F.sqrt("p_retailprice").alias("sq"),
+        F.pmod(F.col("p_size") - 50, F.lit(7)).alias("pm"),
+        F.pow("p_size", F.lit(2)).alias("p2"),
+        F.signum(F.col("p_size") - 25).cast("int").alias("sg"),
+        F.greatest("p_size", F.lit(25)).alias("gr"),
+        F.least("p_size", F.lit(25)).alias("le"),
+        F.hex("p_partkey").alias("hx"),
+        F.bin("p_size").alias("bn"),
+        F.conv(F.col("p_partkey").cast("string"), 10, 16).alias("cnv"),
+        F.shiftleft("p_size", 2).alias("shl"),
+        F.shiftright("p_size", 1).alias("shr"),
+        (F.col("p_size").bitwiseAND(12)).alias("band"),
+        (F.col("p_size").bitwiseOR(3)).alias("bor"),
+        (F.col("p_size").bitwiseXOR(5)).alias("bxor"),
+        F.expr("~p_size").alias("bnot"),
+        F.factorial(F.col("p_size") % 8).alias("fact"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END                                   AS bucket,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END  AS is_building,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER')   AS seg_or_other,
+           c_nationkey IN (1, 3, 5)                               AS in_odd,
+           c_acctbal BETWEEN 0 AND 1000                           AS small_bal,
+           c_acctbal IS NULL                                      AS bal_null,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)      AS bal_str
+    FROM customer WHERE c_custkey <= 300
+    """,
+    tags=("functions", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionals (FunctionRegistry.java:420-438): CASE/WHEN, IF, NVL,
+    NULLIF, COALESCE, IN, BETWEEN, ISNULL + cast chain."""
+    c = load_tables(spark, sf_dir)["customer"].filter(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("bucket"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("is_building"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.col("c_nationkey").isin(1, 3, 5).alias("in_odd"),
+        F.col("c_acctbal").between(0, 1000).alias("small_bal"),
+        F.isnull("c_acctbal").alias("bal_null"),
+        F.col("c_acctbal").cast("decimal(18,2)").cast("string").alias("bal_str"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                    AS y,
+           month(o_orderdate)                                   AS m,
+           day(o_orderdate)                                     AS d,
+           quarter(o_orderdate)                                 AS q,
+           dayofweek(o_orderdate) + 1                           AS dow,
+           weekofyear(o_orderdate)                              AS woy,
+           CAST(o_orderdate AS DATE) + 30                       AS plus30,
+           CAST(o_orderdate AS DATE) - 7                        AS minus7,
+           DATE '2000-01-01' - CAST(o_orderdate AS DATE)        AS dd,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           last_day(CAST(o_orderdate AS DATE))                  AS ld,
+           CAST(date_trunc('month', o_orderdate) AS DATE)       AS mstart,
+           strftime(o_orderdate, '%Y-%m')                       AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT)                   AS ts_epoch,
+           CAST(o_orderdate AS DATE)
+             + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                         ELSE (8 - isodow(o_orderdate)) % 7 END AS INTEGER) AS next_monday
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (FunctionRegistry.java:274-297): extract fields,
+    date_add/sub, datediff, add_months, last_day, next_day, trunc,
+    date_format, unix_timestamp. DuckDB dayofweek is 0-based — oracle shifts."""
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.date_add("o_orderdate", 30).alias("plus30"),
+        F.date_sub("o_orderdate", 7).alias("minus7"),
+        F.datediff(F.lit("2000-01-01").cast("date"), "o_orderdate").alias("dd"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.last_day("o_orderdate").alias("ld"),
+        F.trunc("o_orderdate", "MM").alias("mstart"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.unix_timestamp("o_orderdate").alias("ts_epoch"),
+        F.next_day("o_orderdate", "Mon").alias("next_monday"),
+    )
+
+
+@query(
+    "fn_hash_crypto",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name)                                   AS h_md5,
+           sha256(p_name)                                AS h_sha2,
+           base64(CAST(p_brand AS BLOB))                 AS b64
+    FROM part WHERE p_partkey <= 300
+    """,
+    tags=("functions", "hash"),
+)
+def fn_hash_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/crypto family (FunctionRegistry.java:234-242). sha1/crc32/aes are
+    covered Spark-side in tests (DuckDB lacks them)."""
+    p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_name", 256).alias("h_sha2"),
+        F.base64(F.col("p_brand").cast("binary")).alias("b64"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')             AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.missing')       AS k_missing
+    FROM events WHERE event_id < 500
+    """,
+    tags=("functions", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object / json_tuple (FunctionRegistry.java:296,
+    :449)."""
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("k_missing"),
+    )
+
+
+@query(
+    "fn_complex_types",
+    oracle="""
+    SELECT p_partkey,
+           [p_size, p_size * 2, p_size - 1]                   AS arr,
+           list_sort([p_size % 5, p_size % 3, p_size % 7])    AS sorted_arr,
+           list_contains([p_size, 25], 25)                    AS has25,
+           len([p_size, p_size * 2])                          AS arr_len,
+           [p_size, p_size * 2][2]                            AS second,
+           struct_pack(brand := p_brand, sz := p_size).brand  AS s_brand,
+           struct_pack(brand := p_brand, sz := p_size).sz     AS s_size
+    FROM part WHERE p_partkey <= 300
+    """,
+    tags=("functions", "complex"),
+)
+def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type constructors/accessors (FunctionRegistry.java:413-434):
+    array, sort_array, array_contains, size, index, struct + field access.
+    Maps are exercised Spark-side in tests (cross-engine map ordering is
+    undefined)."""
+    p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 300)
+    arr = F.array(F.col("p_size"), F.col("p_size") * 2, F.col("p_size") - 1)
+    st = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"))
+    return p.select(
+        "p_partkey",
+        arr.alias("arr"),
+        F.sort_array(F.array(F.col("p_size") % 5, F.col("p_size") % 3, F.col("p_size") % 7)).alias(
+            "sorted_arr"
+        ),
+        F.array_contains(F.array(F.col("p_size"), F.lit(25)), 25).alias("has25"),
+        F.size(F.array(F.col("p_size"), F.col("p_size") * 2)).alias("arr_len"),
+        F.element_at(F.array(F.col("p_size"), F.col("p_size") * 2), 2).alias("second"),
+        st.getField("brand").alias("s_brand"),
+        st.getField("sz").alias("s_size"),
+    )
+
+
+@query(
+    "fn_explode_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 100
+    ) t
+    GROUP BY tok
+    """,
+    tags=("functions", "udtf", "lateral"),
+)
+def fn_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF explode via LATERAL VIEW (UDTFOperator.java:43,
+    LateralViewJoinOperator.java:76) — token frequency over documents."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT tok, COUNT(*) AS n
+        FROM documents
+        LATERAL VIEW explode(split(text, ' ')) t AS tok
+        WHERE doc_id < 100
+        GROUP BY tok
+        """
+    )
+
+
+@query(
+    "fn_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
+           unnest(string_split(text, ' '))                              AS tok
+    FROM documents WHERE doc_id < 20
+    """,
+    tags=("functions", "udtf"),
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (FunctionRegistry.java:451) — position-tagged explode."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 20)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+
+
+@query(
+    "fn_stack_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS val
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+    FROM customer WHERE c_custkey <= 100
+    """,
+    tags=("functions", "udtf", "stack"),
+)
+def fn_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack UDTF (FunctionRegistry.java:452) — wide→long unpivot."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, metric, val
+        FROM customer
+        LATERAL VIEW stack(2, 'acctbal', CAST(c_acctbal AS DOUBLE),
+                              'nationkey', CAST(c_nationkey AS DOUBLE)) t AS metric, val
+        WHERE c_custkey <= 100
+        """
+    )
+
+
+@query(
+    "fn_format_printf",
+    oracle="""
+    SELECT p_partkey,
+           format('{:.2f}', CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)) AS fmt2,
+           printf('%d:%s', p_size, p_brand)  AS pf
+    FROM part WHERE p_partkey <= 300
+    """,
+    tags=("functions", "string", "format"),
+)
+def fn_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_number / printf (FunctionRegistry.java:435-436)."""
+    p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.format_string("%.2f", F.col("p_retailprice").cast("decimal(18,2)").cast("double")).alias(
+            "fmt2"
+        ),
+        F.format_string("%d:%s", "p_size", "p_brand").alias("pf"),
+    )

@@ -1,0 +1,157 @@
+"""Spark-side checks for the Hive function surface that DuckDB can't oracle:
+libm transcendentals, Hive-specific functions (sentences, parse_url, xpath,
+str_to_map, bround), and the hive_compat shims (field, create_union, $sum0).
+Expected values are hand-computed from Hive 2.1 semantics
+(ql/udf/, FunctionRegistry.java:170-470)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.functions import HIVE_FUNCTIONS, hive_fn, missing_functions
+
+
+def one_row(spark, expr_sql: str):
+    return spark.sql(f"SELECT {expr_sql} AS v").collect()[0].v
+
+
+def test_all_inventory_names_resolve(spark):
+    assert missing_functions(spark) == []
+
+
+def test_transcendentals(spark):
+    assert one_row(spark, "ln(e())") == pytest.approx(1.0)
+    assert one_row(spark, "log2(8)") == pytest.approx(3.0)
+    assert one_row(spark, "log10(1000)") == pytest.approx(3.0)
+    assert one_row(spark, "exp(0)") == 1.0
+    assert one_row(spark, "sin(0)") == 0.0
+    assert one_row(spark, "cos(0)") == 1.0
+    assert one_row(spark, "atan(1)") == pytest.approx(math.pi / 4)
+    assert one_row(spark, "degrees(pi())") == pytest.approx(180.0)
+    assert one_row(spark, "radians(180)") == pytest.approx(math.pi)
+    assert one_row(spark, "cbrt(27)") == pytest.approx(3.0)
+    assert one_row(spark, "bround(2.5)") == 2  # banker's rounding (HALF_EVEN)
+    assert one_row(spark, "bround(3.5)") == 4
+    assert one_row(spark, "round(2.5)") == 3  # Hive round = HALF_UP
+
+
+def test_hive_string_specials(spark):
+    assert one_row(spark, "soundex('Robert')") == "R163"
+    assert one_row(spark, "initcap('hello world')") == "Hello World"
+    assert one_row(spark, "sentences('Hello there! How are you?')") == [
+        ["Hello", "there"],
+        ["How", "are", "you"],
+    ]
+    assert one_row(spark, "elt(2, 'a', 'b', 'c')") == "b"
+    assert one_row(spark, "find_in_set('b', 'a,b,c')") == 2
+    assert one_row(spark, "space(3)") == "   "
+    assert one_row(spark, "locate('l', 'hello', 4)") == 4
+    assert one_row(
+        spark, "parse_url('https://example.com:8080/path?q=1#frag', 'HOST')"
+    ) == "example.com"
+    assert one_row(
+        spark, "parse_url('https://example.com/path?q=1&r=2', 'QUERY', 'r')"
+    ) == "2"
+    assert one_row(spark, "str_to_map('a:1,b:2', ',', ':')") == {"a": "1", "b": "2"}
+    assert one_row(spark, "translate('abcba', 'ab', 'xy')") == "xycyx"
+    assert one_row(spark, "format_number(1234567.891, 2)") == "1,234,567.89"
+
+
+def test_hive_hash_crypto(spark):
+    assert one_row(spark, "crc32('ABC')") == 2743272264
+    assert one_row(spark, "sha1('abc')") == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert (
+        one_row(spark, "base64(aes_decrypt(aes_encrypt('msg', '0000111122223333'), '0000111122223333'))")
+        == "bXNn"
+    )
+    assert one_row(spark, "hash(42)") is not None  # Murmur3, engine-internal
+
+
+def test_xpath(spark):
+    assert one_row(spark, "xpath_string('<a><b>bb</b></a>', 'a/b')") == "bb"
+    assert one_row(spark, "xpath_int('<a><b>3</b></a>', 'a/b')") == 3
+    assert one_row(spark, "xpath('<a><b>1</b><b>2</b></a>', 'a/b/text()')") == ["1", "2"]
+
+
+def test_reflect(spark):
+    assert one_row(spark, "reflect('java.lang.Math', 'max', 1, 2)") == "2"
+    assert one_row(spark, "java_method('java.lang.String', 'valueOf', 7)") == "7"
+
+
+def test_field_shim(spark):
+    df = spark.range(1).select(
+        hive_fn("field")(F.lit("b"), F.lit("a"), F.lit("b"), F.lit("c")).alias("f"),
+        hive_fn("field")(F.lit("z"), F.lit("a"), F.lit("b")).alias("miss"),
+    )
+    row = df.collect()[0]
+    assert row.f == 2 and row.miss == 0
+
+
+def test_create_union_shim(spark):
+    df = spark.range(1).select(
+        hive_fn("create_union")(F.lit(1), F.lit("s"), F.lit(42)).alias("u")
+    )
+    row = df.collect()[0]
+    assert row.u.tag == 1 and row.u.field1 == 42
+
+
+def test_sum0_shim(spark):
+    df = spark.range(5).filter("id > 100")  # empty
+    assert df.select(hive_fn("$sum0")(F.col("id")).alias("s")).collect()[0].s == 0
+
+
+def test_unsupported_raise():
+    with pytest.raises(NotImplementedError):
+        HIVE_FUNCTIONS["ewah_bitmap"]()
+
+
+def test_udaf_statistical(spark):
+    """std/variance/covar/corr family (FunctionRegistry.java:376-392)."""
+    df = spark.createDataFrame([Row(x=1.0, y=2.0), Row(x=2.0, y=4.0), Row(x=3.0, y=6.0)])
+    r = df.agg(
+        F.stddev_pop("x").alias("sp"),
+        F.stddev_samp("x").alias("ss"),
+        F.var_pop("x").alias("vp"),
+        F.var_samp("x").alias("vs"),
+        F.covar_pop("x", "y").alias("cp"),
+        F.covar_samp("x", "y").alias("cs"),
+        F.corr("x", "y").alias("c"),
+    ).collect()[0]
+    assert r.vp == pytest.approx(2 / 3)
+    assert r.vs == pytest.approx(1.0)
+    assert r.sp == pytest.approx(math.sqrt(2 / 3))
+    assert r.cs == pytest.approx(2.0)
+    assert r.c == pytest.approx(1.0)
+
+
+def test_udaf_sketches(spark):
+    df = spark.range(1000).select((F.col("id") % 100).alias("x"))
+    r = df.agg(
+        F.percentile_approx("x", 0.5).alias("p50"),
+        F.expr("percentile(x, 0.5)").alias("p50_exact"),
+        F.expr("histogram_numeric(x, 5)").alias("hist"),
+        F.approx_count_distinct("x").alias("acd"),
+    ).collect()[0]
+    assert 45 <= r.p50 <= 55
+    assert r.p50_exact == pytest.approx(49.5)
+    assert len(r.hist) == 5
+    assert 90 <= r.acd <= 110
+    s = df.agg(F.sort_array(F.collect_set("x")).alias("s")).collect()[0].s
+    assert s == list(range(100))
+
+
+def test_explode_family(spark):
+    rows = spark.sql(
+        "SELECT inline(array(struct(1, 'a'), struct(2, 'b')))"
+    ).collect()
+    assert len(rows) == 2
+    rows = spark.sql("SELECT posexplode(map('k1', 1, 'k2', 2))").collect()
+    assert len(rows) == 2
+    rows = spark.sql(
+        "SELECT json_tuple('{\"a\": 1, \"b\": \"x\"}', 'a', 'b')"
+    ).collect()[0]
+    assert rows[0] == "1" and rows[1] == "x"
