@@ -1,0 +1,171 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Operators over an `array<float>` embedding column (driver table
+`embeddings(vec_id, embedding float[64], label)`).
+
+Scale design:
+  - brute-force: the query set is broadcast (it's small by definition);
+    scoring is a map-side zip_with/aggregate over every corpus partition —
+    embarrassingly parallel, no shuffle except the final per-query top-k
+    (TakeOrderedAndProject after a window rank). This is the exact baseline.
+  - random-hyperplane LSH: each vector gets a b-bit signature (sign of dot
+    with b fixed pseudo-random hyperplanes, generated deterministically from
+    a seed — no stored model). Candidates = same bucket in any of `tables`
+    independent signatures; exact cosine re-rank on candidates only. At
+    100 TB the corpus is hashed in one map pass and the only shuffle is the
+    bucket join, whose keys are uniform by construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two double-array columns (JVM fold, no UDF)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double_array(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, score). The query side is
+    broadcast; ties broken by neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("score", cosine(F.col("cv"), F.col("qv")))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-Python LCG — stable
+    across runs/machines, no numpy state)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(bits):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            v.append(state / 0x7FFFFFFF * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Pack sign-of-dot-product bits into one long per vector."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(F.shiftleft(F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0)), i))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH buckets, exact re-rank
+    of candidates. Recall grows with `tables`; cost per query drops from
+    O(N) to O(N / 2^bits * tables).
+
+    Parameter note: bits/tables must match the data's neighbor geometry. The
+    driver's embeddings are isotropic random (top-1 cosine ≈ 0.37, angle
+    ≈ 68°), so per-bit agreement is only ~0.62 and short signatures with many
+    tables are required (bits=4, tables=16 → ~0.9 recall). On real clustered
+    embeddings (neighbor cosine ≥ 0.8) bits=16, tables=8 gives the same
+    recall with ~1000× candidate reduction."""
+    sigs = [
+        _hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)
+    ]
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
+    for t in range(tables):
+        c = c.withColumn(f"sig{t}", lsh_signature(F.col("cv"), sigs[t]))
+        q = q.withColumn(f"sig{t}", lsh_signature(F.col("qv"), sigs[t]))
+    c_banded = c.select(
+        "neighbor_id",
+        "cv",
+        F.posexplode(F.array(*[F.col(f"sig{t}") for t in range(tables)])).alias("tbl", "sig"),
+    )
+    q_banded = q.select(
+        "query_id",
+        "qv",
+        F.posexplode(F.array(*[F.col(f"sig{t}") for t in range(tables)])).alias("tbl", "sig"),
+    )
+    cand = (
+        c_banded.join(F.broadcast(q_banded), ["tbl", "sig"])
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", cosine(F.col("cv"), F.col("qv")))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold), exact O(n²)
+    within the provided frame — use after LSH blocking at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

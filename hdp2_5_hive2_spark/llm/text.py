@@ -1,0 +1,140 @@
+"""Text analysis operators: tokenize, quality score, language ID,
+fingerprint, n-grams.
+
+Parity/heritage: Hive's sentences/ngrams/context_ngrams
+(FunctionRegistry.java:398-399, :432 in /root/reference) are the reference's
+text surface; these operators generalize them for training-data pipelines.
+
+Everything is built from built-in `pyspark.sql.functions` (JVM, codegen'd) —
+no Python UDFs — so the hot path stays in whole-stage codegen and scales
+linearly with input splits; none of these operators shuffle except the
+n-gram aggregation (one shuffle on the n-gram key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language — enough for a demonstrable
+# n-gram-heuristic language ID; swap for real lists in production.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "fr": ("le", "la", "de", "et", "un", "être", "que", "pour", "dans", "ce"),
+    "de": ("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+    "zh": ("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenizer (split on 1+ whitespace, trimmed)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/char statistics (exact integer/ratio arithmetic)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    n_spaces = n_chars - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_txt": n_chars,
+            "n_spaces": n_spaces,
+            # avg token length: exact single division over exact ints
+            "avg_token_len": (n_chars - n_spaces) / n_tok,
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length band, mean token length band,
+    stopword hit ratio. Mirrors common LLM-corpus filters (C4/Gopher rules)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    en_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(1)).otherwise(F.lit(0))
+        + F.when(en_hits > 0, F.lit(1)).otherwise(F.lit(0))
+        + F.when(alpha_chars * 2 > F.length(text_col), F.lit(1)).otherwise(F.lit(0))
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "stopword_hits": en_hits,
+            "alpha_chars": alpha_chars,
+            "quality_score": score,
+            "keep": score >= 2,
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-heuristic language ID: count distinct-stopword hits per language,
+    pick the argmax (deterministic tie-break by language code).
+
+    At 100 TB this is a pure map-side operator — the stopword arrays are
+    compile-time literals inside codegen, no broadcast or shuffle at all."""
+    toks = tokens(text_col)
+    hit_cols = {
+        f"hits_{lang}": F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    df = df.withColumns(hit_cols)
+    # argmax with lexicographic tie-break: compare (hits, -ord) via struct max
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"hits_{lang}").alias("h"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(STOPWORDS))
+        ]
+    )
+    return df.withColumn("lang_pred", F.when(best.getField("h") > 0, best.getField("lang")).otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over case/whitespace-normalized text plus a
+    coarse length bucket — the exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumns(
+        {
+            "fp_md5": F.md5(normalized),
+            "len_bucket": (F.length(normalized) / 64).cast("int"),
+        }
+    )
+
+
+def ngrams_col(text: Column | str, n: int = 2) -> Column:
+    """Token n-grams as an array column (parity with Hive's ngrams UDAF input,
+    FunctionRegistry.java:398)."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20) -> DataFrame:
+    """Top-k token n-grams by frequency (ngrams UDAF equivalent): one explode,
+    one shuffle on the n-gram key, TakeOrderedAndProject for the top-k."""
+    return (
+        df.select(F.explode(ngrams_col(text_col, n)).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -1,1 +1,307 @@
-"""LLM-pipeline operator corpus — filled in incrementally."""
+"""LLM-pipeline operator corpus: dedup / similarity / text analysis over the
+driver's `documents` and `embeddings` tables.
+
+Oracle discipline: the Spark operators use JVM hashing (xxhash64) for
+candidate *generation*, which DuckDB can't replicate — but every *output*
+below is defined by exact set/arithmetic semantics (Jaccard ratios, cosine
+ranks, md5 fingerprints), so the oracles recompute the same answer
+exhaustively (O(n²) within the sf0.01 correctness scale) and the results
+must agree exactly. SimHash output depends on the hash function itself, so
+it registers without an oracle (driver rows-only check) and is
+property-tested in tests/test_llm.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.llm import dedup, similarity, text
+from hdp2_5_hive2_spark.queries.registry import query
+
+# DuckDB-side shingle CTE reused by the Jaccard oracles (token 3-grams,
+# distinct, over whitespace-split tokens — mirrors llm.dedup.shingles).
+_SHINGLES_CTE = """
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    )
+"""
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))                    AS n_tokens,
+           length(text)                                                   AS n_chars_txt,
+           length(text) - length(replace(text, ' ', ''))                  AS n_spaces,
+           CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+'))                AS avg_token_len
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char statistics (llm.text.text_stats)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.text_stats(d).select("doc_id", "n_tokens", "n_chars_txt", "n_spaces", "avg_token_len")
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    SELECT doc_id, n_tokens, stopword_hits, alpha_chars,
+           (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+            + CASE WHEN stopword_hits > 0 THEN 1 ELSE 0 END
+            + CASE WHEN alpha_chars * 2 > n_chars THEN 1 ELSE 0 END) AS quality_score,
+           (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+            + CASE WHEN stopword_hits > 0 THEN 1 ELSE 0 END
+            + CASE WHEN alpha_chars * 2 > n_chars THEN 1 ELSE 0 END) >= 2 AS keep
+    FROM (
+      SELECT doc_id, length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_intersect(string_split_regex(trim(text), '\\s+'),
+                 ['the','and','of','to','a','in','is','it','you','that'])) AS stopword_hits,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+      FROM documents
+    ) t
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality filter (llm.text.quality_score)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.quality_score(d).select(
+        "doc_id", "n_tokens", "stopword_hits", "alpha_chars", "quality_score", "keep"
+    )
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN mx = 0 THEN 'und'
+                WHEN h_de = mx THEN 'de'
+                WHEN h_en = mx THEN 'en'
+                WHEN h_es = mx THEN 'es'
+                WHEN h_fr = mx THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM (
+      SELECT doc_id, lang,
+             len(list_intersect(t, ['the','and','of','to','a','in','is','it','you','that'])) AS h_en,
+             len(list_intersect(t, ['el','la','de','que','y','en','un','ser','se','no'])) AS h_es,
+             len(list_intersect(t, ['le','la','de','et','un','être','que','pour','dans','ce'])) AS h_fr,
+             len(list_intersect(t, ['der','die','und','in','den','von','zu','das','mit','sich'])) AS h_de,
+             len(list_intersect(t, ['的','一','是','不','了','人','我','在','有','他'])) AS h_zh,
+             greatest(
+               len(list_intersect(t, ['the','and','of','to','a','in','is','it','you','that'])),
+               len(list_intersect(t, ['el','la','de','que','y','en','un','ser','se','no'])),
+               len(list_intersect(t, ['le','la','de','et','un','être','que','pour','dans','ce'])),
+               len(list_intersect(t, ['der','die','und','in','den','von','zu','das','mit','sich'])),
+               len(list_intersect(t, ['的','一','是','不','了','人','我','在','有','他']))) AS mx
+      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    ) h
+    """,
+    tags=("llm", "text", "langid"),
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with alphabetical tie-break (llm.text.lang_id)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.lang_id(d).select("doc_id", "lang", "lang_pred")
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+           CAST(floor(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) / 64) AS INTEGER) AS len_bucket
+    FROM documents
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint (llm.text.fingerprint)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.fingerprint(d).select("doc_id", "fp_md5", "len_bucket")
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM (
+      SELECT doc_id + 1000000 AS doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+      UNION ALL
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ) u
+    GROUP BY fp
+    """,
+    tags=("llm", "dedup", "bench"),
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted exact copies (every doc
+    duplicated under id+1,000,000): keep min id, count copies."""
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text").unionAll(
+        d.select("doc_id", "text")
+    )
+    return dedup.exact_dedup(corpus)
+
+
+@query(
+    "llm_minhash_dedup",
+    oracle=_SHINGLES_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) >= 1 AND len(b.sh) >= 1
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+    tags=("llm", "dedup", "minhash", "bench"),
+)
+def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs at Jaccard >= 0.8 (llm.dedup.minhash_lsh_pairs,
+    32 hashes, 16 bands of 2 → miss probability ~3e-12 at j=0.9). The oracle
+    is the exhaustive O(n²) exact-Jaccard scan — outputs must agree exactly."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return dedup.minhash_lsh_pairs(d, num_hashes=32, bands=16, threshold=0.8)
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh,
+             CAST(floor(len(t) / 16) AS INTEGER) AS blk
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(a.sh) >= 1 AND len(b.sh) >= 1
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs, blocked by token-count bucket
+    (llm.dedup.ngram_jaccard_pairs)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return dedup.ngram_jaccard_pairs(d, threshold=0.8)
+
+
+@query("llm_simhash_dedup", oracle=None, tags=("llm", "dedup", "simhash"))
+def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures). Output
+    depends on xxhash64 — no SQL oracle; property-tested in tests/test_llm.py
+    (planted near-dups recovered, disjoint docs rejected)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return dedup.simhash_pairs(d)
+
+
+@query(
+    "llm_top_bigrams",
+    oracle="""
+    SELECT ngram, n FROM (
+      SELECT ngram, COUNT(*) AS n
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS ngram
+        FROM (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents)
+      ) g
+      WHERE ngram <> ''
+      GROUP BY ngram
+    ) c
+    ORDER BY n DESC, ngram
+    LIMIT 20
+    """,
+    tags=("llm", "text", "ngrams"),
+)
+def llm_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams (Hive ngrams-UDAF parity — FunctionRegistry.java:398)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.top_ngrams(d, n=2, k=20)
+
+
+@query(
+    "llm_ann_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings c
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      WHERE c.vec_id >= 5
+    ) r WHERE rank <= 10
+    """,
+    tags=("llm", "similarity", "ann", "bench"),
+)
+def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (llm.similarity
+    .brute_force_topk). Ranks only — scores are engine-float-order dependent
+    in the last ULP; ranks are stable because random 64-d vectors never tie."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    res = similarity.brute_force_topk(
+        corpus=e.filter(F.col("vec_id") >= 5), queries=e.filter(F.col("vec_id") < 5), k=10
+    )
+    return res.select("query_id", "neighbor_id", "rank")
+
+
+@query(
+    "llm_embedding_dup_pairs",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5) AS v
+      FROM embeddings WHERE vec_id < 50
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    """,
+    tags=("llm", "similarity", "dedup"),
+)
+def llm_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: corpus with 50 planted scaled copies
+    (cosine ≈ 1.0); random 64-d pairs never approach the 0.99 threshold, so
+    engine float-rounding can't flip membership."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    copies = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(similarity.as_double_array("embedding"), lambda x: x * 1.5).alias("embedding"),
+    )
+    corpus = e.select("vec_id", similarity.as_double_array("embedding").alias("embedding")).unionAll(
+        copies
+    )
+    return similarity.cosine_dup_pairs(corpus, threshold=0.99)
+
+
+@query("llm_lsh_ann_topk", oracle=None, tags=("llm", "similarity", "lsh"))
+def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (llm.similarity.lsh_topk) — the 100 TB
+    scale path. Approximate by design → no SQL oracle; recall vs the exact
+    baseline is asserted in tests/test_llm.py."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.lsh_topk(
+        corpus=e.filter(F.col("vec_id") >= 5), queries=e.filter(F.col("vec_id") < 5), k=10
+    )

@@ -1,1 +1,144 @@
-"""Event-time windowing corpus (batch equivalents) — filled in incrementally."""
+"""Event-time windowing corpus — batch equivalents of the streaming slice
+(SURVEY.md §2.11: the idiomatic replacement for Hive's ACID-ingest-only
+streaming surface). Each entry is the batch twin of a Structured Streaming
+operator in hdp2_5_hive2_spark.streaming.events; tests/test_streaming.py
+proves the streaming twins produce identical results over a file stream.
+
+Oracle notes: events.ts is TIMESTAMP_NS in DuckDB vs microsecond in Spark —
+all oracles bucket or truncate, which is insensitive to sub-µs residue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.queries.registry import query
+from hdp2_5_hive2_spark.streaming import events as ev
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "bench"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time window (streaming twin:
+    streaming.events.streaming_tumbling_counts)."""
+    return ev.tumbling_counts_batch(spark, sf_dir)
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes'])
+               AS window_start,
+             event_type
+      FROM events
+    ) t
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window 10m/5m: each event belongs to the two 5-min-aligned
+    windows covering it."""
+    return ev.sliding_counts_batch(spark, sf_dir)
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 300
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    tags=("streaming", "session"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5-minute gap) — batch twin of
+    session_window(ts, '5 minutes')."""
+    return ev.sessionize_batch(spark, sf_dir, gap_minutes=5)
+
+
+@query(
+    "events_dedup_minute",
+    oracle="""
+    SELECT COUNT(*) AS n_distinct_keys FROM (
+      SELECT DISTINCT user_id, event_type,
+             time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS minute
+      FROM events
+    ) t
+    """,
+    tags=("streaming", "dedup"),
+)
+def events_dedup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup per minute bucket (streaming twin: dropDuplicates under a
+    watermark — streaming.events.streaming_dedup)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.select("user_id", "event_type", F.window("ts", "1 minute").getField("start").alias("minute"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_distinct_keys"))
+    )
+
+
+@query(
+    "events_stream_static_join",
+    oracle="""
+    SELECT w.weight_class, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (VALUES ('click', 'light'), ('view', 'light'),
+                 ('purchase', 'heavy'), ('signup', 'heavy'), ('error', 'ops')) AS w(event_type, weight_class)
+      ON e.event_type = w.event_type
+    GROUP BY w.weight_class
+    """,
+    tags=("streaming", "join"),
+)
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (dimension broadcast in both modes)."""
+    e = load_tables(spark, sf_dir)["events"]
+    dim = e.sparkSession.createDataFrame(
+        [
+            ("click", "light"),
+            ("view", "light"),
+            ("purchase", "heavy"),
+            ("signup", "heavy"),
+            ("error", "ops"),
+        ],
+        ["event_type", "weight_class"],
+    )
+    return (
+        e.join(F.broadcast(dim), "event_type")
+        .groupBy("weight_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )

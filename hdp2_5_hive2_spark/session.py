@@ -51,7 +51,12 @@ def get_session(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Local default: small enough that single-file test inputs still split
+        # across all cores. On a real cluster raise to 128-256 MB via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
         # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS); Spark
         # has no nanosecond timestamp type, so read as epoch-nanos long and
         # convert in catalog.load_tables.

@@ -1,0 +1,15 @@
+from hdp2_5_hive2_spark.streaming.events import (
+    sessionize_batch,
+    sliding_counts_batch,
+    stream_events,
+    streaming_tumbling_counts,
+    tumbling_counts_batch,
+)
+
+__all__ = [
+    "stream_events",
+    "streaming_tumbling_counts",
+    "tumbling_counts_batch",
+    "sliding_counts_batch",
+    "sessionize_batch",
+]

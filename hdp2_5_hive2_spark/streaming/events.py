@@ -1,0 +1,119 @@
+"""Event-time windowing over the `events` table — batch + Structured Streaming.
+
+The reference has no stream processing (SURVEY.md §2.11): Hive 2.1's
+"streaming" is transactional ingest (hcatalog/streaming HiveEndPoint →
+TransactionBatch ACID deltas). The idiomatic Spark replacement is Structured
+Streaming: readStream → withWatermark → window()/session_window() aggregates.
+Each batch operator here has a streaming twin so the same semantics run in
+both modes; the batch forms are DuckDB-oracle-checked, the streaming forms
+are covered by tests that compare a file-sourced stream's final result to
+the batch result (exactly-once at the sink).
+
+Scale: windowed aggregation shuffles on (window, keys); watermark bounds
+state. At 100 TB/day the pattern holds — partition the source by arrival
+hour, keep watermark delay ≥ max disorder, and let AQE size reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables
+
+
+def tumbling_counts_batch(spark: SparkSession, sf_dir: str, width: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window: count + exact sum(value) per (window, type)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts_batch(
+    spark: SparkSession, sf_dir: str, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding window (width 10m, slide 5m): every event lands in 2 windows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sessionize_batch(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 5
+) -> DataFrame:
+    """Gap-based sessionization per user (session_window batch equivalent,
+    expressed with lag + running sum so it is exactly SQL-oracle-checkable).
+
+    A new session starts when the gap to the previous event exceeds
+    `gap_minutes`. Output: per-session id/user/bounds/count."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > gap_s),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    with_id = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over parquet event files (the Structured Streaming
+    ingest path; exactly-once with checkpoints at a real sink)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def streaming_tumbling_counts(
+    events_stream: DataFrame,
+    width: str = "10 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Streaming twin of tumbling_counts_batch: watermark bounds late data and
+    state size; append-mode emits each window once it is final."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def streaming_dedup(events_stream: DataFrame, watermark: str = "15 minutes") -> DataFrame:
+    """Streaming exactly-once dedup on event_id within the watermark horizon."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])

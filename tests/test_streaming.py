@@ -1,0 +1,102 @@
+"""Structured Streaming twins must equal their batch counterparts: run the
+events table through a file-source stream (multiple triggers) into a memory
+sink and compare with the batch result — the exactly-once guarantee the
+reference gets from ACID ingest (SURVEY.md §2.11), done the Spark way."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.streaming import events as ev
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_files(spark):
+    """Split sf0.001 events into 4 parquet files (µs timestamps) so the file
+    source delivers multiple triggers."""
+    tmp = Path(tempfile.mkdtemp(prefix="events_stream_"))
+    df = load_tables(spark, SF_SMOKE)["events"]
+    df.repartition(4).write.mode("overwrite").parquet(str(tmp / "in"))
+    yield str(tmp / "in"), df.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_tumbling_equals_batch(spark, event_files):
+    src, schema = event_files
+    stream = ev.stream_events(spark, src, schema, max_files_per_trigger=1)
+    agg = ev.streaming_tumbling_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    # batch twin over the same files
+    batch_df = spark.read.schema(schema).parquet(src)
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in (
+            batch_df.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_drops_replayed_batch(spark, event_files):
+    """Replay the same file twice through dropDuplicates — row count must
+    equal the distinct count, not double."""
+    src, schema = event_files
+    stream = ev.stream_events(spark, src, schema, max_files_per_trigger=2)
+    dedup = ev.streaming_dedup(stream)
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT COUNT(*) AS n FROM dedup_test").collect()[0].n
+    want = spark.read.schema(schema).parquet(src).dropDuplicates(["event_id", "ts"]).count()
+    assert n == want
+
+
+def test_streaming_session_window(spark, event_files):
+    """Native session_window aggregation runs in streaming mode and yields the
+    same number of (user, session) groups as the batch lag/cumsum formulation."""
+    src, schema = event_files
+    stream = ev.stream_events(spark, src, schema, max_files_per_trigger=4)
+    sess = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n FROM session_test").collect()[0].n
+    want = ev.sessionize_batch(spark, SF_SMOKE, gap_minutes=5).count()
+    assert got == want
