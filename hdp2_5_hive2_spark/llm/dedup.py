@@ -2,31 +2,72 @@
 
 Heritage: the reference has no dedup surface; these are the LLM-pipeline
 extensions (BASELINE.json north star). All candidate generation is
-sub-quadratic and expressed as DataFrame ops so Catalyst/AQE handles the
-physical plan:
+sub-quadratic; joins/aggregations stay in Catalyst, while the per-document
+kernels (shingling, MinHash permutation, SimHash bit-votes) run as
+Arrow-batched ``mapInPandas`` with numpy-vectorized hashing.
 
-  - exact:   one shuffle on the fingerprint hash (map-side partial agg).
-  - minhash: per-row signature (JVM xxhash64 — no Python), explode to
-    (band, band_hash) keys, self-join per bucket. At 100 TB the bucket join
-    is the only shuffle; band hashes are uniformly distributed so AQE's skew
-    split handles pathological buckets (e.g. boilerplate-heavy corpora).
-  - simhash: 64-bit signature via per-token hashes; near-dup = small Hamming
-    distance within 16-bit band blocks (pigeonhole: d<=3 over 4 blocks →
-    at least one block equal).
-  - ngram_jaccard: exact pairwise Jaccard, blocked to keep the pair count
-    bounded; the verification primitive for the approximate methods.
+Why pandas kernels and not pure Column expressions: the natural expression —
+``transform(sequence(...), concat_ws(element_at...))`` + per-seed
+``array_min(transform(xxhash64))`` — is built from higher-order functions,
+which Catalyst evaluates *interpreted* (they never enter whole-stage
+codegen). Measured at sf0.1 that plan spends ~10 ms/row on 300-char
+documents (37 s for a 5000-doc explode); the Arrow path streams the same
+work through numpy at C speed (<0.5 s). This is exactly the "built-in
+operators genuinely can't express the semantics (efficiently)" carve-out:
+candidate generation and verification remain DataFrame joins so AQE still
+handles skew/broadcast at 100 TB.
+
+Scale notes (100 TB):
+  - exact:   one shuffle on a 16-byte fingerprint hash (map-side partial agg).
+  - minhash: the corpus flows through the Arrow kernel once, emitting only
+    (id, band_id, band_hash) — 20 bytes/row × bands — so the bucket
+    self-join shuffles ids, never text. Band hashes are uniformly
+    distributed; pathological buckets (boilerplate-heavy corpora) are split
+    by AQE skew handling. Exact-Jaccard verification touches only the
+    candidate set, re-deriving shingles for those few documents.
+  - simhash: map-side 64-bit signature, then a self-join blocked on 16-bit
+    signature quarters (pigeonhole: Hamming <= 3 over 4 blocks implies at
+    least one equal block).
+  - ngram_jaccard: exact pairwise Jaccard, quadratic within a blocking key
+    only — the verification primitive for the approximate methods.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.llm.text import tokens
 
+# Deterministic 64-bit mixing constants (golden-ratio / PCG multipliers).
+# All signature math is uint64 with natural wraparound — the standard
+# multiply-shift universal hash family.
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xD1B54A32D192ED03)
+
+
+def _shuffle_n(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def _shingle_list(text: str, n: int) -> list[str]:
+    """Distinct, order-preserving token n-gram shingles of one document.
+    Tokenization matches ``text.tokens`` (split on runs of whitespace,
+    trimmed)."""
+    toks = text.split() if isinstance(text, str) else []
+    if len(toks) < n:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct token n-gram shingle set."""
+    """Column-expression form of the shingle set (semantic spec; the hot
+    paths below use the Arrow kernel instead — interpreted HOF chains cost
+    ~10 ms/row)."""
     toks = tokens(text)
     return F.array_distinct(
         F.transform(
@@ -48,21 +89,89 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _seeded_hash(seed: int):
-    # closure factory, NOT a default-arg lambda: pyspark inspects lambda arity
-    # and a 2-arg lambda would receive the element index as its second arg.
-    return lambda h: F.xxhash64(F.lit(seed), h)
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh, n_tok) per document via the Arrow kernel. Documents with
+    fewer than ``n`` tokens get an empty shingle array."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "sh": [_shingle_list(t, n) for t in texts],
+                    "n_tok": [len(t.split()) if isinstance(t, str) else 0 for t in texts],
+                }
+            )
+
+    # Parallelism fence: mapInPandas inherits the input partitioning, which
+    # for a single small file is one serial task.
+    return (
+        df.select(id_col, text_col)
+        .repartition(_shuffle_n(df))
+        .mapInPandas(gen, "id bigint, sh array<string>, n_tok int")
+    )
 
 
-def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature over PRE-HASHED shingles (array<long>): per seed,
-    element-wise min of xxhash64(seed, h). Re-seeding hashes longs, not
-    strings — the string is hashed exactly once upstream."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_hashes, _seeded_hash(seed)))
-            for seed in range(num_hashes)
-        ]
+def _minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    n_shingle: int,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows: shingle → 64-bit siphash → per-seed
+    multiply-shift permutation min → per-band mix. One Arrow pass over the
+    corpus; a repartition fence first, because ``mapInPandas`` parallelism is
+    otherwise bounded by file split count (one small file = one serial task).
+    """
+    rows_per_band = num_hashes // bands
+    # Odd multipliers / increments per seed, derived from fixed constants.
+    a = (_MIX * (np.arange(num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1))) | np.uint64(1)
+    b = _MIX2 * np.arange(num_hashes, dtype=np.uint64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            offsets: list[int] = []
+            flat: list[str] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                shs = _shingle_list(t, n_shingle)
+                if not shs:
+                    continue
+                ids.append(i)
+                offsets.append(len(flat))
+                flat.extend(shs)
+            if not ids:
+                yield pd.DataFrame({"id": [], "band_id": [], "band_hash": []}).astype(
+                    {"id": "int64", "band_id": "int32", "band_hash": "int64"}
+                )
+                continue
+            h = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64, deterministic
+            off = np.asarray(offsets)
+            mins = np.empty((num_hashes, len(ids)), dtype=np.uint64)
+            for s in range(num_hashes):  # seed-at-a-time keeps memory flat
+                mins[s] = np.minimum.reduceat(a[s] * h + b[s], off)
+            bm = mins.reshape(bands, rows_per_band, len(ids))
+            bh = bm[:, 0, :].copy()
+            for r in range(1, rows_per_band):
+                bh = bh * _MIX + bm[:, r, :]
+            ids_arr = np.asarray(ids, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": np.tile(ids_arr, bands),
+                    "band_id": np.repeat(np.arange(bands, dtype=np.int32), len(ids_arr)),
+                    "band_hash": bh.reshape(-1).view(np.int64),
+                }
+            )
+
+    return (
+        df.select(id_col, text_col)
+        .repartition(_shuffle_n(df))
+        .mapInPandas(gen, "id bigint, band_id int, band_hash bigint")
     )
 
 
@@ -76,47 +185,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact Jaccard verification.
 
-    shingle → signature → (band_id, band_hash) explode → bucket self-join →
-    array_intersect/union verify. Returns (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard >= threshold.
+    shingle → signature → (band_id, band_hash) → bucket self-join →
+    exact-Jaccard verify on the candidate set only. Returns
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
 
-    Scale: the bucket join shuffles only (band_id, band_hash, id, shingles).
-    For 100 TB, shingle arrays ride the shuffle once; extremely hot buckets
-    (near-identical boilerplate) are split by AQE skew handling. bands=8 over
-    32 hashes (r=4): P(candidate) = 1-(1-j^4)^8 — ~0.97 at j=0.8, <0.04 at
-    j=0.3 — the standard S-curve for this threshold."""
-    rows_per_band = num_hashes // bands
-    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    # Two-stage pipeline with a repartition fence between them:
-    #   stage 1 tokenizes + shingles + hashes each shingle string ONCE;
-    #   stage 2 derives all `num_hashes` minhashes from the long array.
-    # Without the fence Catalyst's CollapseProject would inline the shingle
-    # expression into every one of the 32 signature expressions (a 32×
-    # recompute of the string work — measured 30s → 3s at sf0.1). The fence
-    # also spreads signature work across the cluster when the source is a
-    # single small file.
-    hashed = (
-        df.select(F.col(id_col).alias("id"), shingles(text_col).alias("sh"))
-        .filter(F.size("sh") >= 1)
-        .withColumn("shx", F.transform("sh", lambda s: F.xxhash64(s)))
-        .repartition(shuffle_n, "id")
-    )
-    base = hashed.withColumn("sig", minhash_signature(F.col("shx"), num_hashes))
-    # Shuffle hygiene: the bucket join carries ONLY (band_id, band_hash, id)
-    # — 24 bytes/row — never the shingle arrays. Shingles are re-attached to
-    # the (tiny) deduped candidate set afterwards. At 100 TB this is the
-    # difference between shuffling ids and shuffling the corpus × bands.
-    banded = base.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    With r = num_hashes/bands rows per band, P(candidate) = 1-(1-j^r)^bands —
+    e.g. r=2, bands=16: ~1-3e-12 at j=0.9, so LSH misses are negligible above
+    the 0.8 threshold and the output equals the exhaustive exact-Jaccard scan.
+
+    Scale: the self-join shuffles 20-byte rows; verification re-shingles only
+    candidate documents (semi-join pruned, broadcast when small)."""
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, n_shingle=3)
     cand_ids = (
         banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
         .join(
@@ -127,10 +206,16 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_only = base.select("id", "sh")
+    touched = (
+        cand_ids.select(F.col("id_a").alias("cid"))
+        .union(cand_ids.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    cand_docs = df.join(touched, F.col(id_col) == F.col("cid"), "leftsemi")
+    sh_small = shingle_sets(cand_docs, text_col, id_col, n=3).select("id", "sh")
     cand = cand_ids.join(
-        sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        sh_small.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh_small.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
         cand.withColumn("jaccard", jac)
@@ -139,29 +224,44 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text_col: Column | str, token_hash_seed: int = 7) -> Column:
-    """64-bit SimHash: sign of per-bit weighted sums of token hashes.
+def _simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh64) 64-bit SimHash per document: per-token 64-bit hash,
+    per-bit ±1 vote, sign of the vote sum. Token multiplicity counts, as in
+    classic SimHash. Arrow kernel, map-side only (plus the parallelism
+    fence)."""
+    shifts = np.arange(64, dtype=np.uint64)
 
-    Pure JVM expressions: per token xxhash64, then for each bit accumulate
-    +1/-1 via aggregate over the token array. Cost is 64 aggregate passes —
-    constant per row, map-side only."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(token_hash_seed)))
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            offsets: list[int] = []
+            flat: list[str] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = t.split() if isinstance(t, str) else []
+                if not toks:
+                    continue
+                ids.append(i)
+                offsets.append(len(flat))
+                flat.extend(toks)
+            if not ids:
+                yield pd.DataFrame({"id": [], "sh64": []}).astype(
+                    {"id": "int64", "sh64": "int64"}
+                )
+                continue
+            h = pd.util.hash_array(np.asarray(flat, dtype=object))
+            bits = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int8) * 2 - 1)
+            votes = np.add.reduceat(bits.astype(np.int32), np.asarray(offsets), axis=0)
+            bitvals = (votes > 0).astype(np.uint64)
+            sh64 = np.bitwise_or.reduce(bitvals << shifts, axis=1)
+            yield pd.DataFrame(
+                {"id": np.asarray(ids, dtype=np.int64), "sh64": sh64.view(np.int64)}
+            )
 
-    def bit_merge(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_cols = []
-    for bit in range(64):
-        contrib = F.aggregate(hashes, F.lit(0).cast("long"), bit_merge(bit))
-        bit_cols.append(F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{bit}"))
-    # pack bits into one long
-    packed = F.lit(0).cast("long")
-    for bit, c in enumerate(bit_cols):
-        packed = packed.bitwiseOR(F.shiftleft(c, bit))
-    return packed
+    return (
+        df.select(id_col, text_col)
+        .repartition(_shuffle_n(df))
+        .mapInPandas(gen, "id bigint, sh64 bigint")
+    )
 
 
 def simhash_pairs(
@@ -170,18 +270,25 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit quarters (pigeonhole — any pair
-    with Hamming distance <= 3 shares at least one of 4 exact quarter-blocks),
-    verify Hamming via bit_count(xor). One shuffle on (block_id, block_val)."""
-    base = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh64"))
+    """SimHash near-dup pairs: block on ``max_hamming + 1`` disjoint bit
+    ranges (pigeonhole — any pair with Hamming distance <= max_hamming shares
+    at least one exact block), verify Hamming via bit_count(xor). One shuffle
+    on (block_id, block_val).
+
+    Scale: wider max_hamming means narrower blocks and hotter buckets
+    (64/(d+1) bits each); at 100 TB keep d small or add a prefix of extra
+    signature bits to the bucket key."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    base = _simhash_df(df, text_col, id_col)
     blocked = base.select(
         "id",
         "sh64",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("sh64", 16 * q).bitwiseAND(F.lit(0xFFFF))
-                    for q in range(4)
+                    F.shiftright("sh64", width * q).bitwiseAND(F.lit((1 << width) - 1))
+                    for q in range(n_blocks)
                 ]
             )
         ).alias("block_id", "block_val"),
@@ -206,24 +313,49 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs within a blocking key (or a length bucket by
-    default). Quadratic *within block only* — the exact-verification
+    """Exact n-gram Jaccard pairs within a blocking key (or a token-count
+    bucket by default). Quadratic *within block only* — the exact-verification
     primitive; use minhash_lsh_pairs for unblocked corpora."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, n).alias("sh"),
-        (F.col(block_col) if block_col else (F.size(tokens(text_col)) / 16).cast("int")).alias(
-            "blk"
-        ),
-    ).filter(F.size("sh") >= 1)
-    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
-    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-        .dropDuplicates(["id_a", "id_b"])
+    sh_df = shingle_sets(df, text_col, id_col, n)
+    if block_col:
+        blk = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
+        base = sh_df.filter(F.size("sh") >= 1).join(blk, "id")
+    else:
+        base = sh_df.filter(F.size("sh") >= 1).withColumn(
+            "blk", (F.col("n_tok") / 16).cast("int")
+        )
+
+    # Within-block all-pairs verification as one applyInPandas: Python set
+    # intersection is C-speed, vs interpreted array_intersect per joined row
+    # (a blocked self-join at sf0.1 spends ~20 s on ~1M candidate rows; this
+    # pass runs in <1 s). One shuffle on blk. Caveat shared by any blocked
+    # quadratic method: a block must fit in one task's memory — choose
+    # block_col accordingly at scale.
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        sets = [set(x) for x in pdf["sh"]]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        for i in range(len(ids)):
+            si = sets[i]
+            for j in range(i + 1, len(ids)):
+                sj = sets[j]
+                inter = len(si & sj)
+                if inter == 0:
+                    continue
+                jac = inter / (len(si) + len(sj) - inter)
+                if jac >= threshold:
+                    a, b = ids[i], ids[j]
+                    if a > b:
+                        a, b = b, a
+                    out_a.append(int(a))
+                    out_b.append(int(b))
+                    out_j.append(jac)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j}).astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
+
+    return base.groupBy("blk").applyInPandas(
+        verify, "id_a bigint, id_b bigint, jaccard double"
     )
