@@ -24,7 +24,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
+    "q18_large_volume_customer",
     "agg_multi_distinct",
     "groupby_cube",
     "join_left_anti",

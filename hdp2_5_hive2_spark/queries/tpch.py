@@ -249,3 +249,457 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q11/Q16/Q20/Q21 are not expressible against the driver's reduced schema
+# (no partsupp table; lineitem lacks commitdate/receiptdate/shipmode). The
+# remaining TPC-H queries are implemented below, adapted to the available
+# columns where noted; each adaptation preserves the operator shape the
+# original exercises (the parity target from SURVEY.md §2).
+# ---------------------------------------------------------------------------
+
+_NAT_A, _NAT_B = "NATION_1", "NATION_2"  # driver's synthetic nation names
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM({_REV_SQL.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = '{_NAT_A}' AND n2.n_name = '{_NAT_B}')
+        OR (n1.n_name = '{_NAT_B}' AND n2.n_name = '{_NAT_A}'))
+      AND l.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    tags=("join", "multiway", "agg", "tpch"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year. The nation-pair filter is
+    pushed into the dimension tables BEFORE the joins so the fact-table scan
+    only keeps rows for the two nations (Hive PPD parity,
+    ql/ppd/PredicatePushDown.java:82 — Catalyst does the residual pair
+    predicate after the broadcast joins)."""
+    t = load_tables(spark, sf_dir)
+    pair = [_NAT_A, _NAT_B]
+    n1 = (
+        t["nation"]
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        t["nation"]
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date")
+        )
+    )
+    supp = t["supplier"].join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    cust = t["customer"].join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == _NAT_A) & (F.col("cust_nation") == _NAT_B))
+            | ((F.col("supp_nation") == _NAT_B) & (F.col("cust_nation") == _NAT_A))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = '{_NAT_A}' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             {_REV_SQL.replace('l_', 'l.l_')} AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("join", "multiway", "agg", "conditional", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share within a region — 8-way join with a
+    conditional aggregate ratio. All dimensions broadcast; lineitem shuffles
+    once on l_orderkey."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = t["region"].filter(F.col("r_name") == "AMERICA")
+    cust = (
+        t["customer"]
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+    )
+    supp = t["supplier"].join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    part = t["part"].filter(F.col("p_type") == "ECONOMY")
+    orders = t["orders"].filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date")
+        )
+    )
+    volume = _rev()
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == _NAT_A, volume).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+               - CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,2))
+                 * CAST(0.5 AS DECIMAL(2,1)) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_type = 'STANDARD'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    tags=("join", "multiway", "agg", "tpch"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp table, so supply cost is modeled as
+    0.5 * p_retailprice per unit). Profit by supplier nation and year.
+    DECIMAL(12,2) inner casts keep the three-factor product inside both
+    engines' 38-digit cap, so the sum is exact on both sides."""
+    t = load_tables(spark, sf_dir)
+    d12 = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    amount = d12("l_extendedprice") * (F.lit(1) - d12("l_discount")) - d12(
+        "p_retailprice"
+    ) * d12("l_quantity") * F.lit("0.5").cast("decimal(2,1)")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    tags=("join", "outer", "agg", "tpch"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (adapted: priority filter replaces the comment LIKE filter):
+    order-count histogram including zero-order customers — the outer-join +
+    double aggregation shape."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL.replace('l_', 'l.l_')}
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL.replace('l_', 'l.l_')}) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-09-01' AND l.l_shipdate < DATE '1996-10-01'
+    """,
+    tags=("join", "agg", "conditional", "tpch"),
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotional revenue share — broadcast part join + global
+    conditional aggregate."""
+    t = load_tables(spark, sf_dir)
+    rev = _rev()
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("date"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_REV_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("join", "subquery", "scalar", "agg", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue — derived-table aggregate
+    joined against its own scalar max (exact decimal equality, so ties are
+    kept on both engines). The max is a broadcast of a 1-row aggregate, not a
+    window over a single partition."""
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_revenue_d"))
+    )
+    mx = revenue.agg(F.max("total_revenue_d").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue_d") == F.col("mx"))
+        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue_d").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size <= 5
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+    tags=("join", "subquery", "correlated", "agg", "tpch"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted: brand+size filter replaces brand+container):
+    correlated scalar subquery — per-part average quantity threshold —
+    decorrelated into an aggregate-then-join, the same plan Hive generates
+    for scalar subqueries (CalcitePlanner) and Catalyst for the SQL form.
+    l_quantity is integer-valued, so AVG is exact on both engines."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5))
+    qty_lim = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("lim_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(qty_lim), F.col("l_partkey") == F.col("lim_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           SUM(l.l_quantity) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    tags=("join", "subquery", "semi", "having", "agg", "tpch"),
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders — IN over a HAVING-filtered aggregate,
+    executed as an aggregate → left-semi join (the QBSubQuery IN rewrite,
+    ql/parse/QBSubQuery.java:40). l_quantity sums are integer-exact."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        t["lineitem"]
+        .join(big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "filter", "disjunction", "agg", "tpch"),
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted: brand/size/quantity disjunction; the synthetic
+    schema has no container/shipmode): OR-of-ANDs residual join predicate —
+    Hive's PointLookupOptimizer territory; Catalyst pushes the common
+    p_partkey equi-key and keeps the disjunction as a residual filter."""
+    t = load_tables(spark, sf_dir)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    oracle="""
+    SELECT n.n_name AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c2.c_acctbal)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    """,
+    tags=("join", "subquery", "anti", "scalar", "agg", "tpch"),
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: nation name replaces the phone country code, and
+    "no orders" becomes "no URGENT orders" — the driver's synthetic data
+    gives every customer at least one order): positive-balance customers
+    above the mean with no urgent orders — scalar subquery broadcast + anti
+    join (Hive's NOT EXISTS outer-join rewrite, ql/parse/QBSubQuery.java:42-46).
+    The mean is an exact decimal sum over one division, identical on both
+    engines."""
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("avg_bal")
+        )
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
