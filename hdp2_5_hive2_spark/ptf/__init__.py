@@ -1,0 +1,13 @@
+"""Partitioned table functions (PTF) beyond windowing.
+
+Parity target: Hive's PTFOperator (ql/exec/PTFOperator.java:46 in
+/root/reference) with the MatchPath table function
+(ql/udf/ptf/MatchPath.java, 938 LoC) — regex-like row-sequence pattern
+matching over a partitioned, ordered stream (the precursor of SQL
+MATCH_RECOGNIZE). Window functions themselves map to Spark's Window API
+(queries/window.py); this package holds the PTFs Spark lacks.
+"""
+
+from hdp2_5_hive2_spark.ptf.matchpath import match_path
+
+__all__ = ["match_path"]

@@ -1,0 +1,104 @@
+"""MatchPath: regex-like row-sequence pattern matching per partition.
+
+Reference: ql/udf/ptf/MatchPath.java (938 LoC) in /root/reference — Hive's
+`matchpath()` PTF takes a symbol pattern like ``LATE.EARLY*`` where each
+symbol is a boolean expression over the row, and emits one row per match
+with the match's span. Spark has no equivalent (MATCH_RECOGNIZE never
+landed), so this is a custom operator in the sanctioned shape: symbol
+predicates are evaluated JVM-side as ordinary boolean columns (codegen'd,
+pushdown-friendly), and only the per-partition sequence scan — inherently
+order-dependent imperative logic — runs in ``applyInPandas``.
+
+Scale notes: one shuffle on the partition key; each partition must fit in a
+task (same contract as Hive's PTFPartition spill buffer, minus the spill).
+The Python kernel is O(rows) regex matching over a 1-char-per-row string —
+allocation-light even for million-row partitions.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SYMBOL_CHARS = string.ascii_uppercase
+
+
+def match_path(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    symbols: dict[str, Column],
+    pattern: str,
+) -> DataFrame:
+    """Find non-overlapping matches of `pattern` over each partition's rows
+    ordered by `order_by`.
+
+    symbols: name → boolean Column; a row's symbol is the FIRST name (in dict
+    order) whose predicate holds, else no symbol (never matches).
+    pattern: regex over symbol names joined by '.' for concatenation, with
+    '*' / '+' / '?' quantifiers — e.g. "UP.DOWN*", "HIGH+". (Same surface as
+    MatchPath.java's path expressions.)
+
+    Returns the matched rows with three extra columns:
+      match_number (per partition, 1-based), match_symbol, match_pos
+      (0-based offset of the row within its match).
+    """
+    if len(symbols) > len(_SYMBOL_CHARS):
+        raise ValueError("too many symbols")
+    sym_names = list(symbols)
+    char_of = {name: _SYMBOL_CHARS[i] for i, name in enumerate(sym_names)}
+
+    # Translate "UP.DOWN*" → "AB*": longest names first so UP/UPX don't clash.
+    rx = pattern
+    for name in sorted(sym_names, key=len, reverse=True):
+        rx = rx.replace(name, char_of[name])
+    rx = rx.replace(".", "")
+    compiled = re.compile(rx)
+
+    # Symbol resolution in the JVM: one boolean per symbol, first-match-wins.
+    sym_col = F.lit(None).cast("string")
+    for name in reversed(sym_names):
+        sym_col = F.when(symbols[name], F.lit(char_of[name])).otherwise(sym_col)
+    tagged = df.withColumn("_mp_sym", sym_col)
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    result_schema = StructType(
+        [f for f in tagged.schema.fields if f.name != "_mp_sym"]
+        + [
+            StructField("match_number", IntegerType()),
+            StructField("match_symbol", StringType()),
+            StructField("match_pos", IntegerType()),
+        ]
+    )
+    rev_char = {c: n for n, c in char_of.items()}
+    order_cols = list(order_by)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        seq = "".join(s if isinstance(s, str) else "\x00" for s in pdf["_mp_sym"])
+        take: list[int] = []
+        m_num: list[int] = []
+        m_sym: list[str] = []
+        m_pos: list[int] = []
+        n = 0
+        for m in compiled.finditer(seq):
+            if m.start() == m.end():
+                continue  # ignore empty matches (e.g. pure X* at a gap)
+            n += 1
+            for pos, idx in enumerate(range(m.start(), m.end())):
+                take.append(idx)
+                m_num.append(n)
+                m_sym.append(rev_char[seq[idx]])
+                m_pos.append(pos)
+        out = pdf.iloc[take].drop(columns=["_mp_sym"]).reset_index(drop=True)
+        out["match_number"] = pd.Series(m_num, dtype="int32")
+        out["match_symbol"] = pd.Series(m_sym, dtype="object")
+        out["match_pos"] = pd.Series(m_pos, dtype="int32")
+        return out
+
+    return tagged.groupBy(*partition_by).applyInPandas(scan, result_schema)

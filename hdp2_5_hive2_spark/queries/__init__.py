@@ -14,5 +14,7 @@ from hdp2_5_hive2_spark.queries import window  # noqa: F401  (windowing/PTF pari
 from hdp2_5_hive2_spark.queries import functions_corpus  # noqa: F401  (scalar function surface)
 from hdp2_5_hive2_spark.queries import llm_corpus  # noqa: F401  (dedup/similarity/text)
 from hdp2_5_hive2_spark.queries import streaming_corpus  # noqa: F401  (event-time windows)
+from hdp2_5_hive2_spark.queries import storage_corpus  # noqa: F401  (write-path round trips)
+from hdp2_5_hive2_spark.queries import hive_surface  # noqa: F401  (TRANSFORM/LATERAL VIEW/PTF)
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

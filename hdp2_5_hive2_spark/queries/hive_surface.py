@@ -1,0 +1,221 @@
+"""Hive-specific query surface: TRANSFORM scripts, LATERAL VIEW, sort
+modifiers (DISTRIBUTE/SORT/CLUSTER BY), TABLESAMPLE, virtual columns,
+GROUPING__ID, and the MatchPath PTF.
+
+Parity targets (SURVEY.md §2): ScriptOperator (ql/exec/ScriptOperator.java:66
+— TRANSFORM ... USING), LateralViewForward/JoinOperator
+(ql/exec/LateralViewForwardOperator.java:33), genReduceSinkPlan's
+DISTRIBUTE/SORT/CLUSTER BY (parse/SemanticAnalyzer.java:7541), SamplePruner
+(ql/optimizer/SamplePruner.java), VirtualColumn.INPUT__FILE__NAME /
+GROUPING__ID (ql/metadata/VirtualColumn.java:48-66), MatchPath
+(ql/udf/ptf/MatchPath.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables, register_views
+from hdp2_5_hive2_spark.ptf import match_path
+from hdp2_5_hive2_spark.queries.registry import query
+
+
+@query(
+    "transform_script_identity",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+    tags=("transform", "script", "hive"),
+)
+def transform_script_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFORM ... USING 'cat': row-streaming through an external process
+    over stdin/stdout with delimited serde (ScriptOperator parity,
+    ql/exec/ScriptOperator.java:66). Identity script proves the serde round
+    trip; runs on SparkScriptTransformationExec (no Hive dependency)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT TRANSFORM(n_nationkey, n_name) USING 'cat'
+               AS (n_nationkey int, n_name string)
+        FROM nation
+        """
+    )
+
+
+@query(
+    "transform_script_sed",
+    oracle="SELECT n_nationkey, replace(n_name, 'NATION_', 'N') AS short_name FROM nation",
+    tags=("transform", "script", "hive"),
+)
+def transform_script_sed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFORM with a real stream edit (sed): the script rewrites the
+    second delimited field — proves values, not just bytes, flow through
+    the external process."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT TRANSFORM(n_nationkey, n_name) USING 'sed s/NATION_/N/'
+               AS (n_nationkey int, short_name string)
+        FROM nation
+        """
+    )
+
+
+@query(
+    "lateral_view_explode",
+    oracle="""
+    SELECT o.o_orderkey, u.pri_word
+    FROM orders o, unnest(string_split(o.o_orderpriority, '-')) AS u(pri_word)
+    WHERE o.o_orderkey <= 100
+    """,
+    tags=("lateral", "udtf", "hive"),
+)
+def lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode(...) — verbatim HiveQL syntax in Spark SQL
+    (LateralViewJoinOperator parity, ql/exec/LateralViewJoinOperator.java:76)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, pri_word
+        FROM orders
+        LATERAL VIEW explode(split(o_orderpriority, '-')) t AS pri_word
+        WHERE o_orderkey <= 100
+        """
+    )
+
+
+@query(
+    "distribute_sort_by",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    tags=("sort", "distribute", "hive"),
+)
+def distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY + SORT BY (genReduceSinkPlan parity,
+    parse/SemanticAnalyzer.java:7541): hash-partition on o_orderstatus, sort
+    within each partition only. The oracle compares order-insensitively —
+    the semantic content is the row set plus the per-partition sort, which
+    tests/test_hive_surface.py asserts on the plan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 1000
+        DISTRIBUTE BY o_orderstatus SORT BY o_orderkey
+        """
+    )
+
+
+@query(
+    "cluster_by",
+    oracle="""
+    SELECT c_mktsegment, c_custkey FROM customer WHERE c_custkey <= 500
+    """,
+    tags=("sort", "cluster", "hive"),
+)
+def cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY = DISTRIBUTE BY + SORT BY on the same columns
+    (HiveParser.g:445-447)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_custkey FROM customer WHERE c_custkey <= 500
+        CLUSTER BY c_mktsegment
+        """
+    )
+
+
+@query("tablesample_bucket", oracle=None, tags=("sample", "hive"))
+def tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE (SamplePruner parity, ql/optimizer/SamplePruner.java):
+    deterministic bucket sampling via hash-mod on a column — the
+    `TABLESAMPLE(BUCKET 1 OUT OF 16 ON l_orderkey)` form, expressed as the
+    hash predicate Hive compiles it to. No oracle: sampling semantics are
+    engine-defined; the driver records the rows-only check."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.pmod(F.hash("l_orderkey"), F.lit(16)) == 0)
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "vc_input_file_name",
+    oracle="SELECT 'lineitem.parquet' AS fname, COUNT(*) AS n_rows FROM lineitem",
+    tags=("virtual-column", "hive"),
+)
+def vc_input_file_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INPUT__FILE__NAME virtual column (ql/metadata/VirtualColumn.java:48) →
+    input_file_name(): rows grouped by source file basename."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.select(F.regexp_extract(F.input_file_name(), r"([^/]+\.parquet)", 1).alias("fname"))
+        .groupBy("fname")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "groupby_grouping_id",
+    oracle="""
+    SELECT n_regionkey, n_name,
+           CAST(GROUPING(n_regionkey, n_name) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM nation
+    GROUP BY GROUPING SETS ((n_regionkey, n_name), (n_regionkey), ())
+    """,
+    tags=("grouping", "rollup", "hive"),
+)
+def groupby_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING__ID virtual column (VirtualColumn.java:66, SemanticAnalyzer
+    bitmask gen :3753-3784) → grouping_id(): both Spark and the oracle use
+    the leftmost-key-is-MSB convention, so values align bit-for-bit."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    return (
+        nation.groupingSets(
+            [["n_regionkey", "n_name"], ["n_regionkey"], []],
+            "n_regionkey",
+            "n_name",
+        )
+        .agg(F.grouping_id().cast("bigint").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select("n_regionkey", "n_name", "gid", "n")
+    )
+
+
+@query(
+    "matchpath_price_runs",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice > 300000 THEN 'HIGH' ELSE 'LOW' END AS sym,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders
+    ), isl AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY o_custkey, sym ORDER BY rn) AS grp
+      FROM seq
+    ), counted AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY o_custkey, sym, grp) AS run_len FROM isl
+    )
+    SELECT o_custkey, o_orderkey, 'HIGH' AS match_symbol
+    FROM counted WHERE sym = 'HIGH' AND run_len >= 2
+    """,
+    tags=("ptf", "matchpath", "hive"),
+)
+def matchpath_price_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath PTF (ql/udf/ptf/MatchPath.java): runs of >= 2 consecutive
+    HIGH-value orders per customer, ordered by order key. The oracle is the
+    equivalent gaps-and-islands SQL; the PTF generalizes to patterns SQL
+    can't express (alternation, bounded quantifiers)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    m = match_path(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=["o_orderkey"],
+        symbols={
+            "HIGH": F.col("o_totalprice") > 300000,
+            "LOW": F.col("o_totalprice") <= 300000,
+        },
+        pattern="HIGH.HIGH+",
+    )
+    return m.select("o_custkey", "o_orderkey", "match_symbol")

@@ -1,0 +1,161 @@
+"""Write-path correctness corpus: every query writes through the storage
+layer, reads its own output back, and aggregates — the oracle runs the same
+aggregate on the ORIGINAL table, so a value-hash match proves the
+write→read round trip is lossless (FileSinkOperator parity, SURVEY.md §2.1).
+
+Round-trip safety rules:
+  - parquet/orc carry exact binary doubles — any table round-trips.
+  - csv/json stringify doubles, so those round trips use integer/string
+    tables only (nation, region).
+Outputs land under /tmp/hdp2_5_hive2_spark_io/<query>/ with overwrite mode,
+so repeated driver runs are idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.queries.helpers import dsum
+from hdp2_5_hive2_spark.queries.registry import query
+from hdp2_5_hive2_spark.storage import (
+    compact_files,
+    insert_overwrite,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+IO_ROOT = "/tmp/hdp2_5_hive2_spark_io"
+
+
+@query(
+    "storage_partitioned_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("storage", "write", "partition"),
+)
+def storage_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition write of lineitem by l_returnflag, read back from the
+    partition directories, aggregate per partition value. Proves dynamic
+    partitioning + partition-column reconstruction is lossless."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    path = f"{IO_ROOT}/partitioned_lineitem"
+    write_partitioned(
+        li.select("l_returnflag", "l_quantity"), path, partition_by=["l_returnflag"]
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "storage_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("storage", "write", "orc"),
+)
+def storage_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write/read round trip (OrcSerde parity, ql/io/orc/ in the
+    reference), exact doubles preserved."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    path = f"{IO_ROOT}/orders_orc"
+    insert_overwrite(orders, path, fmt="orc")
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        dsum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "storage_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("storage", "write", "csv"),
+)
+def storage_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with header write/read round trip with an explicit read schema
+    (LazySimpleSerDe/OpenCSVSerde parity — schema-on-read, serde2/lazy/
+    LazySimpleSerDe.java:76)."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    path = f"{IO_ROOT}/nation_csv"
+    insert_overwrite(nation, path, fmt="csv", options={"header": "true"})
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).option("header", "true").csv(path)
+
+
+@query(
+    "storage_json_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("storage", "write", "json"),
+)
+def storage_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write/read round trip (JsonSerDe parity) with explicit
+    schema."""
+    region = load_tables(spark, sf_dir)["region"]
+    path = f"{IO_ROOT}/region_json"
+    insert_overwrite(region, path, fmt="json")
+    return spark.read.schema("r_regionkey int, r_name string").json(path)
+
+
+@query(
+    "storage_compacted_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    """,
+    tags=("storage", "write", "compact"),
+)
+def storage_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (merge-files parity): rewrite customer to a
+    single file, read back, global aggregate."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    path = f"{IO_ROOT}/customer_compact"
+    compact_files(cust, path, target_files=1)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "sum_bal")
+    )
+
+
+@query(
+    "storage_bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("storage", "write", "bucket", "join"),
+)
+def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERED BY ... INTO 8 BUCKETS on both join sides, then a join that
+    reads co-located buckets with no shuffle (SMB-join parity,
+    ql/exec/SMBMapJoinOperator.java:62; plan asserted shuffle-free in
+    tests/test_storage.py)."""
+    t = load_tables(spark, sf_dir)
+    write_bucketed_table(t["orders"], "orders_bkt", ["o_custkey"], 8, sort_by=["o_custkey"])
+    write_bucketed_table(t["customer"], "customer_bkt", ["c_custkey"], 8, sort_by=["c_custkey"])
+    o = spark.table("orders_bkt")
+    c = spark.table("customer_bkt").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

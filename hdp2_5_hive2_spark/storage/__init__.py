@@ -1,0 +1,25 @@
+"""Storage layer: writes, formats, bucketing, statistics.
+
+Parity targets (SURVEY.md §2.1, §4.2): FileSinkOperator
+(ql/exec/FileSinkOperator.java:92 in /root/reference — dynamic partitioning,
+bucketing, compression), the merge-files operators
+(ql/exec/AbstractFileMergeOperator.java), the storage-format surface
+(ORC/Parquet/Text/JSON descriptors under ql/io/), and ANALYZE TABLE stats
+(ql/optimizer/StatsOptimizer.java:97 consumes them).
+"""
+
+from hdp2_5_hive2_spark.storage.writer import (
+    analyze_table,
+    compact_files,
+    insert_overwrite,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+__all__ = [
+    "analyze_table",
+    "compact_files",
+    "insert_overwrite",
+    "write_bucketed_table",
+    "write_partitioned",
+]

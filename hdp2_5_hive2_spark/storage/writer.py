@@ -1,0 +1,113 @@
+"""Write-path operators: INSERT OVERWRITE, dynamic partitioning, bucketing,
+small-file compaction, table statistics.
+
+Reference parity (all in /root/reference):
+  - FileSinkOperator (ql/exec/FileSinkOperator.java:92): dynamic partition
+    inserts, bucketed output, compression → DataFrameWriter.
+  - CLUSTERED BY ... SORTED BY ... INTO n BUCKETS (HiveParser.g:1825) →
+    bucketBy/sortBy + saveAsTable; a join of two tables bucketed on the join
+    key runs shuffle-free (SMB-join parity, ql/exec/SMBMapJoinOperator.java:62).
+  - Merge-files operators (ql/exec/AbstractFileMergeOperator.java:,
+    OrcFileMergeOperator.java) → coalesce-before-write.
+  - ANALYZE TABLE ... COMPUTE STATISTICS (ql/parse — feeds
+    ql/optimizer/StatsOptimizer.java:97 and the CBO) →
+    `ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS]`.
+
+Scale notes: every writer here takes `partitions` / `partition_by` /
+`bucket_by` knobs because at 100 TB the write layout IS the read plan —
+partition columns drive pruning, bucketing removes the shuffle from the
+next join, and target file count keeps the namenode + footer overhead sane
+(the reference's merge-files operators exist for exactly that reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+SUPPORTED_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def insert_overwrite(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> None:
+    """INSERT OVERWRITE DIRECTORY equivalent: replace `path` with `df` in the
+    given format."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    writer = df.write.mode("overwrite").format(fmt)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    dynamic: bool = True,
+) -> None:
+    """Dynamic-partition INSERT OVERWRITE (FileSinkOperator's dynamic
+    partitioning, ql/exec/FileSinkOperator.java:92): one output directory per
+    distinct partition-column tuple; `dynamic=True` only replaces partitions
+    present in `df` (Hive's nonstrict dynamic partition overwrite)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "DYNAMIC" if dynamic else "STATIC"
+    )
+    try:
+        df.write.mode("overwrite").format(fmt).partitionBy(*partition_by).save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """CLUSTERED BY (cols) [SORTED BY (cols)] INTO n BUCKETS table
+    (HiveParser.g:1825). Joins between tables bucketed on the same key with
+    the same bucket count read co-located and skip the shuffle entirely —
+    verified by the plan assertions in tests/test_storage.py."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # With an in-memory catalog (fresh session), a managed-table directory
+    # left by a previous process is orphaned: the catalog doesn't know the
+    # table, so overwrite refuses with LOCATION_ALREADY_EXISTS. Clear it.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = urlparse(warehouse).path.rstrip("/") + "/" + table.lower()
+        shutil.rmtree(loc, ignore_errors=True)
+    writer = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def compact_files(
+    df: DataFrame, path: str, target_files: int, fmt: str = "parquet"
+) -> None:
+    """Merge-files parity (ql/exec/AbstractFileMergeOperator.java): rewrite
+    to a bounded file count. Uses coalesce (no shuffle) — the reference's
+    merge task is likewise a read-concatenate-write pass."""
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(path)
+
+
+def analyze_table(spark: SparkSession, table: str, columns: bool = True) -> None:
+    """ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS]: feeds
+    Catalyst's CBO the same row-count/NDV/min-max stats Hive's metastore
+    stats fed its join ordering and StatsOptimizer."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")

@@ -1,0 +1,59 @@
+"""Hive-surface tests beyond the oracle gate: MatchPath unit semantics and
+the plan shapes DISTRIBUTE/SORT/CLUSTER BY must produce."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.ptf import match_path
+from hdp2_5_hive2_spark.queries.hive_surface import distribute_sort_by
+from tests.conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_matchpath_finds_runs(spark):
+    rows = [
+        # pid, seq, v — partition 1: L H H L H ; partition 2: H H H
+        (1, 1, 0), (1, 2, 9), (1, 3, 9), (1, 4, 0), (1, 5, 9),
+        (2, 1, 9), (2, 2, 9), (2, 3, 9),
+    ]
+    df = spark.createDataFrame(rows, "pid int, seq int, v int")
+    out = match_path(
+        df,
+        partition_by=["pid"],
+        order_by=["seq"],
+        symbols={"H": F.col("v") > 5, "L": F.col("v") <= 5},
+        pattern="H.H+",
+    ).collect()
+    got = sorted((r.pid, r.seq, r.match_number, r.match_pos) for r in out)
+    # partition 1: one run (seq 2,3); the lone H at seq 5 is not a match.
+    # partition 2: one run (seq 1,2,3).
+    assert got == [
+        (1, 2, 1, 0), (1, 3, 1, 1),
+        (2, 1, 1, 0), (2, 2, 1, 1), (2, 3, 1, 2),
+    ]
+
+
+def test_matchpath_alternation_pattern(spark):
+    rows = [(1, i, v) for i, v in enumerate([1, 9, 1, 9, 9, 1])]
+    df = spark.createDataFrame(rows, "pid int, seq int, v int")
+    out = match_path(
+        df,
+        partition_by=["pid"],
+        order_by=["seq"],
+        symbols={"UP": F.col("v") > 5, "DN": F.col("v") <= 5},
+        pattern="DN.UP",
+    ).collect()
+    # non-overlapping DN,UP pairs: (0,1), (2,3) — seq 5 DN has no following UP
+    assert sorted((r.seq, r.match_number) for r in out) == [(0, 1), (1, 1), (2, 2), (3, 2)]
+
+
+def test_distribute_sort_by_plan(spark):
+    df = distribute_sort_by(spark, SF_CORRECT)
+    plan = _plan(df)
+    # hash repartition on the DISTRIBUTE BY key + sort that is NOT global
+    assert "hashpartitioning(o_orderstatus" in plan, plan
+    assert "Sort [o_orderkey" in plan and "false, 0" in plan.split("Sort [o_orderkey")[1][:80], plan

@@ -1,0 +1,68 @@
+"""Write-path tests: round trips are covered by the corpus oracle gate
+(tests/test_corpus.py); here we assert the PLAN properties the storage layer
+exists for — bucketed joins skip the shuffle, partitioned reads prune, and
+ANALYZE feeds the catalog row counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.queries.storage_corpus import IO_ROOT
+from hdp2_5_hive2_spark.storage import (
+    analyze_table,
+    write_bucketed_table,
+    write_partitioned,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    t = load_tables(spark, SF_CORRECT)
+    write_bucketed_table(t["orders"], "orders_bkt_t", ["o_custkey"], 8, sort_by=["o_custkey"])
+    write_bucketed_table(t["customer"], "customer_bkt_t", ["c_custkey"], 8, sort_by=["c_custkey"])
+    o = spark.table("orders_bkt_t")
+    c = spark.table("customer_bkt_t")
+    joined = o.join(c.hint("merge"), o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() > 0
+
+
+def test_partitioned_read_prunes(spark):
+    li = load_tables(spark, SF_CORRECT)["lineitem"]
+    path = f"{IO_ROOT}/prune_lineitem"
+    write_partitioned(li.select("l_returnflag", "l_quantity"), path, ["l_returnflag"])
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1][:200], plan
+    assert back.count() > 0
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark):
+    li = load_tables(spark, SF_CORRECT)["lineitem"].select("l_returnflag", "l_quantity")
+    path = f"{IO_ROOT}/dyn_overwrite"
+    write_partitioned(li, path, ["l_returnflag"])
+    n_all = spark.read.parquet(path).count()
+    # overwrite only partition 'R' with a single row; others must survive
+    one = li.sparkSession.createDataFrame([(1.0, "R")], "l_quantity double, l_returnflag string")
+    write_partitioned(one, path, ["l_returnflag"], dynamic=True)
+    back = spark.read.parquet(path)
+    n_r = back.filter(F.col("l_returnflag") == "R").count()
+    n_rest = back.filter(F.col("l_returnflag") != "R").count()
+    assert n_r == 1
+    assert n_rest == n_all - li.filter(F.col("l_returnflag") == "R").count() + 0
+
+
+def test_analyze_table_records_stats(spark):
+    t = load_tables(spark, SF_CORRECT)
+    t["nation"].write.mode("overwrite").saveAsTable("nation_stats_t")
+    analyze_table(spark, "nation_stats_t")
+    detail = spark.sql("DESCRIBE TABLE EXTENDED nation_stats_t").collect()
+    stats = [r for r in detail if r.col_name == "Statistics"]
+    assert stats and "rows" in stats[0].data_type
