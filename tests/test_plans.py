@@ -1,0 +1,116 @@
+"""Plan-shape regression tests — the engine's analogue of the reference's
+TPC-DS explain-plan suite (SURVEY.md §5: ql/src/test/queries/clientpositive/
+perf/ checked compiled plans, not timings). Each test asserts the physical
+property that makes the query scale: filters reach the scan, small
+dimensions broadcast, aggregates are partial+final, top-k uses a bounded
+heap, codegen covers the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.queries import REGISTRY
+from tests.conftest import SF_CORRECT
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _run(name):
+    from tests.conftest import _SPARK
+
+    return REGISTRY[name].fn(_SPARK, SF_CORRECT)
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    pushed = plan.split("PushedFilters:")[1].split("]")[0] if "PushedFilters:" in plan else ""
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, plan
+
+
+def test_q6_column_pruning(spark):
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 referenced columns are read, not all 11
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in schema, schema
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in schema, schema
+
+
+def test_q3_broadcasts_dimension_and_bounds_topk(spark):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q1_partial_final_aggregation(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    # two HashAggregate nodes (partial map-side + final) around one Exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q5_single_fact_shuffle(spark):
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    # lineitem⋈orders shuffles; supplier/nation/region/customer broadcast —
+    # so at most 3 hash-exchanges total (join sides + final agg)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from hdp2_5_hive2_spark.llm.dedup import exact_dedup
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(exact_dedup(d))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_minhash_band_join_carries_no_text(spark):
+    from hdp2_5_hive2_spark.llm.dedup import _minhash_banded
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    banded = _minhash_banded(d, "text", "doc_id", 32, 16, 3)
+    a = banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band_id", "band_hash")
+    joined = a.join(b, ["band_id", "band_hash"])
+    plan = _executed(joined)
+    # text is consumed inside the Arrow kernel: the MapInPandas OUTPUT (and
+    # hence everything that shuffles/broadcasts for the join) is only
+    # (id, band_id, band_hash)
+    import re
+
+    outs = re.findall(r"MapInPandas .*?\)#\d+, \[([^\]]*)\]", plan)
+    assert outs, plan
+    for out in outs:
+        assert "text" not in out and "band_hash" in out, plan
+
+
+def test_window_topn_uses_running_window_filter(spark):
+    df = REGISTRY["window_topn_per_group"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    # rank<=k is planned as WindowGroupLimit (Spark's windowed top-k pushdown,
+    # the PTFTopNHash analogue) when available; at minimum a single Window op
+    assert "WindowGroupLimit" in plan or plan.count("Window") >= 1, plan
+
+
+def test_events_tumbling_single_shuffle(spark):
+    df = REGISTRY["events_tumbling_window"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_session_confs_scale_ready(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
