@@ -206,10 +206,10 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    touched = (
-        cand_ids.select(F.col("id_a").alias("cid"))
-        .union(cand_ids.select(F.col("id_b").alias("cid")))
-        .distinct()
+    # no .distinct(): the semi join tolerates duplicate probe ids, and
+    # skipping it saves a shuffle (the candidate list is small by design)
+    touched = cand_ids.select(F.col("id_a").alias("cid")).union(
+        cand_ids.select(F.col("id_b").alias("cid"))
     )
     cand_docs = df.join(touched, F.col(id_col) == F.col("cid"), "leftsemi")
     sh_small = shingle_sets(cand_docs, text_col, id_col, n=3).select("id", "sh")

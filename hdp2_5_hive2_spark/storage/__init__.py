@@ -10,6 +10,7 @@ bucketing, compression), the merge-files operators
 
 from hdp2_5_hive2_spark.storage.writer import (
     analyze_table,
+    drop_table,
     compact_files,
     insert_overwrite,
     write_bucketed_table,
@@ -18,6 +19,7 @@ from hdp2_5_hive2_spark.storage.writer import (
 
 __all__ = [
     "analyze_table",
+    "drop_table",
     "compact_files",
     "insert_overwrite",
     "write_bucketed_table",

@@ -27,6 +27,21 @@ from pyspark.sql import DataFrame, SparkSession
 SUPPORTED_FORMATS = ("parquet", "orc", "csv", "json")
 
 
+def drop_table(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS, including an orphaned managed-table location:
+    with an in-memory catalog (fresh session), a directory left by a previous
+    process is unknown to the catalog, so a plain overwrite refuses with
+    LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = urlparse(warehouse).path.rstrip("/") + "/" + table.lower()
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def insert_overwrite(
     df: DataFrame,
     path: str,
@@ -77,18 +92,7 @@ def write_bucketed_table(
     (HiveParser.g:1825). Joins between tables bucketed on the same key with
     the same bucket count read co-located and skip the shuffle entirely —
     verified by the plan assertions in tests/test_storage.py."""
-    spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # With an in-memory catalog (fresh session), a managed-table directory
-    # left by a previous process is orphaned: the catalog doesn't know the
-    # table, so overwrite refuses with LOCATION_ALREADY_EXISTS. Clear it.
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        import shutil
-        from urllib.parse import urlparse
-
-        loc = urlparse(warehouse).path.rstrip("/") + "/" + table.lower()
-        shutil.rmtree(loc, ignore_errors=True)
+    drop_table(df.sparkSession, table)
     writer = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)

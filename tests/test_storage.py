@@ -11,6 +11,7 @@ from hdp2_5_hive2_spark.catalog import load_tables
 from hdp2_5_hive2_spark.queries.storage_corpus import IO_ROOT
 from hdp2_5_hive2_spark.storage import (
     analyze_table,
+    drop_table,
     write_bucketed_table,
     write_partitioned,
 )
@@ -61,6 +62,7 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark):
 
 def test_analyze_table_records_stats(spark):
     t = load_tables(spark, SF_CORRECT)
+    drop_table(spark, "nation_stats_t")
     t["nation"].write.mode("overwrite").saveAsTable("nation_stats_t")
     analyze_table(spark, "nation_stats_t")
     detail = spark.sql("DESCRIBE TABLE EXTENDED nation_stats_t").collect()
