@@ -169,3 +169,101 @@ def cosine_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def _train_centroids(
+    corpus: DataFrame, vec_col: str, n_centroids: int, iters: int = 5, sample: int = 2048
+):
+    """IVF coarse quantizer: k-means on a deterministic driver-side sample
+    (ordered by id, so stable across runs). This is standard IVF training —
+    the sample and centroid count stay tiny no matter the corpus size."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.col("neighbor_id"))
+        .limit(sample)
+        .select("cv")
+        .collect()
+    )
+    x = np.asarray([r.cv for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cent = x[:: max(1, len(x) // n_centroids)][:n_centroids].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def _assign_cells(df: DataFrame, id_name: str, vec_name: str, cent, n_probe: int) -> DataFrame:
+    """(id, vec, cell) rows — nearest `n_probe` centroid ids per vector via a
+    numpy matmul in one Arrow pass (n_probe=1 for the corpus side)."""
+    import numpy as np
+    import pandas as pd
+
+    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf[vec_name]), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (x / norms) @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name].to_numpy().repeat(n_probe),
+                    vec_name: [v for v in pdf[vec_name] for _ in range(n_probe)],
+                    "cell": top.reshape(-1).astype("int32"),
+                }
+            )
+
+    return (
+        df.repartition(shuffle_n)
+        .mapInPandas(gen, f"{id_name} bigint, {vec_name} array<double>, cell int")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means cells (trained on a driver-side
+    sample), corpus assigned to its nearest cell, each query probing its
+    `n_probe` nearest cells, exact cosine re-rank on the probed candidates.
+
+    Scale: one Arrow map pass assigns the corpus (no shuffle), the cell join
+    shuffles only probed cells, and per-query cost drops from O(N) to
+    O(N * n_probe / n_centroids). Isotropic random data (the driver's
+    embeddings) needs a high probe ratio for recall — real clustered
+    embeddings separate far better (same caveat as lsh_topk)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
+    cent = _train_centroids(c, "cv", n_centroids)
+    c_cells = _assign_cells(c, "neighbor_id", "cv", cent, n_probe=1)
+    q_cells = _assign_cells(q, "query_id", "qv", cent, n_probe=n_probe)
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .withColumn("score", cosine(F.col("cv"), F.col("qv")))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

@@ -305,3 +305,18 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
         corpus=e.filter(F.col("vec_id") >= 5), queries=e.filter(F.col("vec_id") < 5), k=10
     )
+
+
+@query("llm_ivf_ann_topk", oracle=None, tags=("llm", "similarity", "ivf"))
+def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (llm.similarity.ivf_topk): coarse k-means cells
+    + probed exact re-rank. Approximate by design → no SQL oracle; recall vs
+    the exact baseline is asserted in tests/test_llm.py."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.ivf_topk(
+        corpus=e.filter(F.col("vec_id") >= 5),
+        queries=e.filter(F.col("vec_id") < 5),
+        k=10,
+        n_centroids=8,
+        n_probe=4,
+    )

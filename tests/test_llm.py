@@ -112,3 +112,16 @@ def test_codec_stub_raises(spark):
 
     with _pytest.raises(Exception):  # NotImplementedError surfaces as Py4J error
         feats.collect()
+
+
+def test_ivf_ann_recall(spark):
+    """IVF top-10 with a high probe ratio must recover most of the exact
+    top-10 per query (isotropic random data — see ivf_topk docstring)."""
+    e = load_tables(spark, SF_CORRECT)["embeddings"]
+    corpus, queries = e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(corpus, queries, k=10).collect()
+    approx = similarity.ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"ivf recall {recall}"

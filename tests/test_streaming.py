@@ -100,3 +100,43 @@ def test_streaming_session_window(spark, event_files):
     got = spark.sql("SELECT COUNT(*) AS n FROM session_test").collect()[0].n
     want = ev.sessionize_batch(spark, SF_SMOKE, gap_minutes=5).count()
     assert got == want
+
+
+def test_stateful_user_totals_matches_batch(spark, event_files):
+    """applyInPandasWithState keeps running per-user totals across triggers;
+    the LAST emitted row per user must equal the batch aggregate."""
+    src, schema = event_files
+    stream = ev.stream_events(spark, src, schema, max_files_per_trigger=1)
+    totals = ev.stateful_user_totals(stream)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per (trigger, user); the final state is the
+    # row with the max n_events per user
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM stateful_test) WHERE rn = 1
+            """
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in spark.read.schema(schema)
+        .parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], (u, got[u], want[u])
+        assert abs(got[u][1] - want[u][1]) < 1e-6
