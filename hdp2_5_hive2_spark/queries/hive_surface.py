@@ -219,3 +219,98 @@ def matchpath_price_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern="HIGH.HIGH+",
     )
     return m.select("o_custkey", "o_orderkey", "match_symbol")
+
+
+# ---------------------------------------------------------------------------
+# Semantic-drift guards (SURVEY.md §7 risk register): the places Hive and
+# other engines disagree — integer division, cast behavior, null ordering.
+# Each is pinned by an oracle so drift shows up as a hash mismatch.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hive_div_semantics",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey // 7 AS key_div,
+           l_orderkey % 7 AS key_mod,
+           CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) / 4 AS qty_ratio
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    tags=("semantics", "div", "hive"),
+)
+def hive_div_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive `div` (integer division, FunctionRegistry.java:308-349) vs `/`
+    (always fractional): `expr("a div b")` must floor like Hive/DuckDB `//`,
+    while `/` promotes to double."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               l_orderkey div 7 AS key_div,
+               l_orderkey % 7 AS key_mod,
+               CAST(l_quantity AS BIGINT) / 4 AS qty_ratio
+        FROM lineitem WHERE l_orderkey <= 200
+        """
+    )
+
+
+@query(
+    "hive_cast_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_int
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    tags=("semantics", "cast", "hive"),
+)
+def hive_cast_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast surface (one registered cast function per type in the reference,
+    FunctionRegistry.java:356-372): numeric→string via exact decimal,
+    failing string→int as NULL (Hive's permissive cast ≙ try_cast under
+    ANSI Spark), date→string ISO format, digit-prefix→int."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price_str,
+               TRY_CAST(o_orderstatus AS INT) AS status_int,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS date_str,
+               CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS prio_int
+        FROM orders WHERE o_orderkey <= 200
+        """
+    )
+
+
+@query(
+    "hive_null_ordering",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, q_or_null,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY q_or_null ASC NULLS FIRST, l_linenumber) AS rn
+    FROM (
+      SELECT l_orderkey, l_linenumber, NULLIF(l_quantity, 1.0) AS q_or_null
+      FROM lineitem WHERE l_orderkey <= 100
+    ) t
+    """,
+    tags=("semantics", "nulls", "sort", "hive"),
+)
+def hive_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's ASC default puts NULLS FIRST (SURVEY §7 risk register) — same
+    as Spark's asc_nulls_first. Pinned by materializing the rank, since the
+    driver's comparison is order-insensitive."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, q_or_null,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY q_or_null ASC NULLS FIRST, l_linenumber) AS rn
+        FROM (
+          SELECT l_orderkey, l_linenumber, NULLIF(l_quantity, 1.0) AS q_or_null
+          FROM lineitem WHERE l_orderkey <= 100
+        ) t
+        """
+    )
