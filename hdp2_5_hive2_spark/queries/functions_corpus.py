@@ -423,3 +423,46 @@ def fn_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.format_string("%d:%s", "p_size", "p_brand").alias("pf"),
     )
+
+
+@query(
+    "fn_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)  AS med_qty,
+           quantile_cont(l_quantity, 0.9)  AS p90_qty,
+           quantile_cont(l_quantity, 0.25) AS p25_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "function"),
+)
+def fn_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's exact `percentile` UDAF (FunctionRegistry.java:405) →
+    percentile(): exact linear interpolation, deterministic on the
+    integer-valued quantity column (DuckDB spelling: quantile_cont)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+    )
+
+
+@query(
+    "fn_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list_distinct(list(n_name))) AS names,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect", "function"),
+)
+def fn_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set (FunctionRegistry.java:395) with a deterministic
+    sort_array wrapper so the unordered set compares exactly."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    return nation.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_set("n_name")).alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
