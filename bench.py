@@ -34,6 +34,8 @@ HEADLINE = [
     "window_ranking",
     "window_running_sum",
     "window_topn_per_group",
+    "llm_ngram_jaccard",
+    "events_sessionize",
 ]
 
 

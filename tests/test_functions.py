@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -155,3 +156,38 @@ def test_explode_family(spark):
         "SELECT json_tuple('{\"a\": 1, \"b\": \"x\"}', 'a', 'b')"
     ).collect()[0]
     assert rows[0] == "1" and rows[1] == "x"
+
+
+def test_create_temporary_function_parity(spark):
+    """CREATE [TEMPORARY] FUNCTION (ql/exec/FunctionTask.java, Registry.java)
+    → spark.udf.register: a registered Python UDF is callable from SQL."""
+    from pyspark.sql.types import StringType
+
+    spark.udf.register(
+        "initials", lambda s: "".join(w[0] for w in s.split("_") if w), StringType()
+    )
+    rows = spark.sql("SELECT initials('hello_spark_world') AS x").collect()
+    assert rows[0].x == "hsw"
+
+
+def test_pandas_grouped_agg_udaf(spark):
+    """GenericUDAFEvaluator parity (ql/udf/generic/GenericUDAFEvaluator.java,
+    4-mode partial/final) → pandas_udf GROUPED_AGG: Arrow-vectorized custom
+    aggregate usable in groupBy and over a window."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(math.exp(__import__("numpy").log(v.clip(lower=1e-12)).mean()))
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 3.0), ("b", 27.0)], "k string, v double"
+    )
+    got = {r.k: round(r.g, 9) for r in df.groupBy("k").agg(geo_mean("v").alias("g")).collect()}
+    assert got == {"a": 4.0, "b": 9.0}
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    over = df.withColumn("g", geo_mean("v").over(w)).collect()
+    assert all(abs(r.g - got[r.k]) < 1e-9 for r in over)
