@@ -35,6 +35,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Session-attached DataFrame cache: repeated load_tables/register_views
+    # calls (one per corpus query) otherwise re-read parquet footers and
+    # re-resolve schemas for every table each time (~4 s/query at sf0.1 once
+    # all 10 tables are touched). A DataFrame is just a plan — reusing it
+    # across queries in one session is free and side-effect-less.
+    cache: dict[tuple[str, str], DataFrame] = getattr(spark, "_sg_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sg_table_cache = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
+    df = _read_one(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _read_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
         # Read it as epoch-nanos long, then truncate to microseconds — Spark's
