@@ -140,3 +140,37 @@ def test_stateful_user_totals_matches_batch(spark, event_files):
     for u in want:
         assert got[u][0] == want[u][0], (u, got[u], want[u])
         assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_stream_static_join_matches_batch(spark, event_files):
+    """Stream-static join: the streaming side joins a static dimension
+    (region-coded users) and aggregates; result equals the batch join."""
+    src, schema = event_files
+    static_dim = spark.createDataFrame(
+        [(i, f"grp_{i % 3}") for i in range(200)], "user_id long, grp string"
+    )
+    stream = ev.stream_events(spark, src, schema, max_files_per_trigger=2)
+    joined = (
+        stream.join(static_dim, "user_id")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ss_join_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.grp: r.n for r in spark.sql("SELECT * FROM ss_join_test").collect()}
+    want = {
+        r.grp: r.n
+        for r in spark.read.schema(schema)
+        .parquet(src)
+        .join(static_dim, "user_id")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
