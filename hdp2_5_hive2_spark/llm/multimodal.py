@@ -163,3 +163,52 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "ts_ms", "feature"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int,
+    height: int,
+    codec: Codec | None = None,
+) -> DataFrame:
+    """Image resize shape: payload → payload map with refreshed metadata.
+    The real deployment decodes, resizes, re-encodes inside the Arrow batch;
+    the stub 'resize' deterministically re-samples the byte stream to a
+    length proportional to the target area, so the payload-in/payload-out
+    plumbing (binary columns through Arrow, metadata refresh, map-only plan)
+    is real and testable."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf[payload_col]:
+                payload = payload or b""
+                target = max(1, (width * height) // 64)
+                if len(payload) >= target:
+                    step = max(1, len(payload) // target)
+                    out_payloads.append(bytes(payload[::step][:target]))
+                else:
+                    reps = target // max(1, len(payload)) + 1
+                    out_payloads.append((payload * reps)[:target] if payload else b"\x00" * target)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "payload": out_payloads,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(p) for p in out_payloads],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -11,3 +11,15 @@ MATCH_RECOGNIZE). Window functions themselves map to Spark's Window API
 from hdp2_5_hive2_spark.ptf.matchpath import match_path
 
 __all__ = ["match_path"]
+
+
+def noop(df):
+    """Noop PTF (ql/udf/ptf/Noop.java — test scaffolding in the reference):
+    identity over the partitioned input."""
+    return df
+
+
+def noopwithmap(df):
+    """NoopWithMap PTF (ql/udf/ptf/NoopWithMap.java): identity with a
+    map-side pass — under Spark both collapse to the same plan."""
+    return df

@@ -539,3 +539,95 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("n_p"),
         )
     )
+
+
+@query(
+    "cte_reuse",
+    oracle="""
+    WITH big_cust AS (
+      SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    )
+    SELECT a.o_custkey AS custkey_a, b.o_custkey AS custkey_b,
+           CAST(a.tot AS DOUBLE) AS tot_a, CAST(b.tot AS DOUBLE) AS tot_b
+    FROM big_cust a JOIN big_cust b ON a.n = b.n AND a.o_custkey < b.o_custkey
+    """,
+    tags=("cte", "join", "agg"),
+)
+def cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-clause reuse: one CTE referenced twice (self-joined on equal
+    order counts). Catalyst plans the aggregate once per reference and
+    ReusedExchange dedupes the shuffle — Hive's CTE handling + YSmart-style
+    shared scans (ql/optimizer/correlation/CorrelationOptimizer.java:85)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH big_cust AS (
+          SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+          FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+        )
+        SELECT a.o_custkey AS custkey_a, b.o_custkey AS custkey_b,
+               CAST(a.tot AS DOUBLE) AS tot_a, CAST(b.tot AS DOUBLE) AS tot_b
+        FROM big_cust a JOIN big_cust b ON a.n = b.n AND a.o_custkey < b.o_custkey
+        """
+    )
+
+
+@query(
+    "view_over_view",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0 GROUP BY n_name
+    """,
+    tags=("view", "ddl"),
+)
+def view_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW surface (metastore-expanded views in the reference,
+    SURVEY §1.1): a temp view stacked on another temp view, queried through
+    Spark's catalog."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW positive_cust AS "
+        "SELECT * FROM customer WHERE c_acctbal > 0"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW cust_nation AS "
+        "SELECT n_name FROM positive_cust JOIN nation ON c_nationkey = n_nationkey"
+    )
+    return spark.sql("SELECT n_name, COUNT(*) AS n_cust FROM cust_nation GROUP BY n_name")
+
+
+@query(
+    "intersect_all_keys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop", "intersect"),
+)
+def intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — beyond Hive 2.1's UNION-only
+    set ops, SURVEY §2.7; Spark/DuckDB agree on per-row multiplicities)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)
+
+
+@query(
+    "except_all_keys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    tags=("setop", "except"),
+)
+def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL multiset difference (same rationale as intersect_all_keys)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.exceptAll(p)

@@ -125,3 +125,31 @@ def test_ivf_ann_recall(spark):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"ivf recall {recall}"
+
+
+def test_resize_images_plumbing(spark):
+    """resize_images: payload→payload Arrow map with deterministic sizes and
+    refreshed metadata; map-only plan (no shuffle)."""
+    rows = [(1, b"x" * 100_000), (2, b"y" * 10), (3, None)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = multimodal.resize_images(df, "asset_id", "payload", width=64, height=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r.asset_id: (r.n_bytes, r.width, r.height) for r in out.collect()}
+    target = (64 * 64) // 64
+    assert got == {1: (target, 64, 64), 2: (target, 64, 64), 3: (target, 64, 64)}
+    # deterministic across runs
+    again = {r.asset_id: r.payload for r in multimodal.resize_images(
+        df, "asset_id", "payload", width=64, height=64).collect()}
+    first = {r.asset_id: r.payload for r in out.collect()}
+    assert again == first
+
+
+def test_approx_count_distinct_bounded_error(spark):
+    """Spark's approx_count_distinct (HLL++; a capability bonus over the
+    reference, which has no approximate count distinct — SURVEY §2.4 note):
+    within 5% of exact on the orders customer keys."""
+    o = load_tables(spark, SF_CORRECT)["orders"]
+    exact = o.select("o_custkey").distinct().count()
+    approx = o.agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("a")).collect()[0].a
+    assert abs(approx - exact) / exact < 0.03, (approx, exact)
