@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.catalog import load_tables, register_views
 from hdp2_5_hive2_spark.queries.helpers import davg, dec, dsum
 from hdp2_5_hive2_spark.queries.registry import query
 
@@ -702,4 +702,191 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# --- Adapted variants of the partsupp/shipmode-dependent queries ----------
+# q2/q11/q16/q21 need tables/columns the synthetic schema lacks; these
+# variants keep each query's distinguishing OPERATOR SHAPE (min-per-group
+# scalar subquery, group HAVING > global-fraction scalar, NOT IN over a
+# subquery with count distinct, multi-correlated EXISTS/NOT EXISTS) on the
+# available tables.
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l.l_partkey, s.s_suppkey, s.s_name, s.s_nationkey,
+             MIN(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                 / CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS DOUBLE)) AS unit_cost
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY l.l_partkey, s.s_suppkey, s.s_name, s.s_nationkey
+    )
+    SELECT p.p_partkey, p.p_brand, sp.s_name, n.n_name,
+           sp.unit_cost AS unit_cost
+    FROM part p
+    JOIN supply sp ON sp.l_partkey = p.p_partkey
+    JOIN nation n ON sp.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 3
+      AND sp.unit_cost = (SELECT MIN(unit_cost) FROM supply s2
+                          WHERE s2.l_partkey = p.p_partkey)
+    """,
+    tags=("join", "subquery", "correlated", "scalar", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: observed unit price from lineitem replaces
+    partsupp.ps_supplycost): cheapest supplier per small part — the
+    correlated min-per-group scalar subquery, decorrelated to a min
+    aggregate re-joined on the group key (exact decimal equality keeps
+    ties)."""
+    t = load_tables(spark, sf_dir)
+    supply = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_nationkey")
+        # double division of exact decimals (NOT decimal division — quotient
+        # rounding at the capped scale differs between engines)
+        .agg(
+            F.min(
+                dec("l_extendedprice").cast("double") / dec("l_quantity").cast("double")
+            ).alias("unit_cost")
+        )
+    )
+    min_cost = supply.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("mc")
+    )
+    return (
+        supply.join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("mc_partkey")) & (F.col("unit_cost") == F.col("mc")),
+        )
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_size") <= 3)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "unit_cost")
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH nat_value AS (
+      SELECT s.s_nationkey, l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_partkey
+    )
+    SELECT s_nationkey, l_partkey, CAST(value AS DOUBLE) AS value
+    FROM nat_value
+    WHERE value > (SELECT CAST(SUM(value) AS DECIMAL(28,2)) * CAST(0.001 AS DECIMAL(4,3))
+                   FROM nat_value)
+    """,
+    tags=("agg", "subquery", "scalar", "having", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: lineitem extended price replaces
+    partsupp.ps_supplycost*availqty): per-(nation, part) value exceeding a
+    fraction of the GLOBAL total — group aggregate HAVING > broadcast
+    scalar aggregate, all in exact decimals."""
+    t = load_tables(spark, sf_dir)
+    nat_value = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("value"))
+    )
+    total = nat_value.agg(
+        (F.sum("value").cast("decimal(28,2)") * F.lit("0.001").cast("decimal(4,3)")).alias("cut")
+    )
+    return (
+        nat_value.join(F.broadcast(total), F.col("value") > F.col("cut"))
+        .select("s_nationkey", "l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 4, 9, 16, 25)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("join", "subquery", "notin", "distinct", "tpch"),
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: lineitem relates parts to suppliers instead of
+    partsupp; negative account balance replaces the complaints LIKE):
+    distinct supplier count per part attribute, excluding a NOT IN
+    subquery's suppliers (anti join — s_suppkey is never null, so NOT IN ≡
+    anti join here)."""
+    t = load_tables(spark, sf_dir)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    return (
+        t["lineitem"]
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+    tags=("join", "subquery", "exists", "anti", "tpch"),
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: "ship date > order date + 60 days" replaces the
+    receipt/commit-date lateness — those columns don't exist in the
+    synthetic schema): suppliers who were the ONLY late supplier on a
+    multi-supplier finished order — the EXISTS + correlated NOT EXISTS
+    double-subquery shape, via SQL so Catalyst plans both rewrites."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name
+        """
     )
