@@ -781,7 +781,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s_nationkey, l_partkey, CAST(value AS DOUBLE) AS value
     FROM nat_value
-    WHERE value > (SELECT CAST(SUM(value) AS DECIMAL(28,2)) * CAST(0.001 AS DECIMAL(4,3))
+    WHERE value > (SELECT CAST(SUM(value) AS DECIMAL(28,2)) * CAST(0.0001 AS DECIMAL(5,4))
                    FROM nat_value)
     """,
     tags=("agg", "subquery", "scalar", "having", "tpch"),
@@ -799,7 +799,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_extendedprice")).alias("value"))
     )
     total = nat_value.agg(
-        (F.sum("value").cast("decimal(28,2)") * F.lit("0.001").cast("decimal(4,3)")).alias("cut")
+        (F.sum("value").cast("decimal(28,2)") * F.lit("0.0001").cast("decimal(5,4)")).alias("cut")
     )
     return (
         nat_value.join(F.broadcast(total), F.col("value") > F.col("cut"))
