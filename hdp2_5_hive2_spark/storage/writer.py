@@ -23,6 +23,7 @@ next join, and target file count keeps the namenode + footer overhead sane
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SUPPORTED_FORMATS = ("parquet", "orc", "csv", "json")
 
@@ -115,3 +116,61 @@ def analyze_table(spark: SparkSession, table: str, columns: bool = True) -> None
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
     if columns:
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """UPDATE/MERGE parity (the reference rewrites UPDATE into insert-to-
+    delta + compaction, parse/UpdateDeleteSemanticAnalyzer.java:52 and
+    ql/io/AcidUtils.java:53 in /root/reference): read-modify-overwrite by
+    key — existing rows with matching keys are replaced, new keys appended.
+
+    With `partition_col`, only partitions PRESENT IN `updates` are
+    rewritten (dynamic partition overwrite — the merge-on-read equivalent
+    for partition-local updates); without it the whole dataset rewrites.
+    At 100 TB always partition and let updates touch few partitions; for
+    row-level ACID semantics use a table format (Delta/Iceberg) — this is
+    the plain-parquet equivalent of Hive's base+delta compaction result.
+    """
+    try:
+        current = spark.read.parquet(path)
+    except Exception:
+        current = None
+    if current is not None and partition_col:
+        touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        current = current.filter(F.col(partition_col).isin(touched))
+    if current is not None:
+        anti = current.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = anti.unionByName(updates)
+    else:
+        merged = updates
+    # write to a staging location first: the merged plan READS `path`, and
+    # overwriting a path that is also an input corrupts the read at scale
+    staging = path.rstrip("/") + "._staging"
+    if partition_col:
+        merged.write.mode("overwrite").format("parquet").partitionBy(partition_col).save(staging)
+        back = spark.read.parquet(staging)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        try:
+            back.write.mode("overwrite").format("parquet").partitionBy(partition_col).save(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        merged.write.mode("overwrite").format("parquet").save(staging)
+        spark.read.parquet(staging).write.mode("overwrite").format("parquet").save(path)
+
+
+def delete_by_predicate(spark: SparkSession, path: str, predicate) -> None:
+    """DELETE parity (UpdateDeleteSemanticAnalyzer.java:52): rewrite the
+    dataset without rows matching `predicate` (a Column). Plain-parquet
+    equivalent of delete-delta + compaction."""
+    current = spark.read.parquet(path)
+    staging = path.rstrip("/") + "._staging"
+    current.filter(~predicate).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)

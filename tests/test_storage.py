@@ -68,3 +68,33 @@ def test_analyze_table_records_stats(spark):
     detail = spark.sql("DESCRIBE TABLE EXTENDED nation_stats_t").collect()
     stats = [r for r in detail if r.col_name == "Statistics"]
     assert stats and "rows" in stats[0].data_type
+
+
+def test_upsert_by_key_partitioned(spark):
+    """upsert_by_key: matching keys replaced, new keys appended, untouched
+    partitions preserved byte-for-byte."""
+    from hdp2_5_hive2_spark.storage.writer import upsert_by_key
+
+    path = f"{IO_ROOT}/upsert_t"
+    base = spark.createDataFrame(
+        [(1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0)],
+        "id long, part string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "p1", 99.0), (4, "p1", 40.0)], "id long, part string, v double"
+    )
+    upsert_by_key(spark, path, updates, key_cols=["id"], partition_col="part")
+    got = {r.id: (r.part, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("p1", 10.0), 2: ("p1", 99.0), 3: ("p2", 30.0), 4: ("p1", 40.0)}
+
+
+def test_delete_by_predicate(spark):
+    from hdp2_5_hive2_spark.storage.writer import delete_by_predicate
+
+    path = f"{IO_ROOT}/delete_t"
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    ).write.mode("overwrite").parquet(path)
+    delete_by_predicate(spark, path, F.col("id") >= 5)
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [0, 1, 2, 3, 4]
