@@ -466,3 +466,54 @@ def fn_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("n_name")).alias("names"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "fn_json_props_agg",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "agg", "function"),
+)
+def fn_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the events.props JSON column (Hive
+    get_json_object, FunctionRegistry.java:296) with an integer aggregate —
+    JSON parse in the scan projection, one shuffle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "fn_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 90 DAY AS DATE)  AS minus_90d,
+           CAST(date_trunc('month', o_orderdate) AS DATE)             AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)          AS month_end,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    tags=("datetime", "interval", "function"),
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic (interval_year_month / interval_day_time types,
+    TypeInfoFactory.java:58-59): date +/- year-month and day-time intervals,
+    truncation, month boundaries, day difference."""
+    o = load_tables(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate").cast("date")
+    return o.filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3m"),
+        F.date_sub(d, 90).alias("minus_90d"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+    )
