@@ -121,11 +121,15 @@ HIVE_FUNCTIONS.update(
         # regexp == rlike alias in Hive (FunctionRegistry.java:261)
         "regexp": _expr_fn("rlike"),
         # ngrams/context_ngrams: see hdp2_5_hive2_spark.llm.text n-gram support
+        # ngrams/context_ngrams are DataFrame-level operators here (a UDAF
+        # returning top-k maps doesn't fit Column algebra): see
+        # hdp2_5_hive2_spark.llm.text.top_ngrams / context_ngrams.
         "ngrams": _unsupported(
             "ngrams", "use hdp2_5_hive2_spark.llm.text.top_ngrams (DataFrame-native)"
         ),
         "context_ngrams": _unsupported(
-            "context_ngrams", "use hdp2_5_hive2_spark.llm.text.top_ngrams with a filter"
+            "context_ngrams",
+            "use hdp2_5_hive2_spark.llm.text.context_ngrams (DataFrame-native)",
         ),
         "ewah_bitmap": _unsupported("ewah_bitmap", "EWAH index internals; no Spark analogue"),
         "ewah_bitmap_and": _unsupported("ewah_bitmap_and", "EWAH index internals"),

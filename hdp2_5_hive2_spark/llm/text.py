@@ -165,3 +165,49 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20) -
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def context_ngrams(
+    df: DataFrame,
+    context: list[str | None],
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Hive context_ngrams (FunctionRegistry.java:399): top-k n-grams
+    matching a context pattern, where None marks the wildcard slots —
+    e.g. ["the", None] = most frequent words following "the". Same Arrow
+    kernel + Catalyst final-agg shape as top_ngrams; the emitted key is the
+    wildcard fill only."""
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    n = len(context)
+    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts: Counter = Counter()
+            for t in pdf[text_col]:
+                toks = t.split() if isinstance(t, str) else []
+                for i in range(len(toks) - n + 1):
+                    window = toks[i : i + n]
+                    if all(c is None or c == w for c, w in zip(context, window)):
+                        counts.update(
+                            [" ".join(w for c, w in zip(context, window) if c is None)]
+                        )
+            if counts:
+                yield pd.DataFrame(
+                    {"ngram": list(counts.keys()), "c": list(counts.values())}
+                )
+
+    return (
+        df.select(text_col)
+        .repartition(shuffle_n)
+        .mapInPandas(gen, "ngram string, c long")
+        .groupBy("ngram")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )

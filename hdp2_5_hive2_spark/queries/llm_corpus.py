@@ -320,3 +320,42 @@ def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=8,
         n_probe=4,
     )
+
+
+@query(
+    "llm_context_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), followers AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> CASE WHEN t[i] = 'the' THEN t[i+1] END)) AS follower
+      FROM toks
+    )
+    SELECT follower AS ngram, COUNT(*) AS n
+    FROM followers WHERE follower IS NOT NULL
+    GROUP BY follower ORDER BY n DESC, ngram ASC LIMIT 15
+    """,
+    tags=("llm", "text", "ngrams"),
+)
+def llm_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """context_ngrams parity (FunctionRegistry.java:399 in the reference):
+    top-15 words following 'the' — context pattern ['the', None]."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.context_ngrams(d, context=["the", None], k=15)
+
+
+@query("fn_histogram_numeric", oracle=None, tags=("agg", "sketch", "function"))
+def fn_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_numeric UDAF (FunctionRegistry.java:393 — the NLP-paper
+    streaming histogram): 10-bin numeric histogram of document lengths.
+    Approximate/merge-order-dependent by design → rows-only check; bin
+    count and mass conservation are asserted in tests/test_llm.py."""
+    d = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql.functions import explode, expr
+
+    return (
+        d.select(expr("histogram_numeric(n_chars, 10)").alias("h"))
+        .select(explode("h").alias("bin"))
+        .select("bin.x", "bin.y")
+    )

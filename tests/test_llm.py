@@ -153,3 +153,20 @@ def test_approx_count_distinct_bounded_error(spark):
     exact = o.select("o_custkey").distinct().count()
     approx = o.agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("a")).collect()[0].a
     assert abs(approx - exact) / exact < 0.03, (approx, exact)
+
+
+def test_histogram_numeric_mass_conserved(spark):
+    """histogram_numeric: 10 bins whose weights sum to the row count and
+    whose centers lie inside the data range."""
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    bins = (
+        d.selectExpr("histogram_numeric(n_chars, 10) AS h")
+        .selectExpr("explode(h) AS bin")
+        .selectExpr("bin.x AS x", "bin.y AS y")
+        .collect()
+    )
+    assert len(bins) == 10
+    total = d.count()
+    assert abs(sum(b.y for b in bins) - total) < 1e-6
+    lo, hi = d.selectExpr("min(n_chars)", "max(n_chars)").first()
+    assert all(lo <= b.x <= hi for b in bins)
