@@ -142,3 +142,39 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "events_session_window_native",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 300
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), ids AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM seq
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM ids GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session", "window"),
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (the Structured Streaming session operator run
+    in batch mode): 5-minute-gap sessions per user; session start = first
+    event time, which the gaps-and-islands oracle reproduces. This is the
+    operator events_sessionize expresses manually via lag+cumsum — both
+    formulations must agree."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )

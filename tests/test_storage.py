@@ -98,3 +98,18 @@ def test_delete_by_predicate(spark):
     ).write.mode("overwrite").parquet(path)
     delete_by_predicate(spark, path, F.col("id") >= 5)
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_compression_codecs_roundtrip(spark):
+    """Format × codec surface (orc.compress ZLIB etc. in the reference's
+    perf suite, q_perf_test_init.sql:36): parquet snappy/zstd/gzip and orc
+    zlib round-trip losslessly."""
+    from hdp2_5_hive2_spark.storage import insert_overwrite
+
+    nation = load_tables(spark, SF_CORRECT)["nation"]
+    want = sorted(tuple(r) for r in nation.collect())
+    for fmt, codec in [("parquet", "snappy"), ("parquet", "zstd"), ("parquet", "gzip"), ("orc", "zlib")]:
+        path = f"{IO_ROOT}/codec_{fmt}_{codec}"
+        insert_overwrite(nation, path, fmt=fmt, options={"compression": codec})
+        got = sorted(tuple(r) for r in spark.read.format(fmt).load(path).collect())
+        assert got == want, (fmt, codec)
