@@ -359,3 +359,31 @@ def fn_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(explode("h").alias("bin"))
         .select("bin.x", "bin.y")
     )
+
+
+@query(
+    "multimodal_meta_sha",
+    oracle="""
+    SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("llm", "multimodal", "meta"),
+)
+def multimodal_meta_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path (llm.multimodal.attach_asset_meta) with the
+    document text standing in as the binary payload: the typed metadata
+    struct's sha256 checksum and payload size must equal the oracle's
+    direct computation."""
+    from hdp2_5_hive2_spark.llm import multimodal
+
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < 200)
+        .withColumn("payload", F.encode("text", "UTF-8"))
+    )
+    with_meta = multimodal.attach_asset_meta(d, "payload", "text", "text/plain")
+    return with_meta.select(
+        "doc_id",
+        F.col("asset_meta.sha256").alias("sha"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )

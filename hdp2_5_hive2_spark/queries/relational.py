@@ -631,3 +631,39 @@ def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
     return f.exceptAll(p)
+
+
+@query(
+    "salted_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(l_orderkey) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MAX(l_extendedprice) AS mx
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (plans.salting.salted_aggregate — the
+    SkewJoinOptimizer-style rewrite for hot keys AQE can't split): must be
+    result-identical to the plain GROUP BY the oracle runs."""
+    from hdp2_5_hive2_spark.plans import salted_aggregate
+
+    li = load_tables(spark, sf_dir)["lineitem"].withColumn(
+        "l_quantity_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("count", "l_orderkey"),
+            "total_d": ("sum", "l_quantity_dec"),
+            "mx": ("max", "l_extendedprice"),
+        },
+        unique_col="l_orderkey",
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag", "n", F.col("total_d").cast("double").alias("total"), "mx"
+    )
