@@ -191,3 +191,16 @@ def test_pandas_grouped_agg_udaf(spark):
     w = W.partitionBy("k").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     over = df.withColumn("g", geo_mean("v").over(w)).collect()
     assert all(abs(r.g - got[r.k]) < 1e-9 for r in over)
+
+
+def test_percentile_approx_bounded_error(spark):
+    """percentile_approx (FunctionRegistry.java:394 — GK sketch in the
+    reference, KLL-style in Spark): within 2 of the exact median of
+    l_quantity (range 1..50) at accuracy 10000."""
+    from hdp2_5_hive2_spark.catalog import load_tables
+    from tests.conftest import SF_CORRECT
+
+    li = load_tables(spark, SF_CORRECT)["lineitem"]
+    exact = li.selectExpr("percentile(l_quantity, 0.5) AS p").first().p
+    approx = li.selectExpr("percentile_approx(l_quantity, 0.5, 10000) AS p").first().p
+    assert abs(approx - exact) <= 2, (approx, exact)
