@@ -182,6 +182,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    materialize_bands: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact Jaccard verification.
 
@@ -194,8 +195,17 @@ def minhash_lsh_pairs(
     the 0.8 threshold and the output equals the exhaustive exact-Jaccard scan.
 
     Scale: the self-join shuffles 20-byte rows; verification re-shingles only
-    candidate documents (semi-join pruned, broadcast when small)."""
+    candidate documents (semi-join pruned, broadcast when small).
+
+    materialize_bands: localCheckpoint the banded rows so the Arrow
+    shingle/signature kernel runs ONCE instead of once per self-join side
+    (~20% faster at sf0.1, and the saving is a full corpus pass at scale).
+    Cost: the banded blocks live on executors without lineage — an executor
+    loss fails the job instead of recomputing. Set False to keep pure
+    lineage semantics."""
     banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, n_shingle=3)
+    if materialize_bands:
+        banded = banded.localCheckpoint(eager=False)
     cand_ids = (
         banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
         .join(
