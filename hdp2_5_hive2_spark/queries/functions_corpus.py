@@ -129,7 +129,7 @@ def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
            p_size | 3                                    AS bor,
            xor(p_size, 5)                                AS bxor,
            ~p_size                                       AS bnot,
-           factorial(p_size % 8)                         AS fact
+           CAST(factorial(p_size % 8) AS BIGINT)         AS fact
     FROM part WHERE p_partkey <= 300
     """,
     tags=("functions", "math"),
@@ -302,8 +302,8 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_complex_types",
     oracle="""
     SELECT p_partkey,
-           [p_size, p_size * 2, p_size - 1]                   AS arr,
-           list_sort([p_size % 5, p_size % 3, p_size % 7])    AS sorted_arr,
+           array_to_string([p_size, p_size * 2, p_size - 1], ',')                AS arr,
+           array_to_string(list_sort([p_size % 5, p_size % 3, p_size % 7]), ',') AS sorted_arr,
            list_contains([p_size, 25], 25)                    AS has25,
            len([p_size, p_size * 2])                          AS arr_len,
            [p_size, p_size * 2][2]                            AS second,
@@ -316,17 +316,21 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complex-type constructors/accessors (FunctionRegistry.java:413-434):
     array, sort_array, array_contains, size, index, struct + field access.
-    Maps are exercised Spark-side in tests (cross-engine map ordering is
-    undefined)."""
+    Array results are serialized with array_join on both sides (driver canon
+    cannot hash list cells). Maps are exercised Spark-side in tests
+    (cross-engine map ordering is undefined)."""
     p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 300)
     arr = F.array(F.col("p_size"), F.col("p_size") * 2, F.col("p_size") - 1)
     st = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"))
     return p.select(
         "p_partkey",
-        arr.alias("arr"),
-        F.sort_array(F.array(F.col("p_size") % 5, F.col("p_size") % 3, F.col("p_size") % 7)).alias(
-            "sorted_arr"
-        ),
+        F.array_join(arr.cast("array<string>"), ",").alias("arr"),
+        F.array_join(
+            F.sort_array(
+                F.array(F.col("p_size") % 5, F.col("p_size") % 3, F.col("p_size") % 7)
+            ).cast("array<string>"),
+            ",",
+        ).alias("sorted_arr"),
         F.array_contains(F.array(F.col("p_size"), F.lit(25)), 25).alias("has25"),
         F.size(F.array(F.col("p_size"), F.col("p_size") * 2)).alias("arr_len"),
         F.element_at(F.array(F.col("p_size"), F.col("p_size") * 2), 2).alias("second"),
@@ -452,7 +456,7 @@ def fn_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_collect_sorted",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list_distinct(list(n_name))) AS names,
+           array_to_string(list_sort(list_distinct(list(n_name))), ',') AS names,
            COUNT(*) AS n
     FROM nation GROUP BY n_regionkey
     """,
@@ -460,10 +464,12 @@ def fn_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set (FunctionRegistry.java:395) with a deterministic
-    sort_array wrapper so the unordered set compares exactly."""
+    sort_array wrapper so the unordered set compares exactly. The result is
+    serialized with array_join on both sides — the driver's canonicalizer
+    hashes pandas cells and cannot hash raw list values."""
     nation = load_tables(spark, sf_dir)["nation"]
     return nation.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_set("n_name")).alias("names"),
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("names"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -472,7 +478,7 @@ def fn_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json_props_agg",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type

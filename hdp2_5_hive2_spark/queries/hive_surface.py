@@ -159,7 +159,7 @@ def vc_input_file_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "groupby_grouping_id",
     oracle="""
-    SELECT n_regionkey, n_name,
+    SELECT COALESCE(n_regionkey, -1) AS n_regionkey, n_name,
            CAST(GROUPING(n_regionkey, n_name) AS BIGINT) AS gid,
            COUNT(*) AS n
     FROM nation
@@ -170,7 +170,12 @@ def vc_input_file_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 def groupby_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING__ID virtual column (VirtualColumn.java:66, SemanticAnalyzer
     bitmask gen :3753-3784) → grouping_id(): both Spark and the oracle use
-    the leftmost-key-is-MSB convention, so values align bit-for-bit."""
+    the leftmost-key-is-MSB convention, so values align bit-for-bit.
+
+    The rolled-up NULL in the integer key is COALESCEd to -1 on both sides:
+    a nullable-int column reaches the driver's pandas canon as float64 on
+    the DuckDB side but int64/object on Spark's, breaking the dtype-sensitive
+    hash (the gid column still disambiguates rollup rows)."""
     nation = load_tables(spark, sf_dir)["nation"]
     return (
         nation.groupingSets(
@@ -179,7 +184,9 @@ def groupby_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
         .agg(F.grouping_id().cast("bigint").alias("gid"), F.count(F.lit(1)).alias("n"))
-        .select("n_regionkey", "n_name", "gid", "n")
+        .select(
+            F.coalesce("n_regionkey", F.lit(-1)).alias("n_regionkey"), "n_name", "gid", "n"
+        )
     )
 
 
@@ -260,7 +267,7 @@ def hive_div_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
-           TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
+           COALESCE(TRY_CAST(o_orderstatus AS INTEGER), -999) AS status_int,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
            CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_int
     FROM orders WHERE o_orderkey <= 200
@@ -271,13 +278,16 @@ def hive_cast_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast surface (one registered cast function per type in the reference,
     FunctionRegistry.java:356-372): numeric→string via exact decimal,
     failing string→int as NULL (Hive's permissive cast ≙ try_cast under
-    ANSI Spark), date→string ISO format, digit-prefix→int."""
+    ANSI Spark), date→string ISO format, digit-prefix→int. The failed-cast
+    NULL is COALESCEd to a sentinel on both sides: an all-NULL int column
+    crosses the two engines' pandas bridges with different dtypes, breaking
+    the driver's dtype-sensitive hash."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderkey,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price_str,
-               TRY_CAST(o_orderstatus AS INT) AS status_int,
+               COALESCE(TRY_CAST(o_orderstatus AS INT), -999) AS status_int,
                CAST(CAST(o_orderdate AS DATE) AS STRING) AS date_str,
                CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS prio_int
         FROM orders WHERE o_orderkey <= 200

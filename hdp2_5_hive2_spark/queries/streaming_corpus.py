@@ -69,8 +69,9 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq,

@@ -55,16 +55,26 @@ def sessionize_batch(
 
     A new session starts when the gap to the previous event exceeds
     `gap_minutes`. Output: per-session id/user/bounds/count."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return sessionize_df(ev, gap_minutes=gap_minutes)
+
+
+def sessionize_df(ev: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Sessionize an arbitrary (user_id, event_id, ts, ...) frame.
+
+    Gap comparison uses unix_micros — full timestamp precision. unix_timestamp
+    truncates to whole seconds, which silently mis-classifies any gap within
+    1 s of the threshold (e.g. 300.5 s vs a 300 s gap); session_window and the
+    fractional-epoch oracle both use sub-second precision, so we must too."""
     from pyspark.sql import Window as W
 
-    ev = load_tables(spark, sf_dir)["events"]
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
     with_flag = ev.withColumn(
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > gap_s),
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

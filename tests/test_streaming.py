@@ -174,3 +174,34 @@ def test_stream_static_join_matches_batch(spark, event_files):
         .collect()
     }
     assert got == want
+
+
+def test_sessionize_subsecond_gap_boundary(spark):
+    """Gaps within 1 s of the threshold must classify by FULL timestamp
+    precision: 300.5 s > 300 s starts a new session even though whole-second
+    truncation (unix_timestamp) would see exactly 300 and keep the session.
+    Also pins the strict inequality at exactly 300.0 s (same session) and
+    agreement with the native session_window operator on the same frame."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    ts = [
+        t0,
+        t0 + timedelta(seconds=299.5),            # same session (< gap)
+        t0 + timedelta(seconds=299.5 + 300.0),    # same session (== gap, strict >)
+        t0 + timedelta(seconds=299.5 + 300.0 + 300.5),  # NEW session (> gap)
+    ]
+    df = spark.createDataFrame(
+        [("u1", i, t) for i, t in enumerate(ts)], "user_id string, event_id int, ts timestamp"
+    )
+    sessions = sorted(
+        (r.session_seq, r.n_events) for r in ev.sessionize_df(df, gap_minutes=5).collect()
+    )
+    assert sessions == [(1, 3), (2, 1)]
+
+    native = (
+        df.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert sorted(r.n_events for r in native) == [1, 3]
