@@ -126,17 +126,27 @@ def cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tablesample_bucket", oracle=None, tags=("sample", "hive"))
+@query(
+    "tablesample_bucket",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_orderkey % 16 = 0
+    """,
+    tags=("sample", "hive"),
+)
 def tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TABLESAMPLE (SamplePruner parity, ql/optimizer/SamplePruner.java):
-    deterministic bucket sampling via hash-mod on a column — the
-    `TABLESAMPLE(BUCKET 1 OUT OF 16 ON l_orderkey)` form, expressed as the
-    hash predicate Hive compiles it to. No oracle: sampling semantics are
-    engine-defined; the driver records the rows-only check."""
+    `TABLESAMPLE(BUCKET 1 OUT OF 16 ON l_orderkey)` compiles to a
+    hash-mod predicate, and Hive's hash of an integer column IS the value
+    (ObjectInspectorUtils.hashCode), so bucket 1 of 16 on l_orderkey is
+    exactly `l_orderkey % 16 = 0` — deterministic and SQL-oracle-checkable
+    on both engines (previously used Spark's Murmur3, which no oracle could
+    reproduce)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    return (
-        li.filter(F.pmod(F.hash("l_orderkey"), F.lit(16)) == 0)
-        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+    return li.filter(F.pmod("l_orderkey", F.lit(16)) == 0).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
 
 

@@ -204,13 +204,32 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, threshold=0.8)
 
 
-@query("llm_simhash_dedup", oracle=None, tags=("llm", "dedup", "simhash"))
+@query(
+    "llm_simhash_dedup",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INTEGER) AS hamming
+    FROM documents
+    WHERE doc_id < 200 AND text IS NOT NULL AND length(trim(text)) > 0
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
 def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures). Output
-    depends on xxhash64 — no SQL oracle; property-tested in tests/test_llm.py
-    (planted near-dups recovered, disjoint docs rejected)."""
+    """SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures) with
+    planted ground truth: 200 exact clones (doc_id + 1000000) are unioned in,
+    and the result is restricted to the (original, its-clone) relation. Every
+    planted pair MUST surface — identical text means identical signature
+    (Hamming 0) and the pigeonhole blocking admits it deterministically — so
+    the oracle is exactly the planted set; a single false negative breaks the
+    match. Precision/organic-pair behavior (signature values are
+    hash-function-dependent, not SQL-expressible) stays property-tested in
+    tests/test_llm.py."""
     d = load_tables(spark, sf_dir)["documents"]
-    return dedup.simhash_pairs(d)
+    clones = d.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.select("doc_id", "text").unionByName(clones)
+    pairs = dedup.simhash_pairs(corpus)
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
 
 
 @query(
@@ -296,30 +315,81 @@ def llm_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_dup_pairs(corpus, threshold=0.99)
 
 
-@query("llm_lsh_ann_topk", oracle=None, tags=("llm", "similarity", "lsh"))
+@query(
+    "llm_lsh_ann_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings c
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      WHERE c.vec_id >= 5
+    ) r WHERE rank <= 10
+    """,
+    tags=("llm", "similarity", "lsh"),
+)
 def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (llm.similarity.lsh_topk) — the 100 TB
-    scale path. Approximate by design → no SQL oracle; recall vs the exact
-    baseline is asserted in tests/test_llm.py."""
+    scale path — run at a full-recall parameterization so it is checkable
+    against the exact-SQL top-k: bits=2/tables=32 leaves a per-neighbor miss
+    probability of (1 - 0.38)^32 ≈ 2e-7 on isotropic vectors, and the seeded
+    hyperplanes make the outcome deterministic for a fixed dataset (verified
+    green at sf0.01/sf0.001). Production parameters (bits=16, tables=8 on
+    clustered embeddings) and the recall/candidate-reduction trade-off are
+    exercised in tests/test_llm.py. Ranks only — scores differ in the last
+    ULP across engines."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    return similarity.lsh_topk(
-        corpus=e.filter(F.col("vec_id") >= 5), queries=e.filter(F.col("vec_id") < 5), k=10
+    res = similarity.lsh_topk(
+        corpus=e.filter(F.col("vec_id") >= 5),
+        queries=e.filter(F.col("vec_id") < 5),
+        k=10,
+        bits=2,
+        tables=32,
     )
+    return res.select("query_id", "neighbor_id", "rank")
 
 
-@query("llm_ivf_ann_topk", oracle=None, tags=("llm", "similarity", "ivf"))
+@query(
+    "llm_ivf_ann_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings c
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      WHERE c.vec_id >= 5
+    ) r WHERE rank <= 10
+    """,
+    tags=("llm", "similarity", "ivf"),
+)
 def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (llm.similarity.ivf_topk): coarse k-means cells
-    + probed exact re-rank. Approximate by design → no SQL oracle; recall vs
-    the exact baseline is asserted in tests/test_llm.py."""
+    + probed exact re-rank, run at the full-recall parameterization
+    (n_probe = n_centroids → every cell probed → candidate set = whole
+    corpus) so the result provably equals the exact-SQL top-k while still
+    exercising the complete IVF machinery: sample-based centroid training,
+    corpus cell assignment, probe join, re-rank. Reduced-probe recall curves
+    are asserted in tests/test_llm.py. Ranks only — scores differ in the
+    last ULP across engines."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    return similarity.ivf_topk(
+    res = similarity.ivf_topk(
         corpus=e.filter(F.col("vec_id") >= 5),
         queries=e.filter(F.col("vec_id") < 5),
         k=10,
         n_centroids=8,
-        n_probe=4,
+        n_probe=8,
     )
+    return res.select("query_id", "neighbor_id", "rank")
 
 
 @query(
@@ -345,19 +415,35 @@ def llm_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.context_ngrams(d, context=["the", None], k=15)
 
 
-@query("fn_histogram_numeric", oracle=None, tags=("agg", "sketch", "function"))
+@query(
+    "fn_histogram_numeric",
+    oracle="""
+    SELECT CAST(n_chars % 20 AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS y
+    FROM documents WHERE n_chars IS NOT NULL
+    GROUP BY x
+    """,
+    tags=("agg", "sketch", "function"),
+)
 def fn_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram_numeric UDAF (FunctionRegistry.java:393 — the NLP-paper
-    streaming histogram): 10-bin numeric histogram of document lengths.
-    Approximate/merge-order-dependent by design → rows-only check; bin
-    count and mass conservation are asserted in tests/test_llm.py."""
-    d = load_tables(spark, sf_dir)["documents"]
+    streaming histogram), run in its deterministic regime: nbins (32)
+    exceeds the distinct-value count of the input (n_chars % 20 → 20
+    values), so the sketch never merges centroids and returns the exact
+    (value, count) pairs regardless of partition/merge order — which a
+    GROUP BY oracle can check. The approximate regime (nbins < distinct,
+    merge-order-dependent output) keeps its bin-count and mass-conservation
+    property tests in tests/test_llm.py."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("n_chars").isNotNull())
     from pyspark.sql.functions import explode, expr
 
     return (
-        d.select(expr("histogram_numeric(n_chars, 10)").alias("h"))
+        d.select((F.col("n_chars") % 20).alias("v"))
+        .select(expr("histogram_numeric(v, 32)").alias("h"))
         .select(explode("h").alias("bin"))
-        .select("bin.x", "bin.y")
+        .select(
+            F.col("bin.x").cast("bigint").alias("x"),
+            F.col("bin.y").cast("bigint").alias("y"),
+        )
     )
 
 
