@@ -42,6 +42,7 @@ _TPCH = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
+    "q12_shipmode_priority",
     "q13_customer_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
@@ -49,6 +50,7 @@ _TPCH = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
+    "q20_potential_promotion",
     "q21_waiting_orders",
     "q22_sales_opportunity",
 ]

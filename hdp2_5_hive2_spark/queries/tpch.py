@@ -890,3 +890,92 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
         """
     )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus AS shipclass,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    tags=("join", "agg", "conditional", "tpch"),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: l_linestatus classifies lines — the synthetic
+    schema has no l_shipmode/commit/receipt dates): orders joined to a
+    date-ranged lineitem slice, priority split via conditional SUM(CASE) —
+    the join + pivoted-count shape (JoinOperator.java:44 feeding
+    GroupByOperator.java:72's CASE aggregation)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("shipclass"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH pq AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT a.l_suppkey FROM pq a
+      WHERE a.q > 0.5 * (SELECT CAST(SUM(CAST(b.q AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(b.q)
+                         FROM pq b WHERE b.l_partkey = a.l_partkey)
+    )
+    """,
+    tags=("subquery", "correlated", "semi", "tpch"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: shipped quantity per (supplier, part) stands in
+    for partsupp availability — the synthetic schema has no partsupp):
+    suppliers shipping an above-average share of any 'small%' part. Keeps
+    Q20's nested shape — name-filtered semi join, per-key aggregate, a
+    CORRELATED scalar-aggregate comparison, and an IN semi join back to
+    supplier (QBSubQuery.java:42 rewrite chain). The per-part average is one
+    double division of an exact decimal sum on both engines, so the
+    threshold compare is bit-identical."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH pq AS (
+          SELECT l_suppkey, l_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+          SELECT a.l_suppkey FROM pq a
+          WHERE a.q > 0.5 * (SELECT CAST(SUM(CAST(b.q AS DECIMAL(18,2))) AS DOUBLE)
+                                    / COUNT(b.q)
+                             FROM pq b WHERE b.l_partkey = a.l_partkey)
+        )
+        """
+    )
