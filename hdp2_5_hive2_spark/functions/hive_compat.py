@@ -56,6 +56,22 @@ def default_nvl(value: Column, fallback: Column) -> Column:
     return F.coalesce(value, fallback)
 
 
+def legacy_grouping_id(*cols: Column | str) -> Column:
+    """Hive ≤ 2.2 GROUPING__ID (the reference's encoding — grouping-set keys
+    built in SemanticAnalyzer.java:3753-3766: ROLLUP set i gets key
+    ``(1 << i) - 1``): the LEFTMOST group-by expression is the
+    LEAST-significant bit and a set bit means the column IS grouped
+    (present) in the row. That is the bit-reverse AND complement of the
+    modern encoding (Hive 2.3+ / Spark / standard SQL: leftmost = MSB, set
+    bit = aggregated). Use this column when migrating queries that read
+    GROUPING__ID written by the reference; `grouping_id()` gives the modern
+    value. Drift-guarded in tests/test_functions.py."""
+    out = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        out = out + (F.lit(1) - F.grouping(c).cast("bigint")) * F.lit(1 << i)
+    return out
+
+
 def _unsupported(name: str, why: str) -> Callable[..., Column]:
     def call(*_args, **_kw):
         raise NotImplementedError(f"hive function {name!r} not carried over: {why}")
@@ -116,6 +132,9 @@ HIVE_FUNCTIONS.update(
     {
         "field": field,
         "create_union": create_union,
+        # GROUPING__ID with the reference's (Hive ≤ 2.2) bit order; Spark's
+        # grouping_id() is the modern standard order — see legacy_grouping_id.
+        "grouping__id": legacy_grouping_id,
         # $SUM0: sum that returns 0 instead of NULL on empty input
         "$sum0": lambda c: F.coalesce(F.sum(c), F.lit(0)),
         # regexp == rlike alias in Hive (FunctionRegistry.java:261)

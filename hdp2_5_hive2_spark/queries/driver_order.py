@@ -85,6 +85,9 @@ _FIXED_R01 = [
 _TAIL_NEVER_VERIFIED = [
     "order_limit_offset",
     "select_distinct",
+    "fn_sentences",
+    "fn_str_to_map",
+    "fn_parse_url_tuple",
     "subquery_correlated_exists",
     "subquery_not_in",
     "subquery_scalar",
@@ -111,6 +114,8 @@ _TAIL_NEVER_VERIFIED = [
     "llm_simhash_dedup",
     "llm_minhash_dedup",
     "llm_ngram_jaccard",
+    "storage_insert_into",
+    "storage_union_type",
     "storage_csv_roundtrip",
     "storage_json_roundtrip",
     "storage_orc_roundtrip",

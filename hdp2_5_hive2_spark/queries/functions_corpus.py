@@ -523,3 +523,111 @@ def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(d).alias("month_end"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
     )
+
+
+@query(
+    "fn_sentences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(CEIL(LEAST(len(t), 30) / 5.0) AS INTEGER) AS n_sent,
+           CAST(LEAST(len(t), 30) AS INTEGER)             AS n_words,
+           upper(t[1])                                    AS first_word
+    FROM toks
+    """,
+    tags=("text", "udtf", "function"),
+)
+def fn_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sentences() (GenericUDFSentences, FunctionRegistry.java:432): the
+    BreakIterator tokenizer that splits text into sentences of words. The
+    corpus text is unpunctuated, so the query builds deterministic input —
+    the first 30 tokens grouped 5-per-sentence, '.'-joined, uppercased
+    (Java's sentence BreakIterator only breaks before a capitalized word) —
+    then checks sentence count, total word count, and the first word against
+    an oracle that predicts them from the same token stream."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t30 = F.slice(toks, 1, 30)
+    n_used = F.size(t30)
+    n_groups = F.ceil(n_used / F.lit(5.0)).cast("int")
+    groups = F.transform(
+        F.sequence(F.lit(0), n_groups - 1),
+        lambda i: F.array_join(F.slice(t30, i * 5 + 1, F.lit(5)), " "),
+    )
+    punct = F.upper(F.concat(F.array_join(groups, ". "), F.lit(".")))
+    out = F.sentences(punct)
+    return d.select(
+        "doc_id",
+        F.size(out).alias("n_sent"),
+        F.aggregate(out, F.lit(0), lambda acc, s: acc + F.size(s)).alias("n_words"),
+        F.element_at(F.element_at(out, 1), 1).alias("first_word"),
+    )
+
+
+@query(
+    "fn_str_to_map",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus                  AS status,
+           o_orderpriority                AS prio,
+           CAST(o_orderkey AS VARCHAR)    AS key_str
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    tags=("map", "string", "function"),
+)
+def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map (GenericUDFStringToMap, FunctionRegistry.java:267): a
+    serialized 'k:v,k:v' string built from row values is parsed back and the
+    extracted map entries must round-trip to the original columns (map cells
+    themselves can't cross the driver's canonicalizer, so the query projects
+    the lookups)."""
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") <= 300)
+    s = F.concat(
+        F.lit("status:"), F.col("o_orderstatus"),
+        F.lit(",prio:"), F.col("o_orderpriority"),
+        F.lit(",key:"), F.col("o_orderkey").cast("string"),
+    )
+    m = F.str_to_map(s, F.lit(","), F.lit(":"))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status"),
+        F.element_at(m, "prio").alias("prio"),
+        F.element_at(m, "key").alias("key_str"),
+    )
+
+
+@query(
+    "fn_parse_url_tuple",
+    oracle="""
+    SELECT doc_id,
+           'docs.example.com'                                   AS host,
+           '/' || source || '/' || CAST(doc_id AS VARCHAR)      AS path,
+           'lang=' || lang                                      AS query_str,
+           lang                                                 AS lang_param
+    FROM documents WHERE doc_id < 300
+    """,
+    tags=("url", "udtf", "function"),
+)
+def fn_parse_url_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url_tuple UDTF (GenericUDTFParseUrlTuple,
+    FunctionRegistry.java:451): Hive's one-call multi-part URL extractor.
+    Spark-first mapping is a projection of parse_url calls — the UDTF exists
+    only because Hive scalar UDFs were once single-output; Catalyst
+    collapses the repeated parse_url into one codegen stage. URLs are built
+    from row values so the oracle knows every part exactly."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("https://docs.example.com/"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_str"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

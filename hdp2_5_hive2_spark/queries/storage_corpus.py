@@ -21,6 +21,7 @@ from hdp2_5_hive2_spark.queries.helpers import dsum
 from hdp2_5_hive2_spark.queries.registry import query
 from hdp2_5_hive2_spark.storage import (
     compact_files,
+    insert_into,
     insert_overwrite,
     write_bucketed_table,
     write_partitioned,
@@ -158,4 +159,71 @@ def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice", "sum_price"),
         )
+    )
+
+
+@query(
+    "storage_insert_into",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM orders WHERE o_orderkey <= 200
+    GROUP BY o_orderstatus
+    """,
+    tags=("storage", "write", "append"),
+)
+def storage_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO (append) path (FileSinkOperator.java:92 covers overwrite
+    AND append; only overwrite was exercised before): overwrite the target
+    with the first 100 orders, append the next 100, read back, aggregate —
+    the result must equal the oracle over the union slice, proving the
+    append added files without clobbering the first write. The leading
+    overwrite keeps repeated driver runs idempotent."""
+    o = load_tables(spark, sf_dir)["orders"]
+    path = f"{IO_ROOT}/orders_append"
+    insert_overwrite(o.filter(F.col("o_orderkey") <= 100), path)
+    insert_into(o.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)), path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        dsum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "storage_union_type",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey % 2 AS INTEGER)                         AS tag,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END      AS num_val,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END   AS str_val
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    tags=("storage", "write", "union-type"),
+)
+def storage_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive UNION-type storage round trip (UNIONTYPE<DOUBLE, STRING>;
+    ObjectInspector.java:45 UNION category, encoded per SURVEY.md §1.2 as
+    struct(tag, field0, field1) via functions.hive_compat.create_union):
+    build a tagged union column, write it to parquet, read it back, and
+    project the tag + per-alternative values — the oracle reconstructs all
+    three from the source columns, so the tagged struct must survive the
+    write/read cycle losslessly (parquet doubles are exact)."""
+    from hdp2_5_hive2_spark.functions.hive_compat import create_union
+
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") <= 300)
+    tag = (F.col("o_orderkey") % 2).cast("int")
+    u = create_union(
+        tag,
+        F.when(tag == 0, F.col("o_totalprice")),
+        F.when(tag == 1, F.col("o_orderpriority")),
+    )
+    path = f"{IO_ROOT}/orders_union_type"
+    insert_overwrite(o.select("o_orderkey", u.alias("u")), path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderkey",
+        F.col("u.tag").alias("tag"),
+        F.col("u.field0").alias("num_val"),
+        F.col("u.field1").alias("str_val"),
     )

@@ -12,6 +12,7 @@ from hdp2_5_hive2_spark.storage.writer import (
     analyze_table,
     drop_table,
     compact_files,
+    insert_into,
     insert_overwrite,
     write_bucketed_table,
     write_partitioned,
@@ -21,6 +22,7 @@ __all__ = [
     "analyze_table",
     "drop_table",
     "compact_files",
+    "insert_into",
     "insert_overwrite",
     "write_bucketed_table",
     "write_partitioned",

@@ -59,6 +59,25 @@ def insert_overwrite(
     writer.save(path)
 
 
+def insert_into(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> None:
+    """INSERT INTO (append) equivalent: add `df`'s rows to `path` without
+    touching existing files (FileSinkOperator.java:92 covers both the
+    overwrite and append paths; this is the append one). Appends are
+    file-level additions — no read-modify-write — so concurrent appends to
+    different files are safe the same way Hive's move-task rename is."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    writer = df.write.mode("append").format(fmt)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

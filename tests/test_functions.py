@@ -204,3 +204,30 @@ def test_percentile_approx_bounded_error(spark):
     exact = li.selectExpr("percentile(l_quantity, 0.5) AS p").first().p
     approx = li.selectExpr("percentile_approx(l_quantity, 0.5, 10000) AS p").first().p
     assert abs(approx - exact) <= 2, (approx, exact)
+
+
+def test_legacy_grouping_id_hive21_bit_order(spark):
+    """Drift guard for SURVEY §7's GROUPING__ID risk: the reference (Hive
+    2.1, SemanticAnalyzer.java:3753-3766) numbers grouping-set keys with the
+    leftmost key as the LEAST-significant bit and 1 = present, while Spark's
+    grouping_id() is leftmost-as-MSB and 1 = aggregated. Pin both encodings
+    side by side on a two-key rollup."""
+    from hdp2_5_hive2_spark.functions.hive_compat import legacy_grouping_id
+
+    df = spark.createDataFrame(
+        [("r1", "a", 1), ("r1", "b", 2), ("r2", "c", 3)], "rk string, nm string, v int"
+    )
+    out = (
+        df.rollup("rk", "nm")
+        .agg(
+            F.grouping_id().alias("modern"),
+            legacy_grouping_id("rk", "nm").alias("hive21"),
+            F.sum("v").alias("s"),
+        )
+        .collect()
+    )
+    pairs = {(r.modern, r.hive21) for r in out}
+    # (rk, nm) detail rows: modern 0b00=0, hive21 0b11=3
+    # rk subtotal:          modern 0b01=1, hive21 0b01=1
+    # grand total:          modern 0b11=3, hive21 0b00=0
+    assert pairs == {(0, 3), (1, 1), (3, 0)}

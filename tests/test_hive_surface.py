@@ -57,3 +57,52 @@ def test_distribute_sort_by_plan(spark):
     # hash repartition on the DISTRIBUTE BY key + sort that is NOT global
     assert "hashpartitioning(o_orderstatus" in plan, plan
     assert "Sort [o_orderkey" in plan and "false, 0" in plan.split("Sort [o_orderkey")[1][:80], plan
+
+
+def test_matchpath_bounded_quantifier(spark):
+    """MatchPath.java path expressions allow bounded repetition (A{2,4});
+    the translation must preserve regex quantifier braces."""
+    # H-runs of length 1, 2, 4, and 6
+    vals = [9, 0, 9, 9, 0, 9, 9, 9, 9, 0, 9, 9, 9, 9, 9, 9]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "pid int, seq int, v int")
+    out = match_path(
+        df,
+        partition_by=["pid"],
+        order_by=["seq"],
+        symbols={"H": F.col("v") > 5, "L": F.col("v") <= 5},
+        pattern="H{2,4}",
+    ).collect()
+    by_match = {}
+    for r in out:
+        by_match.setdefault(r.match_number, []).append(r.seq)
+    lengths = sorted(len(v) for v in by_match.values())
+    # run-1 too short; run-2 -> 2; run-4 -> 4; run-6 -> greedy 4 + leftover 2
+    assert lengths == [2, 2, 4, 4]
+    assert all(1 <= len(v) for v in by_match.values())
+
+
+def test_matchpath_alternation_group_quantified(spark):
+    """(A|B)-style alternation groups with a quantifier — the other
+    MatchPath.java surface beyond plain concatenation."""
+    #          L    M    H    L    H    M    L
+    vals = [   1,   5,   9,   1,   9,   5,   1]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "pid int, seq int, v int")
+    out = match_path(
+        df,
+        partition_by=["pid"],
+        order_by=["seq"],
+        symbols={
+            "H": F.col("v") > 8,
+            "M": (F.col("v") > 3) & (F.col("v") <= 8),
+            "L": F.col("v") <= 3,
+        },
+        pattern="L.(H|M)+",
+    ).collect()
+    by_match = {}
+    for r in out:
+        by_match.setdefault(r.match_number, []).append((r.seq, r.match_symbol))
+    seqs = sorted(tuple(s for s, _ in v) for v in by_match.values())
+    # match 1: L(0) M(1) H(2); match 2: L(3) H(4) M(5); trailing L unmatched
+    assert seqs == [(0, 1, 2), (3, 4, 5)]
