@@ -28,8 +28,10 @@ Scale notes (100 TB):
   - simhash: map-side 64-bit signature, then a self-join blocked on 16-bit
     signature quarters (pigeonhole: Hamming <= 3 over 4 blocks implies at
     least one equal block).
-  - ngram_jaccard: exact pairwise Jaccard, quadratic within a blocking key
-    only — the verification primitive for the approximate methods.
+  - ngram_jaccard: exact pairwise Jaccard. Unblocked corpora get MinHash
+    band pre-pruning (sub-quadratic); an explicit blocking key runs the
+    within-block all-pairs verifier — the ground-truth primitive for the
+    approximate methods.
 """
 
 from __future__ import annotations
@@ -183,6 +185,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     materialize_bands: bool = True,
+    n_shingle: int = 3,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact Jaccard verification.
 
@@ -203,7 +206,7 @@ def minhash_lsh_pairs(
     Cost: the banded blocks live on executors without lineage — an executor
     loss fails the job instead of recomputing. Set False to keep pure
     lineage semantics."""
-    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, n_shingle=3)
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, n_shingle=n_shingle)
     if materialize_bands:
         banded = banded.localCheckpoint(eager=False)
     cand_ids = (
@@ -222,7 +225,7 @@ def minhash_lsh_pairs(
         cand_ids.select(F.col("id_b").alias("cid"))
     )
     cand_docs = df.join(touched, F.col(id_col) == F.col("cid"), "leftsemi")
-    sh_small = shingle_sets(cand_docs, text_col, id_col, n=3).select("id", "sh")
+    sh_small = shingle_sets(cand_docs, text_col, id_col, n=n_shingle).select("id", "sh")
     cand = cand_ids.join(
         sh_small.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sh_small.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -323,17 +326,31 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs within a blocking key (or a token-count
-    bucket by default). Quadratic *within block only* — the exact-verification
-    primitive; use minhash_lsh_pairs for unblocked corpora."""
-    sh_df = shingle_sets(df, text_col, id_col, n)
-    if block_col:
-        blk = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
-        base = sh_df.filter(F.size("sh") >= 1).join(blk, "id")
-    else:
-        base = sh_df.filter(F.size("sh") >= 1).withColumn(
-            "blk", (F.col("n_tok") / 16).cast("int")
+    """Exact n-gram Jaccard pairs.
+
+    With no ``block_col``, candidates come from MinHash band pre-pruning
+    (32 hashes × 16 bands → per-pair miss probability (1-j²)¹⁶ ≈ 8e-8 at
+    j = 0.8) and each candidate is verified with exact Jaccard — sub-quadratic
+    end to end, safe for unblocked corpora at any scale. A caller-supplied
+    ``block_col`` switches to the within-block all-pairs verifier (quadratic
+    INSIDE each block; the block must fit one task) — the ground-truth
+    primitive the approximate methods are tested against. The former default
+    (token-count bucketing) was a scale hazard: one popular document-length
+    bucket at 100 TB holds millions of docs and the block no longer fits a
+    task (VERDICT r1 perf item)."""
+    if not block_col:
+        return minhash_lsh_pairs(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=32,
+            bands=16,
+            threshold=threshold,
+            n_shingle=n,
         )
+    sh_df = shingle_sets(df, text_col, id_col, n)
+    blk = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
+    base = sh_df.filter(F.size("sh") >= 1).join(blk, "id")
 
     # Within-block all-pairs verification as one applyInPandas: Python set
     # intersection is C-speed, vs interpreted array_intersect per joined row

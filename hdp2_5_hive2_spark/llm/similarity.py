@@ -52,16 +52,67 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
-    Returns (query_id, neighbor_id, rank, score). The query side is
-    broadcast; ties broken by neighbor id for determinism."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    )
+    Returns (query_id, neighbor_id, rank, score), ties broken by neighbor id.
+
+    Execution: the query block — broadcast-small by contract, like IVF's
+    training sample — is collected to one numpy matrix; each corpus Arrow
+    batch scores itself against ALL queries with a single BLAS matmul and
+    emits only its per-query top-k, so the shuffle carries
+    n_batches × Q × k rows instead of N × Q, and a final window rank merges
+    the partials. This replaces the crossJoin + Catalyst higher-order-fold
+    cosine (~30 µs/pair, interpreted — never codegen) that made the exact
+    baseline the slowest plan in the suite."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv")
+    ).collect()
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .withColumn("score", cosine(F.col("cv"), F.col("qv")))
-        .select("query_id", "neighbor_id", "score")
+    if not q_rows:
+        return (
+            c.limit(0)
+            .select(
+                F.col("neighbor_id").alias("query_id"),
+                "neighbor_id",
+                F.lit(1).alias("rank"),
+                F.lit(0.0).alias("score"),
+            )
+        )
+    q_ids = np.asarray([r.qid for r in q_rows], dtype=np.int64)
+    qm = np.asarray([r.qv for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    qmn = qm / qn[:, None]
+    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["cv"]), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0] = 1.0
+            s = (x / xn[:, None]) @ qmn.T  # (n, Q)
+            nb = pdf["neighbor_id"].to_numpy()
+            top = min(k, len(nb))
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                # lexsort matches the final window order (score desc, id asc)
+                idx = np.lexsort((nb, -s[:, j]))[:top]
+                out_q.append(np.full(top, q_ids[j], dtype=np.int64))
+                out_n.append(nb[idx])
+                out_s.append(s[idx, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    scored = c.repartition(shuffle_n).mapInPandas(
+        gen, "query_id bigint, neighbor_id bigint, score double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -69,6 +120,34 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def _score_candidate_pairs(cand: DataFrame) -> DataFrame:
+    """Exact cosine for (query_id, neighbor_id, cv, qv) candidate rows in one
+    Arrow pass (vectorized einsum per batch) — the re-rank step shared by
+    lsh_topk/ivf_topk. Replaces the per-row interpreted higher-order fold
+    (~30 µs/candidate) with C-speed batch math; candidate sets are bounded by
+    construction, so this is map-side work with no extra shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.asarray(list(pdf["cv"]), dtype=np.float64)
+            b = np.asarray(list(pdf["qv"]), dtype=np.float64)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            den[den == 0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": np.einsum("ij,ij->i", a, b) / den,
+                }
+            )
+
+    return cand.mapInPandas(gen, "query_id bigint, neighbor_id bigint, score double")
 
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
@@ -157,11 +236,10 @@ def lsh_topk(
     q_gen, q_schema = assign("query_id", "qv")
     c_banded = c.repartition(shuffle_n).mapInPandas(c_gen, c_schema)
     q_banded = q.mapInPandas(q_gen, q_schema)
-    cand = (
+    cand = _score_candidate_pairs(
         c_banded.join(F.broadcast(q_banded), ["tbl", "sig"])
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("score", cosine(F.col("cv"), F.col("qv")))
-        .select("query_id", "neighbor_id", "score")
+        .select("query_id", "neighbor_id", "cv", "qv")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -326,10 +404,12 @@ def ivf_topk(
     cent = _train_centroids(c, "cv", n_centroids)
     c_cells = _assign_cells(c, "neighbor_id", "cv", cent, n_probe=1)
     q_cells = _assign_cells(q, "query_id", "qv", cent, n_probe=n_probe)
-    cand = (
-        c_cells.join(F.broadcast(q_cells), "cell")
-        .withColumn("score", cosine(F.col("cv"), F.col("qv")))
-        .select("query_id", "neighbor_id", "score")
+    # corpus side is assigned with n_probe=1, so (query, neighbor) pairs are
+    # already unique — no dedup shuffle needed before scoring
+    cand = _score_candidate_pairs(
+        c_cells.join(F.broadcast(q_cells), "cell").select(
+            "query_id", "neighbor_id", "cv", "qv"
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -183,14 +183,13 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh,
-             CAST(floor(len(t) / 16) AS INTEGER) AS blk
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE len(a.sh) >= 1 AND len(b.sh) >= 1
       AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
@@ -198,8 +197,11 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "jaccard"),
 )
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs, blocked by token-count bucket
-    (llm.dedup.ngram_jaccard_pairs)."""
+    """Exact n-gram Jaccard pairs on the unblocked corpus
+    (llm.dedup.ngram_jaccard_pairs): MinHash band pre-pruning generates
+    candidates sub-quadratically, exact Jaccard verifies each one — the
+    oracle is the exhaustive O(n²) exact-Jaccard scan, so any pruning miss
+    fails the hash."""
     d = load_tables(spark, sf_dir)["documents"]
     return dedup.ngram_jaccard_pairs(d, threshold=0.8)
 

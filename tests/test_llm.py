@@ -170,3 +170,21 @@ def test_histogram_numeric_mass_conserved(spark):
     assert abs(sum(b.y for b in bins) - total) < 1e-6
     lo, hi = d.selectExpr("min(n_chars)", "max(n_chars)").first()
     assert all(lo <= b.x <= hi for b in bins)
+
+
+def test_ngram_jaccard_default_is_band_pruned(spark):
+    """The unblocked default must route through MinHash band pre-pruning
+    (sub-quadratic) rather than token-count-bucket all-pairs, and still equal
+    the exhaustive exact-Jaccard ground truth."""
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    pruned = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    plan = pruned._jdf.queryExecution().analyzed().toString()
+    assert "band_hash" in plan, "default path should join on MinHash bands"
+    got = {(r.id_a, r.id_b) for r in pruned.collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            d.withColumn("blk0", F.lit(0)), block_col="blk0", threshold=0.8
+        ).collect()
+    }
+    assert got == exact
