@@ -37,6 +37,22 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer classes (letters / digits / other runs with an
+# optional leading space) — the standard BPE input segmentation, restricted
+# to ASCII classes so Java and RE2 regex engines agree byte-for-byte.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Pre-tokenizer token count the way a BPE pipeline would segment the
+    text (before merges): letter runs, digit runs, punctuation runs, each
+    with an optional leading space. On whitespace-only corpora this equals
+    the whitespace count; on punctuated text it counts punctuation runs
+    separately — the number a training-data token budget actually uses."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token/char statistics (exact integer/ratio arithmetic)."""
     toks = tokens(text_col)

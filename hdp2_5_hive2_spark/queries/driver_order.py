@@ -88,6 +88,7 @@ _TAIL_NEVER_VERIFIED = [
     "fn_sentences",
     "fn_str_to_map",
     "fn_parse_url_tuple",
+    "fn_percentile_approx",
     "subquery_correlated_exists",
     "subquery_not_in",
     "subquery_scalar",
@@ -102,6 +103,9 @@ _TAIL_NEVER_VERIFIED = [
     "matchpath_price_runs",
     "salted_groupby",
     "multimodal_meta_sha",
+    "multimodal_frame_sample",
+    "multimodal_resize_meta",
+    "llm_token_count",
     "llm_text_stats",
     "llm_quality_score",
     "llm_lang_id",

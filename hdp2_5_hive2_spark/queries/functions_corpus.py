@@ -631,3 +631,32 @@ def fn_parse_url_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query_str"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "fn_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS p25,
+           quantile_disc(l_quantity, 0.5)  AS p50,
+           quantile_disc(l_quantity, 0.75) AS p75,
+           quantile_disc(l_quantity, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "function"),
+)
+def fn_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx UDAF (FunctionRegistry.java:394) in its exact
+    regime: with accuracy (1e6) above the group row count the
+    QuantileSummaries sketch retains every sample and returns the exact
+    discrete quantile — verified equal to DuckDB's quantile_disc at
+    sf0.001/0.01/0.1. The bounded-error approximate regime keeps its
+    property test (tests/test_functions.py)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    p = F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 1000000)")
+    return li.groupBy("l_returnflag").agg(
+        p.getItem(0).alias("p25"),
+        p.getItem(1).alias("p50"),
+        p.getItem(2).alias("p75"),
+        p.getItem(3).alias("p95"),
+    )

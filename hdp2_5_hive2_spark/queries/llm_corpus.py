@@ -475,3 +475,87 @@ def multimodal_meta_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asset_meta.sha256").alias("sha"),
         F.length("payload").cast("bigint").alias("n_bytes"),
     )
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS bpe_tokens
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways a training pipeline needs it: whitespace
+    tokens (document stats) and BPE-style pre-tokenizer segments (token
+    budget). The regex restricts to ASCII classes so Spark's Java regex and
+    the oracle's RE2 agree exactly."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.length(F.trim("text")) > 0)
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("ws_tokens"),
+        text.bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) * 50 AS nb
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id AS asset_id,
+           CAST(u AS INTEGER) AS frame_idx,
+           CAST(u * 1000 AS BIGINT) AS ts_ms
+    FROM b, UNNEST(generate_series(0, GREATEST(nb // 10000, 1) - 1)) AS t(u)
+    """,
+    tags=("llm", "multimodal", "frames"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (llm.multimodal.frame_sample): the
+    1→N row explosion over opaque binary payloads, Arrow-batched. Payloads
+    are the document text repeated 50× (deterministic size), so the oracle
+    can predict exactly how many pseudo-frames (ceil sizing of the stub
+    decoder) each asset yields and their timestamps. The decoded feature
+    vector is codec-defined and excluded (the real codec seam is stubbed —
+    no media libraries in this environment)."""
+    from hdp2_5_hive2_spark.llm import multimodal
+
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < 100)
+        .withColumn("payload", F.encode(F.repeat(F.col("text"), 50), "UTF-8"))
+    )
+    frames = multimodal.frame_sample(d, "doc_id", "payload", every_ms=1000)
+    return frames.select("asset_id", "frame_idx", "ts_ms")
+
+
+@query(
+    "multimodal_resize_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(224 AS INTEGER) AS width,
+           CAST(224 AS INTEGER) AS height,
+           CAST(784 AS BIGINT)  AS n_bytes
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("llm", "multimodal", "resize"),
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (llm.multimodal.resize_images): payload→payload
+    Arrow map with refreshed metadata. The stub resampler always emits
+    exactly (width*height)/64 bytes — 784 for 224² — so the oracle pins the
+    output geometry and byte size for every asset; the byte content is
+    codec-defined and covered by unit tests."""
+    from hdp2_5_hive2_spark.llm import multimodal
+
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < 100)
+        .withColumn("payload", F.encode("text", "UTF-8"))
+    )
+    resized = multimodal.resize_images(d, "doc_id", "payload", width=224, height=224)
+    return resized.select("asset_id", "width", "height", "n_bytes")
