@@ -89,6 +89,7 @@ _TAIL_NEVER_VERIFIED = [
     "fn_str_to_map",
     "fn_parse_url_tuple",
     "fn_percentile_approx",
+    "fn_reflect",
     "subquery_correlated_exists",
     "subquery_not_in",
     "subquery_scalar",
@@ -120,6 +121,7 @@ _TAIL_NEVER_VERIFIED = [
     "llm_ngram_jaccard",
     "storage_insert_into",
     "storage_union_type",
+    "storage_sequencefile_roundtrip",
     "storage_csv_roundtrip",
     "storage_json_roundtrip",
     "storage_orc_roundtrip",

@@ -660,3 +660,34 @@ def fn_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.getItem(2).alias("p75"),
         p.getItem(3).alias("p95"),
     )
+
+
+@query(
+    "fn_reflect",
+    oracle="""
+    SELECT p_partkey,
+           lower(to_hex(p_size))                 AS hex_str,
+           CAST(bit_count(p_size) AS VARCHAR)    AS bitcnt,
+           CAST(p_size % 7 AS VARCHAR)           AS fmod7,
+           CAST(GREATEST(p_size, 25) AS VARCHAR) AS mx25
+    FROM part WHERE p_partkey <= 200
+    """,
+    tags=("reflection", "function"),
+)
+def fn_reflect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reflect()/java_method() (GenericUDFReflect, FunctionRegistry.java:409):
+    static-method invocation through the JVM, which Spark SQL carries
+    natively — previously inventoried as not-carried, disproved by probe.
+    Results are strings (Hive's reflect contract); the oracle recomputes
+    each call with the equivalent SQL function."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               reflect('java.lang.Integer', 'toHexString', p_size) AS hex_str,
+               java_method('java.lang.Integer', 'bitCount', p_size) AS bitcnt,
+               reflect('java.lang.Math', 'floorMod', p_size, 7)    AS fmod7,
+               java_method('java.lang.Math', 'max', p_size, 25)    AS mx25
+        FROM part WHERE p_partkey <= 200
+        """
+    )

@@ -227,3 +227,27 @@ def storage_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u.field0").alias("num_val"),
         F.col("u.field1").alias("str_val"),
     )
+
+
+@query(
+    "storage_sequencefile_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("storage", "write", "sequencefile"),
+)
+def storage_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile STORED AS round trip (the reference's default container
+    for text tables; LazySimpleSerDe row layout — ctrl-A delimiters, \\N
+    nulls, serde2/lazy/LazySimpleSerDe.java:76): write nation through
+    storage.write_sequencefile, read it back schema-on-read, values must
+    round-trip exactly. Closes the 'SequenceFile not carried' coverage row
+    — Spark core reads/writes the container natively at the RDD layer."""
+    from hdp2_5_hive2_spark.storage import read_sequencefile, write_sequencefile
+
+    nation = load_tables(spark, sf_dir)["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = f"{IO_ROOT}/nation_seq"
+    write_sequencefile(nation, path)
+    return read_sequencefile(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int"
+    )

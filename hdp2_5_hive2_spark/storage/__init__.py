@@ -14,8 +14,10 @@ from hdp2_5_hive2_spark.storage.writer import (
     compact_files,
     insert_into,
     insert_overwrite,
+    read_sequencefile,
     write_bucketed_table,
     write_partitioned,
+    write_sequencefile,
 )
 
 __all__ = [
@@ -24,6 +26,8 @@ __all__ = [
     "compact_files",
     "insert_into",
     "insert_overwrite",
+    "read_sequencefile",
     "write_bucketed_table",
     "write_partitioned",
+    "write_sequencefile",
 ]

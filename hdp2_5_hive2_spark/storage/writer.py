@@ -193,3 +193,53 @@ def delete_by_predicate(spark: SparkSession, path: str, predicate) -> None:
     staging = path.rstrip("/") + "._staging"
     current.filter(~predicate).write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+
+
+_HIVE_NULL = r"\N"  # LazySimpleSerDe default null sequence
+
+
+def write_sequencefile(df: DataFrame, path: str, sep: str = "\x01") -> None:
+    """Hive SequenceFile table layout: unused key, Text value holding a
+    LazySimpleSerDe row — ctrl-A ('\\x01') field delimiters, ``\\N`` nulls
+    (serde2/lazy/LazySimpleSerDe.java:76; SequenceFile is the reference's
+    default container for STORED AS SEQUENCEFILE). This is deliberately
+    RDD-level: a record-oriented container below the DataFrame abstraction
+    is the per-partition-imperative carve-out. Overwrite semantics match
+    insert_overwrite (the target is replaced)."""
+    import shutil
+
+    cols = df.columns
+    shutil.rmtree(path, ignore_errors=True)
+
+    def to_line(row) -> tuple[None, str]:
+        return (
+            None,
+            sep.join(_HIVE_NULL if row[c] is None else str(row[c]) for c in cols),
+        )
+
+    df.rdd.map(to_line).saveAsSequenceFile(path)
+
+
+def read_sequencefile(
+    spark: SparkSession, path: str, schema: str, sep: str = "\x01"
+) -> DataFrame:
+    """Schema-on-read over a Hive-layout SequenceFile (the reverse of
+    write_sequencefile): split each Text value on the field delimiter, map
+    ``\\N`` back to NULL, cast to the DDL `schema` — LazySimpleSerDe's lazy
+    per-field cast, done with one select of Column casts."""
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(schema)
+    names = [f.name for f in target.fields]
+    lines = spark.sparkContext.sequenceFile(path).values()
+    raw = spark.createDataFrame(
+        lines.map(lambda v: tuple(v.split(sep))), ", ".join(f"{n} string" for n in names)
+    )
+    return raw.select(
+        *[
+            F.when(F.col(f.name) != _HIVE_NULL, F.col(f.name))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in target.fields
+        ]
+    )
