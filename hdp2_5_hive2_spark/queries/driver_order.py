@@ -90,6 +90,7 @@ _TAIL_NEVER_VERIFIED = [
     "fn_parse_url_tuple",
     "fn_percentile_approx",
     "fn_reflect",
+    "fn_xpath",
     "subquery_correlated_exists",
     "subquery_not_in",
     "subquery_scalar",

@@ -691,3 +691,40 @@ def fn_reflect(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part WHERE p_partkey <= 200
         """
     )
+
+
+@query(
+    "fn_xpath",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_orderkey    AS key_long,
+           CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ',' || o_orderpriority
+                         AS all_parts,
+           true          AS has_status
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    tags=("xpath", "xml", "function"),
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xpath family (GenericUDFXPath + typed variants,
+    FunctionRegistry.java:198-208): string/long/boolean extraction and the
+    node-list form over XML built from row values, so the oracle knows every
+    answer; the node-list result is array_join-serialized (driver canon
+    cannot hash arrays)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               xpath_string(xml, 'order/status')                 AS status,
+               xpath_long(xml, 'order/key')                      AS key_long,
+               array_join(xpath(xml, 'order/*/text()'), ',')     AS all_parts,
+               xpath_boolean(xml, 'order/status')                AS has_status
+        FROM (
+          SELECT o_orderkey,
+                 concat('<order><key>', o_orderkey, '</key><status>', o_orderstatus,
+                        '</status><prio>', o_orderpriority, '</prio></order>') AS xml
+          FROM orders WHERE o_orderkey <= 200
+        )
+        """
+    )
