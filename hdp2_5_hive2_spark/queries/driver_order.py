@@ -123,6 +123,7 @@ _TAIL_NEVER_VERIFIED = [
     "storage_insert_into",
     "storage_union_type",
     "storage_sequencefile_roundtrip",
+    "storage_upsert_delete",
     "storage_csv_roundtrip",
     "storage_json_roundtrip",
     "storage_orc_roundtrip",

@@ -251,3 +251,57 @@ def storage_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     return read_sequencefile(
         spark, path, "n_nationkey int, n_name string, n_regionkey int"
     )
+
+
+@query(
+    "storage_upsert_delete",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= 50 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey <= 50 THEN 0.0 ELSE o_totalprice END  AS o_totalprice
+      FROM orders
+      WHERE o_orderkey <= 500 AND o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, 'N', 1.0 FROM orders
+      WHERE o_orderkey <= 20 AND o_orderkey % 10 <> 0
+    ) t
+    GROUP BY o_orderstatus
+    """,
+    tags=("storage", "write", "acid"),
+)
+def storage_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE/MERGE + DELETE parity (the reference rewrites both into
+    delta-insert + compaction — UpdateDeleteSemanticAnalyzer.java:52,
+    AcidUtils.java:53; storage.upsert_by_key / delete_by_predicate are the
+    plain-parquet equivalents): seed the first 500 orders, upsert 50
+    updated rows plus 20 brand-new keys, delete every key divisible by 10,
+    read back and aggregate — the oracle replays the same update/insert/
+    delete algebra in SQL, so row counts and exact sums must agree. The
+    leading overwrite keeps repeated driver runs idempotent."""
+    from hdp2_5_hive2_spark.storage.writer import delete_by_predicate, upsert_by_key
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = f"{IO_ROOT}/orders_upsert"
+    insert_overwrite(o.filter(F.col("o_orderkey") <= 500), path)
+    updates = (
+        o.filter(F.col("o_orderkey") <= 50)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    new_rows = o.filter(F.col("o_orderkey") <= 20).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    upsert_by_key(spark, path, updates.unionByName(new_rows), key_cols=["o_orderkey"])
+    delete_by_predicate(spark, path, F.col("o_orderkey") % 10 == 0)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "sum_price")
+    )
