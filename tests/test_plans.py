@@ -114,3 +114,14 @@ def test_session_confs_scale_ready(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
+
+
+def test_brute_force_topk_plan_has_no_interpreted_cosine(spark):
+    """The exact top-k baseline must be the batch-GEMM plan: no cartesian
+    product of corpus x queries and no interpreted higher-order cosine fold
+    (aggregate/zip_with never enter whole-stage codegen)."""
+    df = REGISTRY["llm_ann_topk"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "aggregate(zip_with" not in plan, plan
+    assert "MapInPandas" in plan, plan
