@@ -103,6 +103,9 @@ _TAIL_NEVER_VERIFIED = [
     "transform_script_sed",
     "tablesample_bucket",
     "matchpath_price_runs",
+    "matchpath_bounded_runs",
+    "matchpath_alternation",
+    "matchpath_match_summary",
     "salted_groupby",
     "multimodal_meta_sha",
     "multimodal_frame_sample",

@@ -238,6 +238,166 @@ def matchpath_price_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("o_custkey", "o_orderkey", "match_symbol")
 
 
+@query(
+    "matchpath_bounded_runs",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN o_totalprice < 50000 THEN 'CHEAP' ELSE 'OTHER' END AS sym,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders
+    ), isl AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY o_custkey, sym ORDER BY rn) AS grp
+      FROM seq
+    ), runs AS (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY o_custkey, sym, grp) AS run_len,
+             row_number() OVER (PARTITION BY o_custkey, sym, grp ORDER BY rn) - 1
+               AS pos_in_run
+      FROM isl
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(pos_in_run % 3 AS INTEGER) AS match_pos
+    FROM runs
+    WHERE sym = 'CHEAP' AND run_len >= 2
+      AND pos_in_run < run_len - (CASE WHEN run_len % 3 = 1 THEN 1 ELSE 0 END)
+    """,
+    tags=("ptf", "matchpath", "hive"),
+)
+def matchpath_bounded_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath bounded quantifier `CHEAP{2,3}` (ql/udf/ptf/MatchPath.java
+    path expressions support {m,n} repetition): greedy non-overlapping
+    chunking of each CHEAP run into blocks of 3 (trailing 2 allowed, a
+    trailing singleton stays unmatched). The oracle reproduces the greedy
+    scan arithmetically over gaps-and-islands run lengths: matched prefix =
+    run_len minus 1 iff run_len % 3 == 1, and within the prefix the match
+    offset is pos % 3."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    m = match_path(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=["o_orderkey"],
+        symbols={
+            "CHEAP": F.col("o_totalprice") < 50000,
+            "OTHER": F.col("o_totalprice") >= 50000,
+        },
+        pattern="CHEAP{2,3}",
+    )
+    return m.select("o_custkey", "o_orderkey", "match_pos")
+
+
+@query(
+    "matchpath_alternation",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN o_totalprice > 300000 THEN 'HIGH'
+                  WHEN o_totalprice > 150000 THEN 'MID'
+                  ELSE 'LOW' END AS sym,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders
+    ), nbr AS (
+      SELECT *,
+             lead(sym) OVER (PARTITION BY o_custkey ORDER BY rn) AS next_sym,
+             lag(sym)  OVER (PARTITION BY o_custkey ORDER BY rn) AS prev_sym
+      FROM seq
+    )
+    SELECT o_custkey, o_orderkey, sym AS match_symbol,
+           CAST(0 AS INTEGER) AS match_pos
+    FROM nbr WHERE sym IN ('HIGH', 'MID') AND next_sym = 'LOW'
+    UNION ALL
+    SELECT o_custkey, o_orderkey, sym AS match_symbol,
+           CAST(1 AS INTEGER) AS match_pos
+    FROM nbr WHERE sym = 'LOW' AND prev_sym IN ('HIGH', 'MID')
+    """,
+    tags=("ptf", "matchpath", "hive"),
+)
+def matchpath_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath alternation `(HIGH|MID).LOW` (MatchPath.java path grammar
+    supports | groups): a high-or-mid order immediately followed by a low
+    one. The second element (LOW) can never start a match and the first
+    (HIGH/MID) can never be consumed as a second element, so non-overlapping
+    greedy semantics reduce to the lead/lag pair oracle exactly."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    m = match_path(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=["o_orderkey"],
+        symbols={
+            "HIGH": F.col("o_totalprice") > 300000,
+            "MID": F.col("o_totalprice") > 150000,
+            "LOW": F.col("o_totalprice") <= 150000,
+        },
+        pattern="(HIGH|MID).LOW",
+    )
+    return m.select("o_custkey", "o_orderkey", "match_symbol", "match_pos")
+
+
+@query(
+    "matchpath_match_summary",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice > 300000 THEN 'HIGH' ELSE 'LOW' END AS sym,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders
+    ), isl AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY o_custkey, sym ORDER BY rn) AS grp
+      FROM seq
+    ), runs AS (
+      SELECT o_custkey, grp,
+             COUNT(*) AS n_orders,
+             MIN(o_orderkey) AS first_orderkey,
+             MAX(o_orderkey) AS last_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS run_value,
+             MIN(rn) AS start_rn
+      FROM isl WHERE sym = 'HIGH'
+      GROUP BY o_custkey, grp
+    )
+    SELECT o_custkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY start_rn)
+                AS INTEGER) AS match_number,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           first_orderkey, last_orderkey, run_value
+    FROM runs WHERE n_orders >= 2
+    """,
+    tags=("ptf", "matchpath", "hive"),
+)
+def matchpath_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath result expressions (MatchPath.java resultExprStr surface:
+    one output row per match with path aggregates like size(tpath),
+    first/last attributes): per-match summary of HIGH runs — row count, span
+    keys, summed value. Composed Spark-first: the PTF emits matched rows
+    with (match_number, match_pos) and a plain groupBy computes the
+    aggregates — the partial-agg/shuffle machinery stays Catalyst's."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    m = match_path(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=["o_orderkey"],
+        symbols={
+            "HIGH": F.col("o_totalprice") > 300000,
+            "LOW": F.col("o_totalprice") <= 300000,
+        },
+        pattern="HIGH.HIGH+",
+    )
+    return (
+        m.groupBy("o_custkey", "match_number")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("run_value"),
+        )
+        .select(
+            "o_custkey", "match_number", "n_orders",
+            "first_orderkey", "last_orderkey", "run_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic-drift guards (SURVEY.md §7 risk register): the places Hive and
 # other engines disagree — integer division, cast behavior, null ordering.
