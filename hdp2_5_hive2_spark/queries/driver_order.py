@@ -106,6 +106,7 @@ _TAIL_NEVER_VERIFIED = [
     "matchpath_bounded_runs",
     "matchpath_alternation",
     "matchpath_match_summary",
+    "window_percentile_exact",
     "salted_groupby",
     "multimodal_meta_sha",
     "multimodal_frame_sample",

@@ -254,3 +254,35 @@ def window_udaf_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1)).over(w)).alias("avg_qty_flag"),
         F.count(F.lit(1)).over(w).alias("n_flag"),
     )
+
+
+@query(
+    "window_percentile_exact",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           quantile_cont(l_quantity, 0.5)  OVER w AS med_qty,
+           quantile_cont(l_quantity, 0.25) OVER w AS q1_qty
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    WINDOW w AS (PARTITION BY l_suppkey)
+    """,
+    tags=("window", "agg", "percentile"),
+)
+def window_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile as a windowed UDAF (FunctionRegistry.java:394
+    `percentile` evaluated through WindowingTableFunction.java:69):
+    per-supplier median and first-quartile quantity on every row.
+
+    Hash-exactness: l_quantity is integral (1..50) and the percentile ranks
+    land on quarter fractions, so linear interpolation is exact in float64
+    regardless of each engine's evaluation order — Spark `percentile` and
+    DuckDB `quantile_cont` agree bitwise."""
+    li = load_tables(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") <= 2000)
+    w = W.partitionBy("l_suppkey")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.percentile("l_quantity", F.lit(0.5)).over(w).alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).over(w).alias("q1_qty"),
+    )
