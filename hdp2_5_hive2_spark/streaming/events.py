@@ -129,6 +129,33 @@ def streaming_dedup(events_stream: DataFrame, watermark: str = "15 minutes") -> 
     return events_stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def idempotent_parquet_sink(path: str):
+    """foreachBatch writer that is idempotent under micro-batch replay.
+
+    Structured Streaming guarantees foreachBatch sees each (batch_df,
+    batch_id) at-least-once; after a failure the SAME batch_id is replayed.
+    Writing each batch under a `_batch_id` partition with dynamic partition
+    overwrite makes the replay overwrite its own earlier (possibly partial)
+    output instead of appending duplicates — end-to-end exactly-once to a
+    plain parquet sink, the Spark counterpart of the reference's ACID
+    TransactionBatch ingest (hcatalog streaming; SURVEY.md §2.11).
+
+    Scale: one partition directory per micro-batch, no global locks; readers
+    see committed batches only (parquet job commit is atomic per partition).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    return write
+
+
 def stateful_user_totals(
     events_stream: DataFrame,
     watermark: str = "30 minutes",
