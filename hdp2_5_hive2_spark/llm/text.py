@@ -133,6 +133,54 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ASCII-only patterns so the Java (Spark) and RE2 (DuckDB oracle) regex
+# engines agree byte-for-byte; \b is the ASCII word boundary in both.
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RX = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub for training corpora: count and redact email addresses and
+    phone-shaped tokens with built-in regexp functions — a pure map-side
+    operator (no UDF, no shuffle) that codegens with the rest of the stage.
+
+    Emails are redacted before phones so a digit run inside a local part is
+    consumed by the email pattern, never double-redacted."""
+    col = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RX, "<EMAIL>"), PHONE_RX, "<PHONE>"
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(col, F.lit(EMAIL_RX), F.lit(0))),
+            "n_phones": F.size(F.regexp_extract_all(col, F.lit(PHONE_RX), F.lit(0))),
+            "clean_text": clean,
+        }
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction and
+    duplicate-bigram fraction per document (high values flag boilerplate /
+    degenerate text). Array built-ins only — distinct counts come from
+    array_distinct on the token/bigram arrays, and each fraction is a single
+    exact int/int division, so the oracle matches bitwise."""
+    toks = tokens(text_col)
+    big = ngrams_col(text_col, 2)
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_big = F.size(big)
+    n_uniq_big = F.size(F.array_distinct(big))
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "dup_token_frac": (n_tok - n_uniq) / n_tok,
+            "dup_bigram_frac": F.when(n_tok >= 2, (n_big - n_uniq_big) / n_big)
+            .otherwise(F.lit(0.0)),
+        }
+    )
+
+
 def ngrams_col(text: Column | str, n: int = 2) -> Column:
     """Token n-grams as an array column (parity with Hive's ngrams UDAF input,
     FunctionRegistry.java:398)."""

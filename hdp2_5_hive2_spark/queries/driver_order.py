@@ -116,6 +116,8 @@ _TAIL_NEVER_VERIFIED = [
     "llm_quality_score",
     "llm_lang_id",
     "llm_fingerprint",
+    "llm_pii_redact",
+    "llm_repetition_stats",
     "llm_top_bigrams",
     "llm_exact_dedup",
     "llm_embedding_dup_pairs",

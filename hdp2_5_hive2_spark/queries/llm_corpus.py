@@ -559,3 +559,90 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = multimodal.resize_images(d, "doc_id", "payload", width=224, height=224)
     return resized.select("asset_id", "width", "height", "n_bytes")
+
+
+@query(
+    "llm_pii_redact",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+               || repeat(' u' || CAST(doc_id AS VARCHAR) || '@ex'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.com',
+                         CAST(doc_id % 3 AS INT))
+               || repeat(' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                         CAST(doc_id % 2 AS INT)) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{4}\\b'))
+                AS INTEGER) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                '<EMAIL>', 'g'),
+                 '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')) AS clean_md5
+    FROM planted
+    """,
+    tags=("llm", "text", "pii"),
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (llm.text.redact_pii): count + redact emails and phone-shaped
+    tokens. The corpus documents carry no PII, so each doc plants a
+    deterministic number of both (doc_id % 3 emails, doc_id % 2 phones) and
+    the oracle replants identically — counts AND the md5 of the redacted
+    text must match. Pure regexp built-ins, map-side, no shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.repeat(
+                F.concat(F.lit(" u"), F.col("doc_id").cast("string"),
+                         F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+                         F.lit(".com")),
+                (F.col("doc_id") % 3).cast("int"),
+            ),
+            F.repeat(
+                F.concat(F.lit(" 555-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+                (F.col("doc_id") % 2).cast("int"),
+            ),
+        ),
+    )
+    return text.redact_pii(planted).select(
+        "doc_id", "n_emails", "n_phones", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+@query(
+    "llm_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bigs
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           (len(toks) - len(list_distinct(toks))) / len(toks) AS dup_token_frac,
+           CASE WHEN len(toks) >= 2
+                THEN (len(bigs) - len(list_distinct(bigs))) / len(bigs)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM b
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (llm.text.repetition_stats):
+    duplicate-token and duplicate-bigram fractions per document via
+    array_distinct on token/bigram arrays — one exact int/int division each,
+    so DuckDB's list_distinct oracle matches bitwise."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.repetition_stats(d).select(
+        "doc_id", "n_tokens", "dup_token_frac", "dup_bigram_frac"
+    )
