@@ -91,6 +91,8 @@ _TAIL_NEVER_VERIFIED = [
     "fn_percentile_approx",
     "fn_reflect",
     "fn_xpath",
+    "fn_bitwise",
+    "fn_array_ops",
     "subquery_correlated_exists",
     "subquery_not_in",
     "subquery_scalar",

@@ -728,3 +728,81 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 5        AS band,
+           p_size | 9        AS bor,
+           xor(p_size, 21)   AS bxor,
+           ~p_size           AS bnot,
+           p_size << 2       AS shl,
+           p_partkey >> 1    AS shr
+    FROM part WHERE p_partkey <= 300
+    """,
+    tags=("functions", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (FunctionRegistry.java:315-321: & | ^ ~
+    shiftleft shiftright). DuckDB spells xor as a function (its ^ is
+    exponentiation) — semantics identical on two's-complement ints. Types
+    follow the operand: p_size (int) stays int32, p_partkey >> 1 stays
+    int64 on both engines."""
+    p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").bitwiseAND(F.lit(5)).alias("band"),
+        F.col("p_size").bitwiseOR(F.lit(9)).alias("bor"),
+        F.col("p_size").bitwiseXOR(F.lit(21)).alias("bxor"),
+        F.bitwise_not(F.col("p_size")).alias("bnot"),
+        F.shiftleft(F.col("p_size"), 2).alias("shl"),
+        F.shiftright(F.col("p_partkey"), 1).alias("shr"),
+    )
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, string_split(p_name || ' ' || p_type, ' ') AS toks
+      FROM part WHERE p_partkey <= 300
+    )
+    SELECT p_partkey,
+           array_to_string(list_sort(toks), '|')                    AS sorted_toks,
+           list_contains(toks, 'red')                               AS has_red,
+           toks[1]                                                  AS first_tok,
+           toks[-1]                                                 AS last_tok,
+           array_to_string(list_slice(toks, 1, 2), '|')             AS first2,
+           CAST(len(toks) AS INTEGER)                               AS n_toks,
+           CAST(COALESCE(NULLIF(list_position(toks, 'red'), 0), 0) AS BIGINT)
+                                                                    AS pos_red,
+           list_aggregate(toks, 'min')                              AS min_tok,
+           list_aggregate(toks, 'max')                              AS max_tok,
+           len(list_intersect(toks, ['red', 'blue'])) > 0           AS overlaps_rb
+    FROM t
+    """,
+    tags=("functions", "array"),
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family (FunctionRegistry.java:195 size, :413 array,
+    :430 sort_array, :431 array_contains; element access via index is Hive's
+    `arr[i]`). Array-valued intermediates are serialized with array_join so
+    every result column is driver-hashable; binary collation on both engines
+    makes the sort order identical for mixed-case tokens."""
+    p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 300)
+    toks = F.split(F.concat_ws(" ", "p_name", "p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.sort_array(toks), "|").alias("sorted_toks"),
+        F.array_contains(toks, "red").alias("has_red"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(F.slice(toks, 1, 2), "|").alias("first2"),
+        F.size(toks).alias("n_toks"),
+        F.array_position(toks, "red").alias("pos_red"),
+        F.array_min(toks).alias("min_tok"),
+        F.array_max(toks).alias("max_tok"),
+        F.arrays_overlap(toks, F.array(F.lit("red"), F.lit("blue"))).alias("overlaps_rb"),
+    )
