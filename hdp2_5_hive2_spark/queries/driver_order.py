@@ -93,6 +93,9 @@ _TAIL_NEVER_VERIFIED = [
     "fn_xpath",
     "fn_bitwise",
     "fn_array_ops",
+    "fn_map_ops",
+    "lateral_view_outer",
+    "storage_multi_insert",
     "subquery_correlated_exists",
     "subquery_not_in",
     "subquery_scalar",

@@ -806,3 +806,44 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(toks).alias("max_tok"),
         F.arrays_overlap(toks, F.array(F.lit("red"), F.lit("blue"))).alias("overlaps_rb"),
     )
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             MAP {'size': p_size + 0, 'key': p_partkey % 100} AS m
+      FROM part WHERE p_partkey <= 300
+    )
+    SELECT p_partkey,
+           m['size'][1]                                        AS v_size,
+           m['key'][1]                                         AS v_key,
+           array_to_string(list_sort(map_keys(m)), ',')        AS ks,
+           array_to_string(list_transform(map_values(m),
+                                          x -> CAST(x AS VARCHAR)), ',') AS vs,
+           CAST(cardinality(m) AS INTEGER)                     AS n_entries
+    FROM t
+    """,
+    tags=("functions", "map"),
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar family (FunctionRegistry.java:415 map, :433 map_keys,
+    :434 map_values, :195 size; element access is Hive's m[key]). Map
+    intermediates are serialized to sorted-key / insertion-order-value
+    strings so every result column is driver-hashable; values unify to
+    bigint on both engines (DuckDB map extraction yields a one-element
+    list — unwrapped with [1] in the oracle)."""
+    p = load_tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 300)
+    m = F.create_map(
+        F.lit("size"), F.col("p_size").cast("bigint"),
+        F.lit("key"), F.col("p_partkey") % 100,
+    )
+    return p.select(
+        "p_partkey",
+        m.getItem("size").alias("v_size"),
+        m.getItem("key").alias("v_key"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("ks"),
+        F.array_join(F.transform(F.map_values(m), lambda x: x.cast("string")), ",").alias("vs"),
+        F.size(m).alias("n_entries"),
+    )

@@ -494,3 +494,33 @@ def hive_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "lateral_view_outer",
+    oracle="""
+    SELECT o_orderkey, CAST(NULL AS VARCHAR) AS pri_word
+    FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o.o_orderkey, u.pri_word
+    FROM orders o, unnest(string_split(o.o_orderpriority, '-')) AS u(pri_word)
+    WHERE o.o_orderkey <= 100 AND o.o_orderkey % 3 <> 0
+    """,
+    tags=("lateral", "udtf", "hive"),
+)
+def lateral_view_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW OUTER (FromClauseParser.g:128-136 — the OUTER variant
+    emits the source row with NULL generator output when the UDTF produces
+    no rows, like a left join against the exploded side). Rows whose array
+    is empty (every third order here) must survive with pri_word NULL."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, pri_word
+        FROM orders
+        LATERAL VIEW OUTER explode(
+          CASE WHEN o_orderkey % 3 = 0 THEN array()
+               ELSE split(o_orderpriority, '-') END) t AS pri_word
+        WHERE o_orderkey <= 100
+        """
+    )

@@ -305,3 +305,40 @@ def storage_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "sum_price")
     )
+
+
+@query(
+    "storage_multi_insert",
+    oracle="""
+    SELECT 'high' AS sink, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey <= 300 AND o_totalprice > 150000
+    UNION ALL
+    SELECT 'low' AS sink, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey <= 300 AND o_totalprice <= 150000
+    """,
+    tags=("storage", "write", "multi-insert"),
+)
+def storage_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive multi-insert (FROM src INSERT OVERWRITE ... INSERT OVERWRITE ...;
+    HiveParser.g multi-insert grammar, FileSinkOperator.java:92 as parallel
+    sinks): one persisted scan of orders feeds a high-value and a low-value
+    sink; both are read back and aggregated per sink, which must equal the
+    oracle aggregating the source directly — proving the fan-out wrote
+    disjoint, complete slices."""
+    from hdp2_5_hive2_spark.storage import multi_insert
+
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") <= 300)
+    hi, lo = f"{IO_ROOT}/mi_high", f"{IO_ROOT}/mi_low"
+    multi_insert(
+        o,
+        [(hi, F.col("o_totalprice") > 150000), (lo, F.col("o_totalprice") <= 150000)],
+    )
+    back_hi = spark.read.parquet(hi).select(F.lit("high").alias("sink"), "o_totalprice")
+    back_lo = spark.read.parquet(lo).select(F.lit("low").alias("sink"), "o_totalprice")
+    return (
+        back_hi.unionByName(back_lo)
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )

@@ -13,6 +13,7 @@ from hdp2_5_hive2_spark.storage.writer import (
     drop_table,
     compact_files,
     insert_into,
+    multi_insert,
     insert_overwrite,
     read_sequencefile,
     write_bucketed_table,
@@ -25,6 +26,7 @@ __all__ = [
     "drop_table",
     "compact_files",
     "insert_into",
+    "multi_insert",
     "insert_overwrite",
     "read_sequencefile",
     "write_bucketed_table",

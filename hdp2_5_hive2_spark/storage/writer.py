@@ -78,6 +78,35 @@ def insert_into(
     writer.save(path)
 
 
+def multi_insert(
+    df: DataFrame,
+    sinks: list[tuple[str, object]],
+    fmt: str = "parquet",
+) -> None:
+    """Hive multi-insert: FROM src INSERT OVERWRITE t1 SELECT ... WHERE p1
+    INSERT OVERWRITE t2 SELECT ... WHERE p2 (HiveParser.g multi-insert
+    grammar; FileSinkOperator.java:92 running as several sinks under one
+    operator tree) — ONE scan of the source feeding every sink.
+
+    Spark-first shape: persist the source (the shared subplan the
+    reference's forked operator tree gives implicitly), then one write per
+    sink; each write reuses the cached scan instead of re-reading the
+    source. At 100 TB prefer MEMORY_AND_DISK persist and sinks partitioned
+    so each write is append-only parallel file creation.
+    """
+    from pyspark import StorageLevel
+
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for path, pred in sinks:
+            part = df.filter(pred) if pred is not None else df
+            part.write.mode("overwrite").format(fmt).save(path)
+    finally:
+        df.unpersist()
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
