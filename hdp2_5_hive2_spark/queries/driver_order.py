@@ -64,6 +64,7 @@ _WINDOW = [
     "window_sliding_rows_frame",
     "window_topn_per_group",
     "window_udaf_over_window",
+    "window_percentile_exact",
 ]
 
 # Tier 2 — round-1 fail/err verdicts fixed this round, plus the two green
@@ -111,7 +112,6 @@ _TAIL_NEVER_VERIFIED = [
     "matchpath_bounded_runs",
     "matchpath_alternation",
     "matchpath_match_summary",
-    "window_percentile_exact",
     "salted_groupby",
     "multimodal_meta_sha",
     "multimodal_frame_sample",
