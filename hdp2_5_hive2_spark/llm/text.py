@@ -166,9 +166,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     array_distinct on the token/bigram arrays, and each fraction is a single
     exact int/int division, so the oracle matches bitwise."""
     toks = tokens(text_col)
-    big = ngrams_col(text_col, 2)
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
+    # bigrams as adjacent-token struct pairs via arrays_zip(slice, slice):
+    # lambda-free, so the whole expression stays in codegen (ngrams_col's
+    # transform(...) lambda would evaluate interpreted); distinct pair
+    # count == distinct "a b" string count since tokens contain no spaces
+    big = F.arrays_zip(F.slice(toks, 1, n_tok - 1), F.slice(toks, 2, n_tok - 1))
     n_big = F.size(big)
     n_uniq_big = F.size(F.array_distinct(big))
     return df.withColumns(
