@@ -104,6 +104,59 @@ def match_path(
         out["match_pos"] = pd.Series(m_pos, dtype="int32")
         return out
 
+    def scan_body(body: pd.DataFrame) -> pd.DataFrame | None:
+        """Flat scan of a multi-group frame (sorted by part_cols, order):
+        ONE regex pass over the whole frame's symbol string with a
+        separator char at group boundaries (the separator is outside the
+        symbol alphabet, so no match can span groups), then numpy index
+        math maps match spans back to rows. Replaces a per-group pandas
+        loop that cost ~15 µs/group — 2.3 s over 150k single-customer
+        groups at sf0.1, ~0.3 s flat."""
+        import numpy as np
+
+        n = len(body)
+        grp_change = np.zeros(n, dtype=bool)
+        grp_change[0] = True
+        for k in part_cols:
+            col = body[k].to_numpy()
+            grp_change[1:] |= col[1:] != col[:-1]
+        sep_before = grp_change.copy()
+        sep_before[0] = False
+        offset = np.cumsum(sep_before)
+        pos = np.arange(n) + offset  # seq index of each row
+        total = n + int(offset[-1]) if n else 0
+        chars = np.full(total, "\x01", dtype="<U1")
+        chars[pos] = [s if isinstance(s, str) else "\x00" for s in body["_mp_sym"]]
+        seq = "".join(chars)
+        row_of_pos = np.full(total, -1, dtype=np.int64)
+        row_of_pos[pos] = np.arange(n)
+        gid = np.cumsum(grp_change) - 1
+
+        take: list[np.ndarray] = []
+        m_num: list[int] = []
+        m_sym: list[str] = []
+        m_pos: list[np.ndarray] = []
+        cur_g, cur_n = -1, 0
+        for m in compiled.finditer(seq):
+            if m.start() == m.end():
+                continue
+            rows = row_of_pos[m.start() : m.end()]
+            g = int(gid[rows[0]])
+            cur_n = cur_n + 1 if g == cur_g else 1
+            cur_g = g
+            take.append(rows)
+            m_num.extend([cur_n] * len(rows))
+            m_sym.extend(rev_char[seq[p]] for p in range(m.start(), m.end()))
+            m_pos.append(np.arange(len(rows), dtype=np.int32))
+        if not take:
+            return None
+        idx = np.concatenate(take)
+        out = body.iloc[idx].drop(columns=["_mp_sym"]).reset_index(drop=True)
+        out["match_number"] = pd.Series(m_num, dtype="int32")
+        out["match_symbol"] = pd.Series(m_sym, dtype="object")
+        out["match_pos"] = pd.Series(np.concatenate(m_pos), dtype="int32")
+        return out
+
     # Partition-level scan, not applyInPandas-per-group: Spark's grouped-map
     # path pays per-group Arrow slicing overhead (~2 ms/group — 30 s over
     # 15k small groups). Instead: hash-repartition on the partition keys,
@@ -123,12 +176,11 @@ def match_path(
             for k, kv in zip(part_cols, last_key):
                 is_last &= pdf[k] == kv
             carry = pdf[is_last]
-            body = pdf[~is_last]
+            body = pdf[~is_last].reset_index(drop=True)
             if len(body):
-                for _, grp in body.groupby(part_cols, sort=False):
-                    out = scan_group(grp.reset_index(drop=True))
-                    if out is not None:
-                        yield out
+                out = scan_body(body)
+                if out is not None:
+                    yield out
         if carry is not None and len(carry):
             out = scan_group(carry.reset_index(drop=True))
             if out is not None:
