@@ -36,6 +36,9 @@ HEADLINE = [
     "window_topn_per_group",
     "llm_ngram_jaccard",
     "events_sessionize",
+    "matchpath_price_runs",
+    "window_percentile_exact",
+    "llm_pii_redact",
 ]
 
 

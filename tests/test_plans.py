@@ -125,3 +125,23 @@ def test_brute_force_topk_plan_has_no_interpreted_cosine(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "aggregate(zip_with" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_matchpath_single_exchange(spark):
+    """MatchPath shuffles exactly once (hash repartition on the partition
+    key); the sort is within partitions and the scan kernel is map-side."""
+    df = REGISTRY["matchpath_price_runs"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_pii_and_repetition_are_codegen_map_stages(spark):
+    """The text-quality operators must stay shuffle-free and lambda-free:
+    regexp/array built-ins only, no interpreted higher-order functions."""
+    for name in ("llm_pii_redact", "llm_repetition_stats"):
+        df = REGISTRY[name].fn(spark, SF_CORRECT)
+        plan = _executed(df)
+        assert "Exchange" not in plan, (name, plan)
+        assert "lambdafunction" not in plan, (name, plan)
+        assert "WholeStageCodegen" in plan or "*(" in plan, (name, plan)
