@@ -1,121 +1,57 @@
 """Driver-facing verification order for the correctness corpus.
 
 The external driver verifies queries in ALPHABETICAL name order and has a
-bounded per-round budget: round 1 produced verdicts for exactly the first 50
-alphabetical names, leaving all TPC-H, window, storage, subquery, union and
-transform queries without a hard correctness signal (VERDICT.md "What's
-missing" #1). Plain registry names therefore decide WHAT gets verified.
+bounded per-round budget: rounds 1 and 2 each produced verdicts for exactly
+the first 50 alphabetical names. Plain registry names therefore decide WHAT
+gets verified, and this module assigns every registry query a zero-padded
+numeric prefix (``000_subquery_scalar``) so the alphabetical order the driver
+uses IS the priority order we choose.
 
-This module assigns every registry query a zero-padded numeric prefix
-(``017_q18_large_volume_customer``) so the alphabetical order the driver uses
-IS the priority order we choose:
+Round-3 rotation (VERDICT.md r2 "Next round" #1): the union of
+CORRECTNESS_r01 + CORRECTNESS_r02 left exactly 46 queries with no driver
+verdict ever. Those 46 fill positions 000-045, ordered cheap -> heavy so a
+time-capped driver still gets through all of them:
 
-  1. flagship relational surface with no round-1 verdict (all 22 TPC-H, then
-     the window family),
-  2. queries whose round-1 verdict was fail/err and were fixed this round,
-  3. the rest of the never-verified tail (storage, subquery, union,
-     transform, PTF, llm/dedup/similarity/text, multimodal) — cheap before
-     heavy, so a time-boxed driver gets through more of them,
-  4. queries already verified green in round 1 (their verdicts exist in
-     CORRECTNESS_r01.json; re-verification is the lowest-value use of the
-     driver's budget).
+  1. relational surface never verified (subqueries, unions, lateral-outer,
+     pivot, views, virtual columns, tablesample, salting, TRANSFORM),
+  2. llm text analysis (map-side built-ins, sub-second),
+  3. MatchPath PTF + multimodal plumbing (Arrow kernels, ~0.5 s each),
+  4. llm dedup / ANN (the heavy Arrow end),
+  5. storage round trips (table writes dominate their cost).
+
+Positions 046+ start with the queries whose *implementation changed this
+round* and therefore deserve a fresh verdict (q2's broadcast-aggregate fix,
+llm_ann_topk's brute-force schema change), then the remaining twice-green
+queries alphabetically — re-verification is the lowest-value use of the
+driver's budget.
 
 The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep the
-plain names. ``prefixed → plain`` is recoverable by stripping ``^\\d+_``.
+plain names. ``prefixed -> plain`` is recoverable by stripping ``^\\d+_``.
 """
 
 from __future__ import annotations
 
 from hdp2_5_hive2_spark.queries import REGISTRY, QuerySpec
 
-# Tier 1 — flagship, no round-1 verdict. TPC-H in query-number order, then
-# the full window family (VERDICT.md "Next round" #3 names these explicitly).
-_TPCH = [
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_orders",
-    "q22_sales_opportunity",
-]
+# Tier 1 — the 46 queries with no driver verdict in r01 or r02, cheap first.
 
-_WINDOW = [
-    "window_ranking",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_first_last",
-    "window_range_frame",
-    "window_sliding_rows_frame",
-    "window_topn_per_group",
-    "window_udaf_over_window",
-    "window_percentile_exact",
-]
-
-# Tier 2 — round-1 fail/err verdicts fixed this round, plus the two green
-# queries whose oracles changed defensively (nullable-int dtype discipline);
-# all need a fresh verdict.
-_FIXED_R01 = [
-    "fn_math",
-    "fn_json_props_agg",
-    "events_sessionize",
-    "fn_collect_sorted",
-    "fn_complex_types",
-    "fn_histogram_numeric",
-    "groupby_grouping_id",
-    "hive_cast_semantics",
-]
-
-# Tier 3 — never-verified tail, cheap→heavy (storage queries write tables;
-# llm dedup/similarity run Arrow kernels; both are the expensive end).
-_TAIL_NEVER_VERIFIED = [
-    "order_limit_offset",
-    "select_distinct",
-    "fn_sentences",
-    "fn_str_to_map",
-    "fn_parse_url_tuple",
-    "fn_percentile_approx",
-    "fn_reflect",
-    "fn_xpath",
-    "fn_bitwise",
-    "fn_array_ops",
-    "fn_map_ops",
-    "lateral_view_outer",
-    "storage_multi_insert",
+_DARK_RELATIONAL = [
     "subquery_correlated_exists",
     "subquery_not_in",
     "subquery_scalar",
     "union_all",
     "union_distinct",
+    "lateral_view_outer",
     "pivot_status_by_segment",
     "view_over_view",
     "vc_input_file_name",
+    "tablesample_bucket",
+    "salted_groupby",
     "transform_script_identity",
     "transform_script_sed",
-    "tablesample_bucket",
-    "matchpath_price_runs",
-    "matchpath_bounded_runs",
-    "matchpath_alternation",
-    "matchpath_match_summary",
-    "salted_groupby",
-    "multimodal_meta_sha",
-    "multimodal_frame_sample",
-    "multimodal_resize_meta",
+]
+
+_DARK_LLM_TEXT = [
     "llm_token_count",
     "llm_text_stats",
     "llm_quality_score",
@@ -124,6 +60,19 @@ _TAIL_NEVER_VERIFIED = [
     "llm_pii_redact",
     "llm_repetition_stats",
     "llm_top_bigrams",
+]
+
+_DARK_PTF_MULTIMODAL = [
+    "matchpath_price_runs",
+    "matchpath_bounded_runs",
+    "matchpath_alternation",
+    "matchpath_match_summary",
+    "multimodal_meta_sha",
+    "multimodal_frame_sample",
+    "multimodal_resize_meta",
+]
+
+_DARK_LLM_HEAVY = [
     "llm_exact_dedup",
     "llm_embedding_dup_pairs",
     "llm_lsh_ann_topk",
@@ -131,19 +80,43 @@ _TAIL_NEVER_VERIFIED = [
     "llm_simhash_dedup",
     "llm_minhash_dedup",
     "llm_ngram_jaccard",
-    "storage_insert_into",
-    "storage_union_type",
-    "storage_sequencefile_roundtrip",
-    "storage_upsert_delete",
+]
+
+_DARK_STORAGE = [
     "storage_csv_roundtrip",
     "storage_json_roundtrip",
     "storage_orc_roundtrip",
     "storage_partitioned_roundtrip",
     "storage_compacted_roundtrip",
+    "storage_insert_into",
+    "storage_union_type",
+    "storage_sequencefile_roundtrip",
+    "storage_upsert_delete",
+    "storage_multi_insert",
     "storage_bucketed_join",
 ]
 
-_PRIORITY = _TPCH + _WINDOW + _FIXED_R01 + _TAIL_NEVER_VERIFIED
+_DARK_46 = (
+    _DARK_RELATIONAL
+    + _DARK_LLM_TEXT
+    + _DARK_PTF_MULTIMODAL
+    + _DARK_LLM_HEAVY
+    + _DARK_STORAGE
+)
+
+# Tier 2 — green in a prior round but re-implemented this round; a stale
+# verdict no longer covers the shipped code.
+_CHANGED_THIS_ROUND = [
+    "q2_min_cost_supplier",  # broadcast-aggregate -> window-min rewrite
+    "llm_ann_topk",          # brute_force_topk id-schema generalization
+]
+
+_PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND
+
+
+def dark_queries() -> list[str]:
+    """The 46 never-driver-verified names (rotation target, r3)."""
+    return list(_DARK_46)
 
 
 def driver_order() -> list[str]:
@@ -151,7 +124,7 @@ def driver_order() -> list[str]:
 
     Names listed in the tiers above come first (in that order); anything else
     in the registry — new queries land here until explicitly placed, plus the
-    round-1-green remainder — follows alphabetically."""
+    twice-green remainder — follows alphabetically."""
     listed = [n for n in _PRIORITY if n in REGISTRY]
     rest = sorted(n for n in REGISTRY if n not in set(_PRIORITY))
     return listed + rest

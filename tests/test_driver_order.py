@@ -1,14 +1,36 @@
 """The driver verifies queries in alphabetical-name order with a bounded
-budget (round 1: exactly the first 50 names). These tests pin the contract
-that makes that order OUR priority order."""
+budget (rounds 1-2: exactly the first 50 names each). These tests pin the
+contract that makes that order OUR priority order, and the round-3 rotation
+that pulls the 46 never-verified queries into the driver window."""
 
 from __future__ import annotations
 
+import json
+import pathlib
 import re
 
 import __spark_entry__ as entry_mod
 from hdp2_5_hive2_spark.queries import REGISTRY
-from hdp2_5_hive2_spark.queries.driver_order import driver_order, driver_registry
+from hdp2_5_hive2_spark.queries.driver_order import (
+    dark_queries,
+    driver_order,
+    driver_registry,
+)
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _green_union() -> set[str]:
+    """Names with any green driver verdict across recorded rounds."""
+    green: set[str] = set()
+    for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        for key, row in json.loads(path.read_text()).items():
+            name = re.sub(r"^\d+_", "", key)
+            if row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") in (None, "no_oracle")
+            ):
+                green.add(name)
+    return green
 
 
 def test_driver_order_covers_registry_exactly_once():
@@ -25,18 +47,23 @@ def test_prefixed_alphabetical_order_is_priority_order():
     assert plain == driver_order()
 
 
-def test_flagship_queries_sort_inside_a_50_name_driver_window():
-    """All 22 TPC-H, all 8 window queries, and every round-1 fail/err fix
-    must land in the first 50 names the driver will verify."""
-    first50 = {re.sub(r"^\d+_", "", n) for n in list(driver_registry())[:50]}
-    tpch = {n for n in REGISTRY if re.match(r"q\d+_", n)}
-    window = {n for n in REGISTRY if n.startswith("window_")}
-    fixed = {"fn_math", "fn_json_props_agg", "events_sessionize",
-             "fn_collect_sorted", "fn_complex_types", "groupby_grouping_id",
-             "hive_cast_semantics"}
-    assert tpch <= first50
-    assert window <= first50
-    assert fixed <= first50
+def test_rotation_puts_every_dark_query_inside_the_50_name_window():
+    """Round-3 contract: every registry query with no r01/r02 driver verdict
+    must sort inside the first 50 names; everything already green sits behind
+    them (except the explicitly re-queued changed-this-round pair)."""
+    green = _green_union()
+    dark = {n for n in REGISTRY if n not in green}
+    assert set(dark_queries()) == dark, (
+        "dark_queries() drifted from the recorded CORRECTNESS files"
+    )
+    first = [re.sub(r"^\d+_", "", n) for n in list(driver_registry())[:50]]
+    assert dark <= set(first[: len(dark)]), "dark queries must lead the window"
+
+
+def test_changed_queries_requeued_right_after_dark_block():
+    order = driver_order()
+    n_dark = len(dark_queries())
+    assert order[n_dark : n_dark + 2] == ["q2_min_cost_supplier", "llm_ann_topk"]
 
 
 def test_entry_module_exposes_prefixed_names_consistently():

@@ -145,3 +145,17 @@ def test_pii_and_repetition_are_codegen_map_stages(spark):
         assert "Exchange" not in plan, (name, plan)
         assert "lambdafunction" not in plan, (name, plan)
         assert "WholeStageCodegen" in plan or "*(" in plan, (name, plan)
+
+
+def test_q2_no_broadcast_aggregate_single_fact_shuffle(spark):
+    """q2's decorrelated min-per-partkey must be a window over the SAME
+    exchange the groupBy used — not a broadcast of a per-partkey aggregate
+    (unbounded build side at scale, VERDICT r2). Exactly one hash exchange;
+    every broadcast build side is a bounded dim scan, never an aggregate."""
+    df = REGISTRY["q2_min_cost_supplier"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+    for seg in plan.split("BroadcastExchange")[1:]:
+        build = seg.split("BroadcastHashJoin")[0]
+        assert "HashAggregate" not in build, plan
