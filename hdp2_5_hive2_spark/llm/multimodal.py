@@ -133,8 +133,8 @@ def frame_sample(
     codec: Codec | None = None,
 ) -> DataFrame:
     """Video frame sampling shape: emits one row per sampled frame. Stubbed
-    decode — the fake emits ceil(n_bytes / 10_000) pseudo-frames so the 1→N
-    row-explosion plumbing is real."""
+    decode — the fake emits max(1, floor(n_bytes / 10_000)) pseudo-frames so
+    the 1→N row-explosion plumbing is real."""
     out_schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType()),

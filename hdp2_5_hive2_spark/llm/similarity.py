@@ -61,10 +61,15 @@ def brute_force_topk(
     n_batches × Q × k rows instead of N × Q, and a final window rank merges
     the partials. This replaces the crossJoin + Catalyst higher-order-fold
     cosine (~30 µs/pair, interpreted — never codegen) that made the exact
-    baseline the slowest plan in the suite."""
+    baseline the slowest plan in the suite.
+
+    The id columns keep the INPUT id column's type (integer, string, …);
+    the output schema is derived from it, not hard-coded."""
     import numpy as np
     import pandas as pd
 
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    c_id_type = corpus.schema[id_col].dataType.simpleString()
     q_rows = queries.select(
         F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv")
     ).collect()
@@ -73,13 +78,15 @@ def brute_force_topk(
         return (
             c.limit(0)
             .select(
-                F.col("neighbor_id").alias("query_id"),
+                F.col("neighbor_id").cast(q_id_type).alias("query_id"),
                 "neighbor_id",
                 F.lit(1).alias("rank"),
                 F.lit(0.0).alias("score"),
             )
         )
-    q_ids = np.asarray([r.qid for r in q_rows], dtype=np.int64)
+    # no dtype forced: numeric ids stay numeric, string ids become numpy
+    # unicode/object — both survive the Arrow bridge under the derived schema
+    q_ids = np.asarray([r.qid for r in q_rows])
     qm = np.asarray([r.qv for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
     qn[qn == 0] = 1.0
@@ -96,11 +103,14 @@ def brute_force_topk(
             s = (x / xn[:, None]) @ qmn.T  # (n, Q)
             nb = pdf["neighbor_id"].to_numpy()
             top = min(k, len(nb))
+            # two stable argsorts == lexsort((nb, -s)) but also valid for
+            # string/object id arrays, matching the final window order
+            # (score desc, id asc)
+            by_nb = np.argsort(nb, kind="stable")
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
-                # lexsort matches the final window order (score desc, id asc)
-                idx = np.lexsort((nb, -s[:, j]))[:top]
-                out_q.append(np.full(top, q_ids[j], dtype=np.int64))
+                idx = by_nb[np.argsort(-s[by_nb, j], kind="stable")][:top]
+                out_q.append(np.full(top, q_ids[j]))
                 out_n.append(nb[idx])
                 out_s.append(s[idx, j])
             yield pd.DataFrame(
@@ -112,7 +122,7 @@ def brute_force_topk(
             )
 
     scored = c.repartition(shuffle_n).mapInPandas(
-        gen, "query_id bigint, neighbor_id bigint, score double"
+        gen, f"query_id {q_id_type}, neighbor_id {c_id_type}, score double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -127,9 +137,13 @@ def _score_candidate_pairs(cand: DataFrame) -> DataFrame:
     Arrow pass (vectorized einsum per batch) — the re-rank step shared by
     lsh_topk/ivf_topk. Replaces the per-row interpreted higher-order fold
     (~30 µs/candidate) with C-speed batch math; candidate sets are bounded by
-    construction, so this is map-side work with no extra shuffle."""
+    construction, so this is map-side work with no extra shuffle. Id columns
+    keep their incoming types (schema derived, not hard-coded)."""
     import numpy as np
     import pandas as pd
+
+    q_id_type = cand.schema["query_id"].dataType.simpleString()
+    n_id_type = cand.schema["neighbor_id"].dataType.simpleString()
 
     def gen(batches):
         for pdf in batches:
@@ -147,7 +161,9 @@ def _score_candidate_pairs(cand: DataFrame) -> DataFrame:
                 }
             )
 
-    return cand.mapInPandas(gen, "query_id bigint, neighbor_id bigint, score double")
+    return cand.mapInPandas(
+        gen, f"query_id {q_id_type}, neighbor_id {n_id_type}, score double"
+    )
 
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
@@ -208,7 +224,7 @@ def lsh_topk(
     bit_weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
     shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    def assign(id_name: str, vec_name: str):
+    def assign(id_name: str, vec_name: str, id_type: str):
         # one numpy matmul per Arrow batch instead of tables*bits interpreted
         # 64-element folds per row (measured 10.8 s -> sub-second at sf0.1)
         def gen(batches):
@@ -228,12 +244,12 @@ def lsh_topk(
                     }
                 )
 
-        return gen, f"{id_name} bigint, {vec_name} array<double>, tbl int, sig bigint"
+        return gen, f"{id_name} {id_type}, {vec_name} array<double>, tbl int, sig bigint"
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
-    c_gen, c_schema = assign("neighbor_id", "cv")
-    q_gen, q_schema = assign("query_id", "qv")
+    c_gen, c_schema = assign("neighbor_id", "cv", corpus.schema[id_col].dataType.simpleString())
+    q_gen, q_schema = assign("query_id", "qv", queries.schema[id_col].dataType.simpleString())
     c_banded = c.repartition(shuffle_n).mapInPandas(c_gen, c_schema)
     q_banded = q.mapInPandas(q_gen, q_schema)
     cand = _score_candidate_pairs(
@@ -307,7 +323,7 @@ def cosine_dup_pairs(
         else:
             mi, mj = b == lo, b == hi
             if not mi.any() or not mj.any():
-                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+                return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
             sims = xn[mi] @ xn[mj].T
             ii, jj = np.where(sims >= threshold)
             ia, ib = ids[mi][ii], ids[mj][jj]
@@ -316,7 +332,10 @@ def cosine_dup_pairs(
         keep = a != bb
         return pd.DataFrame({"id_a": a[keep], "id_b": bb[keep]})
 
-    return routed.groupBy("lo", "hi").applyInPandas(emit, "id_a bigint, id_b bigint")
+    id_type = df.schema[id_col].dataType.simpleString()
+    return routed.groupBy("lo", "hi").applyInPandas(
+        emit, f"id_a {id_type}, id_b {id_type}"
+    )
 
 
 def _train_centroids(
@@ -356,6 +375,7 @@ def _assign_cells(df: DataFrame, id_name: str, vec_name: str, cent, n_probe: int
     import pandas as pd
 
     shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    id_type = df.schema[id_name].dataType.simpleString()
 
     def gen(batches):
         for pdf in batches:
@@ -377,7 +397,7 @@ def _assign_cells(df: DataFrame, id_name: str, vec_name: str, cent, n_probe: int
 
     return (
         df.repartition(shuffle_n)
-        .mapInPandas(gen, f"{id_name} bigint, {vec_name} array<double>, cell int")
+        .mapInPandas(gen, f"{id_name} {id_type}, {vec_name} array<double>, cell int")
     )
 
 

@@ -145,16 +145,20 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     operator (no UDF, no shuffle) that codegens with the rest of the stage.
 
     Emails are redacted before phones so a digit run inside a local part is
-    consumed by the email pattern, never double-redacted."""
+    consumed by the email pattern, never double-redacted — and n_phones is
+    counted on the email-redacted intermediate for the same reason, so the
+    counts always agree with what clean_text actually replaced (a
+    phone-shaped token inside an email local part is one email, zero
+    phones)."""
     col = F.col(text_col)
-    clean = F.regexp_replace(
-        F.regexp_replace(col, EMAIL_RX, "<EMAIL>"), PHONE_RX, "<PHONE>"
-    )
+    email_clean = F.regexp_replace(col, EMAIL_RX, "<EMAIL>")
     return df.withColumns(
         {
             "n_emails": F.size(F.regexp_extract_all(col, F.lit(EMAIL_RX), F.lit(0))),
-            "n_phones": F.size(F.regexp_extract_all(col, F.lit(PHONE_RX), F.lit(0))),
-            "clean_text": clean,
+            "n_phones": F.size(
+                F.regexp_extract_all(email_clean, F.lit(PHONE_RX), F.lit(0))
+            ),
+            "clean_text": F.regexp_replace(email_clean, PHONE_RX, "<PHONE>"),
         }
     )
 

@@ -118,8 +118,11 @@ def match_path(
         grp_change = np.zeros(n, dtype=bool)
         grp_change[0] = True
         for k in part_cols:
-            col = body[k].to_numpy()
-            grp_change[1:] |= col[1:] != col[:-1]
+            # factorize codes are null-safe: every NaN/None gets the same
+            # sentinel, so a null-keyed group stays ONE group (Hive/Spark
+            # partitioning semantics) instead of NaN != NaN splitting per row
+            codes = pd.factorize(body[k])[0]
+            grp_change[1:] |= codes[1:] != codes[:-1]
         sep_before = grp_change.copy()
         sep_before[0] = False
         offset = np.cumsum(sep_before)
@@ -171,10 +174,16 @@ def match_path(
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            last_key = tuple(pdf.iloc[-1][k] for k in part_cols)
-            is_last = pd.Series(True, index=pdf.index)
-            for k, kv in zip(part_cols, last_key):
-                is_last &= pdf[k] == kv
+            # null-safe "row belongs to the trailing group" mask (NaN == NaN
+            # must hold, else a null-keyed tail group is never carried and
+            # gets split across Arrow batches)
+            import numpy as np
+
+            is_last_arr = np.ones(len(pdf), dtype=bool)
+            for k in part_cols:
+                codes = pd.factorize(pdf[k])[0]
+                is_last_arr &= codes == codes[-1]
+            is_last = pd.Series(is_last_arr, index=pdf.index)
             carry = pdf[is_last]
             body = pdf[~is_last].reset_index(drop=True)
             if len(body):

@@ -518,8 +518,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (llm.multimodal.frame_sample): the
     1→N row explosion over opaque binary payloads, Arrow-batched. Payloads
     are the document text repeated 50× (deterministic size), so the oracle
-    can predict exactly how many pseudo-frames (ceil sizing of the stub
-    decoder) each asset yields and their timestamps. The decoded feature
+    can predict exactly how many pseudo-frames (max(1, floor(n_bytes /
+    10_000)) in the stub decoder) each asset yields and their timestamps. The decoded feature
     vector is codec-defined and excluded (the real codec seam is stubbed —
     no media libraries in this environment)."""
     from hdp2_5_hive2_spark.llm import multimodal
@@ -577,7 +577,12 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                 AS INTEGER) AS n_emails,
-           CAST(len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{4}\\b'))
+           -- phones counted on the email-redacted intermediate, matching
+           -- redact_pii's no-double-count contract
+           CAST(len(regexp_extract_all(
+                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                 '<EMAIL>', 'g'),
+                  '\\b[0-9]{3}-[0-9]{4}\\b'))
                 AS INTEGER) AS n_phones,
            md5(regexp_replace(
                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',

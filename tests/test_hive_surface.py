@@ -106,3 +106,24 @@ def test_matchpath_alternation_group_quantified(spark):
     seqs = sorted(tuple(s for s, _ in v) for v in by_match.values())
     # match 1: L(0) M(1) H(2); match 2: L(3) H(4) M(5); trailing L unmatched
     assert seqs == [(0, 1, 2), (3, 4, 5)]
+
+
+def test_matchpath_null_partition_key_is_one_group(spark):
+    """A NULL partition key forms ONE group (Hive/Spark partitioning
+    semantics): NaN != NaN must not split it row-per-row, and the
+    batch-carry mask must recognize a null-keyed trailing group."""
+    rows = [
+        (None, 1, 9), (None, 2, 9), (None, 3, 0),
+        (1, 1, 9), (1, 2, 9),
+    ]
+    df = spark.createDataFrame(rows, "pid int, seq int, v int")
+    out = match_path(
+        df,
+        partition_by=["pid"],
+        order_by=["seq"],
+        symbols={"H": F.col("v") > 5, "L": F.col("v") <= 5},
+        pattern="H.H",
+    ).collect()
+    got = sorted(((r.pid, r.seq) for r in out), key=repr)
+    # null group: seq 1,2 match; int group: seq 1,2 match
+    assert got == [(1, 1), (1, 2), (None, 1), (None, 2)]

