@@ -233,20 +233,21 @@ def write_sequencefile(df: DataFrame, path: str, sep: str = "\x01") -> None:
     (serde2/lazy/LazySimpleSerDe.java:76; SequenceFile is the reference's
     default container for STORED AS SEQUENCEFILE). This is deliberately
     RDD-level: a record-oriented container below the DataFrame abstraction
-    is the per-partition-imperative carve-out. Overwrite semantics match
-    insert_overwrite (the target is replaced)."""
+    is the per-partition-imperative carve-out — but only the
+    (NullWritable, Text) wrapping. The delimited line itself is built as ONE
+    codegen'd Column (concat_ws over coalesce(cast(c as string), '\\N')),
+    so no per-row Python string assembly touches the data path. Overwrite
+    semantics match insert_overwrite (the target is replaced)."""
     import shutil
 
-    cols = df.columns
     shutil.rmtree(path, ignore_errors=True)
-
-    def to_line(row) -> tuple[None, str]:
-        return (
-            None,
-            sep.join(_HIVE_NULL if row[c] is None else str(row[c]) for c in cols),
-        )
-
-    df.rdd.map(to_line).saveAsSequenceFile(path)
+    line = F.concat_ws(
+        sep,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(_HIVE_NULL)) for c in df.columns],
+    )
+    df.select(line.alias("_line")).rdd.map(lambda r: (None, r._line)).saveAsSequenceFile(
+        path
+    )
 
 
 def read_sequencefile(
