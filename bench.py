@@ -66,7 +66,10 @@ def main() -> None:
 
     # Best-of-N per query: steady-state throughput is what matters at scale;
     # a single local[32] pass is dominated by first-touch and scheduler noise.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # N=3 (was 2): round-3 measured ±20-30% suite-level machine-load variance
+    # between whole bench invocations minutes apart (PERF.md round-3 drift
+    # investigation); a third sample per query tightens the best-of estimate.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
