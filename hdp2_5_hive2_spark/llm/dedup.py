@@ -177,6 +177,38 @@ def _minhash_banded(
     )
 
 
+# (app_id, input-plan semantic hash, kernel params) -> localCheckpoint'ed
+# banded frame. Bounded; entries from a stopped session are keyed out by
+# app_id. Checkpoint blocks are reclaimed by the ContextCleaner once the
+# evicted DataFrame is garbage-collected.
+_BANDED_MEMO: dict[tuple, DataFrame] = {}
+_BANDED_MEMO_MAX = 8
+
+
+def _banded_memo(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, n_shingle: int
+) -> DataFrame:
+    spark = df.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        n_shingle,
+    )
+    cached = _BANDED_MEMO.get(key)
+    if cached is None:
+        cached = _minhash_banded(
+            df, text_col, id_col, num_hashes, bands, n_shingle=n_shingle
+        ).localCheckpoint(eager=False)
+        if len(_BANDED_MEMO) >= _BANDED_MEMO_MAX:
+            _BANDED_MEMO.pop(next(iter(_BANDED_MEMO)))
+        _BANDED_MEMO[key] = cached
+    return cached
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -205,10 +237,17 @@ def minhash_lsh_pairs(
     (~20% faster at sf0.1, and the saving is a full corpus pass at scale).
     Cost: the banded blocks live on executors without lineage — an executor
     loss fails the job instead of recomputing. Set False to keep pure
-    lineage semantics."""
-    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, n_shingle=n_shingle)
+    lineage semantics.
+
+    Materialized banded frames are additionally memoized per (session,
+    input plan, parameters), so two operators over the same corpus with the
+    same signature settings — e.g. the minhash-dedup query and
+    ngram_jaccard's band-pruning delegate — share ONE Arrow signature pass
+    instead of recomputing it (builder TODO picked up in VERDICT r2 #6)."""
     if materialize_bands:
-        banded = banded.localCheckpoint(eager=False)
+        banded = _banded_memo(df, text_col, id_col, num_hashes, bands, n_shingle)
+    else:
+        banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, n_shingle=n_shingle)
     cand_ids = (
         banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
         .join(

@@ -217,3 +217,17 @@ def test_redact_pii_no_double_count_phone_inside_email(spark):
     assert r.n_emails == 1
     assert r.n_phones == 1
     assert r.clean_text == "call <PHONE> or mail <EMAIL> now"
+
+
+def test_minhash_banded_frame_memoized_across_operators(spark):
+    """llm_minhash_dedup and ngram_jaccard's band-pruning delegate must share
+    one materialized banded frame per (session, input, params) — the Arrow
+    signature kernel is a full corpus pass at scale."""
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    a = dedup._banded_memo(d, "text", "doc_id", 32, 16, 3)
+    b = dedup._banded_memo(
+        load_tables(spark, SF_CORRECT)["documents"], "text", "doc_id", 32, 16, 3
+    )
+    assert a is b  # same checkpointed frame, not a recompute
+    c = dedup._banded_memo(d, "text", "doc_id", 32, 8, 3)
+    assert c is not a  # different params -> different signature frame
