@@ -8,9 +8,9 @@ MATCH_RECOGNIZE). Window functions themselves map to Spark's Window API
 (queries/window.py); this package holds the PTFs Spark lacks.
 """
 
-from hdp2_5_hive2_spark.ptf.matchpath import match_path
+from hdp2_5_hive2_spark.ptf.matchpath import match_path, match_path_result, symbol_attr
 
-__all__ = ["match_path"]
+__all__ = ["match_path", "match_path_result", "symbol_attr"]
 
 
 def noop(df):

@@ -200,3 +200,44 @@ def match_path(
         .sortWithinPartitions(*part_cols, *order_cols)
         .mapInPandas(scan_partition, result_schema)
     )
+
+
+def symbol_attr(symbol: str, col: Column | str) -> Column:
+    """``A.price``-style per-symbol attribute reference for
+    :func:`match_path_result` expressions (MatchPath.java's resultExpr
+    select-list surface, ql/udf/ptf/MatchPath.java:278-346): the column's
+    value on rows the match bound to `symbol`, NULL elsewhere — so any
+    null-skipping aggregate over it ranges over exactly that symbol's rows.
+
+    Example: ``F.sum(symbol_attr("HIGH", "o_totalprice"))`` is the sum of
+    o_totalprice over the HIGH-bound rows of each match."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.col("match_symbol") == symbol, c)
+
+
+def match_path_result(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    symbols: dict[str, Column],
+    pattern: str,
+    result_exprs: dict[str, Column],
+) -> DataFrame:
+    """MatchPath with result expressions: ONE OUTPUT ROW PER MATCH, shaped
+    by `result_exprs` — the equivalent of MatchPath.java's final
+    resultExprStr argument ("a csv of expressions over the path"), where
+    ``A.price`` references resolve via :func:`symbol_attr`.
+
+    Each value of `result_exprs` is an aggregate Column evaluated over the
+    match's rows (which carry match_symbol / match_pos); keys name the
+    output columns. Spark-first composition: the PTF emits matched rows,
+    and a plain groupBy(partition_by, match_number) computes the result
+    row, so partial aggregation and shuffle stay Catalyst's. Use
+    order-insensitive aggregates (min/max/sum/count, or min_by/max_by on
+    match_pos) — grouped rows arrive unordered.
+
+    Output columns: partition_by + match_number + result_exprs keys."""
+    m = match_path(df, partition_by, order_by, symbols, pattern)
+    return m.groupBy(*partition_by, "match_number").agg(
+        *[c.alias(name) for name, c in result_exprs.items()]
+    )

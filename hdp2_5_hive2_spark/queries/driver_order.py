@@ -111,7 +111,13 @@ _CHANGED_THIS_ROUND = [
     "llm_ann_topk",          # brute_force_topk id-schema generalization
 ]
 
-_PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND
+# Tier 3 — queries added this round (no verdict possible yet); they must
+# still land inside the ~50-name driver window.
+_NEW_THIS_ROUND = [
+    "matchpath_result_exprs",  # MatchPath resultExpr symbol bindings
+]
+
+_PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND
 
 
 def dark_queries() -> list[str]:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.catalog import load_tables, register_views
-from hdp2_5_hive2_spark.ptf import match_path
+from hdp2_5_hive2_spark.ptf import match_path, match_path_result, symbol_attr
 from hdp2_5_hive2_spark.queries.registry import query
 
 
@@ -395,6 +395,70 @@ def matchpath_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey", "match_number", "n_orders",
             "first_orderkey", "last_orderkey", "run_value",
         )
+    )
+
+
+@query(
+    "matchpath_result_exprs",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice > 300000 THEN 'HIGH' ELSE 'LOW' END AS sym,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders
+    ), isl AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY o_custkey, sym ORDER BY rn) AS grp
+      FROM seq
+    ), high_runs AS (
+      SELECT o_custkey, grp, MIN(rn) AS start_rn,
+             COUNT(*) AS n_high,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS high_sum,
+             MAX(o_orderkey) AS last_high_orderkey
+      FROM isl WHERE sym = 'HIGH' GROUP BY o_custkey, grp
+    ), matches AS (
+      -- a LOW.HIGH+ match exists iff the row just before a HIGH island is LOW
+      -- (it cannot belong to the previous match, which ends on a HIGH)
+      SELECT r.o_custkey, r.start_rn, r.n_high, r.high_sum, r.last_high_orderkey,
+             a.o_orderkey AS low_orderkey, a.o_totalprice AS low_price
+      FROM high_runs r
+      JOIN seq a ON a.o_custkey = r.o_custkey AND a.rn = r.start_rn - 1
+                AND a.sym = 'LOW'
+    )
+    SELECT o_custkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY start_rn)
+                AS INTEGER) AS match_number,
+           CAST(n_high + 1 AS BIGINT) AS n_rows,
+           low_orderkey, low_price, high_sum, last_high_orderkey
+    FROM matches
+    """,
+    tags=("ptf", "matchpath", "hive"),
+)
+def matchpath_result_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath resultExpr symbol bindings (MatchPath.java:278-346 — the
+    final constant-string argument selects ``A.price``-style per-symbol
+    attributes into the one-row-per-match output): for each LOW.HIGH+ match,
+    the anchor LOW row's orderkey and price, plus sum/last over the
+    HIGH-bound rows — via match_path_result + symbol_attr, the API form of
+    that surface."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return match_path_result(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=["o_orderkey"],
+        symbols={
+            "HIGH": F.col("o_totalprice") > 300000,
+            "LOW": F.col("o_totalprice") <= 300000,
+        },
+        pattern="LOW.HIGH+",
+        result_exprs={
+            "n_rows": F.count(F.lit(1)),
+            "low_orderkey": F.min(symbol_attr("LOW", "o_orderkey")),
+            "low_price": F.min(symbol_attr("LOW", "o_totalprice")),
+            "high_sum": F.sum(
+                symbol_attr("HIGH", F.col("o_totalprice").cast("decimal(18,2)"))
+            ).cast("double"),
+            "last_high_orderkey": F.max(symbol_attr("HIGH", "o_orderkey")),
+        },
     )
 
 
