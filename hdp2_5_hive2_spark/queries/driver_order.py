@@ -114,7 +114,8 @@ _CHANGED_THIS_ROUND = [
 # Tier 3 — queries added this round (no verdict possible yet); they must
 # still land inside the ~50-name driver window.
 _NEW_THIS_ROUND = [
-    "matchpath_result_exprs",  # MatchPath resultExpr symbol bindings
+    "matchpath_result_exprs",    # MatchPath resultExpr symbol bindings
+    "events_stream_stream_join",  # watermarked interval join, batch twin
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND

@@ -179,3 +179,31 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("w.start").alias("session_start"), "n_events"
         )
     )
+
+
+@query(
+    "events_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS micros_before
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND c.ts <= p.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= 10 * 60 * 1000000
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin (streaming.events.
+    click_purchase_join_batch / streaming_click_purchase_join): purchases
+    matched to the same user's clicks within the preceding 10 minutes. The
+    bounded time-range predicate is exactly what keeps the streaming form's
+    join state finite (watermark + window per side)."""
+    from hdp2_5_hive2_spark.streaming.events import click_purchase_join_batch
+
+    return click_purchase_join_batch(spark, sf_dir, window_minutes=10)

@@ -129,6 +129,80 @@ def streaming_dedup(events_stream: DataFrame, watermark: str = "15 minutes") -> 
     return events_stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def click_purchase_join_batch(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 10
+) -> DataFrame:
+    """Batch twin of the stream-stream interval join: each purchase matched
+    with the same user's clicks in the preceding `window_minutes`. The
+    time-range predicate is what makes the streaming form's state bounded
+    (each side can discard rows older than watermark + window)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+            <= window_minutes * 60 * 1_000_000
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("micros_before"),
+    )
+
+
+def streaming_click_purchase_join(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    window_minutes: int = 10,
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream inner interval join (the Structured Streaming shape the
+    batch twin above oracle-checks): both sides watermarked, join condition
+    equality on user + a bounded time range, so Spark can GC each side's
+    state once the watermark passes the range bound.
+
+    At scale: state per side ≈ (watermark + window) of data hashed by
+    user_id; no unbounded buffering. Append output emits a match once both
+    inputs' watermarks clear it."""
+    c = clicks_stream.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases_stream.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND c_ts <= p_ts "
+            f"AND p_ts <= c_ts + interval {window_minutes} minutes"
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("micros_before"),
+    )
+
+
 def idempotent_parquet_sink(path: str):
     """foreachBatch writer that is idempotent under micro-batch replay.
 

@@ -309,3 +309,33 @@ def test_sessionize_subsecond_gap_boundary(spark):
         .collect()
     )
     assert sorted(r.n_events for r in native) == [1, 3]
+
+
+def test_stream_stream_join_equals_batch(spark, event_files):
+    """Stream-stream interval join (watermarked both sides, bounded
+    time-range condition) must emit exactly the batch twin's matches."""
+    src, schema = event_files
+    clicks = ev.stream_events(spark, src, schema, max_files_per_trigger=2).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = ev.stream_events(spark, src, schema, max_files_per_trigger=2).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = ev.streaming_click_purchase_join(clicks, purchases, window_minutes=10)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.purchase_id, r.click_id, r.user_id, r.micros_before)
+        for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+    want = {
+        (r.purchase_id, r.click_id, r.user_id, r.micros_before)
+        for r in ev.click_purchase_join_batch(spark, SF_SMOKE, window_minutes=10).collect()
+    }
+    assert got == want and len(want) > 0
