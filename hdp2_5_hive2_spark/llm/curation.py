@@ -1,0 +1,230 @@
+"""Corpus-curation operators for LLM training pipelines: eval-set
+decontamination, duplicate-cluster resolution (connected components), and
+deterministic stratified sampling.
+
+Heritage: the reference has no curation surface; these extend the dedup /
+similarity family (BASELINE.json north star) with the remaining operations a
+production pretraining pipeline runs between "raw crawl" and "training mix":
+  - decontamination: drop/flag training documents sharing long word n-grams
+    with an evaluation suite (the standard n-gram-overlap protocol, n≈8-13).
+  - duplicate clusters: near-dup *pairs* (MinHash/SimHash/shared-ngram) only
+    say "a~b"; keeping one document per *transitive* cluster needs connected
+    components over the pair graph.
+  - stratified sampling: deterministic hash-ordered top-k per stratum for
+    mixture weighting / budget capping — reproducible across runs, unlike
+    ``df.sample``.
+
+Scale notes (100 TB):
+  - decontaminate: the training corpus flows through one Arrow n-gram pass
+    (zero shuffle — n-grams are document-local) and is semi-joined against a
+    BROADCAST eval n-gram set. Eval suites are small by construction (MMLU +
+    friends ≈ 10^6 n-grams); the only shuffle is the per-document hit count
+    over matched rows — a tiny fraction of the corpus.
+  - shared_ngram_edges: document frequency is capped (``max_df``) before the
+    n-gram self-join, so bucket fan-out is bounded by max_df² per n-gram —
+    the same guard suffix-array dedup pipelines apply to boilerplate. The
+    join shuffles (ngram, id) rows, never text.
+  - connected_components: min-label propagation converges in O(graph
+    diameter) rounds; near-dup graphs are overwhelmingly tiny star/chain
+    clusters (diameter ≤ ~3), so 3-4 shuffle rounds close them. Each round
+    is one join + one min-agg on (id, label) pairs; ``localCheckpoint``
+    truncates lineage so round N's plan does not re-run rounds 1..N-1. For
+    adversarially long chains, swap in large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — same contract.
+  - stratified_sample: one shuffle on the strata key; the ``row_number() <=
+    k`` filter compiles to WindowGroupLimit (rank-limit pushdown), so each
+    partition keeps a k-row heap instead of fully sorting its stratum.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shuffle_n(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def word_ngram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """(id, ngram) rows — word n-grams, DISTINCT within each document.
+
+    Arrow kernel (one pass, zero shuffle): higher-order Column chains
+    (transform/sequence/slice) evaluate interpreted in Catalyst (~ms/row on
+    long documents), while this streams whole batches through Python string
+    ops. Tokenization matches ``llm.text.tokens`` (split on whitespace runs,
+    trimmed). Documents with fewer than ``n`` tokens emit nothing.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for i, t in zip(pdf[id_col].astype("int64"), pdf[text_col]):
+                toks = t.split() if isinstance(t, str) else []
+                if len(toks) < n:
+                    continue
+                seen = dict.fromkeys(
+                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                )
+                ids.extend([int(i)] * len(seen))
+                grams.extend(seen)
+            yield pd.DataFrame({"id": pd.array(ids, dtype="int64"), "ngram": grams})
+
+    # Parallelism fence: mapInPandas inherits input partitioning; a single
+    # small parquet file would run the kernel as one serial task.
+    return (
+        df.select(id_col, text_col)
+        .repartition(_shuffle_n(df))
+        .mapInPandas(gen, "id bigint, ngram string")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-training-document count of distinct word ``n``-grams shared with
+    the evaluation set: (id_col, n_hit_ngrams), hit documents only.
+
+    The eval n-gram set is broadcast (eval suites are small by construction),
+    so the training corpus never shuffles: map-side n-gram generation →
+    broadcast hash join → count aggregation over the matched rows only.
+    Callers drop or down-weight the returned ids.
+    """
+    tr = word_ngram_rows(train, text_col, id_col, n)
+    ev = word_ngram_rows(eval_df, text_col, id_col, n).select("ngram").distinct()
+    return (
+        tr.join(F.broadcast(ev), "ngram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def shared_ngram_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 16,
+    max_df: int = 100,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Duplicate-candidate edges (doc_a, doc_b), doc_a < doc_b, for document
+    pairs sharing at least one word ``n``-gram with corpus document
+    frequency ≤ ``max_df``.
+
+    Exact-substring-overlap analogue of the MinHash candidate generator: long
+    shared n-grams (n≈16) are near-certain copies. The df cap drops
+    boilerplate n-grams whose buckets would otherwise fan out quadratically
+    — standard practice in suffix-array dedup; raising it only ADDS edges.
+
+    ``checkpoint`` materializes the Arrow n-gram pass once; the frame feeds
+    the df-count aggregation and both sides of the self-join, and exchange
+    reuse does not dedupe Python-kernel subtrees.
+    """
+    ng = word_ngram_rows(df, text_col, id_col, n)
+    if checkpoint:
+        ng = ng.localCheckpoint(eager=False)
+    # Rows are distinct within a document, so count(*) per ngram == doc freq.
+    rare = (
+        ng.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") <= max_df)
+        .select("ngram")
+    )
+    pruned = ng.join(rare, "ngram")
+    a = pruned.select("ngram", F.col("id").alias("doc_a"))
+    b = pruned.select("ngram", F.col("id").alias("doc_b"))
+    return (
+        a.join(b, "ngram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_rep) for every vertex in ``edges``: cluster_rep is the
+    minimum vertex id reachable from the vertex — i.e. the canonical
+    representative of its connected component.
+
+    Min-label propagation: every vertex starts labeled with itself; each
+    round takes the min of its own label and its neighbors', until a round
+    changes nothing. Labels only decrease, so the label SUM is a strictly
+    decreasing convergence witness — one cheap agg per round instead of a
+    change-count join. Rounds needed = component diameter (tiny for dedup
+    graphs; see module docstring for the large-diameter alternative).
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .union(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .localCheckpoint(eager=False)  # reused every round
+    )
+    lab = sym.select(F.col("s").alias("id")).distinct().withColumn("lab", F.col("id"))
+    lab = lab.localCheckpoint(eager=True)
+    prev_sum = lab.agg(F.sum("lab")).first()[0]
+    for _ in range(max_iter):
+        nbr = sym.join(lab, sym["d"] == lab["id"]).select(
+            sym["s"].alias("id"), F.col("lab")
+        )
+        lab = (
+            lab.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)  # truncate lineage across rounds
+        )
+        cur_sum = lab.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            return lab.select(F.col("id"), F.col("lab").alias("cluster_rep"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds max_iter; raise it or use a "
+        "large-star/small-star variant for adversarial graphs"
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 16,
+    max_df: int = 100,
+) -> DataFrame:
+    """(doc_id, cluster_rep) for documents in shared-``n``-gram duplicate
+    clusters: shared_ngram_edges → connected_components. Keeping
+    ``cluster_rep == doc_id`` rows (or anti-joining the rest) dedups the
+    corpus one-representative-per-cluster."""
+    edges = shared_ngram_edges(df, text_col, id_col, n=n, max_df=max_df)
+    cc = connected_components(edges)
+    return cc.select(F.col("id").alias(id_col), "cluster_rep")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str | Column],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic top-``k`` rows per stratum, ordered by
+    md5(id) — a reproducible uniform-ish draw (unlike ``df.sample``, stable
+    across partitionings, runs, and engines). One shuffle on the strata key;
+    the rank filter compiles to WindowGroupLimit so partitions keep k-row
+    heaps rather than sorting whole strata."""
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(order.asc(), F.col(id_col).asc())
+    return df.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k).drop("_rk")

@@ -118,7 +118,17 @@ _NEW_THIS_ROUND = [
     "events_stream_stream_join",  # watermarked interval join, batch twin
 ]
 
-_PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND
+# Tier 4 — added after the 50-name window filled (46 dark + 2 changed + 2
+# new). Queued immediately after position 049: verified this round only if
+# the driver's budget exceeds 50 names, otherwise they lead the next
+# rotation.
+_OVERFLOW_THIS_ROUND = [
+    "llm_decontaminate",      # eval-set n-gram decontamination
+    "llm_dedup_clusters",     # connected-components duplicate clusters
+    "llm_stratified_sample",  # deterministic hash-ordered stratified sample
+]
+
+_PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND
 
 
 def dark_queries() -> list[str]:

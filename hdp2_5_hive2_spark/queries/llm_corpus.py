@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.catalog import load_tables
-from hdp2_5_hive2_spark.llm import dedup, similarity, text
+from hdp2_5_hive2_spark.llm import curation, dedup, similarity, text
 from hdp2_5_hive2_spark.queries.registry import query
 
 # DuckDB-side shingle CTE reused by the Jaccard oracles (token 3-grams,
@@ -651,3 +651,101 @@ def llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(d).select(
         "doc_id", "n_tokens", "dup_token_frac", "dup_bigram_frac"
     )
+
+
+# Shared DuckDB CTE: (doc_id, ngram) word n-grams, distinct within document,
+# mirroring llm.curation.word_ngram_rows (tokenize on whitespace runs).
+def _ngram_cte(m: int) -> str:
+    return f"""
+    ngd AS (
+      SELECT DISTINCT doc_id, ngram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - {m}),
+                                     i -> array_to_string(t[i:i+{m}], ' '))) AS ngram
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+      )
+    )
+    """
+
+
+@query(
+    "llm_decontaminate",
+    oracle="WITH " + _ngram_cte(7) + """
+    , ev AS (SELECT DISTINCT ngram FROM ngd WHERE doc_id % 29 = 0),
+    tr AS (SELECT * FROM ngd WHERE doc_id % 29 <> 0)
+    SELECT tr.doc_id AS doc_id, count(*) AS n_hit_ngrams
+    FROM tr JOIN ev USING (ngram)
+    GROUP BY tr.doc_id
+    """,
+    tags=("llm", "curation", "decontaminate"),
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram decontamination (llm.curation.decontaminate): docs
+    with doc_id % 29 == 0 stand in for the benchmark suite; every other
+    document reports how many of its distinct word 8-grams appear anywhere
+    in that suite. Train-side plan is shuffle-free: Arrow n-gram pass +
+    broadcast semi-join; only matched rows aggregate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ev = d.where(F.col("doc_id") % 29 == 0)
+    tr = d.where(F.col("doc_id") % 29 != 0)
+    return curation.decontaminate(tr, ev, n=8)
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle="WITH RECURSIVE " + _ngram_cte(15) + """
+    , rare AS (SELECT ngram FROM ngd GROUP BY ngram HAVING count(*) <= 100),
+    e0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM ngd a JOIN ngd b USING (ngram) JOIN rare USING (ngram)
+           WHERE a.doc_id < b.doc_id),
+    e AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0),
+    v AS (SELECT DISTINCT s AS id FROM e),
+    walk AS (
+      SELECT id, id AS lab FROM v
+      UNION
+      SELECT e.d AS id, w.lab FROM walk w JOIN e ON e.s = w.id
+    )
+    SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+    FROM walk GROUP BY id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters (llm.curation.duplicate_clusters):
+    edges = document pairs sharing a rare (df<=100) word 16-gram; clusters =
+    connected components via min-label propagation (the oracle recomputes
+    reachability with a recursive CTE). cluster_rep is the minimum doc_id in
+    the component — the canonical keep-one-representative dedup output."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.duplicate_clusters(d, n=16, max_df=100)
+
+
+@query(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, len_bucket
+    FROM (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) // 100 AS len_bucket
+      FROM documents
+    )
+    QUALIFY row_number() OVER (
+      PARTITION BY lang, len_bucket
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) <= 5
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (llm.curation.stratified_sample):
+    top-5 per (lang, 100-token length bucket) ordered by md5(doc_id) — a
+    reproducible mixture-capping draw identical across engines, unlike
+    rand()-based sampling. row_number()<=k compiles to WindowGroupLimit."""
+    d = load_tables(spark, sf_dir)["documents"]
+    strat = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.size(F.split(F.trim(F.col("text")), r"\s+")) / 100).alias("len_bucket"),
+    )
+    return curation.stratified_sample(strat, ["lang", "len_bucket"], k=5)

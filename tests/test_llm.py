@@ -231,3 +231,65 @@ def test_minhash_banded_frame_memoized_across_operators(spark):
     assert a is b  # same checkpointed frame, not a recompute
     c = dedup._banded_memo(d, "text", "doc_id", 32, 8, 3)
     assert c is not a  # different params -> different signature frame
+
+
+# ---- curation: decontamination / connected components / sampling ----------
+
+
+def test_connected_components_chain_and_star(spark):
+    """A 4-chain, a 3-star, and an isolated edge all resolve to min-id reps;
+    chain forces >1 propagation round (diameter 3)."""
+    from hdp2_5_hive2_spark.llm import curation
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),      # chain 10-11-12-13
+         (20, 21), (20, 22), (20, 23),      # star centered on 20
+         (31, 30)],                          # single edge, reversed order
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {(r.id, r.cluster_rep) for r in curation.connected_components(edges).collect()}
+    want = {(10, 10), (11, 10), (12, 10), (13, 10),
+            (20, 20), (21, 20), (22, 20), (23, 20),
+            (30, 30), (31, 30)}
+    assert got == want
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    from hdp2_5_hive2_spark.llm import curation
+    import pytest as _pytest
+
+    # 5-chain has diameter 4 -> needs >1 round; max_iter=1 must raise.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a bigint, doc_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        curation.connected_components(edges, max_iter=1)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc sharing an 8-token run with an eval doc is flagged with
+    the exact distinct-8-gram hit count; disjoint docs are absent."""
+    from hdp2_5_hive2_spark.llm import curation
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    ev = spark.createDataFrame([(1, shared)], "doc_id bigint, text string")
+    tr = spark.createDataFrame(
+        [(100, "x y " + shared + " z"),        # contains all 3 distinct 8-grams
+         (101, "one two three four five six seven eight nine ten")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.n_hit_ngrams for r in curation.decontaminate(tr, ev, n=8).collect()}
+    assert rows == {100: 3}
+
+
+def test_stratified_sample_deterministic_topk(spark):
+    from hdp2_5_hive2_spark.llm import curation
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(40)],
+        "doc_id bigint, lang string",
+    )
+    a = sorted(tuple(r) for r in curation.stratified_sample(df, ["lang"], k=3).collect())
+    b = sorted(tuple(r) for r in curation.stratified_sample(df.repartition(7), ["lang"], k=3).collect())
+    assert a == b, "sample must be partitioning-invariant"
+    assert len(a) == 6 and len({lang for _, lang in a}) == 2
