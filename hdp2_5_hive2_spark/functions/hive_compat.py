@@ -72,6 +72,59 @@ def legacy_grouping_id(*cols: Column | str) -> Column:
     return out
 
 
+def mask(col: Column, upper_char: str = "X", lower_char: str = "x", digit_char: str = "n") -> Column:
+    """Hive 2.1 data-masking `mask(str[, upper, lower, digit])`
+    (ql/udf/generic/GenericUDFMask.java, registered FunctionRegistry.java:484):
+    uppercase → ``upper_char``, lowercase → ``lower_char``, digits →
+    ``digit_char``, everything else unchanged. String form only — the
+    reference's numeric/date overloads are out of scope (documented)."""
+    return F.mask(col, F.lit(upper_char), F.lit(lower_char), F.lit(digit_char), F.lit(None))
+
+
+def _mask_head_tail(col: Column, n: int) -> tuple[Column, Column, Column, Column]:
+    """(first_n, rest, all_but_last_n, last_n) substrings, short-string safe."""
+    length = F.length(col)
+    first_n = col.substr(F.lit(1), F.lit(n))
+    rest = col.substr(F.lit(n + 1), length)
+    head = col.substr(F.lit(1), F.greatest(length - n, F.lit(0)))
+    tail = col.substr(F.greatest(length - n + 1, F.lit(1)), F.lit(n))
+    return first_n, rest, head, tail
+
+
+def mask_first_n(col: Column, n: int = 4, **chars: str) -> Column:
+    """Hive `mask_first_n` (GenericUDFMaskFirstN.java): mask the first ``n``
+    characters, show the rest."""
+    first_n, rest, _, _ = _mask_head_tail(col, n)
+    return F.concat(mask(first_n, **chars), rest)
+
+
+def mask_show_first_n(col: Column, n: int = 4, **chars: str) -> Column:
+    """Hive `mask_show_first_n` (GenericUDFMaskShowFirstN.java): show the
+    first ``n`` characters, mask the rest."""
+    first_n, rest, _, _ = _mask_head_tail(col, n)
+    return F.concat(first_n, mask(rest, **chars))
+
+
+def mask_last_n(col: Column, n: int = 4, **chars: str) -> Column:
+    """Hive `mask_last_n` (GenericUDFMaskLastN.java): mask the last ``n``
+    characters, show the rest."""
+    _, _, head, tail = _mask_head_tail(col, n)
+    return F.concat(head, mask(tail, **chars))
+
+
+def mask_show_last_n(col: Column, n: int = 4, **chars: str) -> Column:
+    """Hive `mask_show_last_n` (GenericUDFMaskShowLastN.java): show the last
+    ``n`` characters, mask the rest."""
+    _, _, head, tail = _mask_head_tail(col, n)
+    return F.concat(mask(head, **chars), tail)
+
+
+def mask_hash(col: Column) -> Column:
+    """Hive `mask_hash` (GenericUDFMaskHash.java:50 — DigestUtils.md5Hex):
+    replace the value with its md5 hex digest; NULL stays NULL."""
+    return F.md5(col)
+
+
 def _unsupported(name: str, why: str) -> Callable[..., Column]:
     def call(*_args, **_kw):
         raise NotImplementedError(f"hive function {name!r} not carried over: {why}")
@@ -132,6 +185,14 @@ HIVE_FUNCTIONS.update(
     {
         "field": field,
         "create_union": create_union,
+        # data-masking family (FunctionRegistry.java:483-489, Hive 2.1's
+        # "mask UDFs" block) — string overloads; numeric/date out of scope
+        "mask": mask,
+        "mask_first_n": mask_first_n,
+        "mask_last_n": mask_last_n,
+        "mask_show_first_n": mask_show_first_n,
+        "mask_show_last_n": mask_show_last_n,
+        "mask_hash": mask_hash,
         # GROUPING__ID with the reference's (Hive ≤ 2.2) bit order; Spark's
         # grouping_id() is the modern standard order — see legacy_grouping_id.
         "grouping__id": legacy_grouping_id,

@@ -126,6 +126,7 @@ _OVERFLOW_THIS_ROUND = [
     "llm_decontaminate",      # eval-set n-gram decontamination
     "llm_dedup_clusters",     # connected-components duplicate clusters
     "llm_stratified_sample",  # deterministic hash-ordered stratified sample
+    "fn_mask",                # Hive 2.1 data-masking UDF family
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

@@ -847,3 +847,56 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform(F.map_values(m), lambda x: x.cast("string")), ",").alias("vs"),
         F.size(m).alias("n_entries"),
     )
+
+
+# DuckDB mirror of BaseMaskUDF's default char transform: upper->X, lower->x,
+# digit->n, other unchanged. Chain order is safe: 'X' is not [a-z]/[0-9] and
+# 'x' is not [0-9], so no replacement char is re-replaced by a later stage.
+def _duck_mask(expr: str, up: str = "X", lo: str = "x", dg: str = "n") -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr},"
+        f" '[A-Z]', '{up}', 'g'), '[a-z]', '{lo}', 'g'), '[0-9]', '{dg}', 'g')"
+    )
+
+
+@query(
+    "fn_mask",
+    oracle=f"""
+    SELECT c_custkey,
+           {_duck_mask('c_name')}                                        AS m_name,
+           {_duck_mask('c_name', 'U', 'l', '9')}                         AS m_custom,
+           {_duck_mask('substring(c_name, 1, 6)')}
+             || substring(c_name, 7)                                     AS m_first6,
+           substring(c_name, 1, 6)
+             || {_duck_mask('substring(c_name, 7)')}                     AS m_show_first6,
+           substring(c_name, 1, greatest(length(c_name) - 6, 0))
+             || {_duck_mask('substring(c_name, greatest(length(c_name) - 5, 1), 6)')}
+                                                                         AS m_last6,
+           {_duck_mask('substring(c_name, 1, greatest(length(c_name) - 6, 0))')}
+             || substring(c_name, greatest(length(c_name) - 5, 1), 6)    AS m_show_last6,
+           md5(c_name)                                                   AS m_hash
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+    tags=("functions", "mask"),
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive 2.1 data-masking family (FunctionRegistry.java:483-489 "mask
+    UDFs"; GenericUDFMask / MaskFirstN / MaskLastN / MaskShowFirstN /
+    MaskShowLastN / MaskHash): default and custom replacement chars, the
+    four positional variants (n=6) and md5 hashing over c_name. All pure
+    JVM built-ins (F.mask + substr composition) — no UDFs."""
+    from hdp2_5_hive2_spark.functions import hive_compat as hc
+
+    c = load_tables(spark, sf_dir)["customer"].filter(F.col("c_custkey") <= 200)
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        hc.mask(name).alias("m_name"),
+        hc.mask(name, "U", "l", "9").alias("m_custom"),
+        hc.mask_first_n(name, 6).alias("m_first6"),
+        hc.mask_show_first_n(name, 6).alias("m_show_first6"),
+        hc.mask_last_n(name, 6).alias("m_last6"),
+        hc.mask_show_last_n(name, 6).alias("m_show_last6"),
+        hc.mask_hash(name).alias("m_hash"),
+    )

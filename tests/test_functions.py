@@ -231,3 +231,29 @@ def test_legacy_grouping_id_hive21_bit_order(spark):
     # rk subtotal:          modern 0b01=1, hive21 0b01=1
     # grand total:          modern 0b11=3, hive21 0b00=0
     assert pairs == {(0, 3), (1, 1), (3, 0)}
+
+
+def test_mask_family_edges(spark):
+    """Hive mask family edge cases: strings shorter than n, custom chars,
+    NULL propagation, non-alnum chars untouched."""
+    from hdp2_5_hive2_spark.functions import hive_compat as hc
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Ab3-Z",), ("x",), (None,)], "s string"
+    ).select(
+        hc.mask(F.col("s")).alias("m"),
+        hc.mask(F.col("s"), "*", "*", "#").alias("mc"),
+        hc.mask_first_n(F.col("s"), 3).alias("f3"),
+        hc.mask_show_first_n(F.col("s"), 3).alias("sf3"),
+        hc.mask_last_n(F.col("s"), 3).alias("l3"),
+        hc.mask_show_last_n(F.col("s"), 3).alias("sl3"),
+        hc.mask_hash(F.col("s")).alias("h"),
+    )
+    rows = df.collect()
+    assert tuple(rows[0]) == (
+        "Xxn-X", "**#-*", "Xxn-Z", "Ab3-X", "Abn-X", "Xx3-Z", rows[0].h
+    )
+    # short string: every variant masks/shows the whole thing consistently
+    assert tuple(rows[1])[:6] == ("x", "*", "x", "x", "x", "x")
+    assert all(v is None for v in tuple(rows[2]))
