@@ -678,7 +678,7 @@ def _ngram_cte(m: int) -> str:
     FROM tr JOIN ev USING (ngram)
     GROUP BY tr.doc_id
     """,
-    tags=("llm", "curation", "decontaminate"),
+    tags=("llm", "curation", "decontaminate", "bench"),
 )
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set n-gram decontamination (llm.curation.decontaminate): docs

@@ -159,3 +159,27 @@ def test_q2_no_broadcast_aggregate_single_fact_shuffle(spark):
     for seg in plan.split("BroadcastExchange")[1:]:
         build = seg.split("BroadcastHashJoin")[0]
         assert "HashAggregate" not in build, plan
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark):
+    """The train-side n-gram stream must meet the eval set via a BROADCAST
+    hash join (eval suites are small by construction) — a sort-merge join
+    here would shuffle the full training corpus' n-grams at 100 TB."""
+    from hdp2_5_hive2_spark.llm import curation
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    ev = d.where(F.col("doc_id") % 29 == 0)
+    tr = d.where(F.col("doc_id") % 29 != 0)
+    plan = _executed(curation.decontaminate(tr, ev, n=8))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """row_number() <= k must compile to WindowGroupLimit (per-partition
+    k-row heap), not a full sort of every stratum."""
+    from hdp2_5_hive2_spark.llm import curation
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(curation.stratified_sample(d, ["lang"], k=5))
+    assert "WindowGroupLimit" in plan, plan
