@@ -214,6 +214,45 @@ def duplicate_clusters(
     return cc.select(F.col("id").alias(id_col), "cluster_rep")
 
 
+def corpus_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end keep/drop decision per document — the composed curation
+    pipeline a pretraining corpus actually runs, one row per input doc:
+
+      quality_keep   C4/Gopher heuristics (llm.text.quality_score >= 2)
+      lang_keep      predicted language agrees with the tagged one
+      is_canonical   minimum-id representative of its exact-dup group
+      keep           conjunction of the three
+
+    Plan: quality and language are pure map-side codegen'd expressions; the
+    only shuffle is the 16-byte fingerprint window that elects exact-dup
+    representatives (min id per md5 of normalized text). Flags are emitted
+    per stage so downstream loss accounting can attribute every drop.
+    """
+    from hdp2_5_hive2_spark.llm import text as text_ops
+
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    staged = (
+        text_ops.lang_id(text_ops.quality_score(df, text_col), text_col)
+        .withColumn("fp", F.md5(normalized))
+    )
+    min_id = F.min(id_col).over(Window.partitionBy("fp"))
+    return staged.select(
+        id_col,
+        F.col("quality_score"),
+        F.col("lang_pred"),
+        (F.col("quality_score") >= 2).alias("quality_keep"),
+        (F.col("lang_pred") == F.col("lang")).alias("lang_keep"),
+        (F.col(id_col) == min_id).alias("is_canonical"),
+        (
+            (F.col("quality_score") >= 2)
+            & (F.col("lang_pred") == F.col("lang"))
+            & (F.col(id_col) == min_id)
+        ).alias("keep"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: Sequence[str | Column],

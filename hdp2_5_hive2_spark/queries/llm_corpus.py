@@ -749,3 +749,67 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.size(F.split(F.trim(F.col("text")), r"\s+")) / 100).alias("len_bucket"),
     )
     return curation.stratified_sample(strat, ["lang", "len_bucket"], k=5)
+
+
+@query(
+    "llm_corpus_filter",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+             (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+              + CASE WHEN stopword_hits > 0 THEN 1 ELSE 0 END
+              + CASE WHEN alpha_chars * 2 > n_chars THEN 1 ELSE 0 END) AS quality_score,
+             t AS toks, fp
+      FROM (
+        SELECT doc_id, lang, length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_intersect(string_split_regex(trim(text), '\\s+'),
+                   ['the','and','of','to','a','in','is','it','you','that'])) AS stopword_hits,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+               string_split_regex(trim(text), '\\s+') AS t,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+      )
+    ), lp AS (
+      SELECT doc_id,
+             CASE WHEN mx = 0 THEN 'und'
+                  WHEN h_de = mx THEN 'de'
+                  WHEN h_en = mx THEN 'en'
+                  WHEN h_es = mx THEN 'es'
+                  WHEN h_fr = mx THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+      FROM (
+        SELECT doc_id,
+               len(list_intersect(toks, ['the','and','of','to','a','in','is','it','you','that'])) AS h_en,
+               len(list_intersect(toks, ['el','la','de','que','y','en','un','ser','se','no'])) AS h_es,
+               len(list_intersect(toks, ['le','la','de','et','un','être','que','pour','dans','ce'])) AS h_fr,
+               len(list_intersect(toks, ['der','die','und','in','den','von','zu','das','mit','sich'])) AS h_de,
+               len(list_intersect(toks, ['的','一','是','不','了','人','我','在','有','他'])) AS h_zh,
+               greatest(
+                 len(list_intersect(toks, ['the','and','of','to','a','in','is','it','you','that'])),
+                 len(list_intersect(toks, ['el','la','de','que','y','en','un','ser','se','no'])),
+                 len(list_intersect(toks, ['le','la','de','et','un','être','que','pour','dans','ce'])),
+                 len(list_intersect(toks, ['der','die','und','in','den','von','zu','das','mit','sich'])),
+                 len(list_intersect(toks, ['的','一','是','不','了','人','我','在','有','他']))) AS mx
+        FROM q
+      )
+    )
+    SELECT q.doc_id AS doc_id, q.quality_score AS quality_score, lp.lang_pred AS lang_pred,
+           q.quality_score >= 2 AS quality_keep,
+           lp.lang_pred = q.lang AS lang_keep,
+           q.doc_id = min(q.doc_id) OVER (PARTITION BY q.fp) AS is_canonical,
+           (q.quality_score >= 2 AND lp.lang_pred = q.lang
+            AND q.doc_id = min(q.doc_id) OVER (PARTITION BY q.fp)) AS keep
+    FROM q JOIN lp USING (doc_id)
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline (llm.curation.corpus_filter): per-document
+    quality_keep (C4/Gopher score >= 2), lang_keep (stopword-argmax predicted
+    language agrees with the tag), is_canonical (min-id exact-dup
+    representative via one 16-byte fingerprint window shuffle) and the final
+    keep conjunction — per-stage flags so corpus-loss accounting can
+    attribute every dropped document."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.corpus_filter(d)
