@@ -437,3 +437,41 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Per-label centroid of an embedding column: (label, pos, n_vecs,
+    centroid) — one row per (label, dimension).
+
+    Exactness across engines: double addition is order-dependent, so a
+    naive avg() would hash-differently per partitioning. Instead each
+    component is scaled by 2**quant_bits — EXACT in IEEE double (power-of-two
+    scaling only shifts the exponent) — floored to a bigint, summed exactly,
+    and divided back once. The result is the centroid quantized at
+    2**-quant_bits resolution, identical bit-for-bit on any engine and any
+    partitioning.
+
+    Plan: posexplode inflates rows ×dim map-side but flows straight into the
+    partial hash-aggregate (labels × dims cells per task), so the shuffle
+    carries only per-partition partials — the standard scalable layout for
+    columnwise vector aggregation."""
+    scale = float(1 << quant_bits)
+    exploded = df.select(F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)))
+    q = F.floor(F.col("col").cast("double") * F.lit(scale)).cast("bigint")
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum(q).alias("qsum"))
+        .select(
+            "label",
+            "pos",
+            "n_vecs",
+            (F.col("qsum").cast("double") / (F.col("n_vecs").cast("double") * F.lit(scale))).alias(
+                "centroid"
+            ),
+        )
+    )

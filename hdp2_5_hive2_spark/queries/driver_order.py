@@ -128,6 +128,7 @@ _OVERFLOW_THIS_ROUND = [
     "llm_stratified_sample",  # deterministic hash-ordered stratified sample
     "fn_mask",                # Hive 2.1 data-masking UDF family
     "llm_corpus_filter",      # composed quality/lang/dedup keep-decision
+    "llm_embedding_centroids",  # order-independent quantized vector means
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

@@ -813,3 +813,33 @@ def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute every dropped document."""
     d = load_tables(spark, sf_dir)["documents"]
     return curation.corpus_filter(d)
+
+
+@query(
+    "llm_embedding_centroids",
+    oracle="""
+    SELECT label, pos, n_vecs,
+           CAST(qsum AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1048576.0) AS centroid
+    FROM (
+      SELECT label, pos, count(*) AS n_vecs,
+             SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS qsum
+      FROM (
+        SELECT label,
+               unnest(range(len(embedding))) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+      )
+      GROUP BY label, pos
+    )
+    """,
+    tags=("llm", "similarity", "centroid"),
+)
+def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (llm.similarity.label_centroids): one
+    row per (label, dimension). Component sums are quantized at 2^-20 via an
+    EXACT power-of-two double scaling + floor-to-bigint, so the aggregate is
+    order-independent and matches DuckDB bit-for-bit — the standard exactness
+    trick for float aggregation across engines. posexplode feeds a map-side
+    partial hash-agg; the shuffle carries only (label, pos) partials."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.label_centroids(e)
