@@ -475,3 +475,34 @@ def label_centroids(
             ),
         )
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification: (query_id, pred_label, votes).
+
+    Composition of brute_force_topk (per-batch GEMM + window merge) with a
+    broadcast label lookup and a deterministic argmax (most votes, ties to
+    the smaller label). The label table is one row per corpus vector id —
+    broadcast only when the corpus is small; here it rides the existing
+    top-k output, which is Q×k rows, so the vote aggregation is trivially
+    cheap at any corpus scale."""
+    topk = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl"))
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nl"))
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("nl").alias("pred_label"), "votes")
+    )

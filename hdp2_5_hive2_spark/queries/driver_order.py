@@ -129,6 +129,7 @@ _OVERFLOW_THIS_ROUND = [
     "fn_mask",                # Hive 2.1 data-masking UDF family
     "llm_corpus_filter",      # composed quality/lang/dedup keep-decision
     "llm_embedding_centroids",  # order-independent quantized vector means
+    "llm_knn_classify",       # k-NN majority-vote classification
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

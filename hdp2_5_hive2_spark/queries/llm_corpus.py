@@ -843,3 +843,47 @@ def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial hash-agg; the shuffle carries only (label, pos) partials."""
     e = load_tables(spark, sf_dir)["embeddings"]
     return similarity.label_centroids(e)
+
+
+@query(
+    "llm_knn_classify",
+    oracle="""
+    WITH topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])) DESC,
+                          c.vec_id
+               ) AS rank
+        FROM embeddings c
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
+        WHERE c.vec_id >= 20
+      ) r WHERE rank <= 15
+    ), votes AS (
+      SELECT t.query_id, e.label AS nl, count(*) AS votes
+      FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY t.query_id, e.label
+    )
+    SELECT query_id, nl AS pred_label, votes FROM (
+      SELECT query_id, nl, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, nl ASC) AS r
+      FROM votes
+    ) WHERE r = 1
+    """,
+    tags=("llm", "similarity", "knn"),
+)
+def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labels for 20 query vectors, k=15
+    (llm.similarity.knn_classify): exact cosine top-k via the batched GEMM
+    path, vote aggregation over Q×k rows, deterministic tie-break (votes
+    desc, label asc). Vote counts are integers, so the driver hash is exact
+    even though cosine scores differ in the last ULP."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.knn_classify(
+        corpus=e.filter(F.col("vec_id") >= 20),
+        queries=e.filter(F.col("vec_id") < 20),
+        k=15,
+    )
