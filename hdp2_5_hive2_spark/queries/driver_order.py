@@ -130,6 +130,7 @@ _OVERFLOW_THIS_ROUND = [
     "llm_corpus_filter",      # composed quality/lang/dedup keep-decision
     "llm_embedding_centroids",  # order-independent quantized vector means
     "llm_knn_classify",       # k-NN majority-vote classification
+    "events_asof_join",       # point-in-time merge as-of join
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

@@ -207,3 +207,35 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdp2_5_hive2_spark.streaming.events import click_purchase_join_batch
 
     return click_purchase_join_batch(spark, sf_dir, window_minutes=10)
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           date_diff('microsecond', CAST(c.ts AS TIMESTAMP), CAST(p.ts AS TIMESTAMP)) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+    """,
+    tags=("timeseries", "asof"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (hdp2_5_hive2_spark.timeseries.asof_join): each
+    purchase picks the user's LATEST preceding (or simultaneous) click —
+    point-in-time attribution. One shuffle + in-partition sort via the
+    union/last-carry merge plan (no |clicks|x|purchases| intermediate);
+    oracle is DuckDB's native ASOF JOIN. (user, ts) click pairs are unique
+    at every tested SF, so the match is unambiguous."""
+    from hdp2_5_hive2_spark.timeseries import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    res = asof_join(purchases, clicks, on=["user_id"], right_cols=["event_id"])
+    return res.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    )

@@ -1,0 +1,95 @@
+"""Time-series operators: as-of (point-in-time) join.
+
+The reference has no as-of join (Hive 2.1 predates it everywhere); this is
+part of the large-pipeline extension surface — feature attribution,
+point-in-time-correct feature lookup, click→purchase joining — where an
+equi+inequality join is the natural spec but a terrible plan.
+
+Scale design: the textbook formulation (`l JOIN r ON l.k = r.k AND r.ts <=
+l.ts` + max-per-row) explodes to |matches| rows per left row before
+aggregation. Instead both inputs are UNIONed, shuffled ONCE on the key, and
+sorted by (ts, side); a running `last(..., ignorenulls=True)` over an
+unbounded-preceding window carries the most recent right-side row forward
+into each left row — the classic sorted-merge as-of join expressed in pure
+Catalyst window algebra. Cost: one shuffle + one in-partition sort, output
+exactly |left| rows. Right rows sort BEFORE left rows at equal timestamps,
+so the match condition is `right_ts <= left_ts` (ASOF's `>=` convention).
+Per-key skew is per-entity event volume — naturally bounded; AQE handles
+the residue.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "_asof_side"  # 0 = right (sorts first at ts ties), 1 = left
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """For every left row, attach the LATEST right row of the same key with
+    ``right_ts <= left_ts`` (backward as-of; DuckDB ASOF JOIN / pandas
+    `merge_asof` semantics). Returns all left columns plus ``asof_ts`` (the
+    matched right timestamp) and the requested ``right_cols`` (prefixed
+    ``r_``).
+
+    how='inner' drops unmatched left rows; how='left' keeps them with NULLs.
+
+    The matched right row is carried as ONE struct — a per-column
+    `last(ignorenulls)` carry would silently stitch values from different
+    right rows whenever a right column is NULL in the most recent row.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    on = list(on)
+    right_cols = list(right_cols)
+
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+    r_struct = F.struct(
+        F.col(right_ts).alias("asof_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    )
+    r_struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+
+    l_side = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias(_TAG),
+        *left_payload,
+        F.lit(None).cast(r_struct_type).alias("_r"),
+    )
+    r_side = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias(_TAG),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        r_struct.alias("_r"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_side.unionByName(r_side).withColumn(
+        "_m", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col(_TAG) == 1).select(
+        *on,
+        F.col("_ts").alias(left_ts),
+        *left_payload,
+        F.col("_m.asof_ts").alias("asof_ts"),
+        *[F.col(f"_m.r_{c}").alias(f"r_{c}") for c in right_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col("asof_ts").isNotNull())
+    return out
