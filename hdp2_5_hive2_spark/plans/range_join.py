@@ -1,0 +1,64 @@
+"""Bucketed range join: `left.v BETWEEN right.lo AND right.hi` as an
+equi-join.
+
+Catalyst compiles a bare inequality join to BroadcastNestedLoopJoin (or a
+cartesian product when neither side broadcasts) — O(|L|·|R|) comparisons,
+the classic scale cliff for banding/binning joins. This operator
+discretizes the number line into fixed-width buckets: each right range
+explodes into the buckets it covers, each left value maps to exactly one
+bucket, and the match becomes an equi-join on the bucket id followed by the
+exact BETWEEN filter. Shuffle keys are bucket ids (uniform when values
+are); per-range fan-out is bounded by range_width / bucket_width + 1, so
+pick `bucket_width` near the typical range width.
+
+This is the standard interval-bucketing rewrite (the same shape Spark's
+streaming interval joins and warehouse range-join hints use); results are
+exactly the BETWEEN semantics — bucketing only prunes candidate pairs,
+never changes them. Overlapping ranges are fine: a value matching k ranges
+emits k rows, each found in the single bucket that contains the value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "_range_bucket"
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    value_col: str,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to every right row with
+    ``right.lo_col <= left.value_col <= right.hi_col`` (inclusive BETWEEN),
+    via fixed-width bucket equi-join. Returns left columns + right columns.
+
+    how='inner' only — outer range joins need an anti-join on the same
+    bucketed candidate set; compose explicitly if needed.
+    """
+    if how != "inner":
+        raise ValueError("bucketed_range_join supports how='inner' only")
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    l_b = left.withColumn(_BUCKET, F.floor(F.col(value_col) / F.lit(w)).cast("bigint"))
+    r_b = right.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(w)).cast("bigint"),
+                F.floor(F.col(hi_col) / F.lit(w)).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        l_b.join(r_b, _BUCKET)
+        .where(F.col(value_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop(_BUCKET)
+    )

@@ -131,6 +131,7 @@ _OVERFLOW_THIS_ROUND = [
     "llm_embedding_centroids",  # order-independent quantized vector means
     "llm_knn_classify",       # k-NN majority-vote classification
     "events_asof_join",       # point-in-time merge as-of join
+    "events_range_join_bands",  # bucketed range-join rewrite
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

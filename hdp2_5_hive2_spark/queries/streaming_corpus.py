@@ -239,3 +239,42 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("click_id"),
         (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
     )
+
+
+# Deterministic overlapping value bands for the range-join corpus entry:
+# 12 bands, lo = i*40.0, hi = lo+65.0 — adjacent bands overlap by 25, so
+# values can match 1-2 bands and the join is a true (non-partitioning)
+# range join. All doubles are exactly representable.
+_RANGE_BANDS = [(i, i * 40.0, i * 40.0 + 65.0) for i in range(12)]
+
+
+@query(
+    "events_range_join_bands",
+    oracle="""
+    SELECT b.tier AS tier, count(*) AS n_events,
+           CAST(SUM(e.event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (VALUES """ + ", ".join(f"({t}, {lo}, {hi})" for t, lo, hi in _RANGE_BANDS) + """)
+         AS b(tier, lo, hi)
+      ON e.value BETWEEN b.lo AND b.hi
+    GROUP BY b.tier
+    """,
+    tags=("timeseries", "rangejoin"),
+)
+def events_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join events.value against overlapping value bands via the
+    bucketed equi-join rewrite (plans.range_join.bucketed_range_join,
+    bucket_width=40 ~ band width) — no BroadcastNestedLoopJoin at any
+    scale. Aggregated per band with exact checksums (bigint id sum, decimal
+    value sum) so the driver hash is order-independent."""
+    from hdp2_5_hive2_spark.plans.range_join import bucketed_range_join
+
+    e = load_tables(spark, sf_dir)["events"].select("event_id", "value")
+    bands = spark.createDataFrame(_RANGE_BANDS, "tier int, lo double, hi double")
+    joined = bucketed_range_join(e, "value", bands, "lo", "hi", bucket_width=40.0)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

@@ -74,3 +74,32 @@ def test_salted_join_equals_plain(spark):
         (r.o_orderkey, r.c_mktsegment) for r in fact.join(dim, "o_custkey").collect()
     )
     assert got == want
+
+
+def test_bucketed_range_join_equals_bnlj_and_avoids_it(spark):
+    """Result equality with the naive BETWEEN join (including a value matching
+    two overlapping bands and boundary-inclusive matches), and plan shape:
+    the rewrite must contain no nested-loop/cartesian node."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.plans.range_join import bucketed_range_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0), (2, 39.9), (3, 40.0), (4, 64.9), (5, 65.0), (6, 120.0), (7, -5.0)],
+        "id bigint, v double",
+    )
+    bands = spark.createDataFrame(
+        [(0, 0.0, 65.0), (1, 40.0, 105.0), (2, 80.0, 145.0)],
+        "tier int, lo double, hi double",
+    )
+    fast = bucketed_range_join(left, "v", bands, "lo", "hi", bucket_width=40.0)
+    naive = left.join(bands, F.col("v").between(F.col("lo"), F.col("hi")))
+    key = lambda df: sorted((r.id, r.tier) for r in df.collect())
+    assert key(fast) == key(naive)
+    # v=40.0 and v=65.0 sit in overlaps / on boundaries -> two bands each
+    matches = {r.id: 0 for r in left.collect()}
+    for i, _ in key(fast):
+        matches[i] += 1
+    assert matches == {1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 1, 7: 0}
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
