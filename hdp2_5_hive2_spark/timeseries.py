@@ -36,12 +36,15 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the LATEST right row of the same key with
-    ``right_ts <= left_ts`` (backward as-of; DuckDB ASOF JOIN / pandas
-    `merge_asof` semantics). Returns all left columns plus ``asof_ts`` (the
-    matched right timestamp) and the requested ``right_cols`` (prefixed
-    ``r_``).
+    """For every left row, attach the closest right row of the same key:
+    direction='backward' (default) takes the LATEST right row with
+    ``right_ts <= left_ts`` (DuckDB ASOF JOIN / pandas `merge_asof`
+    semantics); direction='forward' takes the EARLIEST right row with
+    ``right_ts >= left_ts`` (the same scan run in reverse time order).
+    Returns all left columns plus ``asof_ts`` (the matched right timestamp)
+    and the requested ``right_cols`` (prefixed ``r_``).
 
     how='inner' drops unmatched left rows; how='left' keeps them with NULLs.
 
@@ -51,6 +54,10 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     on = list(on)
     right_cols = list(right_cols)
 
@@ -75,9 +82,10 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
         r_struct.alias("_r"),
     )
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col(_TAG).asc())
+        .orderBy(ts_order, F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_side.unionByName(r_side).withColumn(

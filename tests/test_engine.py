@@ -77,3 +77,25 @@ def test_asof_join_single_shuffle(spark):
     )
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward': earliest right row with right_ts >= left_ts,
+    equal ts included."""
+    from hdp2_5_hive2_spark.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 10, "p2"), (2, 500, "p3")],
+        "k bigint, ts bigint, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r100"), (1, 50, "r50"), (2, 400, "r400")],
+        "k bigint, ts bigint, tag string",
+    )
+    out = {
+        r.name: (r.asof_ts, r.r_tag)
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["tag"], how="left", direction="forward"
+        ).collect()
+    }
+    assert out == {"p1": (100, "r100"), "p2": (50, "r50"), "p3": (None, None)}
