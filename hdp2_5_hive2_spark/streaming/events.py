@@ -285,3 +285,112 @@ def stateful_user_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_asof_click_enrich(
+    events_stream: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermark-correct STREAMING as-of join (the streaming twin of
+    timeseries.asof_join): every purchase is enriched with the user's
+    latest click at-or-before it, tolerating out-of-order arrival.
+
+    Unlike a processing-time "latest click seen so far" (wrong whenever a
+    click arrives after a later purchase), this buffers per-user state and
+    emits a purchase only once the event-time watermark has passed its
+    timestamp — at that point no on-time click at or before the purchase
+    can still arrive, so the match is final. State per user:
+      - clicks: (ts_us, event_id) kept sorted; pruned to the latest click
+        at-or-below the watermark plus everything newer (older clicks can
+        never win another match),
+      - pending purchases awaiting their watermark.
+    An event-time timeout re-invokes idle users so pending purchases flush
+    when the watermark advances without new events for that user (Spark
+    runs no-data micro-batches for exactly this). Purchases newer than the
+    final watermark stay pending — correct streaming semantics (the stream
+    cannot know the source is exhausted).
+
+    Correctness contract is the standard watermark guarantee: results equal
+    the batch as-of join for every emitted purchase PROVIDED event-time
+    disorder is bounded by the watermark delay — rows arriving later than
+    the watermark are dropped by the engine before reaching state, exactly
+    as in windowed aggregation (the late-drop test pins that behavior).
+
+    Output: (user_id, purchase_id, click_id NULL-able, gap_us NULL-able),
+    emitted exactly once per purchase.
+    """
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("purchase_id", LongType()),
+            StructField("click_id", LongType()),
+            StructField("gap_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("click_ts", ArrayType(LongType())),
+            StructField("click_id", ArrayType(LongType())),
+            StructField("pend_ts", ArrayType(LongType())),
+            StructField("pend_id", ArrayType(LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            c_ts, c_id, p_ts, p_id = (list(x) for x in state.get)
+        else:
+            c_ts, c_id, p_ts, p_id = [], [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # robust to the Arrow bridge handing datetime64[ns] or [us]
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64").tolist()
+            for t, eid, typ in zip(ts_us, pdf["event_id"], pdf["event_type"]):
+                if typ == "click":
+                    i = bisect.bisect_left(c_ts, t)
+                    c_ts.insert(i, t)
+                    c_id.insert(i, int(eid))
+                elif typ == "purchase":
+                    i = bisect.bisect_left(p_ts, t)
+                    p_ts.insert(i, t)
+                    p_id.insert(i, int(eid))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows = []
+        n_emit = bisect.bisect_right(p_ts, wm_us)
+        for t, pid in zip(p_ts[:n_emit], p_id[:n_emit]):
+            j = bisect.bisect_right(c_ts, t) - 1
+            if j >= 0:
+                rows.append((int(key[0]), pid, c_id[j], t - c_ts[j]))
+            else:
+                rows.append((int(key[0]), pid, None, None))
+        p_ts, p_id = p_ts[n_emit:], p_id[n_emit:]
+        # prune clicks: keep the newest one at-or-below the watermark + rest
+        keep_from = max(bisect.bisect_right(c_ts, wm_us) - 1, 0)
+        c_ts, c_id = c_ts[keep_from:], c_id[keep_from:]
+        state.update((c_ts, c_id, p_ts, p_id))
+        # wake this key after the watermark next advances, to flush pendings
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "purchase_id", "click_id", "gap_us"]
+            )
+
+    return (
+        events_stream.filter(F.col("event_type").isin("click", "purchase"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -339,3 +339,79 @@ def test_stream_stream_join_equals_batch(spark, event_files):
         for r in ev.click_purchase_join_batch(spark, SF_SMOKE, window_minutes=10).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_asof_matches_batch_asof(spark, event_files):
+    """The watermark-correct streaming as-of join must equal the batch
+    asof_join on every purchase the final watermark passed. Files are
+    delivered in time-range order (watermark contract: disorder bounded by
+    the delay) — the unordered event_files fixture would violate the
+    contract and legitimately drop late clicks."""
+    import shutil
+    import tempfile
+    import time
+    from pathlib import Path
+
+    from hdp2_5_hive2_spark.timeseries import asof_join
+
+    _, schema = event_files
+    events_all = load_tables(spark, SF_SMOKE)["events"]
+    tmp = Path(tempfile.mkdtemp(prefix="events_asof_stream_"))
+    src = str(tmp / "in")
+    try:
+        # 4 chronological chunks, written sequentially so the file source
+        # (oldest mod-time first) replays them in time order
+        with_us = events_all.withColumn("_us", F.unix_micros("ts"))
+        qs = with_us.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
+        bounds = [None, *qs, None]
+        for i in range(4):
+            chunk = with_us
+            if bounds[i] is not None:
+                chunk = chunk.filter(F.col("_us") > bounds[i])
+            if bounds[i + 1] is not None:
+                chunk = chunk.filter(F.col("_us") <= bounds[i + 1])
+            chunk = chunk.drop("_us")
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)  # distinct mod-time ordering for the file source
+
+        stream = ev.stream_events(spark, src, schema, max_files_per_trigger=1)
+        enriched = ev.streaming_asof_click_enrich(stream, watermark="10 minutes")
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("asof_stream_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.purchase_id: (r.click_id, r.gap_us)
+            for r in spark.sql("SELECT * FROM asof_stream_test").collect()
+        }
+
+        events = spark.read.schema(schema).parquet(src)
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        wm_final = events.agg(
+            (F.unix_micros(F.max("ts")) - 10 * 60 * 1_000_000).alias("wm")
+        ).collect()[0].wm
+        batch = (
+            asof_join(
+                purchases, clicks, on=["user_id"], right_cols=["event_id"], how="left"
+            )
+            .filter(F.unix_micros("ts") <= wm_final)
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("r_event_id").alias("click_id"),
+                (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+            )
+        )
+        want = {r.purchase_id: (r.click_id, r.gap_us) for r in batch.collect()}
+        assert got == want
+        assert len(want) > 0, "test corpus must contain watermark-passed purchases"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
