@@ -69,3 +69,31 @@ def test_salted_join_rejects_outer(spark):
     t = load_tables(spark, SF_CORRECT)
     with pytest.raises(ValueError):
         salted_join(t["orders"], t["customer"], ["o_custkey"], "o_orderkey", how="full")
+
+
+def test_asof_join_rejects_bad_args(spark):
+    from hdp2_5_hive2_spark.timeseries import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k bigint, ts bigint")
+    with pytest.raises(ValueError, match="how"):
+        asof_join(df, df, on=["k"], how="full")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on=["k"], direction="nearest")
+
+
+def test_range_join_rejects_bad_args(spark):
+    from hdp2_5_hive2_spark.plans.range_join import bucketed_range_join
+
+    l = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    r = spark.createDataFrame([(0, 0.0, 2.0)], "tier int, lo double, hi double")
+    with pytest.raises(ValueError, match="inner"):
+        bucketed_range_join(l, "v", r, "lo", "hi", 1.0, how="left")
+    with pytest.raises(ValueError, match="positive"):
+        bucketed_range_join(l, "v", r, "lo", "hi", 0.0)
+
+
+def test_connected_components_empty_edges(spark):
+    from hdp2_5_hive2_spark.llm import curation
+
+    edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert curation.connected_components(edges).count() == 0
