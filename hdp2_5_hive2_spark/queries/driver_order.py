@@ -132,6 +132,7 @@ _OVERFLOW_THIS_ROUND = [
     "llm_knn_classify",       # k-NN majority-vote classification
     "events_asof_join",       # point-in-time merge as-of join
     "events_range_join_bands",  # bucketed range-join rewrite
+    "events_session_funnel",  # sessionize -> funnel conversion rollup
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

@@ -278,3 +278,58 @@ def events_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("sum_event_id"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "events_session_funnel",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 300
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_seq,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM numbered
+      GROUP BY user_id, session_seq
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(count(first_click) AS BIGINT) AS n_with_click,
+           CAST(SUM(CASE WHEN last_purchase >= first_click THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted
+    FROM per_session
+    """,
+    tags=("streaming", "session", "funnel"),
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel conversion (streaming.events.session_ids composite):
+    per 5-minute-gap session, did a click occur, and did a purchase happen
+    at-or-after the first click? One aggregate row (n_sessions,
+    n_with_click, n_converted) — the composed sessionize → per-session
+    conditional min/max → funnel rollup a product-analytics user runs."""
+    e = load_tables(spark, sf_dir)["events"]
+    per = (
+        ev.session_ids(e, gap_minutes=5)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("first_click").alias("n_with_click"),
+        F.sum(
+            F.when(F.col("last_purchase") >= F.col("first_click"), 1).otherwise(0)
+        ).cast("bigint").alias("n_converted"),
+    )

@@ -59,8 +59,9 @@ def sessionize_batch(
     return sessionize_df(ev, gap_minutes=gap_minutes)
 
 
-def sessionize_df(ev: DataFrame, gap_minutes: int = 5) -> DataFrame:
-    """Sessionize an arbitrary (user_id, event_id, ts, ...) frame.
+def session_ids(ev: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Per-event session assignment: the input frame plus a ``session_seq``
+    column (1-based per user, gap-based).
 
     Gap comparison uses unix_micros — full timestamp precision. unix_timestamp
     truncates to whole seconds, which silently mis-classifies any gap within
@@ -78,11 +79,17 @@ def sessionize_df(ev: DataFrame, gap_minutes: int = 5) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    with_id = with_flag.withColumn(
+    return with_flag.withColumn(
         "session_seq", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
+    ).drop("new_session")
+
+
+def sessionize_df(ev: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Sessionize an arbitrary (user_id, event_id, ts, ...) frame into one
+    row per session (see session_ids for the assignment semantics)."""
     return (
-        with_id.groupBy("user_id", "session_seq")
+        session_ids(ev, gap_minutes)
+        .groupBy("user_id", "session_seq")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
