@@ -283,3 +283,97 @@ def context_ngrams(
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap (RAG / context-window prep):
+    one row per chunk — (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Chunk i covers tokens [i*(chunk_tokens-overlap), ... +chunk_tokens);
+    the final chunk may be short; documents shorter than one chunk yield a
+    single chunk. Pure JVM plan: tokenize once per document, explode the
+    chunk-start sequence, slice + rejoin per chunk — zero shuffle, zero
+    Python; chunk fan-out streams through the projection map-side.
+    """
+    if chunk_tokens <= 0 or overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    # start indices 0, step, 2*step ... ; always at least one chunk; no chunk
+    # starting at/after the end (last start <= n_tok-1)
+    starts = F.sequence(F.lit(0), F.greatest(n_tok - 1, F.lit(0)), F.lit(step))
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"), F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous sequence packing (pretraining batch prep): documents are
+    laid end-to-end in a deterministic order (md5(id), id — the same
+    reproducible shuffle as stratified_sample) and cut into fixed
+    ``seq_len``-token training sequences. Returns one row per document:
+    (id, n_tokens, start_offset, bin_id, bin_end_id, spans_boundary) where
+    start_offset is the document's global token offset, bin_id/bin_end_id
+    the sequences containing its first/last token, and spans_boundary
+    whether it straddles a cut.
+
+    This is the non-greedy packing used at scale (greedy first-fit is
+    inherently sequential). The global running offset is a two-phase
+    distributed prefix sum — a bare `Window.orderBy(...)` cumsum would drag
+    every row into ONE partition (Spark's "No Partition Defined" cliff):
+      1. bucket = first 2 hex chars of md5(id): 256 buckets whose order is
+         a prefix of the global (md5, id) order, so per-bucket cumsums
+         (parallel window) compose into the global one;
+      2. bucket base offsets = cumsum over the 256 bucket totals (driver-
+         size aggregate, broadcast back).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col), n_tok.alias("n_tokens"), h.alias("_h"), F.substring(h, 1, 2).alias("_b")
+    )
+    in_bucket = W.partitionBy("_b").orderBy(F.col("_h").asc(), F.col(id_col).asc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    bucket_order = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    bucket_bases = (
+        base.groupBy("_b")
+        .agg(F.sum("n_tokens").alias("_btot"))
+        .withColumn("_base", F.coalesce(F.sum("_btot").over(bucket_order), F.lit(0)))
+        .select("_b", "_base")
+    )
+    return (
+        base.withColumn("_cum", F.sum("n_tokens").over(in_bucket))
+        .join(F.broadcast(bucket_bases), "_b")
+        .withColumn("start_offset", (F.col("_base") + F.col("_cum") - F.col("n_tokens")).cast("bigint"))
+        .withColumn("bin_id", F.floor(F.col("start_offset") / seq_len).cast("bigint"))
+        .withColumn(
+            "bin_end_id",
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / seq_len).cast("bigint"),
+        )
+        .withColumn("spans_boundary", F.col("bin_end_id") > F.col("bin_id"))
+        .select(id_col, "n_tokens", "start_offset", "bin_id", "bin_end_id", "spans_boundary")
+    )

@@ -133,6 +133,8 @@ _OVERFLOW_THIS_ROUND = [
     "events_asof_join",       # point-in-time merge as-of join
     "events_range_join_bands",  # bucketed range-join rewrite
     "events_session_funnel",  # sessionize -> funnel conversion rollup
+    "llm_chunk_documents",    # token chunking with overlap (RAG prep)
+    "llm_pack_sequences",     # contiguous packing via distributed prefix sum
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

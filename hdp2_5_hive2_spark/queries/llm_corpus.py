@@ -887,3 +887,61 @@ def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=e.filter(F.col("vec_id") < 20),
         k=15,
     )
+
+
+@query(
+    "llm_chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(s // 80 AS INTEGER) AS chunk_idx,
+           CAST(len(t[s+1:s+100]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(t[s+1:s+100], ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 1, 0) + 1, 80)) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    )
+    """,
+    tags=("llm", "chunking"),
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token chunking with overlap (llm.text.chunk_documents, 100-token
+    chunks, 20 overlap → stride 80): one row per chunk, RAG/context-window
+    prep. Pure JVM (tokenize once, explode chunk starts, slice+rejoin) —
+    zero shuffle, zero Python."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.chunk_documents(d, chunk_tokens=100, overlap=20)
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           cum - n_tokens AS start_offset,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
+           CAST((cum - 1) // 2048 AS BIGINT) AS bin_end_id,
+           (cum - 1) // 2048 > (cum - n_tokens) // 2048 AS spans_boundary
+    FROM c
+    """,
+    tags=("llm", "packing"),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing into 2048-token training sequences
+    (llm.text.pack_sequences): global token offsets via the two-phase
+    distributed prefix sum (256 md5-prefix buckets cumsum in parallel +
+    broadcast bucket bases — no single-partition global window). The oracle
+    recomputes the same offsets with a plain global window over the
+    identical (md5, id) order."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.pack_sequences(d, seq_len=2048)

@@ -4,6 +4,7 @@ baseline, and the multimodal mapInPandas plumbing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.catalog import load_tables
@@ -293,3 +294,43 @@ def test_stratified_sample_deterministic_topk(spark):
     b = sorted(tuple(r) for r in curation.stratified_sample(df.repartition(7), ["lang"], k=3).collect())
     assert a == b, "sample must be partitioning-invariant"
     assert len(a) == 6 and len({lang for _, lang in a}) == 2
+
+
+def test_chunk_documents_shapes(spark):
+    from hdp2_5_hive2_spark.llm import text as t
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(250))), (2, "a b"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.n_chunk_tokens)
+        for r in t.chunk_documents(df, chunk_tokens=100, overlap=20).collect()
+    )
+    # 250 tokens, stride 80: starts 0,80,160,240 -> sizes 100,100,90,10
+    assert rows == [
+        (1, 0, 100), (1, 1, 100), (1, 2, 90), (1, 3, 10),
+        (2, 0, 2), (3, 0, 1),
+    ]
+    with pytest.raises(ValueError):
+        t.chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_pack_sequences_offsets_are_contiguous(spark):
+    from hdp2_5_hive2_spark.llm import text as t
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["x"] * (10 + i))) for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        t.pack_sequences(df, seq_len=64).collect(), key=lambda r: r.start_offset
+    )
+    # offsets tile the token line exactly, in deterministic md5 order
+    pos = 0
+    for r in rows:
+        assert r.start_offset == pos
+        assert r.bin_id == pos // 64
+        assert r.bin_end_id == (pos + r.n_tokens - 1) // 64
+        assert r.spans_boundary == (r.bin_id != r.bin_end_id)
+        pos += r.n_tokens
