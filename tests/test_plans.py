@@ -183,3 +183,22 @@ def test_stratified_sample_uses_window_group_limit(spark):
     d = load_tables(spark, SF_CORRECT)["documents"]
     plan = _executed(curation.stratified_sample(d, ["lang"], k=5))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_corpus_filter_single_shuffle(spark):
+    """Quality + language are map-side expressions; the ONLY exchange allowed
+    is the md5-fingerprint window electing exact-dup representatives."""
+    from hdp2_5_hive2_spark.llm import curation
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(curation.corpus_filter(d))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    """Chunking is tokenize + explode + slice, all map-side: no Exchange."""
+    from hdp2_5_hive2_spark.llm import text as t
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(t.chunk_documents(d))
+    assert "Exchange" not in plan, plan
