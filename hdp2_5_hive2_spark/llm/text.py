@@ -377,3 +377,24 @@ def pack_sequences(
         .withColumn("spans_boundary", F.col("bin_end_id") > F.col("bin_id"))
         .select(id_col, "n_tokens", "start_offset", "bin_id", "bin_end_id", "spans_boundary")
     )
+
+
+def normalize_text(
+    text_col: Column | str,
+    casefold: bool = True,
+    collapse_ws: bool = True,
+    strip_punct: bool = False,
+) -> Column:
+    """Dedup-grade text normalization (the step pipelines run before
+    fingerprinting/MinHash): optional lowercasing, whitespace collapse, and
+    ASCII punctuation strip. Pure codegen'd regexp/string built-ins; the
+    character classes are spelled ASCII-explicitly so Java and other regex
+    engines agree byte-for-byte."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if casefold:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[!-/:-@\[-`{-~]", " ")
+    if collapse_ws:
+        c = F.regexp_replace(F.trim(c), r"\s+", " ")
+    return c

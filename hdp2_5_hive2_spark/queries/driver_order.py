@@ -135,6 +135,8 @@ _OVERFLOW_THIS_ROUND = [
     "events_session_funnel",  # sessionize -> funnel conversion rollup
     "llm_chunk_documents",    # token chunking with overlap (RAG prep)
     "llm_pack_sequences",     # contiguous packing via distributed prefix sum
+    "llm_normalize_text",     # dedup-grade canonicalization hashes
+    "llm_url_host_stats",     # URL/host accounting (parse_url pipeline)
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

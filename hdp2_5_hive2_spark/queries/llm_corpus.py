@@ -945,3 +945,78 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical (md5, id) order."""
     d = load_tables(spark, sf_dir)["documents"]
     return text.pack_sequences(d, seq_len=2048)
+
+
+@query(
+    "llm_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_md5,
+           md5(regexp_replace(trim(regexp_replace(lower(text), '[!-/:-@\\[-`{-~]', ' ', 'g')),
+                              '\\s+', ' ', 'g')) AS norm_nopunct_md5,
+           length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_norm_chars
+    FROM documents
+    """,
+    tags=("llm", "text", "normalize"),
+)
+def llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-grade normalization (llm.text.normalize_text): md5 of the
+    casefolded/whitespace-collapsed form and of the punctuation-stripped
+    form, plus normalized length — the canonicalization step upstream of
+    fingerprint/MinHash. ASCII-explicit char classes keep Java and the
+    oracle's regex engine byte-identical."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.md5(text.normalize_text("text")).alias("norm_md5"),
+        F.md5(text.normalize_text("text", strip_punct=True)).alias("norm_nopunct_md5"),
+        F.length(text.normalize_text("text")).alias("n_norm_chars"),
+    )
+
+
+@query(
+    "llm_url_host_stats",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' end' AS text
+      FROM documents
+    )
+    SELECT regexp_extract(regexp_extract(text, 'https?://[^ ]+'),
+                          'https?://([^/]+)', 1) AS host,
+           count(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM planted
+    GROUP BY 1
+    """,
+    tags=("llm", "text", "url"),
+)
+def llm_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document stats over planted URLs: extract the first URL
+    (regexp), take its host via Hive's parse_url (FunctionRegistry.java:262
+    GenericUDFParseUrl), aggregate — the URL/domain accounting step of a
+    crawl-curation pipeline (domain blocklists, per-host caps). The oracle
+    mirrors host extraction with a pure regexp since DuckDB lacks
+    parse_url."""
+    d = load_tables(spark, sf_dir)["documents"]
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    url = F.regexp_extract(F.col("text"), r"https?://[^ ]+", 0)
+    return (
+        planted.select("doc_id", F.parse_url(url, F.lit("HOST")).alias("host"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
