@@ -137,6 +137,7 @@ _OVERFLOW_THIS_ROUND = [
     "llm_pack_sequences",     # contiguous packing via distributed prefix sum
     "llm_normalize_text",     # dedup-grade canonicalization hashes
     "llm_url_host_stats",     # URL/host accounting (parse_url pipeline)
+    "events_asof_join_forward",  # forward as-of (time-to-first-action)
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

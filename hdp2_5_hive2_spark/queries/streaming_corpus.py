@@ -333,3 +333,35 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("last_purchase") >= F.col("first_click"), 1).otherwise(0)
         ).cast("bigint").alias("n_converted"),
     )
+
+
+@query(
+    "events_asof_join_forward",
+    oracle="""
+    SELECT s.user_id AS user_id, s.event_id AS signup_id, c.event_id AS next_click_id,
+           date_diff('microsecond', CAST(s.ts AS TIMESTAMP), CAST(c.ts AS TIMESTAMP)) AS lead_us
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON s.user_id = c.user_id AND CAST(s.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+    """,
+    tags=("timeseries", "asof"),
+)
+def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (timeseries.asof_join direction='forward'): each
+    signup picks the user's EARLIEST click at-or-after it — time-to-first-
+    action attribution, the mirror scan of the backward merge plan. Oracle
+    is DuckDB ASOF JOIN with the <= inequality."""
+    from hdp2_5_hive2_spark.timeseries import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    res = asof_join(
+        signups, clicks, on=["user_id"], right_cols=["event_id"], direction="forward"
+    )
+    return res.select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("r_event_id").alias("next_click_id"),
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("lead_us"),
+    )
