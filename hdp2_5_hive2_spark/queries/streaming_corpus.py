@@ -365,3 +365,55 @@ def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("next_click_id"),
         (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("lead_us"),
     )
+
+
+@query(
+    "events_asof_join_nearest",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'signup'),
+    c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click'),
+    b AS (SELECT s.user_id, s.event_id AS sid, s.ts AS sts,
+                 c.event_id AS bid, c.ts AS bts
+          FROM s ASOF LEFT JOIN c
+            ON s.user_id = c.user_id AND s.ts >= c.ts),
+    f AS (SELECT s.user_id, s.event_id AS sid,
+                 c.event_id AS fid, c.ts AS fts
+          FROM s ASOF LEFT JOIN c
+            ON s.user_id = c.user_id AND s.ts <= c.ts)
+    SELECT b.user_id AS user_id, b.sid AS signup_id,
+           CASE WHEN f.fid IS NULL
+                     OR (b.bid IS NOT NULL
+                         AND epoch_us(b.sts) - epoch_us(b.bts)
+                             <= epoch_us(f.fts) - epoch_us(b.sts))
+                THEN b.bid ELSE f.fid END AS nearest_click_id,
+           CASE WHEN f.fid IS NULL
+                     OR (b.bid IS NOT NULL
+                         AND epoch_us(b.sts) - epoch_us(b.bts)
+                             <= epoch_us(f.fts) - epoch_us(b.sts))
+                THEN epoch_us(b.sts) - epoch_us(b.bts)
+                ELSE epoch_us(f.fts) - epoch_us(b.sts) END AS gap_us
+    FROM b JOIN f ON b.sid = f.sid
+    WHERE coalesce(b.bid, f.fid) IS NOT NULL
+    """,
+    tags=("timeseries", "asof"),
+)
+def events_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of (timeseries.asof_join_nearest): each signup
+    picks whichever click — latest-before or earliest-after — is closer in
+    time, ties to the earlier one. Dual carry over ONE key shuffle (asc +
+    desc sorted windows); the oracle composes DuckDB's backward and forward
+    ASOF joins and re-derives the same pick."""
+    from hdp2_5_hive2_spark.timeseries import asof_join_nearest
+
+    e = load_tables(spark, sf_dir)["events"]
+    signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    res = asof_join_nearest(signups, clicks, on=["user_id"], right_cols=["event_id"])
+    return res.select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("r_event_id").alias("nearest_click_id"),
+        F.abs(F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )

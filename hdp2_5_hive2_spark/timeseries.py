@@ -101,3 +101,84 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Nearest-neighbor as-of: for every left row, the right row minimizing
+    |right_ts - left_ts|; equidistant ties go to the EARLIER right row
+    (pandas merge_asof direction='nearest' convention).
+
+    Same union/carry machinery as asof_join, but BOTH directions are
+    carried over the same shuffled frame — an ascending and a descending
+    sorted window on one exchange — and a per-row conditional picks the
+    closer side. No rejoin, so duplicate (key, ts) left rows are handled
+    naturally; cost is one shuffle + two in-partition sorts.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join_nearest: how must be 'inner' or 'left', got {how!r}")
+    on = list(on)
+    right_cols = list(right_cols)
+
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+    r_struct = F.struct(
+        F.col(right_ts).alias("asof_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    )
+    r_struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+    l_side = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias(_TAG),
+        *left_payload,
+        F.lit(None).cast(r_struct_type).alias("_r"),
+    )
+    r_side = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias(_TAG),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        r_struct.alias("_r"),
+    )
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").desc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l_side.unionByName(r_side)
+        .withColumn("_mb", F.last("_r", ignorenulls=True).over(w_back))
+        .withColumn("_mf", F.last("_r", ignorenulls=True).over(w_fwd))
+    )
+    ts_long = (
+        (lambda c: c.cast("long"))
+        if dict(left.dtypes)[left_ts] in ("bigint", "int", "long")
+        else F.unix_micros
+    )
+    bt, ft = F.col("_mb.asof_ts"), F.col("_mf.asof_ts")
+    take_back = ft.isNull() | (
+        bt.isNotNull() & ((ts_long(F.col("_ts")) - ts_long(bt)) <= (ts_long(ft) - ts_long(F.col("_ts"))))
+    )
+    m = F.when(take_back, F.col("_mb")).otherwise(F.col("_mf"))
+    out = carried.filter(F.col(_TAG) == 1).select(
+        *on,
+        F.col("_ts").alias(left_ts),
+        *left_payload,
+        m.getField("asof_ts").alias("asof_ts"),
+        *[m.getField(f"r_{c}").alias(f"r_{c}") for c in right_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col("asof_ts").isNotNull())
+    return out

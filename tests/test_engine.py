@@ -99,3 +99,36 @@ def test_asof_join_forward_direction(spark):
         ).collect()
     }
     assert out == {"p1": (100, "r100"), "p2": (50, "r50"), "p3": (None, None)}
+
+
+def test_asof_join_nearest(spark):
+    """Nearest picks min |gap|, ties to the earlier right row; unmatched
+    only when the key has no right rows at all."""
+    from hdp2_5_hive2_spark.timeseries import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 7, "p2"), (1, 300, "p3"), (2, 5, "p4")],
+        "k bigint, ts bigint, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "r90"), (1, 104, "r104"), (1, 102, "r102")],
+        "k bigint, ts bigint, tag string",
+    )
+    out = {
+        r.name: (r.asof_ts, r.r_tag)
+        for r in asof_join_nearest(
+            left, right, on=["k"], right_cols=["tag"], how="left"
+        ).collect()
+    }
+    # p1@100: back=90 (gap 10), fwd=102 (gap 2) -> r102
+    # p2@7: no back -> fwd r90; p3@300: no fwd -> back r104
+    # tie case: left@97 would be gap 7 both sides -> earlier (r90)
+    assert out == {
+        "p1": (102, "r102"), "p2": (90, "r90"), "p3": (104, "r104"), "p4": (None, None)
+    }
+    tie_left = spark.createDataFrame([(1, 97, "t")], "k bigint, ts bigint, name string")
+    tie_right = spark.createDataFrame(
+        [(1, 90, "r90"), (1, 104, "r104")], "k bigint, ts bigint, tag string"
+    )
+    got = asof_join_nearest(tie_left, tie_right, on=["k"], right_cols=["tag"]).collect()[0]
+    assert (got.asof_ts, got.r_tag) == (90, "r90")
