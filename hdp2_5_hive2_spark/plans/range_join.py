@@ -39,11 +39,12 @@ def bucketed_range_join(
     ``right.lo_col <= left.value_col <= right.hi_col`` (inclusive BETWEEN),
     via fixed-width bucket equi-join. Returns left columns + right columns.
 
-    how='inner' only — outer range joins need an anti-join on the same
-    bucketed candidate set; compose explicitly if needed.
+    how='left' additionally keeps left rows matching no range (right
+    columns NULL) — the inner candidate set anti-joined back against the
+    left side, still no nested loop anywhere.
     """
-    if how != "inner":
-        raise ValueError("bucketed_range_join supports how='inner' only")
+    if how not in ("inner", "left"):
+        raise ValueError("bucketed_range_join: how must be 'inner' or 'left'")
     w = float(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
@@ -57,8 +58,14 @@ def bucketed_range_join(
             )
         ),
     )
-    return (
+    inner = (
         l_b.join(r_b, _BUCKET)
         .where(F.col(value_col).between(F.col(lo_col), F.col(hi_col)))
         .drop(_BUCKET)
     )
+    if how == "inner":
+        return inner
+    unmatched = left.join(inner.select(*left.columns), left.columns, "left_anti")
+    for c in right.columns:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    return inner.unionByName(unmatched)

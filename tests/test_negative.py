@@ -87,7 +87,7 @@ def test_range_join_rejects_bad_args(spark):
     l = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
     r = spark.createDataFrame([(0, 0.0, 2.0)], "tier int, lo double, hi double")
     with pytest.raises(ValueError, match="inner"):
-        bucketed_range_join(l, "v", r, "lo", "hi", 1.0, how="left")
+        bucketed_range_join(l, "v", r, "lo", "hi", 1.0, how="full")
     with pytest.raises(ValueError, match="positive"):
         bucketed_range_join(l, "v", r, "lo", "hi", 0.0)
 

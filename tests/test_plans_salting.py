@@ -103,3 +103,23 @@ def test_bucketed_range_join_equals_bnlj_and_avoids_it(spark):
     assert matches == {1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 1, 7: 0}
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_bucketed_range_join_left_outer(spark):
+    """how='left' keeps non-matching left rows with NULL right columns and
+    equals the naive left BETWEEN join."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.plans.range_join import bucketed_range_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 999.0), (3, -5.0)], "id bigint, v double"
+    )
+    bands = spark.createDataFrame(
+        [(0, 0.0, 65.0), (1, 40.0, 105.0)], "tier int, lo double, hi double"
+    )
+    fast = bucketed_range_join(left, "v", bands, "lo", "hi", 40.0, how="left")
+    naive = left.join(bands, F.col("v").between(F.col("lo"), F.col("hi")), "left")
+    key = lambda df: sorted((r.id, r.tier) for r in df.collect())
+    assert key(fast) == key(naive)
+    assert key(fast) == [(1, 0), (2, None), (3, None)]
