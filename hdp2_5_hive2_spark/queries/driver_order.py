@@ -139,6 +139,7 @@ _OVERFLOW_THIS_ROUND = [
     "llm_url_host_stats",     # URL/host accounting (parse_url pipeline)
     "events_asof_join_forward",  # forward as-of (time-to-first-action)
     "events_asof_join_nearest",  # nearest as-of (dual carry, one shuffle)
+    "events_interval_join_incidents",  # interval overlap via bucket join
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

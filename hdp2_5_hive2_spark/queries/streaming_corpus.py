@@ -417,3 +417,66 @@ def events_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("nearest_click_id"),
         F.abs(F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("gap_us"),
     )
+
+
+@query(
+    "events_interval_join_incidents",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 300
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_seq,
+             epoch_us(min(ts)) AS s_lo, epoch_us(max(ts)) AS s_hi
+      FROM numbered GROUP BY user_id, session_seq
+    ), mn AS (
+      SELECT epoch_us(min(CAST(ts AS TIMESTAMP))) AS m FROM events
+    ), inc AS (
+      SELECT CAST(i AS INTEGER) AS incident_id,
+             m + i * 108000000000 AS i_lo,
+             m + i * 108000000000 + 1800000000 AS i_hi
+      FROM mn, generate_series(0, 23) AS g(i)
+    )
+    SELECT incident_id, count(*) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM sess JOIN inc ON s_lo <= i_hi AND i_lo <= s_hi
+    GROUP BY incident_id
+    """,
+    tags=("timeseries", "intervaljoin"),
+)
+def events_interval_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (plans.range_join.bucketed_interval_join):
+    5-minute-gap user sessions overlapped with 24 synthetic 30-minute
+    incident windows spaced 30 h apart — "sessions affected per incident".
+    Bucketed both sides (30-min buckets), pairs deduped by emitting only
+    from the max(lo) bucket; the oracle runs the naive inequality join."""
+    from hdp2_5_hive2_spark.plans.range_join import bucketed_interval_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    sess = ev.sessionize_batch(spark, sf_dir, gap_minutes=5).select(
+        "user_id",
+        F.unix_micros("session_start").alias("s_lo"),
+        F.unix_micros("session_end").alias("s_hi"),
+    )
+    mn = e.agg(F.min(F.unix_micros("ts"))).first()[0]
+    incidents = spark.createDataFrame(
+        [(i, mn + i * 108_000_000_000, mn + i * 108_000_000_000 + 1_800_000_000)
+         for i in range(24)],
+        "incident_id int, i_lo bigint, i_hi bigint",
+    )
+    j = bucketed_interval_join(
+        sess, "s_lo", "s_hi", incidents, "i_lo", "i_hi", bucket_width=1_800_000_000.0
+    )
+    return j.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -123,3 +123,29 @@ def test_bucketed_range_join_left_outer(spark):
     key = lambda df: sorted((r.id, r.tier) for r in df.collect())
     assert key(fast) == key(naive)
     assert key(fast) == [(1, 0), (2, None), (3, None)]
+
+
+def test_bucketed_interval_join_equals_naive(spark):
+    """Overlap semantics (inclusive, containment, multi-bucket spans) equal
+    the naive inequality join, each pair exactly once, no nested loop."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.plans.range_join import bucketed_interval_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 200.0), (3, 300.0, 301.0)],
+        "lid bigint, a_lo double, a_hi double",
+    )
+    right = spark.createDataFrame(
+        [(10, 9.0, 12.0), (11, 50.0, 60.0), (12, 150.0, 400.0), (13, 500.0, 600.0)],
+        "rid bigint, b_lo double, b_hi double",
+    )
+    fast = bucketed_interval_join(left, "a_lo", "a_hi", right, "b_lo", "b_hi", 40.0)
+    naive = left.join(
+        right, (F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi"))
+    )
+    key = lambda df: sorted((r.lid, r.rid) for r in df.collect())
+    assert key(fast) == key(naive)
+    assert key(fast) == [(1, 10), (2, 10), (2, 11), (2, 12), (3, 12)]
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
