@@ -221,7 +221,8 @@ def corpus_filter(
     pipeline a pretraining corpus actually runs, one row per input doc:
 
       quality_keep   C4/Gopher heuristics (llm.text.quality_score >= 2)
-      lang_keep      predicted language agrees with the tagged one
+      lang_keep      predicted language agrees with the tagged one (the
+                     input must carry a ``lang`` column)
       is_canonical   minimum-id representative of its exact-dup group
       keep           conjunction of the three
 

@@ -86,7 +86,8 @@ def bucketed_interval_join(
     interval covers; overlapping pairs necessarily co-occur in the bucket
     containing ``max(l_lo, r_lo)``, and emitting ONLY from that bucket
     dedupes pairs that share several buckets without a distinct(). Column
-    names must be disjoint between the two inputs.
+    names must be disjoint between the two inputs; bounds must be numeric
+    (convert timestamps with unix_micros first).
 
     Scale: shuffle keys are buckets; fan-out per interval is
     interval_width / bucket_width + 1 — pick bucket_width near the typical
