@@ -140,6 +140,8 @@ _OVERFLOW_THIS_ROUND = [
     "events_asof_join_forward",  # forward as-of (time-to-first-action)
     "events_asof_join_nearest",  # nearest as-of (dual carry, one shuffle)
     "events_interval_join_incidents",  # interval overlap via bucket join
+    "llm_split_assign",       # deterministic hash train/val/test split
+    "llm_mixture_rates",      # data-mixing sampling-rate arithmetic
 ]
 
 _PRIORITY = _DARK_46 + _CHANGED_THIS_ROUND + _NEW_THIS_ROUND + _OVERFLOW_THIS_ROUND

@@ -1020,3 +1020,82 @@ def llm_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+@query(
+    "llm_split_assign",
+    oracle="""
+    SELECT split, count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM (
+      SELECT doc_id,
+             CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        FROM documents
+      )
+    )
+    GROUP BY split
+    """,
+    tags=("llm", "curation", "split"),
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (90/5/5): bucket =
+    first 8 md5 hex digits of the id mod 100 — stable across runs, engines
+    and partitionings, the standard leakage-safe split assignment. Counts +
+    id checksums per split."""
+    d = load_tables(spark, sf_dir)["documents"]
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return (
+        d.select(
+            "doc_id",
+            F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split"),
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_checksum"))
+    )
+
+
+@query(
+    "llm_mixture_rates",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM counts),
+    tgt AS (SELECT source, CAST(target_share AS DOUBLE) AS target_share
+            FROM (VALUES ('src0', 0.02), ('src1', 0.04), ('src2', 0.10))
+            AS t(source, target_share))
+    SELECT c.source AS source, c.n_docs AS n_docs,
+           CAST(c.n_docs AS DOUBLE) / t.total AS actual_share,
+           coalesce(g.target_share, 0.0) AS target_share,
+           least(coalesce(g.target_share, 0.0) / (CAST(c.n_docs AS DOUBLE) / t.total), 1.0)
+             AS sample_rate
+    FROM counts c CROSS JOIN tot t LEFT JOIN tgt g ON c.source = g.source
+    """,
+    tags=("llm", "curation", "mixing"),
+)
+def llm_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing sampling rates: per source, the down-sampling rate that
+    would hit a target mixture (rate = target_share / actual_share, capped
+    at 1) — the budget arithmetic of a training-mix builder. Every double
+    comes from exactly-rounded IEEE divisions over exact integer counts, so
+    both engines agree bit-for-bit."""
+    d = load_tables(spark, sf_dir)["documents"]
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    tgt = d.sparkSession.createDataFrame(
+        [("src0", 0.02), ("src1", 0.04), ("src2", 0.10)],
+        "source string, target_share double",
+    )
+    j = counts.crossJoin(F.broadcast(total)).join(F.broadcast(tgt), "source", "left")
+    share = F.col("n_docs").cast("double") / F.col("total")
+    t_share = F.coalesce(F.col("target_share"), F.lit(0.0))
+    return j.select(
+        "source",
+        "n_docs",
+        share.alias("actual_share"),
+        t_share.alias("target_share"),
+        F.least(t_share / share, F.lit(1.0)).alias("sample_rate"),
+    )
