@@ -1,7 +1,7 @@
 """The driver verifies queries in alphabetical-name order with a bounded
-budget (rounds 1-2: exactly the first 50 names each). These tests pin the
-contract that makes that order OUR priority order, and the round-3 rotation
-that pulls the 46 never-verified queries into the driver window."""
+budget (rounds 1-3: ~the first 50 names each). These tests pin the contract
+that makes that order OUR priority order, and the round-4 rotation that pulls
+the never-verified queries into the driver window."""
 
 from __future__ import annotations
 
@@ -12,6 +12,7 @@ import re
 import __spark_entry__ as entry_mod
 from hdp2_5_hive2_spark.queries import REGISTRY
 from hdp2_5_hive2_spark.queries.driver_order import (
+    _NEW_THIS_ROUND,
     dark_queries,
     driver_order,
     driver_registry,
@@ -48,10 +49,9 @@ def test_prefixed_alphabetical_order_is_priority_order():
 
 
 def test_rotation_puts_every_dark_query_inside_the_50_name_window():
-    """Round-3 contract: every registry query with no r01/r02 driver verdict
-    must sort inside the first 50 names; everything already green sits behind
-    them (except the explicitly re-queued changed-this-round pair and
-    queries newly added this round)."""
+    """Round-4 contract: every registry query with no r01-r03 driver verdict
+    (the recorded-dark 19 plus anything added this round) must sort inside
+    the first 50 names; everything already green sits behind them."""
     green = _green_union()
     dark = {n for n in REGISTRY if n not in green}
     assert set(dark_queries()) <= dark, (
@@ -62,26 +62,21 @@ def test_rotation_puts_every_dark_query_inside_the_50_name_window():
     assert set(dark_queries()) == set(first[:n_listed]), (
         "recorded-dark queries must lead the window"
     )
-    # everything dark fits the window OR is an explicit overflow entry queued
-    # immediately after position 049 (added once the window was already full;
-    # rolls into the next rotation if the driver budget stays at 50).
-    from hdp2_5_hive2_spark.queries.driver_order import _OVERFLOW_THIS_ROUND
-
-    overflow = dark - set(first)
-    assert overflow <= set(_OVERFLOW_THIS_ROUND), (
-        f"dark queries neither in window nor queued as overflow: "
-        f"{overflow - set(_OVERFLOW_THIS_ROUND)}"
-    )
-    order = driver_order()
-    assert order[50 : 50 + len(_OVERFLOW_THIS_ROUND)] == _OVERFLOW_THIS_ROUND, (
-        "overflow entries must sit directly behind the 50-name window"
+    # new-this-round queries (dark by definition) come directly after, and
+    # ALL dark queries must fit the 50-name window this round.
+    assert first[n_listed : n_listed + len(_NEW_THIS_ROUND)] == _NEW_THIS_ROUND
+    assert dark <= set(first), (
+        f"dark queries outside the 50-name window: {dark - set(first)}"
     )
 
 
-def test_changed_queries_requeued_right_after_dark_block():
-    order = driver_order()
-    n_dark = len(dark_queries())
-    assert order[n_dark : n_dark + 2] == ["q2_min_cost_supplier", "llm_ann_topk"]
+def test_new_queries_listed_in_rotation_tier():
+    """Every registry query with no driver verdict must be explicitly placed
+    in a rotation tier (not silently appended alphabetically)."""
+    green = _green_union()
+    dark = {n for n in REGISTRY if n not in green}
+    placed = set(dark_queries()) | set(_NEW_THIS_ROUND)
+    assert dark <= placed, f"unplaced dark queries: {dark - placed}"
 
 
 def test_entry_module_exposes_prefixed_names_consistently():
