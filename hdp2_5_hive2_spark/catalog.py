@@ -54,16 +54,22 @@ def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _read_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-        # Read it as epoch-nanos long, then truncate to microseconds — Spark's
-        # native timestamp precision. Set the conf here (not only in
-        # session.py) because the driver may hand us its own SparkSession.
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # version the reader either rejects it unless
+        # spark.sql.legacy.parquet.nanosAsLong=true reads it as epoch-nanos
+        # BIGINT (<= 4.0), or reads it natively as TIMESTAMP_NTZ truncated to
+        # micros (4.1+, where the legacy conf is ignored). Handle both by
+        # branching on the resolved schema, normalizing to the session-zone
+        # TIMESTAMP type (sessions run UTC, so the wall-clock is identical).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows double precision
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows double
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

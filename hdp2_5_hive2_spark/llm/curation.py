@@ -268,3 +268,52 @@ def stratified_sample(
     order = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(*strata_cols).orderBy(order.asc(), F.col(id_col).asc())
     return df.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k).drop("_rk")
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate_col: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-row weighted (Bernoulli) sampling: keep a row iff
+    u(id) < rate, where u(id) = (first 8 md5 hex digits of the id) / 2^32 —
+    a uniform-ish [0,1) draw that is stable across runs, partitionings and
+    engines (``df.sample`` is none of those). ``rate_col`` is any Column in
+    [0,1] — typically the per-source rate from ``llm_mixture_rates`` or a
+    quality-derived weight — so this is the executing half of a mixture
+    builder: rates say HOW MUCH to keep, this decides WHICH rows.
+
+    Map-side only: one md5 + one compare per row, zero shuffle, and the
+    filter sits directly on the scan so column pruning/pushdown survive.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return df.withColumn("u", u).filter(F.col("u") < rate_col)
+
+
+def cross_corpus_exact_dedup(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-match cross-corpus decontamination: drop every training document
+    whose normalized text (lowercase, whitespace-collapsed) appears verbatim
+    in the evaluation corpus — the cheap first line before the n-gram overlap
+    protocol (``decontaminate``). Returns the surviving training rows.
+
+    Plan: both sides reduce to 16-byte md5 fingerprints; the eval fingerprint
+    set is distinct'd and BROADCAST (eval suites are small by construction),
+    so the training corpus anti-joins map-side — zero shuffle of train text.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    ev = eval_df.select(F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    ).alias("fp")).distinct()
+    return (
+        train.withColumn("fp", F.md5(normalized))
+        .join(F.broadcast(ev), "fp", "left_anti")
+        .drop("fp")
+    )

@@ -1,0 +1,212 @@
+"""Corpus-statistics / retrieval-scoring operators: TF-IDF, BM25 ranking,
+vocabulary coverage, and bigram-novelty scoring over a document table.
+
+Heritage: the reference's text surface stops at the ngrams/context_ngrams
+UDAFs (ql/udf/generic/GenericUDAFnGrams.java, FunctionRegistry.java:398-399);
+these extend it with the inverted-index statistics a training-data pipeline
+uses for quality weighting, retrieval-based filtering, and tokenizer/vocab
+budgeting. All scoring is classic Robertson/Sparck-Jones BM25 shape, with one
+deliberate twist for cross-engine verifiability: the idf factors omit the
+final `ln` (Java's Math.log and C libm are not correctly-rounded, so their
+last ulp can disagree) and use the raw odds ratio instead — a monotonic
+transform, so rankings are identical, and every arithmetic step is a single
+IEEE-754 double op that both Spark and the DuckDB oracle round identically.
+
+Scale notes (100 TB):
+  - Tokenize-and-explode is pure codegen (`explode(split(...))` — no Python,
+    no higher-order lambdas); the only shuffles are the (doc, term) count
+    aggregation and the much smaller per-term document-frequency aggregation.
+  - Document-frequency / vocabulary tables are bounded by vocabulary size,
+    not corpus size (heaps' law: ~millions of rows at 100 TB) — they are
+    broadcast-joined back against per-doc stats; the corpus never re-shuffles.
+  - Corpus-level scalars (doc count, avg doc length) ride a broadcast
+    one-row cross join, never a driver-side collect.
+  - vocab_coverage's running sum windows over the POST-AGGREGATION vocabulary
+    table ordered by count — a single-partition window over a vocab-sized
+    input, the same shape as Hive's final ORDER BY reducer, explicitly NOT
+    run over corpus-sized data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.llm.text import token_count, tokens
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id_col, term, tf) — per-document term counts.
+
+    `explode(split(..))` + hash agg: whole-stage-codegen'd, one shuffle on
+    (doc, term). Empty-string terms cannot arise (split on `\\s+` of trimmed
+    non-empty text)."""
+    return (
+        df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_frequencies(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(term, df_term) — number of documents containing each term, derived
+    from the already-deduplicated (doc, term) tf frame: no second pass over
+    text, one vocab-sized aggregation."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf, idf as the raw
+    inverse-document-frequency ratio N/df (log-free: see module docstring).
+
+    Output: (id_col, term, tf, df_term, score), ties broken by term asc.
+    The per-doc rank filter compiles to WindowGroupLimit (top-k pushdown),
+    so each partition keeps a k-row heap per doc, never a full sort."""
+    tf = term_frequencies(df, text_col, id_col)
+    dfq = doc_frequencies(tf, id_col)
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf").cast("double") * F.col("n_docs") / F.col("df_term"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "df_term", "score")
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    topk: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``topk`` documents for a bag-of-words query under BM25 scoring
+    (k1=1.2, b=0.75), idf = (N - df + 0.5)/(df + 0.5) without the final log
+    (monotonic — identical ranking, bit-identical doubles cross-engine).
+
+    Determinism discipline: per-term scores are pivoted into FIXED columns
+    and summed in query-term order — a sum() aggregate over doubles would
+    accumulate in partition order and differ between engines.
+
+    Plan: tf rows are filtered to the query terms *before* any join (the
+    filter reaches the scan side of the agg), so everything downstream is
+    (matching docs × |query|) sized; df/N/avgdl stats ride broadcasts.
+    """
+    terms = list(query_terms)
+    tf_all = term_frequencies(df, text_col, id_col)
+    tf = tf_all.filter(F.col("term").isin(terms))
+    dfq = doc_frequencies(tf_all, id_col).filter(F.col("term").isin(terms))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(token_count(text_col)).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dl = df.select(id_col, token_count(text_col).alias("dl"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            ((F.col("n_docs") - F.col("df_term") + F.lit(0.5)) / (F.col("df_term") + F.lit(0.5)))
+            * (F.col("tf") * F.lit(2.2))
+            / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))),
+        )
+    )
+    pivoted = scored.groupBy(id_col).pivot("term", terms).agg(F.first("s"))
+    total = None
+    for t in terms:
+        c = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        total = c if total is None else total + c
+    ranked = pivoted.select(id_col, total.alias("score"))
+    return (
+        ranked.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+        )
+        .filter(F.col("rn") <= topk)
+        .select(id_col, "score", F.col("rn").alias("rank"))
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, top: int = 25, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-frequency vocabulary with cumulative corpus coverage: the table
+    a tokenizer-budget decision reads ("the top V words cover X% of all
+    tokens"). Output: (rank, term, cnt, cum_frac) for the ``top`` terms,
+    count desc / term asc.
+
+    cum_frac = running bigint count / total tokens — exact integers until one
+    final double division."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # The grand total rides the SAME single-partition window pass as the
+    # running sum (unbounded-unbounded frame) — a separate counts.agg()
+    # scalar would duplicate the whole scan+explode+agg subtree in the plan.
+    ww = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    run = ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = ww.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        counts.withColumn("rank", F.row_number().over(ww))
+        .withColumn("cum", F.sum("cnt").over(run))
+        .withColumn("total_tokens", F.sum("cnt").over(tot))
+        .filter(F.col("rank") <= top)
+        .select(
+            "rank",
+            "term",
+            "cnt",
+            (F.col("cum").cast("double") / F.col("total_tokens")).alias("cum_frac"),
+        )
+    )
+
+
+def bigram_novelty(
+    df: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the share of a document's DISTINCT bigrams that
+    are corpus-rare (document frequency < ``min_df``) — high novelty flags
+    out-of-distribution or noisy text, low novelty flags boilerplate. The
+    Gopher-style repetition filters look *within* a document
+    (`llm.text.repetition_stats`); this is the cross-document complement.
+
+    Output: (id_col, n_bigrams, n_common, novelty_frac).
+
+    Plan: one Arrow pass emits distinct-within-doc bigram rows
+    (curation.word_ngram_rows — no higher-order lambdas), one vocab-sized
+    aggregation computes bigram document frequency, and the rows join back
+    on the bigram string. Documents with < 2 tokens emit nothing on either
+    engine."""
+    from hdp2_5_hive2_spark.llm.curation import word_ngram_rows
+
+    rows = word_ngram_rows(df, text_col, id_col, n=2)
+    dfq = rows.groupBy("ngram").agg(F.count(F.lit(1)).alias("bg_df"))
+    return (
+        rows.join(dfq, "ngram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("bg_df") >= min_df, 1).otherwise(0)).alias("n_common"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "n_common",
+            (F.lit(1.0) - F.col("n_common").cast("double") / F.col("n_bigrams")).alias(
+                "novelty_frac"
+            ),
+        )
+    )

@@ -16,5 +16,6 @@ from hdp2_5_hive2_spark.queries import llm_corpus  # noqa: F401  (dedup/similari
 from hdp2_5_hive2_spark.queries import streaming_corpus  # noqa: F401  (event-time windows)
 from hdp2_5_hive2_spark.queries import storage_corpus  # noqa: F401  (write-path round trips)
 from hdp2_5_hive2_spark.queries import hive_surface  # noqa: F401  (TRANSFORM/LATERAL VIEW/PTF)
+from hdp2_5_hive2_spark.queries import retrieval_corpus  # noqa: F401  (tfidf/bm25/stats parity)
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

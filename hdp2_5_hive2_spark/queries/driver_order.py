@@ -53,7 +53,18 @@ _DARK_R4 = [
 
 # Tier 2 — queries added in round 4 (no verdict possible yet). Keep this list
 # in sync as operators land; they must sit inside the ~50-name window.
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    # retrieval statistics + curation (llm/retrieval.py, llm/curation.py)
+    "llm_tfidf_topterms",
+    "llm_bm25_rank",
+    "llm_vocab_coverage",
+    "llm_bigram_novelty",
+    "llm_weighted_sample",
+    "llm_cross_dedup",
+    # ANALYZE TABLE column-stats parity (stats.py)
+    "analyze_table_stats",
+    "analyze_ndv_sketch",
+]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale
 # verdict no longer covers the shipped code.

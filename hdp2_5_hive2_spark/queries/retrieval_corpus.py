@@ -1,0 +1,292 @@
+"""Round-4 corpus: retrieval statistics (TF-IDF / BM25 / vocabulary
+coverage / bigram novelty), mixture-executing sampling, cross-corpus exact
+decontamination, and ANALYZE TABLE column-statistics parity.
+
+Oracle discipline: every floating-point value is produced by a FIXED
+expression tree of single IEEE-754 ops over exact integers (counts, lengths,
+md5-derived buckets) — no transcendental functions (log idf is replaced by
+the monotonic raw odds ratio, see llm/retrieval.py) and no order-dependent
+double accumulation (BM25 term scores are pivoted into fixed columns and
+added left-to-right; coverage fractions divide exact bigint running sums) —
+so Spark and DuckDB agree bitwise and the driver hash-compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark import stats
+from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.llm import curation, retrieval
+from hdp2_5_hive2_spark.queries.registry import query
+
+# Shared tokenization CTE (DuckDB side) — mirrors llm.text.tokens.
+_TOK_CTE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    )
+"""
+
+
+@query(
+    "llm_tfidf_topterms",
+    oracle=_TOK_CTE
+    + """
+    , tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS df_term FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df_term, score FROM (
+      SELECT t.doc_id, t.term, t.tf, d.df_term,
+             CAST(t.tf AS DOUBLE) * n.n_docs / d.df_term AS score,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY CAST(t.tf AS DOUBLE) * n.n_docs / d.df_term DESC, t.term
+             ) AS rn
+      FROM tf t JOIN dfq d USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    tags=("llm", "retrieval", "tfidf"),
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf (log-free ratio
+    idf; reference text surface: GenericUDAFnGrams.java stops at raw n-gram
+    counting — this is the weighting layer above it). Top-k per doc compiles
+    to WindowGroupLimit."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.tfidf_top_terms(d, k=3)
+
+
+@query(
+    "llm_bm25_rank",
+    oracle=_TOK_CTE
+    + """
+    , tf_all AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS df_term FROM tf_all GROUP BY term
+    ), st AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+               / count(*) AS avgdl
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents
+    ), s AS (
+      -- literals are CAST to DOUBLE: DuckDB parses 2.2 as DECIMAL and would
+      -- carry decimal arithmetic where Spark computes IEEE doubles.
+      SELECT t.doc_id, t.term,
+             ((CAST(n.n_docs AS DOUBLE) - d.df_term + CAST(0.5 AS DOUBLE))
+                / (CAST(d.df_term AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+               / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * (l.dl / n.avgdl))) AS s
+      FROM tf_all t
+      JOIN dfq d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN st n
+      WHERE t.term IN ('spark', 'join', 'window')
+    ), p AS (
+      SELECT doc_id,
+             coalesce(MAX(CASE WHEN term = 'spark'  THEN s END), 0.0)
+           + coalesce(MAX(CASE WHEN term = 'join'   THEN s END), 0.0)
+           + coalesce(MAX(CASE WHEN term = 'window' THEN s END), 0.0) AS score
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM p
+    ) WHERE rank <= 15
+    """,
+    tags=("llm", "retrieval", "bm25"),
+)
+def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents for the query {spark, join, window} under BM25
+    (k1=1.2, b=0.75; log-free idf — identical ranking, bit-stable doubles).
+    Per-term scores pivot into fixed columns summed in term order."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.bm25_rank(d, ["spark", "join", "window"], topk=15)
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle=_TOK_CTE
+    + """
+    , counts AS (
+      SELECT term, count(*) AS cnt FROM tok GROUP BY term
+    ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM counts)
+    SELECT rank, term, cnt, CAST(cum AS DOUBLE) / total_tokens AS cum_frac
+    FROM (
+      SELECT term, cnt, total_tokens,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+             CAST(SUM(cnt) OVER (
+               ORDER BY cnt DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM counts CROSS JOIN tot
+    ) WHERE rank <= 25
+    """,
+    tags=("llm", "retrieval", "vocab"),
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 vocabulary terms with cumulative corpus coverage — the
+    tokenizer-budget table. Running sum windows over the POST-AGG vocab
+    table (vocab-sized single-partition window, not corpus-sized)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.vocab_coverage(d, top=25)
+
+
+@query(
+    "llm_bigram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]
+             ))) AS ngram
+      FROM t WHERE len(t) >= 2
+    ), dfq AS (
+      SELECT ngram, count(*) AS bg_df FROM b GROUP BY ngram
+    )
+    SELECT b.doc_id AS doc_id,
+           count(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN d.bg_df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           1.0 - CAST(SUM(CASE WHEN d.bg_df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS novelty_frac
+    FROM b JOIN dfq d USING (ngram)
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "retrieval", "novelty"),
+)
+def llm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each document's distinct bigrams that are corpus-rare
+    (document frequency < 3) — the cross-document complement of the
+    within-document repetition filters (llm.text.repetition_stats)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.bigram_novelty(d, min_df=3)
+
+
+@query(
+    "llm_weighted_sample",
+    oracle="""
+    SELECT doc_id, source, u FROM (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM documents
+    ) WHERE u < CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                     THEN 0.2 ELSE 0.7 END
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli mixture sampling: keep iff md5-derived
+    u(doc_id) < per-source rate (0.2 for src0-4, 0.7 otherwise) — the
+    executing half of llm_mixture_rates, reproducible across engines,
+    runs and partitionings (curation.weighted_sample). Map-side only."""
+    d = load_tables(spark, sf_dir)["documents"]
+    rate = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit(0.2)
+    ).otherwise(F.lit(0.7))
+    return curation.weighted_sample(d, rate).select("doc_id", "source", "u")
+
+
+@query(
+    "llm_cross_dedup",
+    oracle="""
+    SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+    FROM documents d
+    WHERE md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) NOT IN (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    """,
+    tags=("llm", "curation", "decontamination"),
+)
+def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-match cross-corpus decontamination: the synthetic eval set is
+    every doc_id ≡ 0 (mod 5); training docs whose normalized text appears
+    verbatim in it are dropped via a broadcast anti-join on 16-byte md5
+    fingerprints (curation.cross_corpus_exact_dedup) — train text never
+    shuffles."""
+    d = load_tables(spark, sf_dir)["documents"]
+    eval_df = d.filter(F.col("doc_id") % 5 == 0)
+    return curation.cross_corpus_exact_dedup(d, eval_df).select("doc_id", "n_chars")
+
+
+@query(
+    "analyze_table_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS ndv,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           CAST(NULL AS DOUBLE) AS avg_len
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderstatus), max(o_orderstatus),
+           CAST(SUM(length(o_orderstatus)) AS DOUBLE) / count(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderpriority), max(o_orderpriority),
+           CAST(SUM(length(o_orderpriority)) AS DOUBLE) / count(o_orderpriority)
+    FROM orders
+    """,
+    tags=("stats", "hive"),
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE orders COMPUTE STATISTICS FOR COLUMNS parity
+    (ql/exec/ColumnStatsTask.java + GenericUDAFComputeStats,
+    FunctionRegistry.java:403): one aggregation pass computes
+    count/nulls/exact-ndv/min/max/avg-len for four columns, stack()
+    unpivots to the metastore's long form."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return stats.column_stats(
+        o, ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@query(
+    "analyze_ndv_sketch",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           count(DISTINCT o_custkey) AS exact_ndv, TRUE AS sketch_ok FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(DISTINCT o_orderkey), TRUE FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(DISTINCT o_orderpriority), TRUE FROM orders
+    """,
+    tags=("stats", "hive", "sketch"),
+)
+def analyze_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-ndv accuracy contract (reference:
+    NumDistinctValueEstimator.java FM-sketch; here Spark's native HLL++):
+    sketch_ok asserts |approx/exact - 1| < 0.1 per column. The oracle pins
+    the exact ndv AND the accuracy boolean — a sketch drift fails the
+    driver hash."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return stats.approx_ndv_accuracy(
+        o, ["o_custkey", "o_orderkey", "o_orderpriority"], tolerance=0.1
+    )

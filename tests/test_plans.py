@@ -202,3 +202,83 @@ def test_chunk_documents_zero_shuffle(spark):
     d = load_tables(spark, SF_CORRECT)["documents"]
     plan = _executed(t.chunk_documents(d))
     assert "Exchange" not in plan, plan
+
+
+def test_tfidf_topk_uses_window_group_limit_and_broadcast_vocab(spark):
+    """The per-doc rank filter must compile to WindowGroupLimit, and the
+    vocab-sized df/N stats must ride broadcasts — a sort-merge join of the
+    (doc, term) stream against the vocabulary would re-shuffle the corpus."""
+    from hdp2_5_hive2_spark.llm import retrieval
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(retrieval.tfidf_top_terms(d, k=3))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_filters_terms_before_join(spark):
+    """The query-term IN filter must sit below the joins (on the exploded
+    token stream before aggregation), so the scored frame is (matching docs
+    x |query|) sized, not corpus sized."""
+    from hdp2_5_hive2_spark.llm import retrieval
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(retrieval.bm25_rank(d, ["spark", "join", "window"]))
+    # the IN filter appears below the first join in the plan tree: Spark
+    # pushes `term IN (...)` through the (doc,term) aggregate to the explode
+    assert "term" in plan and ("spark,join,window" in plan.replace(" ", "") or "IN (" in plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_vocab_coverage_windows_post_aggregation_only(spark):
+    """The single-partition running-sum window must consume the POST-AGG
+    vocabulary table: exactly one SinglePartition exchange, fed by the
+    partial+final vocab count agg, never by raw token rows."""
+    from hdp2_5_hive2_spark.llm import retrieval
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(retrieval.vocab_coverage(d, top=25))
+    # ONE scan, ONE hash shuffle (the vocab count agg, partial+final); the
+    # running sum and grand total share one vocab-sized single-partition
+    # window pass — no duplicated scan subtree for a scalar total.
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_weighted_sample_zero_shuffle(spark):
+    """Deterministic Bernoulli sampling is one md5 + compare per row: the
+    filter must stay map-side with no Exchange."""
+    from hdp2_5_hive2_spark.llm import curation
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    rate = F.when(F.col("source") == "src0", F.lit(0.2)).otherwise(F.lit(0.7))
+    plan = _executed(curation.weighted_sample(d, rate))
+    assert "Exchange" not in plan, plan
+
+
+def test_cross_corpus_dedup_broadcast_anti_join(spark):
+    """Train text must never shuffle: the eval fingerprint set broadcasts
+    into a BroadcastHashJoin LeftAnti."""
+    from hdp2_5_hive2_spark.llm import curation
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    ev = d.where(F.col("doc_id") % 5 == 0)
+    plan = _executed(curation.cross_corpus_exact_dedup(d, ev))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_column_stats_single_pass(spark):
+    """ANALYZE-TABLE parity computes every column's stats in ONE aggregation
+    over one scan: the plan reads the table once (a single parquet scan) and
+    the multi-distinct Expand feeds partial+final aggregates."""
+    from hdp2_5_hive2_spark import stats
+
+    o = load_tables(spark, SF_CORRECT)["orders"]
+    plan = _executed(
+        stats.column_stats(o, ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
