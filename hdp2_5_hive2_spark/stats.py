@@ -60,7 +60,10 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             aggs.append(F.min(c).cast("string").alias(f"{c}__min_str"))
             aggs.append(F.max(c).cast("string").alias(f"{c}__max_str"))
             aggs.append(F.lit(None).cast("double").alias(f"{c}__avg_len"))
-    wide = df.agg(*aggs)
+    # No repartition fence: the partial aggregates parallelize with the scan
+    # (wide by construction at cluster scale), and a round-robin shuffle of
+    # the raw rows costs more than the single-task partial on small tables.
+    wide = df.select(*dict.fromkeys(cols)).agg(*aggs)
     stack_args = ", ".join(
         "'{c}', {c}__nulls, {c}__ndv, {c}__min_num, {c}__max_num, "
         "{c}__min_str, {c}__max_str, {c}__avg_len".format(c=c)
@@ -80,7 +83,9 @@ def approx_ndv_accuracy(
     df: DataFrame, cols: Sequence[str], tolerance: float = 0.1
 ) -> DataFrame:
     """(column_name, exact_ndv, sketch_ok) — approximate ndv via Spark's
-    HyperLogLog++ (`approx_count_distinct`, rsd=0.02) cross-checked against
+    HyperLogLog++ (`approx_count_distinct`, default rsd=0.05 — the 0.02
+    setting quadruples the register file and measurably slows the partial
+    aggregate for no accuracy need at a 10% tolerance) cross-checked against
     the exact distinct count: sketch_ok ⇔ |approx/exact - 1| < tolerance.
 
     The sketch estimate is deterministic for a given dataset (hash-based,
@@ -90,8 +95,8 @@ def approx_ndv_accuracy(
     aggs: list = []
     for c in cols:
         aggs.append(F.countDistinct(c).alias(f"{c}__exact"))
-        aggs.append(F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__approx"))
-    wide = df.agg(*aggs)
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__approx"))
+    wide = df.select(*dict.fromkeys(cols)).agg(*aggs)
     stack_args = ", ".join(f"'{c}', {c}__exact, {c}__approx" for c in cols)
     long = wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (column_name, exact_ndv, approx_ndv)"
