@@ -64,6 +64,9 @@ _NEW_THIS_ROUND: list[str] = [
     # ANALYZE TABLE column-stats parity (stats.py)
     "analyze_table_stats",
     "analyze_ndv_sketch",
+    # storage: Hive default TEXTFILE layout + DROP PARTITION DDL
+    "storage_textfile_roundtrip",
+    "storage_drop_partition",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

@@ -342,3 +342,63 @@ def storage_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sink")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
     )
+
+
+@query(
+    "storage_textfile_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 2 THEN NULL ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+    tags=("storage", "write", "textfile"),
+)
+def storage_textfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED AS TEXTFILE round trip with LazySimpleSerDe conventions —
+    Hive's DEFAULT format (serde2/lazy/LazySimpleSerDe.java:76): Ctrl-A
+    field delimiter, newline records, ``\\N`` null marker. NULLs are
+    injected (region-2 names) so the round trip proves the \\N marker is
+    written AND read back as SQL NULL, not the literal string."""
+    from hdp2_5_hive2_spark.storage import read_textfile, write_textfile
+
+    nation = load_tables(spark, sf_dir)["nation"]
+    src = nation.select(
+        "n_nationkey",
+        F.when(F.col("n_regionkey") == 2, F.lit(None)).otherwise(F.col("n_name")).alias("n_name"),
+        "n_regionkey",
+    )
+    path = f"{IO_ROOT}/nation_textfile"
+    write_textfile(src, path)
+    return read_textfile(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+@query(
+    "storage_drop_partition",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    """,
+    tags=("storage", "write", "ddl"),
+)
+def storage_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... DROP PARTITION parity (DDLTask.java:3718
+    dropPartitions): write orders partitioned by o_orderstatus, drop the 'F'
+    partition through the Hadoop FileSystem API, read back and aggregate —
+    the result must equal the source with the partition filtered out."""
+    from hdp2_5_hive2_spark.storage import drop_partition
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderstatus", "o_totalprice"
+    )
+    path = f"{IO_ROOT}/orders_drop_part"
+    write_partitioned(o, path, partition_by=["o_orderstatus"], dynamic=False)
+    drop_partition(spark, path, "o_orderstatus", "F")
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "sum_price")
+    )

@@ -16,9 +16,12 @@ from hdp2_5_hive2_spark.storage.writer import (
     multi_insert,
     insert_overwrite,
     read_sequencefile,
+    read_textfile,
     write_bucketed_table,
     write_partitioned,
     write_sequencefile,
+    write_textfile,
+    drop_partition,
 )
 
 __all__ = [
@@ -29,7 +32,10 @@ __all__ = [
     "multi_insert",
     "insert_overwrite",
     "read_sequencefile",
+    "read_textfile",
     "write_bucketed_table",
     "write_partitioned",
     "write_sequencefile",
+    "write_textfile",
+    "drop_partition",
 ]

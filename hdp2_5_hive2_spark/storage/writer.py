@@ -273,3 +273,46 @@ def read_sequencefile(
             for f in target.fields
         ]
     )
+
+
+def write_textfile(
+    df: DataFrame,
+    path: str,
+    sep: str = "\x01",
+    null_marker: str = "\\N",
+) -> None:
+    """STORED AS TEXTFILE with LazySimpleSerDe conventions — Hive's DEFAULT
+    table format (serde2/lazy/LazySimpleSerDe.java:76): Ctrl-A (\\x01) field
+    delimiter, newline records, ``\\N`` for NULL. Spark's csv sink with the
+    same delimiter/null options produces byte-identical lines without any
+    per-row Python (contrast write_sequencefile, which must wrap values in
+    Writables)."""
+    (
+        df.write.mode("overwrite")
+        .options(sep=sep, nullValue=null_marker, emptyValue="", header="false")
+        .csv(path)
+    )
+
+
+def read_textfile(spark: SparkSession, path: str, schema: str, sep: str = "\x01",
+                  null_marker: str = "\\N") -> DataFrame:
+    """Schema-on-read of a LazySimpleSerDe text directory (the read half of
+    write_textfile)."""
+    return (
+        spark.read.schema(schema)
+        .options(sep=sep, nullValue=null_marker, emptyValue="", header="false")
+        .csv(path)
+    )
+
+
+def drop_partition(spark: SparkSession, path: str, col: str, value: str) -> bool:
+    """ALTER TABLE ... DROP PARTITION (col=value) on a path-based partitioned
+    layout (DDLTask.java:3718 dropPartitions): removes the partition
+    directory through the Hadoop FileSystem API — the same abstraction Hive's
+    move/drop tasks use, so it works identically on local paths, HDFS and
+    object stores. Returns True if the partition existed."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{col}={value}")
+    fs = p.getFileSystem(hconf)
+    return bool(fs.delete(p, True))

@@ -113,3 +113,43 @@ def test_compression_codecs_roundtrip(spark):
         insert_overwrite(nation, path, fmt=fmt, options={"compression": codec})
         got = sorted(tuple(r) for r in spark.read.format(fmt).load(path).collect())
         assert got == want, (fmt, codec)
+
+
+def test_textfile_layout_is_lazysimpleserde(spark):
+    """The written bytes must BE Hive's default TEXTFILE layout: Ctrl-A
+    delimiters and a literal \\N for NULL (not an empty string, not 'null')."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage import read_textfile, write_textfile
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 10), (2, None, 20)], "k int, name string, v int"
+    )
+    path = "/tmp/hdp2_5_hive2_spark_io/test_textfile_layout"
+    write_textfile(df, path)
+    lines = []
+    for f in glob.glob(f"{path}/part-*"):
+        with open(f) as fh:
+            lines += [ln.rstrip("\n") for ln in fh if ln.strip()]
+    assert sorted(lines) == ["1\x01alpha\x0110", "2\x01\\N\x0120"], lines
+    back = read_textfile(spark, path, "k int, name string, v int")
+    rows = {tuple(r) for r in back.collect()}
+    assert rows == {(1, "alpha", 10), (2, None, 20)}, rows
+
+
+def test_drop_partition_removes_only_target(spark):
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage import drop_partition, write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "v int, p string"
+    )
+    path = "/tmp/hdp2_5_hive2_spark_io/test_drop_part"
+    write_partitioned(df, path, partition_by=["p"], dynamic=False)
+    assert drop_partition(spark, path, "p", "a") is True
+    assert drop_partition(spark, path, "p", "missing") is False
+    back = spark.read.parquet(path)
+    assert [tuple(r) for r in back.collect()] == [(2, "b")]
