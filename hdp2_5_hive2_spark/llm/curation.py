@@ -85,6 +85,43 @@ def word_ngram_rows(
     )
 
 
+def word_ngram_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """(id, ngram, cnt) rows — word n-gram OCCURRENCE counts per document
+    (the non-distinct sibling of ``word_ngram_rows``, for frequency-weighted
+    consumers like LM scoring). Same Arrow-kernel shape: one pass, zero
+    shuffle, per-document Counter as the map-side partial."""
+    from collections import Counter
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            cnts: list[int] = []
+            for i, t in zip(pdf[id_col].astype("int64"), pdf[text_col]):
+                toks = t.split() if isinstance(t, str) else []
+                if len(toks) < n:
+                    continue
+                c = Counter(" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1))
+                ids.extend([int(i)] * len(c))
+                grams.extend(c.keys())
+                cnts.extend(c.values())
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "ngram": grams,
+                    "cnt": pd.array(cnts, dtype="int64"),
+                }
+            )
+
+    return (
+        df.select(id_col, text_col)
+        .repartition(_shuffle_n(df))
+        .mapInPandas(gen, "id bigint, ngram string, cnt bigint")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -425,3 +425,47 @@ def ngram_jaccard_pairs(
     return base.groupBy("blk").applyInPandas(
         verify, "id_a bigint, id_b bigint, jaccard double"
     )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (chunk-level) duplication statistics — the
+    RefinedWeb/CCNet-style pass that catches boilerplate shared across
+    otherwise-distinct pages, which document-level fingerprints miss: chunk
+    every document (token windows, same grid as ``text.chunk_documents``),
+    fingerprint each chunk, and report per document how many of its chunks
+    also appear in at least one OTHER document.
+
+    Output: (id_col, n_chunks, n_dup_chunks, dup_frac).
+
+    Plan: chunk text reduces to a 16-byte md5 map-side (full chunk text
+    never shuffles); one vocab-sized agg counts distinct docs per
+    fingerprint; the join back keys on the fingerprint. dup_frac is exact
+    ints until one final double division."""
+    from hdp2_5_hive2_spark.llm.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col, id_col=id_col
+    ).select(id_col, F.md5("chunk_text").alias("fp"))
+    docs_per_fp = chunks.groupBy("fp").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    return (
+        chunks.join(docs_per_fp, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            (F.col("n_dup_chunks").cast("double") / F.col("n_chunks")).alias("dup_frac"),
+        )
+    )

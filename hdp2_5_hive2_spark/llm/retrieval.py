@@ -210,3 +210,84 @@ def bigram_novelty(
             ),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", q_bits: int = 20
+) -> DataFrame:
+    """Per-document average bigram-LM probability — the CCNet-style
+    "language-model quality score" that ranks documents by how typical their
+    token transitions are for the corpus. p(w2|w1) = C(w1 w2)/C(w1 ·), both
+    counted over the whole corpus.
+
+    Exactness discipline: per-bigram probabilities are QUANTIZED to integers
+    (floor(p·2^q_bits)) before any aggregation, so the per-doc sum is exact
+    bigint arithmetic in any order; only the final average divides back to
+    double. A naive sum(double) would accumulate in partition order and
+    never hash-match an oracle.
+
+    Plan: one Arrow pass emits per-doc bigram counts; bigram and prefix
+    tables are vocab-sized aggregations; the per-doc join keys on the bigram
+    string (AQE handles head-word skew). Output: (id_col, n_bigrams,
+    score_q, avg_prob)."""
+    from hdp2_5_hive2_spark.llm.curation import word_ngram_counts
+
+    scale = float(1 << q_bits)
+    rows = word_ngram_counts(df, text_col, id_col, n=2)
+    cb = (
+        rows.groupBy("ngram")
+        .agg(F.sum("cnt").alias("c_bg"))
+        .withColumn("w1", F.split(F.col("ngram"), " ")[0])
+    )
+    cp = cb.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    q = cb.join(cp, "w1").select(
+        "ngram",
+        F.floor((F.col("c_bg").cast("double") / F.col("c_w1")) * F.lit(scale))
+        .cast("bigint")
+        .alias("pq"),
+    )
+    return (
+        rows.join(q, "ngram")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("pq")).alias("score_q"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "score_q",
+            (
+                F.col("score_q").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(scale))
+            ).alias("avg_prob"),
+        )
+    )
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick document vectorizer: each token maps to bucket
+    md5(token)[:8] mod ``dim`` and the document's vector is the bucket count
+    histogram — the classic feature-hashing representation (Weinberger et
+    al., "Feature Hashing for Large Scale Multitask Learning"), engine-stable
+    because the hash is md5, not a JVM-internal.
+
+    Output: (id_col, f0..f{dim-1}) wide integer columns. One shuffle on the
+    doc id; buckets are computed map-side and aggregated as ``dim``
+    conditional sums (no pivot, no second pass)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint") % dim
+    )
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("term")).withColumn(
+        "b", bucket
+    )
+    aggs = [
+        F.sum(F.when(F.col("b") == i, 1).otherwise(0)).alias(f"f{i}")
+        for i in range(dim)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)

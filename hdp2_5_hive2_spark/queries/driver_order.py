@@ -67,6 +67,10 @@ _NEW_THIS_ROUND: list[str] = [
     # storage: Hive default TEXTFILE layout + DROP PARTITION DDL
     "storage_textfile_roundtrip",
     "storage_drop_partition",
+    # LM scoring / vectorization / sub-document dedup
+    "llm_bigram_lm_score",
+    "llm_feature_hashing",
+    "llm_chunk_dedup",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

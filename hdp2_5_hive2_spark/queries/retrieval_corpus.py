@@ -290,3 +290,121 @@ def analyze_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.approx_ndv_accuracy(
         o, ["o_custkey", "o_orderkey", "o_orderpriority"], tolerance=0.1
     )
+
+
+@query(
+    "llm_bigram_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS ngram
+      FROM t WHERE len(t) >= 2
+    ), db AS (
+      SELECT doc_id, ngram, count(*) AS cnt FROM b GROUP BY doc_id, ngram
+    ), cb AS (
+      SELECT ngram, CAST(SUM(cnt) AS BIGINT) AS c_bg,
+             string_split(ngram, ' ')[1] AS w1
+      FROM db GROUP BY ngram
+    ), cp AS (
+      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cb GROUP BY w1
+    ), q AS (
+      SELECT cb.ngram,
+             CAST(floor((CAST(cb.c_bg AS DOUBLE) / cp.c_w1)
+                        * CAST(1048576 AS DOUBLE)) AS BIGINT) AS pq
+      FROM cb JOIN cp USING (w1)
+    )
+    SELECT db.doc_id AS doc_id,
+           CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(db.cnt * q.pq) AS BIGINT) AS score_q,
+           CAST(SUM(db.cnt * q.pq) AS DOUBLE)
+             / (CAST(SUM(db.cnt) AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS avg_prob
+    FROM db JOIN q USING (ngram) GROUP BY db.doc_id
+    """,
+    tags=("llm", "retrieval", "lm-score"),
+)
+def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality score per document: average corpus
+    p(w2|w1), quantized to 2^-20 BEFORE aggregation so every sum is exact
+    bigint arithmetic (retrieval.bigram_lm_score) — the float-determinism
+    discipline that makes an LM score oracle-checkable."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.bigram_lm_score(d)
+
+
+@query(
+    "llm_chunk_dedup",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), c AS (
+      SELECT doc_id, array_to_string(t[s+1:s+100], ' ') AS chunk_text
+      FROM (
+        SELECT doc_id, t, unnest(range(0, greatest(len(t) - 1, 0) + 1, 80)) AS s
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM src)
+      )
+    ), f AS (
+      SELECT doc_id, md5(chunk_text) AS fp FROM c
+    ), d AS (
+      SELECT fp, count(DISTINCT doc_id) AS n_docs FROM f GROUP BY fp
+    )
+    SELECT f.doc_id AS doc_id, count(*) AS n_chunks,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_frac
+    FROM f JOIN d USING (fp) GROUP BY f.doc_id
+    """,
+    tags=("llm", "dedup", "chunk"),
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document chunk-level duplication (dedup.chunk_dup_stats) over a
+    corpus with planted clones (every doc_id ≡ 0 mod 7 re-appears as
+    doc_id+1000000): cloned documents must report dup_frac 1.0, everything
+    else 0 unless chunks genuinely repeat. Chunk text reduces to md5
+    map-side; full text never shuffles."""
+    from hdp2_5_hive2_spark.llm import dedup as dd
+
+    d = load_tables(spark, sf_dir)["documents"]
+    src = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dd.chunk_dup_stats(src, chunk_tokens=100, overlap=20)
+
+
+_FH_DIM = 8
+_FH_CASES = "".join(
+    f",\n           CAST(SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}"
+    for i in range(_FH_DIM)
+)
+
+
+@query(
+    "llm_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % {_FH_DIM} AS b
+      FROM tok
+    )
+    SELECT doc_id{_FH_CASES}
+    FROM b GROUP BY doc_id
+    """,
+    tags=("llm", "retrieval", "vectorize"),
+)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors (retrieval.feature_hash_vectors,
+    dim=8): token → md5-bucket count histogram as wide integer columns —
+    the engine-stable vectorizer a downstream classifier consumes. One
+    shuffle on doc_id; buckets map-side."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.feature_hash_vectors(d, dim=_FH_DIM)

@@ -282,3 +282,26 @@ def test_column_stats_single_pass(spark):
     )
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_chunk_dedup_text_never_shuffles(spark):
+    """Chunk text must reduce to 16-byte md5 fingerprints BEFORE any
+    exchange: no Exchange in the plan may carry a chunk_text column."""
+    from hdp2_5_hive2_spark.llm import dedup as dd
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(dd.chunk_dup_stats(d))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "chunk_text" not in line, line
+    assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_feature_hashing_single_shuffle(spark):
+    """Bucketing is map-side; the only exchange is the doc-id aggregation."""
+    from hdp2_5_hive2_spark.llm import retrieval
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(retrieval.feature_hash_vectors(d, dim=8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
