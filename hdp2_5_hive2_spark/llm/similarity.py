@@ -506,3 +506,35 @@ def knn_classify(
         .filter(F.col("_r") == 1)
         .select("query_id", F.col("nl").alias("pred_label"), "votes")
     )
+
+
+def quantize_int8_summary(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization summary per vector — the compression step
+    ANN systems apply before indexing (scale = 127/max|v|, q_i =
+    floor(v_i·scale)): (id, max_abs, scale, qsum, qmin, qmax).
+
+    Exactness: every element is cast float32→double BEFORE any arithmetic
+    (both engines then compute identical IEEE doubles); max/min/int-sums are
+    order-independent; zero vectors take scale 1.0 to avoid inf·0 = NaN.
+
+    Plan: posexplode map-side; ONE hash exchange on the id serves both the
+    per-vector max window and the final aggregation (same partitioning)."""
+    from pyspark.sql import Window
+
+    v = F.col("v").cast("double")
+    exploded = df.select(id_col, F.explode(vec_col).alias("v"))
+    w = Window.partitionBy(id_col)
+    with_max = exploded.withColumn("max_abs", F.max(F.abs(v)).over(w))
+    scale = F.when(F.col("max_abs") == 0.0, F.lit(1.0)).otherwise(
+        F.lit(127.0) / F.col("max_abs")
+    )
+    q = with_max.withColumn("scale", scale).withColumn(
+        "q", F.floor(v * F.col("scale")).cast("bigint")
+    )
+    return q.groupBy(id_col, "max_abs", "scale").agg(
+        F.sum("q").alias("qsum"),
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+    )

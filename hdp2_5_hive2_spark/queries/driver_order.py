@@ -71,6 +71,9 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_bigram_lm_score",
     "llm_feature_hashing",
     "llm_chunk_dedup",
+    # chained LATERAL VIEWs + int8 vector quantization
+    "lateral_view_chained",
+    "llm_embedding_quantize",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

@@ -588,3 +588,32 @@ def lateral_view_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey <= 100
         """
     )
+
+
+@query(
+    "lateral_view_chained",
+    oracle="""
+    SELECT o.o_orderkey, u.pri_word, v.n
+    FROM orders o,
+         unnest(string_split(o.o_orderpriority, '-')) AS u(pri_word),
+         unnest([1, 2]) AS v(n)
+    WHERE o.o_orderkey <= 50
+    """,
+    tags=("lateral", "udtf", "hive"),
+)
+def lateral_view_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED LATERAL VIEWs — each subsequent view explodes against every
+    row the previous one produced (HiveQL allows arbitrary chains;
+    LateralViewJoinOperator.java:76 composes them as nested forward/join
+    pairs). Two views here: priority words × a literal array — the result
+    is the per-row cross product, verbatim HiveQL in Spark SQL."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, pri_word, n
+        FROM orders
+        LATERAL VIEW explode(split(o_orderpriority, '-')) t AS pri_word
+        LATERAL VIEW explode(array(1, 2)) s AS n
+        WHERE o_orderkey <= 50
+        """
+    )

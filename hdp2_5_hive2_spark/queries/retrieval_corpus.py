@@ -49,7 +49,7 @@ _TOK_CTE = """
       FROM tf t JOIN dfq d USING (term) CROSS JOIN n
     ) WHERE rn <= 3
     """,
-    tags=("llm", "retrieval", "tfidf"),
+    tags=("llm", "retrieval", "tfidf", "bench"),
 )
 def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf·idf (log-free ratio
@@ -323,7 +323,7 @@ def analyze_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (CAST(SUM(db.cnt) AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS avg_prob
     FROM db JOIN q USING (ngram) GROUP BY db.doc_id
     """,
-    tags=("llm", "retrieval", "lm-score"),
+    tags=("llm", "retrieval", "lm-score", "bench"),
 )
 def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM quality score per document: average corpus
@@ -359,7 +359,7 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              / count(*) AS dup_frac
     FROM f JOIN d USING (fp) GROUP BY f.doc_id
     """,
-    tags=("llm", "dedup", "chunk"),
+    tags=("llm", "dedup", "chunk", "bench"),
 )
 def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document chunk-level duplication (dedup.chunk_dup_stats) over a
@@ -408,3 +408,41 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id; buckets map-side."""
     d = load_tables(spark, sf_dir)["documents"]
     return retrieval.feature_hash_vectors(d, dim=_FH_DIM)
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, unnest(embedding) AS v FROM embeddings
+    ), m AS (
+      SELECT vec_id, v,
+             MAX(abs(CAST(v AS DOUBLE))) OVER (PARTITION BY vec_id) AS max_abs
+      FROM e
+    ), q AS (
+      SELECT vec_id, max_abs,
+             CASE WHEN max_abs = 0 THEN CAST(1 AS DOUBLE)
+                  ELSE CAST(127 AS DOUBLE) / max_abs END AS scale,
+             CAST(floor(CAST(v AS DOUBLE)
+                        * (CASE WHEN max_abs = 0 THEN CAST(1 AS DOUBLE)
+                                ELSE CAST(127 AS DOUBLE) / max_abs END))
+                  AS BIGINT) AS q
+      FROM m
+    )
+    SELECT vec_id, max_abs, scale,
+           CAST(SUM(q) AS BIGINT) AS qsum,
+           CAST(MIN(q) AS BIGINT) AS qmin,
+           CAST(MAX(q) AS BIGINT) AS qmax
+    FROM q GROUP BY vec_id, max_abs, scale
+    """,
+    tags=("llm", "similarity", "quantize"),
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization summary
+    (similarity.quantize_int8_summary): float32→double casts precede all
+    arithmetic so Spark and DuckDB agree bitwise; one exchange serves both
+    the per-vector max window and the final agg."""
+    from hdp2_5_hive2_spark.llm import similarity
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.quantize_int8_summary(e)
