@@ -74,6 +74,9 @@ _NEW_THIS_ROUND: list[str] = [
     # chained LATERAL VIEWs + int8 vector quantization
     "lateral_view_chained",
     "llm_embedding_quantize",
+    # HAVING-subquery + cohort retention
+    "subquery_in_having",
+    "events_retention_cohorts",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

@@ -667,3 +667,38 @@ def salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag", "n", F.col("total_d").cast("double").alias("total"), "mx"
     )
+
+
+@query(
+    "subquery_in_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+    FROM orders
+    GROUP BY o_custkey
+    HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(DISTINCT o_custkey) FROM orders
+    )
+    """,
+    tags=("subquery", "having", "agg"),
+)
+def subquery_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery inside HAVING (QBSubQuery.java:42 — Hive 2.1 allows
+    subqueries in WHERE/HAVING): customers whose total spend exceeds the
+    average per-customer spend. The scalar rides a broadcast one-row cross
+    join under the post-aggregation filter; exact decimal sums with one
+    final double division keep both engines bitwise equal."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        FROM orders
+        GROUP BY o_custkey
+        HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(DISTINCT o_custkey) FROM orders
+        )
+        """
+    )

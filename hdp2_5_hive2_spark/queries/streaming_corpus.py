@@ -480,3 +480,39 @@ def events_interval_join_incidents(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+      FROM events
+    ), c AS (
+      SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+      FROM w
+    )
+    SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_users
+    FROM c GROUP BY cohort_wk, wk - cohort_wk
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week, counted
+    in every subsequent active week — the standard product-analytics rollup.
+    Weeks are PURE INTEGER day-index arithmetic (datediff // 7 from a fixed
+    epoch) so both engines bucket identically regardless of week-start or
+    timezone conventions. Plan: distinct (user, week) is one exchange; the
+    per-user cohort min is a window over the SAME user partitioning; the
+    final rollup re-keys on (cohort, offset)."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    wk = F.expr("datediff(to_date(ts), DATE '2024-01-01') div 7")
+    w = e.select("user_id", wk.alias("wk")).distinct()
+    c = w.withColumn("cohort_wk", F.min("wk").over(Window.partitionBy("user_id")))
+    return (
+        c.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
