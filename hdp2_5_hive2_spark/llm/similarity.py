@@ -515,26 +515,42 @@ def quantize_int8_summary(
     ANN systems apply before indexing (scale = 127/max|v|, q_i =
     floor(v_i·scale)): (id, max_abs, scale, qsum, qmin, qmax).
 
-    Exactness: every element is cast float32→double BEFORE any arithmetic
-    (both engines then compute identical IEEE doubles); max/min/int-sums are
-    order-independent; zero vectors take scale 1.0 to avoid inf·0 = NaN.
+    Exactness: elements are widened float32→float64 BEFORE any arithmetic
+    (numpy float64 ops are the same IEEE doubles DuckDB computes);
+    max/min/int-sums are order-independent; zero/empty vectors take scale
+    1.0 to avoid inf·0 = NaN.
 
-    Plan: posexplode map-side; ONE hash exchange on the id serves both the
-    per-vector max window and the final aggregation (same partitioning)."""
-    from pyspark.sql import Window
+    Plan: ONE Arrow pass, ZERO shuffle — vectors are row-local, so a
+    posexplode + window/agg formulation would blow rows up dim× through an
+    exchange for what is a per-row reduction. numpy does the whole batch in
+    C."""
+    from collections.abc import Iterator
 
-    v = F.col("v").cast("double")
-    exploded = df.select(id_col, F.explode(vec_col).alias("v"))
-    w = Window.partitionBy(id_col)
-    with_max = exploded.withColumn("max_abs", F.max(F.abs(v)).over(w))
-    scale = F.when(F.col("max_abs") == 0.0, F.lit(1.0)).otherwise(
-        F.lit(127.0) / F.col("max_abs")
-    )
-    q = with_max.withColumn("scale", scale).withColumn(
-        "q", F.floor(v * F.col("scale")).cast("bigint")
-    )
-    return q.groupBy(id_col, "max_abs", "scale").agg(
-        F.sum("q").alias("qsum"),
-        F.min("q").alias("qmin"),
-        F.max("q").alias("qmax"),
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("_id", "max_abs", "scale", "qsum", "qmin", "qmax")}
+            for i, vec in zip(pdf[id_col], pdf[vec_col]):
+                v = np.asarray(vec, dtype=np.float64)
+                if v.size == 0:
+                    continue
+                max_abs = float(np.max(np.abs(v)))
+                scale = 1.0 if max_abs == 0.0 else 127.0 / max_abs
+                q = np.floor(v * scale).astype(np.int64)
+                out["_id"].append(i)
+                out["max_abs"].append(max_abs)
+                out["scale"].append(scale)
+                out["qsum"].append(int(q.sum()))
+                out["qmin"].append(int(q.min()))
+                out["qmax"].append(int(q.max()))
+            pdf_out = pd.DataFrame(out)
+            yield pdf_out.rename(columns={"_id": id_col})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        gen,
+        f"{id_col} {id_type}, max_abs double, scale double, "
+        "qsum bigint, qmin bigint, qmax bigint",
     )

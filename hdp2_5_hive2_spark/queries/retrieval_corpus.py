@@ -439,9 +439,9 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 vector quantization summary
-    (similarity.quantize_int8_summary): float32→double casts precede all
-    arithmetic so Spark and DuckDB agree bitwise; one exchange serves both
-    the per-vector max window and the final agg."""
+    (similarity.quantize_int8_summary): float32→float64 widening precedes
+    all arithmetic so Spark (numpy) and DuckDB compute identical IEEE
+    doubles. One Arrow pass, zero shuffle — vectors are row-local."""
     from hdp2_5_hive2_spark.llm import similarity
 
     e = load_tables(spark, sf_dir)["embeddings"]

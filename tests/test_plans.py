@@ -305,3 +305,14 @@ def test_feature_hashing_single_shuffle(spark):
     plan = _executed(retrieval.feature_hash_vectors(d, dim=8))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_quantize_zero_shuffle(spark):
+    """Per-vector quantization is a row-local reduction: one Arrow pass, no
+    Exchange (a posexplode+window formulation would shuffle dim x rows)."""
+    from hdp2_5_hive2_spark.llm import similarity
+
+    e = load_tables(spark, SF_CORRECT)["embeddings"]
+    plan = _executed(similarity.quantize_int8_summary(e))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
