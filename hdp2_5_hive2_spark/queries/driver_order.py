@@ -77,6 +77,9 @@ _NEW_THIS_ROUND: list[str] = [
     # HAVING-subquery + cohort retention
     "subquery_in_having",
     "events_retention_cohorts",
+    # integer-exact rate anomalies + per-source curation loss funnel
+    "events_anomaly_minutes",
+    "llm_curation_report",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

@@ -446,3 +446,47 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir)["embeddings"]
     return similarity.quantize_int8_summary(e)
+
+
+from hdp2_5_hive2_spark.queries.registry import REGISTRY as _REG
+
+_CF_ORACLE = _REG["llm_corpus_filter"].oracle
+
+
+@query(
+    "llm_curation_report",
+    oracle=f"""
+    SELECT d.source AS source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT f.quality_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_fail,
+           CAST(SUM(CASE WHEN NOT f.lang_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang_fail,
+           CAST(SUM(CASE WHEN NOT f.is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN f.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM ({_CF_ORACLE}) f JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    tags=("llm", "curation", "report"),
+)
+def llm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-loss funnel — the accounting table a pipeline owner
+    reads after a curation run: how many documents each source lost to
+    quality, language-mismatch, and exact-dup collapse, and how many
+    survived. Reuses corpus_filter's per-document flags (its oracle is
+    embedded verbatim as a subquery, so the two queries can never drift);
+    one extra broadcast join tags each doc with its source."""
+    d = load_tables(spark, sf_dir)["documents"]
+    flags = curation.corpus_filter(d)
+    return (
+        flags.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(~F.col("quality_keep"), 1).otherwise(0)).alias("n_quality_fail"),
+            F.sum(F.when(~F.col("lang_keep"), 1).otherwise(0)).alias("n_lang_fail"),
+            F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias("n_dup"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        )
+    )

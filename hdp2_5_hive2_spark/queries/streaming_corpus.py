@@ -516,3 +516,57 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_anomaly_minutes",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute,
+             count(*) AS cnt
+      FROM events GROUP BY event_type, minute
+    ), st AS (
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+      FROM m GROUP BY event_type
+    )
+    SELECT m.event_type AS event_type, st.n AS n_minutes,
+           CAST(SUM(CASE WHEN (st.n * m.cnt - st.s) * (st.n * m.cnt - st.s)
+                              > 9 * (st.n * st.ss - st.s * st.s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(MAX(m.cnt) AS BIGINT) AS max_cnt
+    FROM m JOIN st USING (event_type)
+    GROUP BY m.event_type, st.n
+    """,
+    tags=("events", "anomaly"),
+)
+def events_anomaly_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection: minutes whose event count sits more than 3
+    sigma above/below the per-type mean. The z-score test is algebraically
+    cross-multiplied into PURE INTEGER arithmetic — (n·x − S)² > 9(n·SS − S²)
+    ⟺ |z| > 3 — so no sqrt/stddev (not bit-portable across engines) ever
+    runs and the oracle matches exactly. Plan: minute rollup (one exchange),
+    tiny per-type stats broadcast back, count-only output."""
+    e = load_tables(spark, sf_dir)["events"]
+    m = (
+        e.select("event_type", F.expr("unix_micros(ts) div 60000000").alias("minute"))
+        .groupBy("event_type", "minute")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    st = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    thresh = F.lit(9) * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return (
+        m.join(F.broadcast(st), "event_type")
+        .groupBy("event_type", F.col("n").alias("n_minutes"))
+        .agg(
+            F.sum(F.when(dev * dev > thresh, 1).otherwise(0)).alias("n_anomalies"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )
