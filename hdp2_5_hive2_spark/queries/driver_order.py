@@ -80,6 +80,8 @@ _NEW_THIS_ROUND: list[str] = [
     # integer-exact rate anomalies + per-source curation loss funnel
     "events_anomaly_minutes",
     "llm_curation_report",
+    # end-to-end MinHash -> connected-components near-dedup pipeline
+    "llm_minhash_clusters",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

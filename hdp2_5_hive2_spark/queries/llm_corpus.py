@@ -1099,3 +1099,43 @@ def llm_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_share.alias("target_share"),
         F.least(t_share / share, F.lit(1.0)).alias("sample_rate"),
     )
+
+
+@query(
+    "llm_minhash_clusters",
+    oracle="WITH RECURSIVE " + _SHINGLES_CTE.replace("WITH s AS", "s AS").strip().rstrip() + """
+    , p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) >= 1 AND len(b.sh) >= 1
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT da AS s, db AS d FROM p UNION SELECT db, da FROM p),
+    v AS (SELECT DISTINCT s AS id FROM e),
+    walk AS (
+      SELECT id, id AS lab FROM v
+      UNION
+      SELECT e.d AS id, w.lab FROM walk w JOIN e ON e.s = w.id
+    )
+    SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+    FROM walk GROUP BY id
+    """,
+    tags=("llm", "dedup", "minhash", "cluster"),
+)
+def llm_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production near-dedup pipeline end-to-end: MinHash+LSH candidate
+    pairs (exact-Jaccard-verified at >= 0.8) fed into connected components —
+    every document in a near-dup component labeled with its minimum-id
+    representative. Composes dedup.minhash_lsh_pairs (32 hashes, 16 bands —
+    band-miss ~3e-12 at j=0.9) with curation.connected_components; the
+    oracle recomputes the exhaustive O(n²) pair set and recursive-CTE
+    reachability, so the composition must agree transitively, not just
+    pairwise."""
+    from hdp2_5_hive2_spark.llm import curation as cur
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=16, threshold=0.8)
+    return cur.connected_components(pairs, a_col="id_a", b_col="id_b").withColumnRenamed(
+        "id", "doc_id"
+    )
