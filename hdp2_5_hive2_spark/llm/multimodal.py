@@ -212,3 +212,22 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def dedup_assets(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact asset-level dedup for binary columns: group payloads by sha256
+    content hash, report copy counts and the canonical (minimum-id) keeper —
+    the multimodal sibling of ``llm.dedup.exact_dedup``. The hash is
+    computed MAP-SIDE so the shuffle carries a 32-byte digest per row, never
+    the payload (at 100 TB of images, shuffling bytes would dominate
+    everything else)."""
+    return (
+        df.select(id_col, F.sha2(F.col(payload_col), 256).alias("sha"))
+        .groupBy("sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )

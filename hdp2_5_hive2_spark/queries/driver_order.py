@@ -82,6 +82,8 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_curation_report",
     # end-to-end MinHash -> connected-components near-dedup pipeline
     "llm_minhash_clusters",
+    # binary-asset exact dedup (payloads never shuffle)
+    "multimodal_payload_dedup",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

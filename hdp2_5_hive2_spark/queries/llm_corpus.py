@@ -1139,3 +1139,35 @@ def llm_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.connected_components(pairs, a_col="id_a", b_col="id_b").withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@query(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id, sha256(text) AS sha FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, sha256(text)
+      FROM documents WHERE doc_id % 9 = 0
+    )
+    SELECT sha, count(*) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+    FROM assets GROUP BY sha
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-asset dedup (llm.multimodal.dedup_assets): sha256 of the
+    payload computed map-side (payloads never shuffle), planted clones
+    (doc_id ≡ 0 mod 9 duplicated at +1000000) must collapse onto their
+    canonical minimum id with n_copies = 2."""
+    from hdp2_5_hive2_spark.llm import multimodal
+
+    d = load_tables(spark, sf_dir)["documents"]
+    assets = d.select("doc_id", F.encode("text", "UTF-8").alias("payload")).unionAll(
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    return multimodal.dedup_assets(assets)
