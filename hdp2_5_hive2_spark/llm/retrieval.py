@@ -102,6 +102,8 @@ def bm25_rank(
     (matching docs × |query|) sized; df/N/avgdl stats ride broadcasts.
     """
     terms = list(query_terms)
+    if not terms:
+        raise ValueError("bm25_rank requires at least one query term")
     tf_all = term_frequencies(df, text_col, id_col)
     tf = tf_all.filter(F.col("term").isin(terms))
     dfq = doc_frequencies(tf_all, id_col).filter(F.col("term").isin(terms))
@@ -280,6 +282,8 @@ def feature_hash_vectors(
     Output: (id_col, f0..f{dim-1}) wide integer columns. One shuffle on the
     doc id; buckets are computed map-side and aggregated as ``dim``
     conditional sums (no pivot, no second pass)."""
+    if dim <= 0:
+        raise ValueError(f"feature_hash_vectors requires dim >= 1, got {dim}")
     bucket = (
         F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint") % dim
     )

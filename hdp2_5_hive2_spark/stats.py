@@ -35,6 +35,11 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     avg_len). Numeric columns fill min_num/max_num (as double) and leave the
     string slots null; string columns the reverse, with avg_len = exact
     integer length sum / non-null count (one final double division)."""
+    if not cols:
+        raise ValueError("column_stats requires at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"column_stats: columns not in DataFrame: {missing}")
     aggs: list = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         typ = df.schema[c].dataType
@@ -92,6 +97,8 @@ def approx_ndv_accuracy(
     merge is a commutative register-max), so the boolean is a stable,
     oracle-checkable assertion of estimator accuracy — the same contract the
     reference's NumDistinctValueEstimator promises ANALYZE TABLE."""
+    if not cols:
+        raise ValueError("approx_ndv_accuracy requires at least one column")
     aggs: list = []
     for c in cols:
         aggs.append(F.countDistinct(c).alias(f"{c}__exact"))

@@ -97,3 +97,52 @@ def test_connected_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     assert curation.connected_components(edges).count() == 0
+
+
+def test_bm25_rejects_empty_query(spark):
+    from hdp2_5_hive2_spark.llm.retrieval import bm25_rank
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    with pytest.raises(ValueError, match="at least one query term"):
+        bm25_rank(d, [])
+
+
+def test_feature_hashing_rejects_bad_dim(spark):
+    from hdp2_5_hive2_spark.llm.retrieval import feature_hash_vectors
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    with pytest.raises(ValueError, match="dim >= 1"):
+        feature_hash_vectors(d, dim=0)
+
+
+def test_column_stats_rejects_bad_inputs(spark):
+    from hdp2_5_hive2_spark.stats import approx_ndv_accuracy, column_stats
+
+    o = load_tables(spark, SF_CORRECT)["orders"]
+    with pytest.raises(ValueError, match="at least one column"):
+        column_stats(o, [])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        column_stats(o, ["no_such_col"])
+    with pytest.raises(ValueError, match="at least one column"):
+        approx_ndv_accuracy(o, [])
+
+
+def test_weighted_sample_extreme_rates(spark):
+    """rate 0 keeps nothing; rate 1 keeps everything (u is in [0,1))."""
+    from hdp2_5_hive2_spark.llm.curation import weighted_sample
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    n = d.count()
+    assert weighted_sample(d, F.lit(0.0)).count() == 0
+    assert weighted_sample(d, F.lit(1.0)).count() == n
+
+
+def test_quantize_zero_vector_scale_is_one(spark):
+    from hdp2_5_hive2_spark.llm.similarity import quantize_int8_summary
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [2.0, -4.0])], "vec_id bigint, embedding array<float>"
+    )
+    rows = {r.vec_id: r for r in quantize_int8_summary(df).collect()}
+    assert rows[1].scale == 1.0 and rows[1].qsum == 0
+    assert rows[2].max_abs == 4.0 and rows[2].qmin == -127
