@@ -84,6 +84,8 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_minhash_clusters",
     # binary-asset exact dedup (payloads never shuffle)
     "multimodal_payload_dedup",
+    # parquet schema evolution on read (mergeSchema)
+    "storage_schema_evolution",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

@@ -402,3 +402,42 @@ def storage_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "sum_price")
     )
+
+
+@query(
+    "storage_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey <= 100 THEN 0.0
+                         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_price_new
+    FROM orders WHERE o_orderkey <= 200
+    GROUP BY o_orderstatus
+    """,
+    tags=("storage", "write", "schema-evolution"),
+)
+def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (the reference's evolved-schema contract,
+    e.g. avro_evolved_schemas.q / ORC schema evolution, here on parquet):
+    generation 1 writes (o_orderkey, o_orderstatus); generation 2 appends
+    files that ADD o_totalprice. `mergeSchema` unions the file schemas and
+    fills the missing column with NULL for old files — the aggregate
+    coalesces those to 0 so the oracle can state the expected totals
+    directly against the source table."""
+    o = load_tables(spark, sf_dir)["orders"]
+    path = f"{IO_ROOT}/orders_evolved"
+    insert_overwrite(
+        o.filter(F.col("o_orderkey") <= 100).select("o_orderkey", "o_orderstatus"),
+        path,
+    )
+    insert_into(
+        o.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        path,
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "sum_price_new"),
+    )
