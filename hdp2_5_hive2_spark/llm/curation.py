@@ -54,44 +54,26 @@ def word_ngram_rows(
 ) -> DataFrame:
     """(id, ngram) rows — word n-grams, DISTINCT within each document.
 
-    Arrow kernel (one pass, zero shuffle): higher-order Column chains
-    (transform/sequence/slice) evaluate interpreted in Catalyst (~ms/row on
-    long documents), while this streams whole batches through Python string
-    ops. Tokenization matches ``llm.text.tokens`` (split on whitespace runs,
-    trimmed). Documents with fewer than ``n`` tokens emit nothing.
+    Delegates to ``word_ngram_counts`` (same Arrow kernel — the distinct
+    set IS the counted dict's key set) and drops the count column, so the
+    two n-gram emitters can never drift in tokenization. Documents with
+    fewer than ``n`` tokens emit nothing.
     """
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids: list[int] = []
-            grams: list[str] = []
-            for i, t in zip(pdf[id_col].astype("int64"), pdf[text_col]):
-                toks = t.split() if isinstance(t, str) else []
-                if len(toks) < n:
-                    continue
-                seen = dict.fromkeys(
-                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
-                )
-                ids.extend([int(i)] * len(seen))
-                grams.extend(seen)
-            yield pd.DataFrame({"id": pd.array(ids, dtype="int64"), "ngram": grams})
-
-    # Parallelism fence: mapInPandas inherits input partitioning; a single
-    # small parquet file would run the kernel as one serial task.
-    return (
-        df.select(id_col, text_col)
-        .repartition(_shuffle_n(df))
-        .mapInPandas(gen, "id bigint, ngram string")
-    )
+    return word_ngram_counts(df, text_col, id_col, n).select("id", "ngram")
 
 
 def word_ngram_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:
     """(id, ngram, cnt) rows — word n-gram OCCURRENCE counts per document
-    (the non-distinct sibling of ``word_ngram_rows``, for frequency-weighted
-    consumers like LM scoring). Same Arrow-kernel shape: one pass, zero
-    shuffle, per-document Counter as the map-side partial."""
+    (``word_ngram_rows`` is this minus the count column), for
+    frequency-weighted consumers like LM scoring. One Arrow pass with a
+    per-document Counter as the map-side partial; the leading repartition
+    is a parallelism fence (a single small parquet file would otherwise run
+    the kernel as one serial task — a round-robin shuffle of (id, text)
+    rows, not a keyed shuffle of n-grams). Higher-order Column chains
+    (transform/sequence/slice) evaluate interpreted in Catalyst (~ms/row on
+    long documents), which is why this is Python batches instead."""
     from collections import Counter
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -307,27 +289,34 @@ def stratified_sample(
     return df.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k).drop("_rk")
 
 
+def uniform_draw(id_col: str = "doc_id") -> Column:
+    """u(id) = (first 8 md5 hex digits of the id) / 2^32 — a deterministic
+    uniform-ish [0,1) draw, stable across runs, partitionings and engines."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     rate_col: Column,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic per-row weighted (Bernoulli) sampling: keep a row iff
-    u(id) < rate, where u(id) = (first 8 md5 hex digits of the id) / 2^32 —
-    a uniform-ish [0,1) draw that is stable across runs, partitionings and
-    engines (``df.sample`` is none of those). ``rate_col`` is any Column in
-    [0,1] — typically the per-source rate from ``llm_mixture_rates`` or a
-    quality-derived weight — so this is the executing half of a mixture
-    builder: rates say HOW MUCH to keep, this decides WHICH rows.
+    ``uniform_draw(id) < rate`` (``df.sample`` is neither deterministic nor
+    partitioning-stable). ``rate_col`` is any Column in [0,1] — typically the
+    per-source rate from ``llm_mixture_rates`` or a quality-derived weight —
+    so this is the executing half of a mixture builder: rates say HOW MUCH
+    to keep, this decides WHICH rows.
 
-    Map-side only: one md5 + one compare per row, zero shuffle, and the
-    filter sits directly on the scan so column pruning/pushdown survive.
+    The OUTPUT SCHEMA IS THE INPUT SCHEMA — the draw exists only inside the
+    filter, so sampled and unsampled frames union cleanly and no caller
+    column can be clobbered. Map-side only: one md5 + one compare per row,
+    zero shuffle, and the filter sits directly on the scan so column
+    pruning/pushdown survive.
     """
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
-        / F.lit(4294967296.0)
-    )
-    return df.withColumn("u", u).filter(F.col("u") < rate_col)
+    return df.filter(uniform_draw(id_col) < rate_col)
 
 
 def cross_corpus_exact_dedup(
@@ -345,12 +334,12 @@ def cross_corpus_exact_dedup(
     set is distinct'd and BROADCAST (eval suites are small by construction),
     so the training corpus anti-joins map-side — zero shuffle of train text.
     """
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    ev = eval_df.select(F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    ).alias("fp")).distinct()
+    from hdp2_5_hive2_spark.llm.text import normalize_text
+
+    fp = F.md5(normalize_text(text_col))
+    ev = eval_df.select(fp.alias("fp")).distinct()
     return (
-        train.withColumn("fp", F.md5(normalized))
+        train.withColumn("fp", fp)
         .join(F.broadcast(ev), "fp", "left_anti")
         .drop("fp")
     )

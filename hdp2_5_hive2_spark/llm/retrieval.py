@@ -101,9 +101,15 @@ def bm25_rank(
     filter reaches the scan side of the agg), so everything downstream is
     (matching docs × |query|) sized; df/N/avgdl stats ride broadcasts.
     """
-    terms = list(query_terms)
+    # Dedupe while preserving order (a bag-of-words query naturally repeats
+    # tokens; duplicate pivot columns would be ambiguous references) and
+    # reject backticks, which cannot be quoted inside a column reference.
+    terms = list(dict.fromkeys(query_terms))
     if not terms:
         raise ValueError("bm25_rank requires at least one query term")
+    bad = [t for t in terms if "`" in t]
+    if bad:
+        raise ValueError(f"bm25_rank: query terms may not contain backticks: {bad}")
     tf_all = term_frequencies(df, text_col, id_col)
     tf = tf_all.filter(F.col("term").isin(terms))
     dfq = doc_frequencies(tf_all, id_col).filter(F.col("term").isin(terms))

@@ -535,10 +535,13 @@ def quantize_int8_summary(
             for i, vec in zip(pdf[id_col], pdf[vec_col]):
                 v = np.asarray(vec, dtype=np.float64)
                 if v.size == 0:
-                    continue
-                max_abs = float(np.max(np.abs(v)))
-                scale = 1.0 if max_abs == 0.0 else 127.0 / max_abs
-                q = np.floor(v * scale).astype(np.int64)
+                    # empty vector: one row, scale 1.0, all-zero summary —
+                    # callers joining back get one row per input vector
+                    max_abs, scale, q = 0.0, 1.0, np.zeros(1, dtype=np.int64)
+                else:
+                    max_abs = float(np.max(np.abs(v)))
+                    scale = 1.0 if max_abs == 0.0 else 127.0 / max_abs
+                    q = np.floor(v * scale).astype(np.int64)
                 out["_id"].append(i)
                 out["max_abs"].append(max_abs)
                 out["scale"].append(scale)

@@ -191,12 +191,15 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli mixture sampling: keep iff md5-derived
     u(doc_id) < per-source rate (0.2 for src0-4, 0.7 otherwise) — the
     executing half of llm_mixture_rates, reproducible across engines,
-    runs and partitionings (curation.weighted_sample). Map-side only."""
+    runs and partitionings (curation.weighted_sample; the operator
+    preserves the input schema, so the draw is re-derived here only for
+    the oracle-visible output column). Map-side only."""
     d = load_tables(spark, sf_dir)["documents"]
     rate = F.when(
         F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit(0.2)
     ).otherwise(F.lit(0.7))
-    return curation.weighted_sample(d, rate).select("doc_id", "source", "u")
+    kept = curation.weighted_sample(d, rate)
+    return kept.select("doc_id", "source", curation.uniform_draw("doc_id").alias("u"))
 
 
 @query(
@@ -448,6 +451,9 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8_summary(e)
 
 
+# Importing the module (not just the registry dict) guarantees the
+# llm_corpus_filter entry exists regardless of queries/__init__ import order.
+from hdp2_5_hive2_spark.queries import llm_corpus as _llm_corpus  # noqa: F401
 from hdp2_5_hive2_spark.queries.registry import REGISTRY as _REG
 
 _CF_ORACLE = _REG["llm_corpus_filter"].oracle

@@ -35,6 +35,7 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     avg_len). Numeric columns fill min_num/max_num (as double) and leave the
     string slots null; string columns the reverse, with avg_len = exact
     integer length sum / non-null count (one final double division)."""
+    cols = list(dict.fromkeys(cols))  # duplicates would alias-collide in stack()
     if not cols:
         raise ValueError("column_stats requires at least one column")
     missing = [c for c in cols if c not in df.columns]
@@ -97,6 +98,7 @@ def approx_ndv_accuracy(
     merge is a commutative register-max), so the boolean is a stable,
     oracle-checkable assertion of estimator accuracy — the same contract the
     reference's NumDistinctValueEstimator promises ANALYZE TABLE."""
+    cols = list(dict.fromkeys(cols))
     if not cols:
         raise ValueError("approx_ndv_accuracy requires at least one column")
     aggs: list = []

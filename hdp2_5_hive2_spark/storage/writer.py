@@ -22,6 +22,8 @@ next join, and target file count keeps the namenode + footer overhead sane
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -297,11 +299,39 @@ def write_textfile(
 def read_textfile(spark: SparkSession, path: str, schema: str, sep: str = "\x01",
                   null_marker: str = "\\N") -> DataFrame:
     """Schema-on-read of a LazySimpleSerDe text directory (the read half of
-    write_textfile)."""
-    return (
-        spark.read.schema(schema)
-        .options(sep=sep, nullValue=null_marker, emptyValue="", header="false")
-        .csv(path)
+    write_textfile).
+
+    Implemented as line-read + split rather than the csv reader: Spark's csv
+    source maps an unquoted empty field to NULL no matter what ``emptyValue``
+    says, which would conflate ``''`` with ``\\N`` — LazySimpleSerDe keeps
+    them distinct (empty field → empty string; only the marker → NULL). The
+    split/element_at/when chain is pure codegen, one pass, no Python."""
+    from pyspark.sql.types import StructType
+
+    struct = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    # split with limit=-1 keeps trailing empty fields; escape the separator
+    # for the Java regex engine.
+    parts = F.split(F.col("value"), re.escape(sep), -1)
+    cols = []
+    for i, field in enumerate(struct.fields):
+        raw = F.element_at(parts, i + 1)
+        cols.append(
+            F.when(raw == null_marker, F.lit(None))
+            .otherwise(raw)
+            .cast(field.dataType)
+            .alias(field.name)
+        )
+    return spark.read.text(path).select(*cols)
+
+
+def _escape_partition_value(spark: SparkSession, value: str) -> str:
+    """Escape a partition value exactly the way the writer escaped it when
+    naming the directory (Hive's FileUtils.escapePathName rules, exposed by
+    Spark as ExternalCatalogUtils.escapePathName) — '/', ':' etc. become
+    %XX sequences in the path."""
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+        value
     )
 
 
@@ -310,9 +340,13 @@ def drop_partition(spark: SparkSession, path: str, col: str, value: str) -> bool
     layout (DDLTask.java:3718 dropPartitions): removes the partition
     directory through the Hadoop FileSystem API — the same abstraction Hive's
     move/drop tasks use, so it works identically on local paths, HDFS and
-    object stores. Returns True if the partition existed."""
+    object stores. The value is escaped with the SAME rules the writer used
+    to name the directory (special characters like '/' and ':' are
+    percent-encoded), so dropping e.g. value 'a/b' targets 'col=a%2Fb'.
+    Returns True if the partition existed."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{col}={value}")
+    escaped = _escape_partition_value(spark, value)
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{col}={escaped}")
     fs = p.getFileSystem(hconf)
     return bool(fs.delete(p, True))

@@ -146,3 +146,75 @@ def test_quantize_zero_vector_scale_is_one(spark):
     rows = {r.vec_id: r for r in quantize_int8_summary(df).collect()}
     assert rows[1].scale == 1.0 and rows[1].qsum == 0
     assert rows[2].max_abs == 4.0 and rows[2].qmin == -127
+
+
+def test_bm25_dedupes_repeated_terms(spark):
+    """A bag-of-words query with a repeated token must behave as if the
+    token appeared once, not crash on ambiguous pivot columns."""
+    from hdp2_5_hive2_spark.llm.retrieval import bm25_rank
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    a = {r.doc_id: r.score for r in bm25_rank(d, ["spark", "spark"], topk=5).collect()}
+    b = {r.doc_id: r.score for r in bm25_rank(d, ["spark"], topk=5).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="backticks"):
+        bm25_rank(d, ["sp`ark"])
+
+
+def test_column_stats_dedupes_columns(spark):
+    from hdp2_5_hive2_spark.stats import column_stats
+
+    o = load_tables(spark, SF_CORRECT)["orders"]
+    rows = column_stats(o, ["o_orderkey", "o_orderkey"]).collect()
+    assert len(rows) == 1
+
+
+def test_weighted_sample_preserves_schema(spark):
+    """Output schema == input schema, so sampled/unsampled frames union."""
+    from hdp2_5_hive2_spark.llm.curation import weighted_sample
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    kept = weighted_sample(d, F.lit(0.5))
+    assert kept.columns == d.columns
+    # a pre-existing 'u' column must survive untouched
+    du = d.withColumn("u", F.lit(42))
+    kept_u = weighted_sample(du, F.lit(0.5))
+    assert kept_u.select(F.min("u"), F.max("u")).first() == (42, 42)
+
+
+def test_quantize_empty_vector_emits_row(spark):
+    from hdp2_5_hive2_spark.llm.similarity import quantize_int8_summary
+
+    df = spark.createDataFrame(
+        [(1, []), (2, [2.0, -4.0])], "vec_id bigint, embedding array<float>"
+    )
+    rows = {r.vec_id: r for r in quantize_int8_summary(df).collect()}
+    assert rows[1].scale == 1.0 and rows[1].qsum == 0 and rows[1].max_abs == 0.0
+
+
+def test_textfile_empty_string_vs_null_distinct(spark):
+    """LazySimpleSerDe keeps '' and NULL distinct; the round trip must too
+    (Spark's csv READER conflates them, so read_textfile is split-based)."""
+    from hdp2_5_hive2_spark.storage import read_textfile, write_textfile
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], "k int, s string"
+    )
+    path = "/tmp/hdp2_5_hive2_spark_io/test_textfile_empty_null"
+    write_textfile(df, path)
+    back = {r.k: r.s for r in read_textfile(spark, path, "k int, s string").collect()}
+    assert back == {1: "", 2: None, 3: "x"}
+
+
+def test_drop_partition_escaped_values(spark):
+    """Partition values the writer percent-escapes in directory names must
+    still be droppable by their RAW value."""
+    from hdp2_5_hive2_spark.storage import drop_partition, write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "a/b"), (2, "plain")], "v int, p string"
+    )
+    path = "/tmp/hdp2_5_hive2_spark_io/test_drop_part_escaped"
+    write_partitioned(df, path, partition_by=["p"], dynamic=False)
+    assert drop_partition(spark, path, "p", "a/b") is True
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(2, "plain")]
