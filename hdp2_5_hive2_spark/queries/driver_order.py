@@ -86,6 +86,8 @@ _NEW_THIS_ROUND: list[str] = [
     "multimodal_payload_dedup",
     # parquet schema evolution on read (mergeSchema)
     "storage_schema_evolution",
+    # per-language tokenizer fertility (token-budget planning)
+    "llm_tokenizer_fertility",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

@@ -496,3 +496,44 @@ def llm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
         )
     )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS BIGINT)
+             AS bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS DOUBLE)
+             / SUM(len(string_split_regex(trim(text), '\\s+'))) AS fertility
+    FROM documents WHERE length(trim(text)) > 0
+    GROUP BY lang
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-style segments per whitespace
+    word, the number a multilingual token-budget planner reads (languages
+    with high fertility cost more context per word). Exact bigint sums, one
+    final double division; pure map-side regexp counting + one tiny
+    aggregation."""
+    from hdp2_5_hive2_spark.llm import text as t
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.length(F.trim("text")) > 0)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(t.token_count("text")).alias("ws_tokens"),
+            F.sum(t.bpe_ish_token_count("text")).alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "ws_tokens",
+            "bpe_tokens",
+            (F.col("bpe_tokens").cast("double") / F.col("ws_tokens")).alias("fertility"),
+        )
+    )

@@ -153,3 +153,22 @@ def test_drop_partition_removes_only_target(spark):
     assert drop_partition(spark, path, "p", "missing") is False
     back = spark.read.parquet(path)
     assert [tuple(r) for r in back.collect()] == [(2, "b")]
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """A filter on the partition column must become a PartitionFilter (prune
+    directories at planning time), not a post-scan Filter — the property
+    that makes partitioned layouts pay off at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)], "v int, p string"
+    )
+    path = "/tmp/hdp2_5_hive2_spark_io/test_partition_pruning"
+    write_partitioned(df, path, partition_by=["p"], dynamic=False)
+    q = spark.read.parquet(path).filter(F.col("p") == "a")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in plan or "PartitionFilters: [(p" in plan, plan
+    assert q.count() == 50
