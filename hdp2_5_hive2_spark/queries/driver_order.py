@@ -88,6 +88,8 @@ _NEW_THIS_ROUND: list[str] = [
     "storage_schema_evolution",
     # per-language tokenizer fertility (token-budget planning)
     "llm_tokenizer_fertility",
+    # RegexSerDe (tables over raw log lines)
+    "storage_regex_serde",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

@@ -441,3 +441,42 @@ def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "sum_price_new"),
     )
+
+
+@query(
+    "storage_regex_serde",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders WHERE o_orderkey <= 300
+    GROUP BY o_orderstatus
+    """,
+    tags=("storage", "serde", "regex"),
+)
+def storage_regex_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexSerDe round trip (serde2/RegexSerDe.java — Hive tables over raw
+    log lines): orders are serialized as 'ord key=<k> status=<s>' text lines,
+    read back through capture-group parsing into typed columns, and
+    aggregated — the result must equal the oracle over the source table,
+    proving the parse is lossless. Both directions are pure codegen string
+    ops (concat on write, regexp_extract on read)."""
+    from hdp2_5_hive2_spark.storage import read_regex_serde
+
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") <= 300)
+    path = f"{IO_ROOT}/orders_regex_serde"
+    lines = o.select(
+        F.concat(
+            F.lit("ord key="), F.col("o_orderkey"),
+            F.lit(" status="), F.col("o_orderstatus"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = read_regex_serde(
+        spark,
+        path,
+        r"^ord key=(\d+) status=(\w+)$",
+        [("o_orderkey", "bigint"), ("o_orderstatus", "string")],
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("o_orderkey").alias("key_checksum")
+    )

@@ -16,6 +16,7 @@ from hdp2_5_hive2_spark.storage.writer import (
     multi_insert,
     insert_overwrite,
     read_sequencefile,
+    read_regex_serde,
     read_textfile,
     write_bucketed_table,
     write_partitioned,
@@ -32,6 +33,7 @@ __all__ = [
     "multi_insert",
     "insert_overwrite",
     "read_sequencefile",
+    "read_regex_serde",
     "read_textfile",
     "write_bucketed_table",
     "write_partitioned",

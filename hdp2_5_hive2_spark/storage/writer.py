@@ -23,6 +23,7 @@ next join, and target file count keeps the namenode + footer overhead sane
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -350,3 +351,20 @@ def drop_partition(spark: SparkSession, path: str, col: str, value: str) -> bool
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/{col}={escaped}")
     fs = p.getFileSystem(hconf)
     return bool(fs.delete(p, True))
+
+
+def read_regex_serde(
+    spark: SparkSession, path: str, pattern: str, fields: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """RegexSerDe read path (serde2/RegexSerDe.java): parse each text line
+    with a regex whose capture groups become typed columns — the standard way
+    Hive tables sit over raw log files. Pure codegen: one regexp_extract per
+    field + cast, no Python.
+
+    ``fields`` is an ordered list of (name, ddl_type); group i+1 binds to
+    fields[i]."""
+    cols = [
+        F.regexp_extract(F.col("value"), pattern, i + 1).cast(t).alias(n)
+        for i, (n, t) in enumerate(fields)
+    ]
+    return spark.read.text(path).select(*cols)
