@@ -241,7 +241,11 @@ def bigram_lm_score(
     from hdp2_5_hive2_spark.llm.curation import word_ngram_counts
 
     scale = float(1 << q_bits)
-    rows = word_ngram_counts(df, text_col, id_col, n=2)
+    # Materialize the Arrow n-gram pass once: the frame feeds both the
+    # corpus-count aggregation and the final per-doc join, and exchange
+    # reuse does not dedupe Python-kernel subtrees (same rationale as
+    # dedup._banded_memo; measured 1.67 s → 1.20 s at sf0.1).
+    rows = word_ngram_counts(df, text_col, id_col, n=2).localCheckpoint(eager=False)
     cb = (
         rows.groupBy("ngram")
         .agg(F.sum("cnt").alias("c_bg"))
