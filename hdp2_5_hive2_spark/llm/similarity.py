@@ -513,7 +513,9 @@ def quantize_int8_summary(
 ) -> DataFrame:
     """Symmetric int8 quantization summary per vector — the compression step
     ANN systems apply before indexing (scale = 127/max|v|, q_i =
-    floor(v_i·scale)): (id, max_abs, scale, qsum, qmin, qmax).
+    clip(floor(v_i·scale), -127, 127)): (id, max_abs, scale, qsum, qmin,
+    qmax). The clip is load-bearing: the scale round trip carries a ±1-ulp
+    error, so the extreme negative element can otherwise floor to -128.
 
     Exactness: elements are widened float32→float64 BEFORE any arithmetic
     (numpy float64 ops are the same IEEE doubles DuckDB computes);
@@ -541,7 +543,10 @@ def quantize_int8_summary(
                 else:
                     max_abs = float(np.max(np.abs(v)))
                     scale = 1.0 if max_abs == 0.0 else 127.0 / max_abs
-                    q = np.floor(v * scale).astype(np.int64)
+                    # clamp: v*(127/max|v|) carries a ±1-ulp error, so the
+                    # extreme element can floor to -128 (observed on real
+                    # data) — a true int8 symmetric quantizer clips
+                    q = np.clip(np.floor(v * scale), -127.0, 127.0).astype(np.int64)
                 out["_id"].append(i)
                 out["max_abs"].append(max_abs)
                 out["scale"].append(scale)

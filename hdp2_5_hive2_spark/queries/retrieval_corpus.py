@@ -426,9 +426,10 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, max_abs,
              CASE WHEN max_abs = 0 THEN CAST(1 AS DOUBLE)
                   ELSE CAST(127 AS DOUBLE) / max_abs END AS scale,
-             CAST(floor(CAST(v AS DOUBLE)
-                        * (CASE WHEN max_abs = 0 THEN CAST(1 AS DOUBLE)
-                                ELSE CAST(127 AS DOUBLE) / max_abs END))
+             CAST(GREATEST(CAST(-127 AS DOUBLE), LEAST(CAST(127 AS DOUBLE),
+                    floor(CAST(v AS DOUBLE)
+                          * (CASE WHEN max_abs = 0 THEN CAST(1 AS DOUBLE)
+                                  ELSE CAST(127 AS DOUBLE) / max_abs END))))
                   AS BIGINT) AS q
       FROM m
     )

@@ -334,3 +334,92 @@ def test_pack_sequences_offsets_are_contiguous(spark):
         assert r.bin_end_id == (pos + r.n_tokens - 1) // 64
         assert r.spans_boundary == (r.bin_id != r.bin_end_id)
         pos += r.n_tokens
+
+
+def test_tfidf_topk_bounds_and_determinism(spark):
+    """Each doc contributes at most k rows; scores are positive; the result
+    is invariant under input repartitioning (no partition-order leaks)."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.retrieval import tfidf_top_terms
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    a = tfidf_top_terms(d, k=3)
+    per_doc = a.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert per_doc <= 3
+    assert a.filter(F.col("score") <= 0).count() == 0
+    b = tfidf_top_terms(d.repartition(7), k=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bm25_scores_monotone_in_term_count(spark):
+    """Adding a query term can only add to every matching doc's score
+    (scores are sums of non-negative per-term contributions)."""
+    from hdp2_5_hive2_spark.llm.retrieval import bm25_rank
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    one = {r.doc_id: r.score for r in bm25_rank(d, ["spark"], topk=1000).collect()}
+    two = {r.doc_id: r.score for r in bm25_rank(d, ["spark", "join"], topk=1000).collect()}
+    for doc, s in one.items():
+        assert two[doc] >= s - 1e-12, (doc, s, two[doc])
+
+
+def test_vocab_coverage_cumulative_monotone(spark):
+    from hdp2_5_hive2_spark.llm.retrieval import vocab_coverage
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    rows = sorted(vocab_coverage(d, top=25).collect(), key=lambda r: r.rank)
+    fracs = [r.cum_frac for r in rows]
+    assert all(b >= a for a, b in zip(fracs, fracs[1:]))
+    assert 0 < fracs[-1] <= 1.0
+    cnts = [r.cnt for r in rows]
+    assert all(b <= a for a, b in zip(cnts, cnts[1:])), "counts must be non-increasing"
+
+
+def test_quantize_bounds(spark):
+    """Quantized values live in the CLAMPED int8 symmetric range
+    [-127, 127] (without the clip, ulp error on v*(127/max|v|) floors the
+    extreme negative element to -128 — observed on real data), and the
+    max-magnitude side lands within one quantization step of the edge."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.similarity import quantize_int8_summary
+
+    e = load_tables(spark, SF_CORRECT)["embeddings"]
+    q = quantize_int8_summary(e)
+    assert q.filter((F.col("qmin") < -127) | (F.col("qmax") > 127)).count() == 0
+    assert q.filter(
+        (F.col("max_abs") > 0) & (F.col("qmax") < 126) & (F.col("qmin") > -127)
+    ).count() == 0
+
+
+def test_chunk_dup_stats_planted_clone(spark):
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.dedup import chunk_dup_stats
+
+    d = load_tables(spark, SF_CORRECT)["documents"].limit(50)
+    src = d.select("doc_id", "text").unionAll(
+        d.limit(5).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    res = {r.doc_id: r for r in chunk_dup_stats(src).collect()}
+    for i in [r.doc_id for r in d.limit(5).collect()]:
+        assert res[i + 10_000_000].dup_frac == 1.0, "clones must be fully duplicated"
+
+
+def test_bigram_lm_score_bounds(spark):
+    """Quantized average probability lies in [0, 1] and docs made of one
+    repeated bigram context score near 1."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.retrieval import bigram_lm_score
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    s = bigram_lm_score(d)
+    assert s.filter((F.col("avg_prob") < 0) | (F.col("avg_prob") > 1)).count() == 0
+    mono = spark.createDataFrame(
+        [(1, "x x x x x x"), (2, "x x x x x x")], "doc_id bigint, text string"
+    )
+    rows = bigram_lm_score(mono).collect()
+    # the only bigram is 'x x' with p(x|x)=1 → quantized avg ≈ 1 (floor ≤ 1)
+    assert all(abs(r.avg_prob - 1.0) < 1e-5 for r in rows)
