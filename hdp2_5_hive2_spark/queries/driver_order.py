@@ -90,6 +90,8 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_tokenizer_fertility",
     # RegexSerDe (tables over raw log lines)
     "storage_regex_serde",
+    # correlated scalar subqueries in SELECT (decorrelated outer aggregates)
+    "subquery_correlated_scalar",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

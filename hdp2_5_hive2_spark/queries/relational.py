@@ -702,3 +702,38 @@ def subquery_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+             AS n_orders,
+           (SELECT CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                        AS DOUBLE)
+            FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+    FROM customer c
+    WHERE c_custkey <= 100
+    """,
+    tags=("subquery", "correlated", "scalar"),
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subqueries in SELECT (beyond Hive 2.1, which allows
+    subqueries only in WHERE/HAVING — QBSubQuery.java:40; Spark decorrelates
+    them into left outer aggregates): per customer, order count and total
+    spend, zero-filled for customers with no orders. Exact decimal sums →
+    one final double cast."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+                 AS n_orders,
+               (SELECT CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                            AS DOUBLE)
+                FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+        FROM customer c
+        WHERE c_custkey <= 100
+        """
+    )
