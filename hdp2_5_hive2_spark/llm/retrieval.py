@@ -110,6 +110,11 @@ def bm25_rank(
     bad = [t for t in terms if "`" in t]
     if bad:
         raise ValueError(f"bm25_rank: query terms may not contain backticks: {bad}")
+    if id_col in terms:
+        raise ValueError(
+            f"bm25_rank: query term {id_col!r} collides with the id column "
+            "(the pivot would create an ambiguous duplicate column)"
+        )
     tf_all = term_frequencies(df, text_col, id_col)
     tf = tf_all.filter(F.col("term").isin(terms))
     dfq = doc_frequencies(tf_all, id_col).filter(F.col("term").isin(terms))

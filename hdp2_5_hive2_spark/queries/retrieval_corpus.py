@@ -438,6 +438,11 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(q) AS BIGINT) AS qmin,
            CAST(MAX(q) AS BIGINT) AS qmax
     FROM q GROUP BY vec_id, max_abs, scale
+    UNION ALL
+    -- empty vectors never unnest; the operator still emits a zero-summary row
+    SELECT vec_id, CAST(0 AS DOUBLE), CAST(1 AS DOUBLE),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM embeddings WHERE len(embedding) = 0
     """,
     tags=("llm", "similarity", "quantize"),
 )

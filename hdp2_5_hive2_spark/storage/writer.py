@@ -253,6 +253,17 @@ def write_sequencefile(df: DataFrame, path: str, sep: str = "\x01") -> None:
     )
 
 
+def _decode_serde_field(raw, data_type, null_marker: str):
+    """LazySimpleSerDe per-field decode, shared by the SequenceFile and
+    TEXTFILE readers: the null marker (and a missing trailing field, already
+    NULL) becomes SQL NULL; everything else lazily casts to the target type.
+    try_cast keeps malformed values NULL instead of aborting the job under
+    Spark 4's default ANSI mode — the serde's permissive contract."""
+    return (
+        F.when(raw == null_marker, F.lit(None)).otherwise(raw).try_cast(data_type)
+    )
+
+
 def read_sequencefile(
     spark: SparkSession, path: str, schema: str, sep: str = "\x01"
 ) -> DataFrame:
@@ -270,9 +281,7 @@ def read_sequencefile(
     )
     return raw.select(
         *[
-            F.when(F.col(f.name) != _HIVE_NULL, F.col(f.name))
-            .cast(f.dataType)
-            .alias(f.name)
+            _decode_serde_field(F.col(f.name), f.dataType, _HIVE_NULL).alias(f.name)
             for f in target.fields
         ]
     )
@@ -286,15 +295,23 @@ def write_textfile(
 ) -> None:
     """STORED AS TEXTFILE with LazySimpleSerDe conventions — Hive's DEFAULT
     table format (serde2/lazy/LazySimpleSerDe.java:76): Ctrl-A (\\x01) field
-    delimiter, newline records, ``\\N`` for NULL. Spark's csv sink with the
-    same delimiter/null options produces byte-identical lines without any
-    per-row Python (contrast write_sequencefile, which must wrap values in
-    Writables)."""
-    (
-        df.write.mode("overwrite")
-        .options(sep=sep, nullValue=null_marker, emptyValue="", header="false")
-        .csv(path)
+    delimiter, newline records, ``\\N`` for NULL, and NO quoting — exactly
+    the serde's layout (the csv sink would quote-escape values containing a
+    quote character, which read_textfile's raw split could not invert). The
+    line is built as ONE concat_ws Column over null-coalesced string casts —
+    pure codegen, no per-row Python — and written through the text sink.
+
+    LazySimpleSerDe caveat carried faithfully: values containing the field
+    delimiter or a newline are not representable (Hive without
+    escape.delim has the same limitation)."""
+    line = F.concat_ws(
+        sep,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(null_marker))
+            for c in df.columns
+        ],
     )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
 
 
 def read_textfile(spark: SparkSession, path: str, schema: str, sep: str = "\x01",
@@ -311,17 +328,16 @@ def read_textfile(spark: SparkSession, path: str, schema: str, sep: str = "\x01"
 
     struct = StructType.fromDDL(schema) if isinstance(schema, str) else schema
     # split with limit=-1 keeps trailing empty fields; escape the separator
-    # for the Java regex engine.
+    # for the Java regex engine. F.get is 0-based and returns NULL for
+    # missing trailing fields (LazySimpleSerDe pads short rows with NULL;
+    # element_at would throw under Spark 4's default ANSI mode).
     parts = F.split(F.col("value"), re.escape(sep), -1)
-    cols = []
-    for i, field in enumerate(struct.fields):
-        raw = F.element_at(parts, i + 1)
-        cols.append(
-            F.when(raw == null_marker, F.lit(None))
-            .otherwise(raw)
-            .cast(field.dataType)
-            .alias(field.name)
+    cols = [
+        _decode_serde_field(F.get(parts, i), field.dataType, null_marker).alias(
+            field.name
         )
+        for i, field in enumerate(struct.fields)
+    ]
     return spark.read.text(path).select(*cols)
 
 
@@ -362,9 +378,15 @@ def read_regex_serde(
     field + cast, no Python.
 
     ``fields`` is an ordered list of (name, ddl_type); group i+1 binds to
-    fields[i]."""
+    fields[i]. Hive's RegexSerDe contract for lines that do NOT match the
+    pattern is an all-NULL row (raw logs routinely contain blank/garbage
+    lines), carried here by gating every extract on rlike; try_cast keeps
+    a malformed capture NULL instead of aborting under ANSI mode."""
+    matched = F.col("value").rlike(pattern)
     cols = [
-        F.regexp_extract(F.col("value"), pattern, i + 1).cast(t).alias(n)
+        F.when(matched, F.regexp_extract(F.col("value"), pattern, i + 1))
+        .try_cast(t)
+        .alias(n)
         for i, (n, t) in enumerate(fields)
     ]
     return spark.read.text(path).select(*cols)

@@ -172,3 +172,51 @@ def test_partitioned_read_prunes_partitions(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(p" in plan or "PartitionFilters: [(p" in plan, plan
     assert q.count() == 50
+
+
+def test_textfile_quotes_roundtrip_unquoted(spark):
+    """LazySimpleSerDe never quotes: a value containing a double-quote must
+    round-trip verbatim (the csv sink would quote-escape it and the raw
+    split reader could not invert that)."""
+    from hdp2_5_hive2_spark.storage import read_textfile, write_textfile
+
+    df = spark.createDataFrame([(1, 'he said "hi"')], "k int, s string")
+    path = "/tmp/hdp2_5_hive2_spark_io/test_textfile_quotes"
+    write_textfile(df, path)
+    back = read_textfile(spark, path, "k int, s string")
+    assert back.collect()[0].s == 'he said "hi"'
+
+
+def test_textfile_short_row_pads_null(spark):
+    """A row with fewer fields than the schema reads as NULL-padded (the
+    LazySimpleSerDe contract), not an ANSI element_at crash."""
+    import pathlib
+
+    from hdp2_5_hive2_spark.storage import read_textfile
+
+    path = "/tmp/hdp2_5_hive2_spark_io/test_textfile_short"
+    pathlib.Path(path).mkdir(parents=True, exist_ok=True)
+    pathlib.Path(f"{path}/part-0.txt").write_text("1\x01full\x0110\n2\n")
+    rows = {r.k: r for r in read_textfile(spark, path, "k int, s string, v int").collect()}
+    assert rows[1].s == "full" and rows[1].v == 10
+    assert rows[2].s is None and rows[2].v is None
+
+
+def test_regex_serde_unmatched_line_is_null_row(spark):
+    """RegexSerDe contract (serde2/RegexSerDe.java): a line that does not
+    match the pattern yields an all-NULL row — never a job-aborting ANSI
+    cast error on the empty capture."""
+    import pathlib
+
+    from hdp2_5_hive2_spark.storage import read_regex_serde
+
+    path = "/tmp/hdp2_5_hive2_spark_io/test_regex_garbage"
+    pathlib.Path(path).mkdir(parents=True, exist_ok=True)
+    pathlib.Path(f"{path}/part-0.txt").write_text("ord key=7 status=OK\n\ngarbage line\n")
+    rows = read_regex_serde(
+        spark, path, r"^ord key=(\d+) status=(\w+)$",
+        [("k", "bigint"), ("st", "string")],
+    ).collect()
+    parsed = [tuple(r) for r in rows]
+    assert (7, "OK") in parsed
+    assert parsed.count((None, None)) == 2
