@@ -218,3 +218,11 @@ def test_drop_partition_escaped_values(spark):
     write_partitioned(df, path, partition_by=["p"], dynamic=False)
     assert drop_partition(spark, path, "p", "a/b") is True
     assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(2, "plain")]
+
+
+def test_bm25_rejects_id_column_collision(spark):
+    from hdp2_5_hive2_spark.llm.retrieval import bm25_rank
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    with pytest.raises(ValueError, match="collides with the id column"):
+        bm25_rank(d, ["doc_id"])
