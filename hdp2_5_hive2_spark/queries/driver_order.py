@@ -92,6 +92,8 @@ _NEW_THIS_ROUND: list[str] = [
     "storage_regex_serde",
     # correlated scalar subqueries in SELECT (decorrelated outer aggregates)
     "subquery_correlated_scalar",
+    # dataset-card release statistics (one-row corpus summary)
+    "llm_dataset_card",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

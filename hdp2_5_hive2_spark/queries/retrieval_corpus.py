@@ -543,3 +543,73 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bpe_tokens").cast("double") / F.col("ws_tokens")).alias("fertility"),
         )
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             length(text) AS n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), dup AS (
+      SELECT CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_docs
+      FROM (SELECT fp, count(*) AS cnt FROM base GROUP BY fp)
+    )
+    SELECT count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / count(*) AS mean_tokens,
+           d.n_dup_docs AS n_dup_docs,
+           CAST(d.n_dup_docs AS DOUBLE) / count(*) AS dup_rate
+    FROM base CROSS JOIN dup d
+    GROUP BY d.n_dup_docs
+    """,
+    tags=("llm", "curation", "report"),
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary — the one-row release-stats table a published
+    corpus ships with: document/token/char totals, language and source
+    cardinality, token-length extremes, and the exact-duplicate rate
+    (docs beyond the first per normalized fingerprint). Exact bigints with
+    two final double divisions; the dup count rides a broadcast one-row
+    cross join of a fingerprint-keyed aggregate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    from hdp2_5_hive2_spark.llm.text import normalize_text, token_count
+
+    base = d.select(
+        "doc_id", "lang", "source",
+        token_count("text").alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.md5(normalize_text("text")).alias("fp"),
+    )
+    dup = (
+        base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") - 1).alias("n_dup_docs"))
+    )
+    return (
+        base.crossJoin(F.broadcast(dup))
+        .groupBy("n_dup_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+        )
+        .select(
+            "n_docs", "total_tokens", "total_chars", "n_langs", "n_sources",
+            "min_tokens", "max_tokens", "mean_tokens", "n_dup_docs",
+            (F.col("n_dup_docs").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        )
+    )
