@@ -94,6 +94,8 @@ _NEW_THIS_ROUND: list[str] = [
     "subquery_correlated_scalar",
     # dataset-card release statistics (one-row corpus summary)
     "llm_dataset_card",
+    # top session paths (deterministic ordered aggregation)
+    "events_session_paths",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale

@@ -570,3 +570,64 @@ def events_anomaly_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").alias("max_cnt"),
         )
     )
+
+
+@query(
+    "events_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 300
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM numbered GROUP BY user_id, session_seq
+    )
+    SELECT path, n_sessions, rank FROM (
+      SELECT path, count(*) AS n_sessions,
+             row_number() OVER (ORDER BY count(*) DESC, path) AS rank
+      FROM paths GROUP BY path
+    ) WHERE rank <= 10
+    """,
+    tags=("events", "session", "path"),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session paths (the event-type sequence of each 5-minute-gap
+    session, joined with '>') — path analysis, the exploratory sibling of the
+    funnel rollup. Deterministic ordered aggregation: events are packed as
+    (ts, event_id, type) structs, array-sorted (lexicographic struct order ==
+    the oracle's ORDER BY ts, event_id), then projected — no
+    collect_list-order dependence. Ranking ties break on the path string."""
+    from pyspark.sql import Window
+
+    sess = ev.session_ids(load_tables(spark, sf_dir)["events"], gap_minutes=5)
+    packed = sess.groupBy("user_id", "session_seq").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    paths = packed.select(
+        F.concat_ws(">", F.transform(F.col("evs"), lambda e: e["event_type"])).alias(
+            "path"
+        )
+    )
+    ranked = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n_sessions"), F.asc("path"))),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    return ranked.select("path", "n_sessions", "rank")
