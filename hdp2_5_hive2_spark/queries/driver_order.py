@@ -102,7 +102,16 @@ _NEW_THIS_ROUND: list[str] = [
 # verdict no longer covers the shipped code.
 _CHANGED_THIS_ROUND: list[str] = []
 
-_PRIORITY = _DARK_R4 + _NEW_THIS_ROUND + _CHANGED_THIS_ROUND
+# Tier 4 — added after the 50-name window filled (19 overflow + 27 new +
+# 4 re-verify slots). Queued immediately after position 049: verified this
+# round only if the driver's budget exceeds 50 names, otherwise they lead
+# the round-5 rotation (the same mechanism round 3 used for its nineteen).
+_OVERFLOW_THIS_ROUND: list[str] = [
+    "events_dau_wau",        # DAU/WAU stickiness (integer day-index math)
+    "events_churned_users",  # weekly churn via week-shift self-join
+]
+
+_PRIORITY = _DARK_R4 + _NEW_THIS_ROUND + _CHANGED_THIS_ROUND + _OVERFLOW_THIS_ROUND
 
 
 def dark_queries() -> list[str]:

@@ -631,3 +631,85 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
     )
     return ranked.select("path", "n_sessions", "rank")
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+      FROM events
+    ), daily AS (
+      SELECT day_idx, count(*) AS dau FROM d GROUP BY day_idx
+    ), weekly AS (
+      SELECT day_idx // 7 AS wk, count(DISTINCT user_id) AS wau
+      FROM d GROUP BY day_idx // 7
+    )
+    SELECT daily.day_idx AS day_idx, daily.dau AS dau, weekly.wau AS wau,
+           CAST(daily.dau AS DOUBLE) / weekly.wau AS stickiness
+    FROM daily JOIN weekly ON daily.day_idx // 7 = weekly.wk
+    """,
+    tags=("events", "engagement"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product analytics
+    tracks. Pure integer day-index arithmetic from a fixed epoch; one
+    distinct (user, day) exchange feeds both rollups; the weekly side joins
+    back broadcast (weeks are tiny)."""
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day_idx"),
+    ).distinct()
+    daily = d.groupBy("day_idx").agg(F.count(F.lit(1)).alias("dau"))
+    weekly = d.select("user_id", F.expr("day_idx div 7").alias("wk")).groupBy("wk").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        daily.join(F.broadcast(weekly), F.expr("day_idx div 7") == F.col("wk"))
+        .select(
+            "day_idx", "dau", "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "events_churned_users",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+      FROM events
+    )
+    SELECT a.wk AS wk, count(*) AS n_active,
+           CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned,
+           CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS churn_rate
+    FROM w a LEFT JOIN w b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+    GROUP BY a.wk
+    """,
+    tags=("events", "churn"),
+)
+def events_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: users active in week w with no activity in week w+1
+    (the left-anti week-shift self-join every retention dashboard runs).
+    One distinct (user, week) frame joined against its own week+1 shift —
+    same key, so the exchange is reused."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = e.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE '2024-01-01') div 7").alias("wk"),
+    ).distinct()
+    nxt = w.select("user_id", (F.col("wk") - 1).alias("wk"), F.lit(1).alias("active_next"))
+    joined = w.join(nxt, ["user_id", "wk"], "left")
+    return joined.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("active_next").isNull(), 1).otherwise(0)).alias("n_churned"),
+        (
+            F.sum(F.when(F.col("active_next").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("churn_rate"),
+    )

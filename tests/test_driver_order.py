@@ -63,19 +63,31 @@ def test_rotation_puts_every_dark_query_inside_the_50_name_window():
         "recorded-dark queries must lead the window"
     )
     # new-this-round queries (dark by definition) come directly after, and
-    # ALL dark queries must fit the 50-name window this round.
+    # every dark query is either inside the 50-name window or an explicit
+    # overflow entry queued immediately behind it (round-3 mechanism).
+    from hdp2_5_hive2_spark.queries.driver_order import _OVERFLOW_THIS_ROUND
+
     assert first[n_listed : n_listed + len(_NEW_THIS_ROUND)] == _NEW_THIS_ROUND
-    assert dark <= set(first), (
-        f"dark queries outside the 50-name window: {dark - set(first)}"
+    overflow = dark - set(first)
+    assert overflow <= set(_OVERFLOW_THIS_ROUND), (
+        f"dark queries neither in window nor queued as overflow: "
+        f"{overflow - set(_OVERFLOW_THIS_ROUND)}"
+    )
+    order = driver_order()
+    n_pri = len(dark_queries()) + len(_NEW_THIS_ROUND)
+    assert order[n_pri : n_pri + len(_OVERFLOW_THIS_ROUND)] == _OVERFLOW_THIS_ROUND, (
+        "overflow entries must sit directly behind the priority tiers"
     )
 
 
 def test_new_queries_listed_in_rotation_tier():
     """Every registry query with no driver verdict must be explicitly placed
     in a rotation tier (not silently appended alphabetically)."""
+    from hdp2_5_hive2_spark.queries.driver_order import _OVERFLOW_THIS_ROUND
+
     green = _green_union()
     dark = {n for n in REGISTRY if n not in green}
-    placed = set(dark_queries()) | set(_NEW_THIS_ROUND)
+    placed = set(dark_queries()) | set(_NEW_THIS_ROUND) | set(_OVERFLOW_THIS_ROUND)
     assert dark <= placed, f"unplaced dark queries: {dark - placed}"
 
 
