@@ -1171,3 +1171,46 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return multimodal.dedup_assets(assets)
+
+
+@query(
+    "llm_cross_source_dups",
+    oracle="""
+    WITH f AS (
+      SELECT source, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+      UNION ALL
+      SELECT 'mirror' AS source, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+    FROM (SELECT DISTINCT source, fp FROM f) a
+    JOIN (SELECT DISTINCT source, fp FROM f) b
+      ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("llm", "dedup", "provenance"),
+)
+def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — which sources carry the same
+    documents (the provenance question behind dedup-before-mixing): distinct
+    (source, fingerprint) pairs self-joined on the fingerprint, counted per
+    source pair. A planted 'mirror' source (every doc_id ≡ 0 mod 11) must
+    show up against its originals. Text reduces to md5 map-side; the join
+    keys on 16-byte fingerprints only."""
+    d = load_tables(spark, sf_dir)["documents"]
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    f = d.select("source", fp.alias("fp")).unionAll(
+        d.filter(F.col("doc_id") % 11 == 0).select(
+            F.lit("mirror").alias("source"), fp.alias("fp")
+        )
+    )
+    sf = f.distinct()
+    a = sf.select(F.col("source").alias("source_a"), "fp")
+    b = sf.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
