@@ -110,6 +110,7 @@ _OVERFLOW_THIS_ROUND: list[str] = [
     "events_dau_wau",        # DAU/WAU stickiness (integer day-index math)
     "events_churned_users",  # weekly churn via week-shift self-join
     "llm_cross_source_dups",  # cross-source duplication matrix
+    "events_transition_matrix",  # within-session Markov transition counts
 ]
 
 _PRIORITY = _DARK_R4 + _NEW_THIS_ROUND + _CHANGED_THIS_ROUND + _OVERFLOW_THIS_ROUND

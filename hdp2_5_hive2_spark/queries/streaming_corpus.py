@@ -713,3 +713,52 @@ def events_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("churn_rate"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 300
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
+      FROM flagged
+    ), pairs AS (
+      SELECT event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id, session_seq
+                                   ORDER BY ts, event_id) AS from_type
+      FROM numbered
+    )
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM pairs WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    tags=("events", "session", "transition"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition matrix (the Markov-chain counts
+    behind next-action models): consecutive event pairs inside each
+    5-minute-gap session, counted per (from, to). One window pass over the
+    session assignment's own (user, session) partitioning — the lag reuses
+    the sessionize exchange."""
+    from pyspark.sql import Window
+
+    sess = ev.session_ids(load_tables(spark, sf_dir)["events"], gap_minutes=5)
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    pairs = sess.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    return (
+        pairs.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
