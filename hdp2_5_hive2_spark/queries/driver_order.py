@@ -111,6 +111,8 @@ _OVERFLOW_THIS_ROUND: list[str] = [
     "events_churned_users",  # weekly churn via week-shift self-join
     "llm_cross_source_dups",  # cross-source duplication matrix
     "events_transition_matrix",  # within-session Markov transition counts
+    "llm_contamination_by_source",  # eval-overlap provenance breakdown
+    "llm_token_length_histogram",   # power-of-two doc-length distribution
 ]
 
 _PRIORITY = _DARK_R4 + _NEW_THIS_ROUND + _CHANGED_THIS_ROUND + _OVERFLOW_THIS_ROUND

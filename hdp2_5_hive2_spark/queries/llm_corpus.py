@@ -1214,3 +1214,91 @@ def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+@query(
+    "llm_contamination_by_source",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), ng AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
+               i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+                    ||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]))) AS ngram
+      FROM t WHERE len(t) >= 8
+    ), ev AS (
+      SELECT DISTINCT ngram FROM ng WHERE doc_id % 13 = 0
+    ), hits AS (
+      SELECT DISTINCT g.doc_id, g.source
+      FROM ng g JOIN ev USING (ngram) WHERE g.doc_id % 13 <> 0
+    ), totals AS (
+      SELECT source, count(*) AS n_docs FROM documents WHERE doc_id % 13 <> 0
+      GROUP BY source
+    )
+    SELECT t.source AS source, t.n_docs AS n_docs,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_docs AS contamination_rate
+    FROM totals t
+    LEFT JOIN (SELECT source, count(*) AS n_hit FROM hits GROUP BY source) h
+      ON t.source = h.source
+    """,
+    tags=("llm", "curation", "decontamination"),
+)
+def llm_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination accounting: which sources carry eval-set
+    8-gram overlap (eval = every doc_id ≡ 0 mod 13), as counts and rates —
+    the provenance breakdown a pipeline owner uses to drop or re-crawl a
+    source. Composes curation.decontaminate (broadcast eval n-grams, train
+    text never shuffles) with a per-source rollup."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ev_df = d.filter(F.col("doc_id") % 13 == 0)
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    hits = curation.decontaminate(train, ev_df, n=8).select("doc_id")
+    totals = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    hit_src = (
+        hits.join(train.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(F.broadcast(hit_src), "source", "left")
+        .select(
+            "source", "n_docs",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_contaminated"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_docs")).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "llm_token_length_histogram",
+    oracle="""
+    SELECT length(bin(len(string_split_regex(trim(text), '\\s+')))) AS bucket,
+           count(*) AS n_docs,
+           CAST(MIN(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS min_tok,
+           CAST(MAX(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS max_tok
+    FROM documents WHERE length(trim(text)) > 0
+    GROUP BY bucket
+    """,
+    tags=("llm", "text", "histogram"),
+)
+def llm_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram — the doc-length distribution a
+    packing/truncation policy reads. Bucket = number of binary digits of the
+    token count (⌊log2 n⌋+1) computed by STRING LENGTH OF THE BINARY
+    REPRESENTATION — pure integer/string ops, no transcendental log that
+    could differ across engines."""
+    from hdp2_5_hive2_spark.llm.text import token_count
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.length(F.trim("text")) > 0)
+    n = token_count("text")
+    bucket = F.length(F.conv(n.cast("string"), 10, 2))
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(n).cast("bigint").alias("min_tok"),
+        F.max(n).cast("bigint").alias("max_tok"),
+    )
