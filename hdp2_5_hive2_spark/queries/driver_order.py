@@ -96,21 +96,22 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_dataset_card",
     # top session paths (deterministic ordered aggregation)
     "events_session_paths",
+    # engagement/churn/provenance analytics (window positions 046-049)
+    "events_dau_wau",
+    "events_churned_users",
+    "llm_cross_source_dups",
+    "events_transition_matrix",
 ]
 
 # Tier 3 — green in a prior round but re-implemented this round; a stale
 # verdict no longer covers the shipped code.
 _CHANGED_THIS_ROUND: list[str] = []
 
-# Tier 4 — added after the 50-name window filled (19 overflow + 27 new +
-# 4 re-verify slots). Queued immediately after position 049: verified this
+# Tier 4 — added after the 50-name window filled (19 dark + 31 new =
+# positions 000-049). Queued immediately after position 049: verified this
 # round only if the driver's budget exceeds 50 names, otherwise they lead
 # the round-5 rotation (the same mechanism round 3 used for its nineteen).
 _OVERFLOW_THIS_ROUND: list[str] = [
-    "events_dau_wau",        # DAU/WAU stickiness (integer day-index math)
-    "events_churned_users",  # weekly churn via week-shift self-join
-    "llm_cross_source_dups",  # cross-source duplication matrix
-    "events_transition_matrix",  # within-session Markov transition counts
     "llm_contamination_by_source",  # eval-overlap provenance breakdown
     "llm_token_length_histogram",   # power-of-two doc-length distribution
 ]

@@ -1199,7 +1199,7 @@ def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     show up against its originals. Text reduces to md5 map-side; the join
     keys on 16-byte fingerprints only."""
     d = load_tables(spark, sf_dir)["documents"]
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    fp = F.md5(text.normalize_text("text"))
     f = d.select("source", fp.alias("fp")).unionAll(
         d.filter(F.col("doc_id") % 11 == 0).select(
             F.lit("mirror").alias("source"), fp.alias("fp")

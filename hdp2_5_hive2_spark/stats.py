@@ -26,16 +26,31 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, FloatType, NumericType, StringType
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DoubleType,
+    FloatType,
+    NumericType,
+    StringType,
+    TimestampType,
+)
 
 
 def _ndv_value(df: DataFrame, c: str):
     """String-keyed distinct representative of a column value, matching
-    count(DISTINCT native-type) semantics (see module docstring)."""
+    count(DISTINCT native-type) semantics (see module docstring). Atomic
+    types cast to string (injective per column; floats are +0.0-normalized
+    first so -0.0 and 0.0 collapse). Complex/binary types go through
+    to_json(struct(...)) — the plain string cast is NOT injective for them
+    (['a, b'] and ['a','b'] both print "[a, b]")."""
+    typ = df.schema[c].dataType
     col = F.col(c)
-    if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
-        col = col + F.lit(0.0)  # collapse -0.0 into 0.0
-    return col.cast("string")
+    if isinstance(typ, (DoubleType, FloatType)):
+        return (col + F.lit(0.0)).cast("string")
+    if isinstance(typ, (NumericType, StringType, DateType, TimestampType, BooleanType)):
+        return col.cast("string")
+    return F.to_json(F.struct(col.alias("v")))
 
 
 def _exact_ndv_longform(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -108,9 +123,13 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         "(column_name, n_nulls, min_num, max_num, min_str, max_str, avg_len)",
         "n_rows",
     )
+    # LEFT join + coalesce: an all-NULL column has no long-form ndv row
+    # (NULLs are excluded before the distinct), but its stats row must
+    # still appear with ndv = 0 — countDistinct semantics.
     ndv = _exact_ndv_longform(df, cols)
-    return long.join(F.broadcast(ndv), "column_name").select(
-        "column_name", "n_rows", "n_nulls", "ndv",
+    return long.join(F.broadcast(ndv), "column_name", "left").select(
+        "column_name", "n_rows", "n_nulls",
+        F.coalesce(F.col("ndv"), F.lit(0)).alias("ndv"),
         "min_num", "max_num", "min_str", "max_str", "avg_len",
     )
 
@@ -138,11 +157,18 @@ def approx_ndv_accuracy(
         f"stack({len(cols)}, {stack_args}) AS (column_name, approx_ndv)"
     )
     exact = _exact_ndv_longform(df, cols).withColumnRenamed("ndv", "exact_ndv")
-    return exact.join(F.broadcast(approx), "column_name").select(
+    # LEFT join from the approx side so all-NULL columns keep a row
+    # (exact_ndv 0, approx 0 → sketch vacuously ok).
+    return approx.join(F.broadcast(exact), "column_name", "left").select(
         "column_name",
-        "exact_ndv",
-        (
+        F.coalesce(F.col("exact_ndv"), F.lit(0)).alias("exact_ndv"),
+        F.when(
+            F.coalesce(F.col("exact_ndv"), F.lit(0)) == 0,
+            F.col("approx_ndv") == 0,
+        )
+        .otherwise(
             F.abs(F.col("approx_ndv").cast("double") / F.col("exact_ndv") - F.lit(1.0))
             < F.lit(tolerance)
-        ).alias("sketch_ok"),
+        )
+        .alias("sketch_ok"),
     )

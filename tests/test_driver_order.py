@@ -73,8 +73,12 @@ def test_rotation_puts_every_dark_query_inside_the_50_name_window():
         f"dark queries neither in window nor queued as overflow: "
         f"{overflow - set(_OVERFLOW_THIS_ROUND)}"
     )
+    from hdp2_5_hive2_spark.queries.driver_order import _CHANGED_THIS_ROUND
+
     order = driver_order()
-    n_pri = len(dark_queries()) + len(_NEW_THIS_ROUND)
+    n_pri = (
+        len(dark_queries()) + len(_NEW_THIS_ROUND) + len(_CHANGED_THIS_ROUND)
+    )
     assert order[n_pri : n_pri + len(_OVERFLOW_THIS_ROUND)] == _OVERFLOW_THIS_ROUND, (
         "overflow entries must sit directly behind the priority tiers"
     )

@@ -226,3 +226,20 @@ def test_bm25_rejects_id_column_collision(spark):
     d = load_tables(spark, SF_CORRECT)["documents"]
     with pytest.raises(ValueError, match="collides with the id column"):
         bm25_rank(d, ["doc_id"])
+
+
+def test_column_stats_all_null_and_complex_columns(spark):
+    """An all-NULL column keeps its stats row with ndv = 0 (countDistinct
+    semantics), and complex-typed columns count distinct NATIVE values (the
+    plain string cast is not injective for arrays: ['a, b'] vs ['a','b'])."""
+    from hdp2_5_hive2_spark.stats import approx_ndv_accuracy, column_stats
+
+    df = spark.createDataFrame(
+        [(1, None, ["a, b"]), (2, None, ["a", "b"])],
+        "k int, dead string, arr array<string>",
+    )
+    rows = {r.column_name: r for r in column_stats(df, ["k", "dead", "arr"]).collect()}
+    assert rows["dead"].ndv == 0 and rows["dead"].n_nulls == 2
+    assert rows["arr"].ndv == 2, "array values must compare natively, not as strings"
+    acc = {r.column_name: r for r in approx_ndv_accuracy(df, ["k", "dead"]).collect()}
+    assert acc["dead"].exact_ndv == 0 and bool(acc["dead"].sketch_ok)
