@@ -72,13 +72,70 @@ def legacy_grouping_id(*cols: Column | str) -> Column:
     return out
 
 
-def mask(col: Column, upper_char: str = "X", lower_char: str = "x", digit_char: str = "n") -> Column:
-    """Hive 2.1 data-masking `mask(str[, upper, lower, digit])`
+def mask(
+    col: Column,
+    upper_char: str = "X",
+    lower_char: str = "x",
+    digit_char: str = "n",
+    other_char: str | None = None,
+) -> Column:
+    """Hive 2.1 data-masking `mask(str[, upper, lower, digit, other])`
     (ql/udf/generic/GenericUDFMask.java, registered FunctionRegistry.java:484):
     uppercase → ``upper_char``, lowercase → ``lower_char``, digits →
-    ``digit_char``, everything else unchanged. String form only — the
-    reference's numeric/date overloads are out of scope (documented)."""
-    return F.mask(col, F.lit(upper_char), F.lit(lower_char), F.lit(digit_char), F.lit(None))
+    ``digit_char``, all other characters → ``other_char`` (None = Hive's -1
+    "retain original"). String overload; the reference's numeric and date
+    overloads (same UDF, type-dispatched at init) are :func:`mask_number`
+    and :func:`mask_date`."""
+    return F.mask(
+        col, F.lit(upper_char), F.lit(lower_char), F.lit(digit_char), F.lit(other_char)
+    )
+
+
+def mask_number(col: Column, number_char: int = 1, dtype: str = "bigint") -> Column:
+    """Hive `mask` numeric overload (GenericUDFMask.java:124-215 — the
+    Byte/Short/Integer/Long transforms): every decimal digit of |value|
+    becomes ``number_char`` (default MASKED_NUMBER = 1), the sign is kept,
+    and 0 stays 0 (the reference's digit loop never runs). mask(123) → 111,
+    mask(-405) → -111.
+
+    Expressed as a repunit built by `repeat` over the digit COUNT —
+    `length(cast(value as string))` minus one for the sign — so
+    Long.MIN_VALUE needs no abs() (which would overflow under ANSI mode).
+    The result keeps the input's integral type via try_cast: where Java's
+    `ret += maskedNumber * pos` silently wraps (e.g. number_char=9 on a
+    3-digit tinyint), this yields NULL instead — the one documented
+    divergence, on values Hive itself garbles. ``dtype`` pins the output to
+    the input's integral type (Hive returns the argument type)."""
+    if not (0 <= int(number_char) <= 9):
+        number_char = 1  # GenericUDFMask.init: out-of-range → MASKED_NUMBER
+    digits = F.length(col.cast("string")) - F.when(col < 0, 1).otherwise(0)
+    repunit = F.repeat(F.lit(str(int(number_char))), digits).try_cast(dtype)
+    masked = F.when(col < 0, -repunit).otherwise(repunit)
+    return F.when(col == 0, col.cast(dtype)).otherwise(masked)
+
+
+def mask_date(
+    col: Column, day_value: int = 1, month_value: int = 0, year_value: int = 0
+) -> Column:
+    """Hive `mask` date overload (GenericUDFMask.java:220-226): each
+    component is replaced unless the knob is -1 (UNMASKED_VAL). Defaults
+    (day=1, month=0, year=0) use java.util.Date's 1900-epoch/0-based-month
+    conventions, so the fully-masked default is 1900-01-01, and an explicit
+    ``year_value`` yields calendar year 1900+year_value — Hive quirk kept
+    verbatim. Out-of-range day (>31) / month (>11) fall back to the default
+    per init()'s clamps; a valid day that overflows the target month
+    normalizes forward (new Date(y, 1, 31) → Mar 2/3) — reproduced with
+    date_add over the month's first day."""
+    if day_value != -1 and not (1 <= int(day_value) <= 31):
+        day_value = 1
+    if month_value != -1 and not (0 <= int(month_value) <= 11):
+        month_value = 0
+    y = F.year(col) if year_value == -1 else F.lit(1900 + int(year_value))
+    m = F.month(col) if month_value == -1 else F.lit(int(month_value) + 1)
+    d = F.dayofmonth(col) if day_value == -1 else F.lit(int(day_value))
+    masked = F.date_add(F.make_date(y, m, F.lit(1)), d - F.lit(1))
+    # NULL in, NULL out even when every component is a pinned literal
+    return F.when(col.isNull(), F.lit(None).cast("date")).otherwise(masked)
 
 
 def _mask_head_tail(col: Column, n: int) -> tuple[Column, Column, Column, Column]:

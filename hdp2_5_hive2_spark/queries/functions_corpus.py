@@ -874,8 +874,22 @@ def _duck_mask(expr: str, up: str = "X", lo: str = "x", dg: str = "n") -> str:
                                                                          AS m_last6,
            {_duck_mask('substring(c_name, 1, greatest(length(c_name) - 6, 0))')}
              || substring(c_name, greatest(length(c_name) - 5, 1), 6)    AS m_show_last6,
-           md5(c_name)                                                   AS m_hash
-    FROM customer
+           md5(c_name)                                                   AS m_hash,
+           CASE WHEN c_custkey = 0 THEN 0
+                ELSE CAST(repeat('1', length(CAST(c_custkey AS VARCHAR))) AS BIGINT)
+           END                                                           AS m_num,
+           CASE WHEN c_custkey = 0 THEN 0
+                ELSE -CAST(repeat('9', length(CAST(c_custkey AS VARCHAR))) AS BIGINT)
+           END                                                           AS m_num_neg9,
+           DATE '1900-01-01'                                             AS m_date_def,
+           dcol                                                          AS m_date_keep,
+           make_date(EXTRACT(year FROM dcol), 6, 15)                     AS m_date_md,
+           make_date(1984, EXTRACT(month FROM dcol), EXTRACT(day FROM dcol))
+                                                                         AS m_date_year
+    FROM (SELECT *,
+                 CAST(DATE '1992-01-01'
+                      + ((c_custkey * 7) % 2000) * INTERVAL 1 DAY AS DATE) AS dcol
+          FROM customer) customer
     WHERE c_custkey <= 200
     """,
     tags=("functions", "mask"),
@@ -884,12 +898,19 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive 2.1 data-masking family (FunctionRegistry.java:483-489 "mask
     UDFs"; GenericUDFMask / MaskFirstN / MaskLastN / MaskShowFirstN /
     MaskShowLastN / MaskHash): default and custom replacement chars, the
-    four positional variants (n=6) and md5 hashing over c_name. All pure
-    JVM built-ins (F.mask + substr composition) — no UDFs."""
+    four positional variants (n=6), md5 hashing over c_name, plus the
+    numeric overload (digit-count repunit, sign kept — GenericUDFMask.java:
+    124-215) and the date overload (component pinning with the 1900-epoch /
+    0-based-month defaults — GenericUDFMask.java:220-226). All pure JVM
+    built-ins (F.mask / repeat / make_date composition) — no UDFs."""
     from hdp2_5_hive2_spark.functions import hive_compat as hc
 
     c = load_tables(spark, sf_dir)["customer"].filter(F.col("c_custkey") <= 200)
     name = F.col("c_name")
+    key = F.col("c_custkey")
+    dcol = F.date_add(
+        F.to_date(F.lit("1992-01-01")), ((key * 7) % 2000).cast("int")
+    )
     return c.select(
         "c_custkey",
         hc.mask(name).alias("m_name"),
@@ -899,4 +920,10 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         hc.mask_last_n(name, 6).alias("m_last6"),
         hc.mask_show_last_n(name, 6).alias("m_show_last6"),
         hc.mask_hash(name).alias("m_hash"),
+        hc.mask_number(key).alias("m_num"),
+        hc.mask_number(-key, 9).alias("m_num_neg9"),
+        hc.mask_date(dcol).alias("m_date_def"),
+        hc.mask_date(dcol, -1, -1, -1).alias("m_date_keep"),
+        hc.mask_date(dcol, 15, 5, -1).alias("m_date_md"),
+        hc.mask_date(dcol, -1, -1, 84).alias("m_date_year"),
     )

@@ -257,3 +257,70 @@ def test_mask_family_edges(spark):
     # short string: every variant masks/shows the whole thing consistently
     assert tuple(rows[1])[:6] == ("x", "*", "x", "x", "x", "x")
     assert all(v is None for v in tuple(rows[2]))
+
+
+def test_mask_number_overload(spark):
+    """GenericUDFMask.java:124-215 numeric transform: digit-count repunit of
+    number_char, sign kept, zero stays zero (the Java digit loop never runs),
+    Long.MIN_VALUE's 19 digits handled without abs() overflow."""
+    from hdp2_5_hive2_spark.functions import hive_compat as hc
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0,), (7,), (123,), (-405,), (-9223372036854775808,), (None,)],
+        "v long",
+    ).select(
+        hc.mask_number(F.col("v")).alias("m1"),
+        hc.mask_number(F.col("v"), 9).alias("m9"),
+        hc.mask_number(F.col("v"), 99).alias("mbad"),  # out of range -> default 1
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got == [
+        (0, 0, 0),
+        (1, 9, 1),
+        (111, 999, 111),
+        (-111, -999, -111),
+        (-1111111111111111111, None, -1111111111111111111),  # 9-repunit(19) overflows -> NULL (documented)
+        (None, None, None),
+    ]
+    # dtype pin keeps the input's integral type
+    narrow = spark.createDataFrame([(42,)], "v int").select(
+        hc.mask_number(F.col("v"), 1, "int").alias("m")
+    )
+    assert narrow.schema["m"].dataType.simpleString() == "int"
+    assert narrow.first().m == 11
+
+
+def test_mask_date_overload(spark):
+    """GenericUDFMask.java:220-226 date transform: java.util.Date 1900-epoch
+    year and 0-based month kept verbatim; -1 retains a component; a day that
+    overflows the pinned month normalizes forward exactly like new
+    Date(y, m, d)."""
+    import datetime
+
+    from hdp2_5_hive2_spark.functions import hive_compat as hc
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(datetime.date(2016, 4, 15),), (None,)], "d date"
+    ).select(
+        hc.mask_date(F.col("d")).alias("def_"),
+        hc.mask_date(F.col("d"), -1, -1, -1).alias("keep"),
+        hc.mask_date(F.col("d"), 15, 5, -1).alias("md"),
+        hc.mask_date(F.col("d"), -1, -1, 84).alias("y84"),
+        # day=31 pinned into February of a non-leap retained year: Java's
+        # new Date(115, 1, 31) normalizes to 2015-03-03
+        hc.mask_date(F.col("d"), 31, 1, 115).alias("overflow"),
+        # out-of-range knobs fall back to the defaults per init()'s clamps
+        hc.mask_date(F.col("d"), 99, 42, 0).alias("clamped"),
+    )
+    rows = df.collect()
+    assert tuple(rows[0]) == (
+        datetime.date(1900, 1, 1),
+        datetime.date(2016, 4, 15),
+        datetime.date(2016, 6, 15),
+        datetime.date(1984, 4, 15),
+        datetime.date(2015, 3, 3),
+        datetime.date(1900, 1, 1),
+    )
+    assert all(v is None for v in tuple(rows[1]))
