@@ -93,27 +93,28 @@ def bm25_rank(
     (k1=1.2, b=0.75), idf = (N - df + 0.5)/(df + 0.5) without the final log
     (monotonic — identical ranking, bit-identical doubles cross-engine).
 
-    Determinism discipline: per-term scores are pivoted into FIXED columns
-    and summed in query-term order — a sum() aggregate over doubles would
-    accumulate in partition order and differ between engines.
+    Determinism discipline: per-term scores land in FIXED positional slots
+    (one conditional first() per term) and are summed in query-term order —
+    a sum() aggregate over doubles would accumulate in partition order and
+    differ between engines.
 
     Plan: tf rows are filtered to the query terms *before* any join (the
     filter reaches the scan side of the agg), so everything downstream is
     (matching docs × |query|) sized; df/N/avgdl stats ride broadcasts.
     """
     # Dedupe while preserving order (a bag-of-words query naturally repeats
-    # tokens; duplicate pivot columns would be ambiguous references) and
-    # reject backticks, which cannot be quoted inside a column reference.
+    # tokens). Terms never become column names — the per-term slots are
+    # positional (_t0.._tn) — so arbitrary strings (backticks, case-only
+    # variants, names colliding with output columns) are all safe.
     terms = list(dict.fromkeys(query_terms))
     if not terms:
         raise ValueError("bm25_rank requires at least one query term")
-    bad = [t for t in terms if "`" in t]
-    if bad:
-        raise ValueError(f"bm25_rank: query terms may not contain backticks: {bad}")
-    if id_col in terms:
+    import re as _re
+
+    if _re.fullmatch(r"_t\d+", id_col):
         raise ValueError(
-            f"bm25_rank: query term {id_col!r} collides with the id column "
-            "(the pivot would create an ambiguous duplicate column)"
+            f"bm25_rank: id column {id_col!r} collides with the positional "
+            "per-term slot names (_t0.._tn)"
         )
     tf_all = term_frequencies(df, text_col, id_col)
     tf = tf_all.filter(F.col("term").isin(terms))
@@ -134,12 +135,22 @@ def bm25_rank(
             / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))),
         )
     )
-    pivoted = scored.groupBy(id_col).pivot("term", terms).agg(F.first("s"))
+    # One hash aggregate with a conditional first() per query term (each
+    # (doc, term) pair is unique post-tf, so first() is exact); positional
+    # _ti slots replace pivot-by-value so no term string ever becomes a
+    # column name, and the final sum still adds in fixed query-term order.
+    slots = [
+        F.first(F.when(F.col("term") == F.lit(t), F.col("s")), ignorenulls=True).alias(
+            f"_t{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    per_doc = scored.groupBy(id_col).agg(*slots)
     total = None
-    for t in terms:
-        c = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+    for i in range(len(terms)):
+        c = F.coalesce(F.col(f"_t{i}"), F.lit(0.0))
         total = c if total is None else total + c
-    ranked = pivoted.select(id_col, total.alias("score"))
+    ranked = per_doc.select(id_col, total.alias("score"))
     return (
         ranked.withColumn(
             "rn", F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col)))

@@ -150,15 +150,19 @@ def test_quantize_zero_vector_scale_is_one(spark):
 
 def test_bm25_dedupes_repeated_terms(spark):
     """A bag-of-words query with a repeated token must behave as if the
-    token appeared once, not crash on ambiguous pivot columns."""
+    token appeared once; arbitrary term strings (backticks, case-only
+    variants, output-column collisions) must resolve because per-term slots
+    are positional, never term-named columns."""
     from hdp2_5_hive2_spark.llm.retrieval import bm25_rank
 
     d = load_tables(spark, SF_CORRECT)["documents"]
     a = {r.doc_id: r.score for r in bm25_rank(d, ["spark", "spark"], topk=5).collect()}
     b = {r.doc_id: r.score for r in bm25_rank(d, ["spark"], topk=5).collect()}
     assert a == b
-    with pytest.raises(ValueError, match="backticks"):
-        bm25_rank(d, ["sp`ark"])
+    # formerly-hazardous shapes: all must analyze and run
+    bm25_rank(d, ["sp`ark"], topk=3).collect()
+    bm25_rank(d, ["Spark", "spark"], topk=3).collect()  # case-only pair
+    bm25_rank(d, ["score", "rank"], topk=3).collect()  # output-name collision
 
 
 def test_column_stats_dedupes_columns(spark):
@@ -220,12 +224,17 @@ def test_drop_partition_escaped_values(spark):
     assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(2, "plain")]
 
 
-def test_bm25_rejects_id_column_collision(spark):
+def test_bm25_id_col_term_ok_but_slot_shaped_id_rejected(spark):
     from hdp2_5_hive2_spark.llm.retrieval import bm25_rank
 
     d = load_tables(spark, SF_CORRECT)["documents"]
-    with pytest.raises(ValueError, match="collides with the id column"):
-        bm25_rank(d, ["doc_id"])
+    # a query term equal to the id column is fine now (terms are values,
+    # not column names) ...
+    bm25_rank(d, ["doc_id"], topk=3).collect()
+    # ... but an id column named like a positional slot cannot be
+    bad = d.withColumnRenamed("doc_id", "_t0")
+    with pytest.raises(ValueError, match="positional"):
+        bm25_rank(bad, ["spark"], id_col="_t0")
 
 
 def test_column_stats_all_null_and_complex_columns(spark):

@@ -224,10 +224,27 @@ def test_bm25_filters_terms_before_join(spark):
 
     d = load_tables(spark, SF_CORRECT)["documents"]
     plan = _executed(retrieval.bm25_rank(d, ["spark", "join", "window"]))
-    # the IN filter appears below the first join in the plan tree: Spark
-    # pushes `term IN (...)` through the (doc,term) aggregate to the explode
-    assert "term" in plan and ("spark,join,window" in plan.replace(" ", "") or "IN (" in plan), plan
     assert "BroadcastHashJoin" in plan, plan
+    # Locate the actual term-membership filter line (the IN list naming the
+    # query terms) and require it to sit DEEPER in the formatted plan tree
+    # than every join operator — i.e. the filter feeds the joins, the joins
+    # do not feed the filter. In explain("formatted") output children are
+    # printed after parents, so "deeper" == larger line index.
+    lines = plan.splitlines()
+    term_filter = max(
+        (
+            i
+            for i, ln in enumerate(lines)
+            if "spark" in ln and "join" in ln and "window" in ln and "IN" in ln.upper()
+        ),
+        default=None,
+    )
+    assert term_filter is not None, plan
+    join_ops = [i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln]
+    assert join_ops and term_filter > max(join_ops), (
+        f"term IN filter (line {term_filter}) must appear below every join "
+        f"(last at line {max(join_ops)})\n{plan}"
+    )
 
 
 def test_vocab_coverage_windows_post_aggregation_only(spark):
