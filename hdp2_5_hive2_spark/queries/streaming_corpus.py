@@ -509,7 +509,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_tables(spark, sf_dir)["events"]
-    wk = F.expr("datediff(to_date(ts), DATE '2024-01-01') div 7")
+    wk = F.expr("floor(datediff(to_date(ts), DATE '2024-01-01') / 7)")
     w = e.select("user_id", wk.alias("wk")).distinct()
     c = w.withColumn("cohort_wk", F.min("wk").over(Window.partitionBy("user_id")))
     return (
@@ -663,11 +663,11 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day_idx"),
     ).distinct()
     daily = d.groupBy("day_idx").agg(F.count(F.lit(1)).alias("dau"))
-    weekly = d.select("user_id", F.expr("day_idx div 7").alias("wk")).groupBy("wk").agg(
+    weekly = d.select("user_id", F.expr("floor(day_idx / 7)").alias("wk")).groupBy("wk").agg(
         F.countDistinct("user_id").alias("wau")
     )
     return (
-        daily.join(F.broadcast(weekly), F.expr("day_idx div 7") == F.col("wk"))
+        daily.join(F.broadcast(weekly), F.expr("floor(day_idx / 7)") == F.col("wk"))
         .select(
             "day_idx", "dau", "wau",
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
@@ -701,7 +701,7 @@ def events_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
     w = e.select(
         "user_id",
-        F.expr("datediff(to_date(ts), DATE '2024-01-01') div 7").alias("wk"),
+        F.expr("floor(datediff(to_date(ts), DATE '2024-01-01') / 7)").alias("wk"),
     ).distinct()
     nxt = w.select("user_id", (F.col("wk") - 1).alias("wk"), F.lit(1).alias("active_next"))
     joined = w.join(nxt, ["user_id", "wk"], "left")

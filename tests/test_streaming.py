@@ -415,3 +415,23 @@ def test_streaming_asof_matches_batch_asof(spark, event_files):
         assert len(want) > 0, "test corpus must contain watermark-passed purchases"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_week_bucketing_floors_pre_epoch_days(spark):
+    """The week index must FLOOR-divide the day index (matching DuckDB's
+    `//`), not truncate toward zero: an event 1 day before the 2024-01-01
+    epoch belongs to week -1, not week 0. Data-independent parity for the
+    retention/DAU-WAU/churn bucketing (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2023-12-31",), ("2023-12-25",), ("2023-12-24",), ("2024-01-01",),
+         ("2024-01-07",), ("2024-01-08",)],
+        "d string",
+    ).select(
+        F.expr("floor(datediff(to_date(d), DATE '2024-01-01') / 7)").alias("wk")
+    )
+    got = [r.wk for r in df.collect()]
+    # python's // is floor division — the semantics the oracles use
+    expected = [(-1) // 7, (-7) // 7, (-8) // 7, 0 // 7, 6 // 7, 7 // 7]
+    assert got == expected == [-1, -1, -2, 0, 0, 1]
