@@ -341,14 +341,23 @@ def read_textfile(spark: SparkSession, path: str, schema: str, sep: str = "\x01"
     return spark.read.text(path).select(*cols)
 
 
-def _escape_partition_value(spark: SparkSession, value: str) -> str:
+# Hive FileUtils.java charToEscape (common/src/java/.../FileUtils.java:79-99,
+# non-Windows set): ASCII control chars 0x00-0x1F, DEL, and the path-special
+# punctuation. Spark's ExternalCatalogUtils.escapePathName implements the
+# same table; kept in pure Python so partition DDL has no JVM-internal
+# dependency (and works under Spark Connect). JVM parity is drift-guarded in
+# tests/test_storage.py.
+_PATH_ESCAPE_CHARS = frozenset(chr(c) for c in range(0x20)) | frozenset(
+    '"#%\'*/:=?\\{[]^\x7f'
+)
+
+
+def _escape_partition_value(value: str) -> str:
     """Escape a partition value exactly the way the writer escaped it when
-    naming the directory (Hive's FileUtils.escapePathName rules, exposed by
-    Spark as ExternalCatalogUtils.escapePathName) — '/', ':' etc. become
-    %XX sequences in the path."""
-    jvm = spark.sparkContext._jvm
-    return jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
-        value
+    naming the directory (Hive's FileUtils.escapePathName rules) — '/', ':'
+    etc. become uppercase %XX sequences in the path."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c for c in value
     )
 
 
@@ -363,7 +372,7 @@ def drop_partition(spark: SparkSession, path: str, col: str, value: str) -> bool
     Returns True if the partition existed."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    escaped = _escape_partition_value(spark, value)
+    escaped = _escape_partition_value(value)
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/{col}={escaped}")
     fs = p.getFileSystem(hconf)
     return bool(fs.delete(p, True))

@@ -220,3 +220,23 @@ def test_regex_serde_unmatched_line_is_null_row(spark):
     parsed = [tuple(r) for r in rows]
     assert (7, "OK") in parsed
     assert parsed.count((None, None)) == 2
+
+
+def test_escape_partition_value_matches_jvm(spark):
+    """Drift guard: the pure-Python FileUtils.escapePathName table must
+    byte-match Spark's ExternalCatalogUtils (itself a copy of Hive
+    FileUtils.java:79-99) over every ASCII char and some multibyte text —
+    the escaping names real partition directories, so a divergence would
+    orphan partitions."""
+    from hdp2_5_hive2_spark.storage.writer import _escape_partition_value
+
+    jvm_escape = (
+        spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName
+    )
+    samples = [chr(c) for c in range(1, 128)] + [
+        "a/b:c", "x=y", "100%", "done?", "utf-8 ✓ ü", "plain-value_1.2",
+        "", "tab\tsep", "nl\nend",
+    ]
+    for s in samples:
+        assert _escape_partition_value(s) == jvm_escape(s), repr(s)
