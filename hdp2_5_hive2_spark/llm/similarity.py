@@ -49,6 +49,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 1_000_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -63,6 +64,11 @@ def brute_force_topk(
     cosine (~30 µs/pair, interpreted — never codegen) that made the exact
     baseline the slowest plan in the suite.
 
+    The broadcast-small contract is ENFORCED: more than ``max_queries`` query
+    rows raises instead of silently OOMing the driver — point huge query sets
+    at :func:`lsh_topk` / :func:`ivf_topk`, which keep both sides distributed.
+    The limit(max+1) collect keeps the guard a single job (no extra count).
+
     The id columns keep the INPUT id column's type (integer, string, …);
     the output schema is derived from it, not hard-coded."""
     import numpy as np
@@ -70,9 +76,17 @@ def brute_force_topk(
 
     q_id_type = queries.schema[id_col].dataType.simpleString()
     c_id_type = corpus.schema[id_col].dataType.simpleString()
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv")
-    ).collect()
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk: query set exceeds max_queries={max_queries} "
+            "rows; the exact path collects+broadcasts every query vector. "
+            "Use lsh_topk or ivf_topk for large query sets."
+        )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
     if not q_rows:
         return (

@@ -252,3 +252,17 @@ def test_column_stats_all_null_and_complex_columns(spark):
     assert rows["arr"].ndv == 2, "array values must compare natively, not as strings"
     acc = {r.column_name: r for r in approx_ndv_accuracy(df, ["k", "dead"]).collect()}
     assert acc["dead"].exact_ndv == 0 and bool(acc["dead"].sketch_ok)
+
+
+def test_brute_force_topk_enforces_query_cap(spark):
+    """The broadcast-small contract is enforced, not advisory: a query set
+    above max_queries raises with a pointer to the distributed ANN paths
+    instead of collecting it to the driver (VERDICT r4 #6)."""
+    from hdp2_5_hive2_spark.llm.similarity import brute_force_topk
+
+    emb = load_tables(spark, SF_CORRECT)["embeddings"]
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk(emb, emb, k=2, max_queries=3)
+    # at or under the cap the exact path still runs
+    small = emb.limit(2)
+    assert brute_force_topk(emb.limit(10), small, k=2, max_queries=2).count() == 4
