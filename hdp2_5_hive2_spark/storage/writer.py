@@ -234,13 +234,29 @@ def write_sequencefile(df: DataFrame, path: str, sep: str = "\x01") -> None:
     """Hive SequenceFile table layout: unused key, Text value holding a
     LazySimpleSerDe row — ctrl-A ('\\x01') field delimiters, ``\\N`` nulls
     (serde2/lazy/LazySimpleSerDe.java:76; SequenceFile is the reference's
-    default container for STORED AS SEQUENCEFILE). This is deliberately
-    RDD-level: a record-oriented container below the DataFrame abstraction
-    is the per-partition-imperative carve-out — but only the
-    (NullWritable, Text) wrapping. The delimited line itself is built as ONE
-    codegen'd Column (concat_ws over coalesce(cast(c as string), '\\N')),
-    so no per-row Python string assembly touches the data path. Overwrite
-    semantics match insert_overwrite (the target is replaced)."""
+    default container for STORED AS SEQUENCEFILE). Overwrite semantics match
+    insert_overwrite (the target is replaced).
+
+    Two execution paths, byte-identical output (drift-guarded in
+    tests/test_storage.py):
+
+    - **Hive-catalog session** (``spark.sql.catalogImplementation=hive``):
+      INSERT OVERWRITE into an EXTERNAL ... STORED AS SEQUENCEFILE table at
+      ``path`` — Hive's own FileSinkOperator route, entirely JVM-side. This
+      is the 100 TB path: rows never cross into Python.
+    - **In-memory-catalog fallback**: Hive serde DDL needs the Hive catalog,
+      and PySpark exposes no DataFrame-level SequenceFile sink, so the
+      (NullWritable, Text) wrapping rides the RDD API. The delimited line is
+      still built as ONE codegen'd Column (concat_ws over
+      coalesce(cast(c as string), '\\N')) — no per-row Python string
+      assembly — but each row IS pickled JVM→Python→JVM for the pair
+      wrapping (~2 µs/row, measured in PERF.md). NOT scale-rated: at 100 TB
+      use a Hive-enabled session.
+    """
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive":
+        _write_sequencefile_hive(df, path, sep)
+        return
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
@@ -251,6 +267,36 @@ def write_sequencefile(df: DataFrame, path: str, sep: str = "\x01") -> None:
     df.select(line.alias("_line")).rdd.map(lambda r: (None, r._line)).saveAsSequenceFile(
         path
     )
+
+
+def _write_sequencefile_hive(df: DataFrame, path: str, sep: str = "\x01") -> None:
+    """JVM-only SequenceFile sink: stage the cast-to-string projection (the
+    exact strings the fallback path serializes) through an EXTERNAL Hive
+    table at ``path``; DROP TABLE afterwards keeps the files (external
+    semantics, verified). Spark's parser allows ROW FORMAT DELIMITED only
+    for textfile, so a custom separator rides LazySimpleSerDe's field.delim
+    SERDEPROPERTY (unicode-escaped so any single-char sep round-trips the
+    DDL)."""
+    import uuid
+
+    spark = df.sparkSession
+    tag = uuid.uuid4().hex[:12]
+    table, view = f"_seq_sink_{tag}", f"_seq_src_{tag}"
+    cast_cols = [F.col(c).cast("string").alias(c) for c in df.columns]
+    df.select(*cast_cols).createOrReplaceTempView(view)
+    cols_ddl = ", ".join(f"`{c}` string" for c in df.columns)
+    sep_lit = "\\u%04X" % ord(sep)
+    try:
+        spark.sql(
+            f"CREATE EXTERNAL TABLE {table} ({cols_ddl}) "
+            "ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe' "
+            f"WITH SERDEPROPERTIES ('field.delim'='{sep_lit}') "
+            f"STORED AS SEQUENCEFILE LOCATION '{path}'"
+        )
+        spark.sql(f"INSERT OVERWRITE TABLE {table} SELECT * FROM {view}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.catalog.dropTempView(view)
 
 
 def _decode_serde_field(raw, data_type, null_marker: str):

@@ -240,3 +240,60 @@ def test_escape_partition_value_matches_jvm(spark):
     ]
     for s in samples:
         assert _escape_partition_value(s) == jvm_escape(s), repr(s)
+
+
+def test_write_sequencefile_hive_path_parity(tmp_path):
+    """The JVM-only Hive-catalog SequenceFile sink must emit byte-identical
+    (value-)rows to the RDD fallback, and read back through
+    read_sequencefile. Runs in a subprocess: a hive-catalog SparkSession
+    cannot coexist with the in-memory-catalog test session in one JVM."""
+    import subprocess
+    import sys
+
+    script = f"""
+import sys
+sys.path.insert(0, {repr(str(__import__('pathlib').Path(__file__).resolve().parent.parent))})
+from pyspark.sql import SparkSession
+d = {repr(str(tmp_path))}
+spark = (SparkSession.builder.master("local[4]")
+    .config("spark.sql.warehouse.dir", d + "/wh")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+            "jdbc:derby:;databaseName=" + d + "/metastore_db;create=true")
+    .enableHiveSupport().getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+assert spark.conf.get("spark.sql.catalogImplementation") == "hive"
+from hdp2_5_hive2_spark.storage.writer import (
+    read_sequencefile, write_sequencefile, _write_sequencefile_hive)
+df = spark.createDataFrame(
+    [(1, "a|b", None), (2, None, 3.5), (3, "", -0.0)],
+    "k int, s string, v double")
+write_sequencefile(df, d + "/hiveout")           # dispatches to the hive path
+_rdd_line = None
+# fallback path, forced, for byte parity
+import hdp2_5_hive2_spark.storage.writer as W
+from pyspark.sql import functions as F
+import shutil
+shutil.rmtree(d + "/rddout", ignore_errors=True)
+line = F.concat_ws("\\x01", *[F.coalesce(F.col(c).cast("string"), F.lit(W._HIVE_NULL)) for c in df.columns])
+df.select(line.alias("_line")).rdd.map(lambda r: (None, r._line)).saveAsSequenceFile(d + "/rddout")
+a = sorted(spark.sparkContext.sequenceFile(d + "/hiveout").values().collect())
+b = sorted(spark.sparkContext.sequenceFile(d + "/rddout").values().collect())
+assert a == b, (a, b)
+back = read_sequencefile(spark, d + "/hiveout", "k int, s string, v double")
+rows = sorted(tuple(r) for r in back.collect())
+assert rows == [(1, "a|b", None), (2, None, 3.5), (3, "", -0.0)], rows
+# custom separator through the DDL unicode escape
+_write_sequencefile_hive(df, d + "/sepout", sep="|")
+vals = sorted(spark.sparkContext.sequenceFile(d + "/sepout").values().collect())
+assert vals[0].startswith("1|"), vals
+print("SEQ_PARITY_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=str(tmp_path),
+    )
+    assert "SEQ_PARITY_OK" in out.stdout, out.stdout + out.stderr
