@@ -86,6 +86,12 @@ class LazyTables(dict):
         if name not in TABLES:
             raise KeyError(name)
         df = _load_one(self._spark, self._sf_dir, name)
+        # SURVEY §4 broadcast-hint injection: a no-op unless a size was
+        # registered for this table (plans/broadcast_hints.py). Applied
+        # outside the plan cache so registry updates take effect immediately.
+        from hdp2_5_hive2_spark.plans.broadcast_hints import hinted
+
+        df = hinted(self._spark, df, name)
         self[name] = df
         return df
 

@@ -8,6 +8,17 @@ GenMRSkewJoinProcessor did at compile time (ql/optimizer/SkewJoinOptimizer.java,
 ql/exec/SkewJoinHandler.java:74 in /root/reference).
 """
 
+from hdp2_5_hive2_spark.plans.broadcast_hints import (
+    hinted,
+    register_table_size,
+    registered_size,
+)
 from hdp2_5_hive2_spark.plans.salting import salted_aggregate, salted_join
 
-__all__ = ["salted_aggregate", "salted_join"]
+__all__ = [
+    "hinted",
+    "register_table_size",
+    "registered_size",
+    "salted_aggregate",
+    "salted_join",
+]

@@ -15,6 +15,12 @@ hold except memory sizing. Everything here is cluster-safe:
   - broadcast threshold left at default 10 MB; our dimension tables
     (region/nation/supplier/part at any SF) are broadcast candidates and
     Catalyst picks that up from parquet size stats automatically.
+  - stats-less relations (RDD-backed, JDBC without sizeInBytes) report
+    Long.MaxValue and never auto-broadcast; SURVEY §4's deliberate optimizer
+    work covers them: `plans.broadcast_hints.register_table_size` +
+    `hinted` inject the ResolvedHint(BROADCAST) a SessionExtensions rule
+    would, and `catalog.load_tables` applies it at the registry boundary
+    (plan-tested in tests/test_plans.py).
 """
 
 from __future__ import annotations

@@ -336,3 +336,50 @@ def test_quantize_zero_shuffle(spark):
     plan = _executed(similarity.quantize_int8_summary(e))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_registry_broadcast_hint_flips_statsless_join(spark):
+    """SURVEY §4's deliberate optimizer work: an RDD-backed relation reports
+    defaultSizeInBytes (Long.Max), so Catalyst will never auto-broadcast it —
+    the join degrades to SortMergeJoin. Registering its true size injects the
+    ResolvedHint(BROADCAST) a SessionExtensions rule would, and the SAME join
+    plans as BroadcastHashJoin with the stats-less side as the build side."""
+    from hdp2_5_hive2_spark.plans import broadcast_hints as bh
+
+    li = load_tables(spark, SF_CORRECT)["lineitem"]
+    rows = [(i, f"tier{i % 3}") for i in range(10)]
+    dim = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), "l_linenumber int, tier string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+    try:
+        base = li.join(dim, "l_linenumber").groupBy("tier").count()
+        assert "SortMergeJoin" in _executed(base), _executed(base)
+
+        bh.register_table_size("dim_rdd", 500)
+        hinted_dim = bh.hinted(spark, dim, "dim_rdd")
+        hinted_join = li.join(hinted_dim, "l_linenumber").groupBy("tier").count()
+        plan = _executed(hinted_join)
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        bh.clear_registry()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_catalog_applies_registry_hint(spark):
+    """catalog.load_tables serves hinted DataFrames: a registered size shows
+    up as a ResolvedHint in the analyzed plan (no-op for unregistered
+    tables), so engine queries inherit the rule's effect with no per-query
+    code."""
+    from hdp2_5_hive2_spark.plans import broadcast_hints as bh
+
+    try:
+        bh.register_table_size("nation", 4096)
+        n = load_tables(spark, SF_CORRECT)["nation"]
+        analyzed = n._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" in analyzed, analyzed
+        plain = load_tables(spark, SF_CORRECT)["region"]
+        assert "ResolvedHint" not in plain._jdf.queryExecution().analyzed().toString()
+    finally:
+        bh.clear_registry()
