@@ -423,3 +423,66 @@ def test_bigram_lm_score_bounds(spark):
     rows = bigram_lm_score(mono).collect()
     # the only bigram is 'x x' with p(x|x)=1 → quantized avg ≈ 1 (floor ≤ 1)
     assert all(abs(r.avg_prob - 1.0) < 1e-5 for r in rows)
+
+
+def test_minhash_exactness_on_boilerplate_heavy_corpus(spark):
+    """Certify the scale claim in llm/dedup.py ("pathological buckets —
+    boilerplate-heavy corpora — are split by AQE skew handling") at the
+    adversarial SHAPE: a corpus where a third of all documents share one
+    dominant boilerplate block, so entire band buckets collapse onto a
+    single (band_id, band_hash) key.
+
+    Properties pinned:
+      1. the hot bucket genuinely exists (max bucket size == the whole
+         boilerplate group — the skew the claim is about);
+      2. despite it, minhash_lsh_pairs output EQUALS the exhaustive
+         exact-Jaccard scan (the docstring's equality claim) — recall 1.0
+         on planted twins, no false pairs across groups.
+    """
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(5000)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(60))
+
+    rows = []
+    # group A: 120 docs = shared boilerplate + 3 unique tokens (hot bucket)
+    for i in range(120):
+        rows.append((i, boiler + " " + " ".join(rng.choice(vocab) for _ in range(3))))
+    # group B: 120 unique docs + a planted tail-dropped twin for each
+    for i in range(120):
+        toks = [rng.choice(vocab) for _ in range(30)]
+        rows.append((1000 + i, " ".join(toks)))
+        rows.append((2000 + i, " ".join(toks[:-1])))
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # (1) the shape is really skewed: one bucket holds all of group A
+    banded = dedup._minhash_banded(corpus, "text", "doc_id", 32, 8, 3)
+    top = (
+        banded.groupBy("band_id", "band_hash")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+        .mx
+    )
+    # ~94% of group A lands in one bucket (a tail shingle occasionally wins
+    # a min slot and perturbs a band) — decisively the hot-bucket shape
+    assert top >= 100, f"expected a hot boilerplate bucket, max bucket = {top}"
+
+    # (2) LSH+verify == exhaustive exact scan on this corpus
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dedup.minhash_lsh_pairs(corpus, threshold=0.8).collect()
+    }
+    exhaustive = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dedup.ngram_jaccard_pairs(
+            corpus.withColumn("blk0", F.lit(0)), block_col="blk0", threshold=0.8
+        ).collect()
+    }
+    assert got == exhaustive, (
+        f"LSH missed {set(exhaustive) - set(got)} / invented {set(got) - set(exhaustive)}"
+    )
+    planted = {(1000 + i, 2000 + i) for i in range(120)}
+    assert planted <= set(got), "planted twins must all be recovered"
+    assert not any(a < 1000 <= b for a, b in got), "no cross-group pairs"
