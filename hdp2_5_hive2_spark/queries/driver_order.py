@@ -1,127 +1,129 @@
 """Driver-facing verification order for the correctness corpus.
 
 The external driver verifies queries in ALPHABETICAL name order and has a
-bounded per-round budget (~50 names/round in rounds 1-3). Plain registry
-names therefore decide WHAT gets verified, and this module assigns every
-registry query a zero-padded numeric prefix (``000_events_asof_join``) so the
-alphabetical order the driver uses IS the priority order we choose.
+bounded per-round budget (~50 names/round observed in rounds 1-4). Plain
+registry names therefore decide WHAT gets verified, and this module assigns
+every registry query a zero-padded numeric prefix
+(``000_llm_contamination_by_source``) so the alphabetical order the driver
+uses IS the priority order we choose.
 
-Round-4 rotation: the union of CORRECTNESS_r01 + r02 + r03 covers 140
-distinct queries, all green — the only never-verified names are the 19
-round-3 overflow queries (added after the r3 window filled). Those 19 fill
-positions 000-018, cheap -> heavy. Positions 019+ hold queries ADDED in
-round 4 (no verdict possible yet), then the remaining thrice/twice/once-green
-registry alphabetically — re-verification is the lowest-value use of the
-driver's budget.
+Round-5 rotation (VERDICT r4 #1/#2):
+
+- Tier 1 — the only two names with NO driver verdict in r01-r04 (the round-4
+  overflow pair) lead the window.
+- Tier 2 — queries ADDED this round (none yet; kept for parity with the
+  mechanism).
+- Tier 3 — re-verification of code that changed AFTER its last green
+  verdict: the round-4 post-review commits (3c6f24d textfile/serde +
+  bucketed-writer rework, 14ea778 quantize clamp, d06768d bm25/curation
+  guards) postdate the r3 verdicts of every storage/similarity/multimodal
+  query listed, and this round's own changes (mask overloads, bm25
+  positional slots, week-bucket floor division, partition-value escaping,
+  sequencefile dual path, brute-force query cap) dirty the rest.
+- Tier 4 — budget fill: the oldest still-standing verdicts (green in r1
+  only, alphabetical) get a second green.
+- Overflow — names added after the window filled, queued directly behind it
+  (the same mechanism rounds 3 and 4 used).
 
 The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep the
 plain names. ``prefixed -> plain`` is recoverable by stripping ``^\\d+_``.
+
+tests/test_driver_order.py derives the dark set from the CORRECTNESS_r*.json
+files themselves (VERDICT r4 #1), so the bookkeeping can no longer go stale
+when a new round's file lands.
 """
 
 from __future__ import annotations
 
 from hdp2_5_hive2_spark.queries import REGISTRY, QuerySpec
 
-# Tier 1 — the 19 queries with no driver verdict in r01-r03 (the round-3
-# overflow queue), cheap map-side ops first, multi-shuffle graph/join ops last.
-
-_DARK_R4 = [
-    # pure map-side / single-shuffle column ops
-    "llm_normalize_text",
-    "llm_split_assign",
-    "fn_mask",
-    "llm_url_host_stats",
-    "llm_chunk_documents",
-    # single-agg / small-join ops
-    "llm_mixture_rates",
-    "llm_stratified_sample",
-    "llm_corpus_filter",
-    "llm_embedding_centroids",
-    "llm_pack_sequences",
-    # as-of / range / interval join family
-    "events_asof_join",
-    "events_asof_join_forward",
-    "events_asof_join_nearest",
-    "events_range_join_bands",
-    "events_interval_join_incidents",
-    "events_session_funnel",
-    # heavy Arrow / iterative end
-    "llm_knn_classify",
-    "llm_decontaminate",
-    "llm_dedup_clusters",
+# Tier 1 — never driver-verified (round-4 overflow queue), cheap first.
+_DARK_R5 = [
+    "llm_token_length_histogram",   # map-side power-of-two histogram
+    "llm_contamination_by_source",  # broadcast n-gram join + rollup
 ]
 
-# Tier 2 — queries added in round 4 (no verdict possible yet). Keep this list
-# in sync as operators land; they must sit inside the ~50-name window.
-_NEW_THIS_ROUND: list[str] = [
-    # retrieval statistics + curation (llm/retrieval.py, llm/curation.py)
-    "llm_tfidf_topterms",
-    "llm_bm25_rank",
-    "llm_vocab_coverage",
-    "llm_bigram_novelty",
-    "llm_weighted_sample",
-    "llm_cross_dedup",
-    # ANALYZE TABLE column-stats parity (stats.py)
-    "analyze_table_stats",
-    "analyze_ndv_sketch",
-    # storage: Hive default TEXTFILE layout + DROP PARTITION DDL
-    "storage_textfile_roundtrip",
-    "storage_drop_partition",
-    # LM scoring / vectorization / sub-document dedup
-    "llm_bigram_lm_score",
-    "llm_feature_hashing",
-    "llm_chunk_dedup",
-    # chained LATERAL VIEWs + int8 vector quantization
-    "lateral_view_chained",
-    "llm_embedding_quantize",
-    # HAVING-subquery + cohort retention
-    "subquery_in_having",
-    "events_retention_cohorts",
-    # integer-exact rate anomalies + per-source curation loss funnel
-    "events_anomaly_minutes",
-    "llm_curation_report",
-    # end-to-end MinHash -> connected-components near-dedup pipeline
-    "llm_minhash_clusters",
-    # binary-asset exact dedup (payloads never shuffle)
-    "multimodal_payload_dedup",
-    # parquet schema evolution on read (mergeSchema)
-    "storage_schema_evolution",
-    # per-language tokenizer fertility (token-budget planning)
-    "llm_tokenizer_fertility",
-    # RegexSerDe (tables over raw log lines)
-    "storage_regex_serde",
-    # correlated scalar subqueries in SELECT (decorrelated outer aggregates)
-    "subquery_correlated_scalar",
-    # dataset-card release statistics (one-row corpus summary)
-    "llm_dataset_card",
-    # top session paths (deterministic ordered aggregation)
-    "events_session_paths",
-    # engagement/churn/provenance analytics (window positions 046-049)
-    "events_dau_wau",
-    "events_churned_users",
-    "llm_cross_source_dups",
-    "events_transition_matrix",
+# Tier 2 — queries added in round 5 (none so far).
+_NEW_THIS_ROUND: list[str] = []
+
+# Tier 3 — green in a prior round but re-implemented/touched since that
+# verdict; a stale green no longer covers the shipped code.
+_CHANGED_THIS_ROUND: list[str] = [
+    # round-5 changes, most-behavioral first
+    "fn_mask",                      # numeric/date overloads added (r5)
+    "llm_bm25_rank",                # positional per-term slots (r5)
+    "events_retention_cohorts",     # floor-division week bucketing (r5)
+    "events_dau_wau",               # floor-division week bucketing (r5)
+    "events_churned_users",         # floor-division week bucketing (r5)
+    "storage_drop_partition",       # pure-Python escapePathName (r5)
+    "llm_knn_classify",             # rides brute_force_topk query cap (r5)
+    # r3-green queries over kernels rewritten by the round-4 post-review
+    # commits (writer/serde decoders, similarity, curation, multimodal)
+    "llm_ann_topk",
+    "llm_embedding_dup_pairs",
+    "llm_exact_dedup",
+    "llm_ivf_ann_topk",
+    "llm_lsh_ann_topk",
+    "llm_minhash_dedup",
+    "llm_ngram_jaccard",
+    "llm_simhash_dedup",
+    "multimodal_frame_sample",
+    "multimodal_meta_sha",
+    "multimodal_resize_meta",
+    "storage_bucketed_join",
+    "storage_compacted_roundtrip",
+    "storage_csv_roundtrip",
+    "storage_insert_into",
+    "storage_json_roundtrip",
+    "storage_multi_insert",
+    "storage_orc_roundtrip",
+    "storage_partitioned_roundtrip",
+    "storage_sequencefile_roundtrip",
+    "storage_union_type",
+    "storage_upsert_delete",
 ]
 
-# Tier 3 — green in a prior round but re-implemented this round; a stale
-# verdict no longer covers the shipped code.
-_CHANGED_THIS_ROUND: list[str] = []
-
-# Tier 4 — added after the 50-name window filled (19 dark + 31 new =
-# positions 000-049). Queued immediately after position 049: verified this
-# round only if the driver's budget exceeds 50 names, otherwise they lead
-# the round-5 rotation (the same mechanism round 3 used for its nineteen).
-_OVERFLOW_THIS_ROUND: list[str] = [
-    "llm_contamination_by_source",  # eval-overlap provenance breakdown
-    "llm_token_length_histogram",   # power-of-two doc-length distribution
+# Tier 4 — budget fill to the 50-name window: oldest verdicts first (green
+# in round 1 only, never re-verified since), alphabetical.
+_FILL_REVERIFY: list[str] = [
+    "agg_multi_distinct",
+    "cluster_by",
+    "cte_reuse",
+    "distribute_sort_by",
+    "events_dedup_minute",
+    "events_session_window_native",
+    "events_sliding_window",
+    "events_stream_static_join",
+    "events_tumbling_window",
+    "except_all_keys",
+    "except_distinct",
+    "fn_conditional",
+    "fn_datetime",
+    "fn_explode_tokens",
+    "fn_format_printf",
+    "fn_hash_crypto",
+    "fn_interval_arithmetic",
+    "fn_json",
+    "fn_percentile_exact",
 ]
 
-_PRIORITY = _DARK_R4 + _NEW_THIS_ROUND + _CHANGED_THIS_ROUND + _OVERFLOW_THIS_ROUND
+# Overflow — names added after the 50-name window filled. Verified this
+# round only if the driver's budget exceeds 50 names; otherwise they lead
+# the round-6 rotation.
+_OVERFLOW_THIS_ROUND: list[str] = []
+
+_PRIORITY = (
+    _DARK_R5
+    + _NEW_THIS_ROUND
+    + _CHANGED_THIS_ROUND
+    + _FILL_REVERIFY
+    + _OVERFLOW_THIS_ROUND
+)
 
 
 def dark_queries() -> list[str]:
-    """The 19 never-driver-verified names (rotation target, r4)."""
-    return list(_DARK_R4)
+    """The names with no driver verdict in any recorded round (r5: two)."""
+    return list(_DARK_R5)
 
 
 def driver_order() -> list[str]:
