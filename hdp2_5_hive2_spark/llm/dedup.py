@@ -469,3 +469,79 @@ def chunk_dup_stats(
             (F.col("n_dup_chunks").cast("double") / F.col("n_chunks")).alias("dup_frac"),
         )
     )
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Exact-dup canonical selection: within each normalized-text duplicate
+    cluster keep the BEST copy (highest ``quality_col``, ties to the lowest
+    id) instead of exact_dedup's min-id — the "keep the richest crawl of
+    this page" policy a curation pipeline actually wants.
+
+    Returns one row per distinct text: (kept_id, n_copies, quality).
+
+    Plan/scale: one shuffle on the 16-byte md5 fingerprint; the per-cluster
+    argmax (row_number) and the copy count are windows over that SAME
+    partitioning, so no second exchange. Text never shuffles — only
+    (fp, id, quality)."""
+    from pyspark.sql import Window
+
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    slim = df.select(
+        F.md5(normalized).alias("fp"),
+        F.col(id_col).alias("kept_id"),
+        F.col(quality_col).alias("quality"),
+    )
+    w = Window.partitionBy("fp")
+    ranked = slim.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.desc("quality"), F.asc("kept_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return ranked.filter(F.col("rn") == 1).select("kept_id", "n_copies", "quality")
+
+
+def prefix_dup_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 12,
+) -> DataFrame:
+    """Boilerplate detection: per ``group_col``, the fraction of documents
+    whose first ``k`` tokens are shared with at least one other document in
+    the corpus (templated headers, licence blocks, scraped nav chrome).
+    Complements the shingle-level near-dup ops: a cheap corpus-health
+    metric that needs no pairwise work at all.
+
+    Returns (group, n_docs, n_shared_prefix, shared_rate) — exact integer
+    counts, one final IEEE division.
+
+    Plan/scale: prefix md5 is map-side; one shuffle counts fingerprints
+    (16-byte keys), the per-doc flag is a window over that same
+    partitioning, and the per-group rollup re-keys on the group. Text never
+    shuffles."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, k)))
+    slim = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(group_col).alias("group"), fp.alias("fp")
+    )
+    shared = slim.select(
+        "group", (F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1).alias("is_shared")
+    )
+    return shared.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_shared").cast("bigint")).alias("n_shared_prefix"),
+        (
+            F.sum(F.col("is_shared").cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("shared_rate"),
+    )

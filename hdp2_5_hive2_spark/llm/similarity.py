@@ -576,3 +576,64 @@ def quantize_int8_summary(
         f"{id_col} {id_type}, max_abs double, scale double, "
         "qsum bigint, qmin bigint, qmax bigint",
     )
+
+
+def embedding_norm_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1 << 14,
+    dev_num: int = 1,
+    dev_den: int = 4,
+    top: int | None = None,
+) -> DataFrame:
+    """Embedding QA: vectors whose squared norm deviates from the corpus
+    mean by more than ``dev_num/dev_den`` (default 25%) — truncated inputs,
+    zero vectors and un-normalized batches show up here before they poison
+    ANN recall. With ``top`` set, the threshold is ignored and the ``top``
+    MOST deviant vectors are returned instead (|q·n − S| desc, id asc) —
+    the always-answerable "show me the worst norms" triage view, planned as
+    a bounded-heap TakeOrderedAndProject, never a global sort.
+
+    Determinism discipline (the events_anomaly_minutes pattern): each
+    element contributes floor(x² · scale) as a BIGINT, so the per-vector
+    norm and all corpus sums are EXACT integers — order-free on any engine.
+    The deviation test |q·n − S| · dev_den > S · dev_num is pure integer
+    arithmetic; the reported ratio is one IEEE division of exact integers.
+    No corpus-level float accumulation exists anywhere.
+
+    Returns (id, norm_q, dev_ratio) for flagged vectors.
+
+    Plan/scale: the quantized norm is a map-side fold; (n, S) is one scalar
+    aggregate broadcast back via crossJoin — the corpus streams once. The
+    in-vector fold is a Catalyst higher-order function (interpreted): fine
+    for embedding dims (10²), not for document-length arrays — wide vectors
+    should quantize via the Arrow pass (quantize_int8_summary's kernel)."""
+    x2 = lambda x: x.cast("double") * x.cast("double") * F.lit(float(scale))  # noqa: E731
+    q = F.aggregate(
+        F.col(vec_col),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.floor(x2(x)).cast("bigint"),
+    )
+    per_vec = df.select(F.col(id_col).alias("id"), q.alias("norm_q"))
+    stats = per_vec.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("norm_q").alias("s")
+    )
+    joined = per_vec.crossJoin(F.broadcast(stats))
+    dev = F.col("norm_q") * F.col("n") - F.col("s")
+    out = joined.select(
+        "id",
+        "norm_q",
+        F.abs(dev).alias("_absdev"),
+        (dev.cast("double") / F.col("s")).alias("dev_ratio"),
+        "s",
+    )
+    if top is not None:
+        return (
+            out.orderBy(F.desc("_absdev"), F.asc("id"))
+            .limit(int(top))
+            .select("id", "norm_q", "dev_ratio")
+        )
+    return out.filter(
+        F.col("_absdev") * F.lit(int(dev_den)) > F.col("s") * F.lit(int(dev_num))
+    ).select("id", "norm_q", "dev_ratio")

@@ -43,8 +43,14 @@ _DARK_R5 = [
     "llm_contamination_by_source",  # broadcast n-gram join + rollup
 ]
 
-# Tier 2 — queries added in round 5 (none so far).
-_NEW_THIS_ROUND: list[str] = []
+# Tier 2 — queries added in round 5 (dark by definition, verified this
+# round): canonical keep-best dedup, boilerplate prefix detection,
+# quantized-norm embedding QA.
+_NEW_THIS_ROUND: list[str] = [
+    "llm_dedup_keep_best",
+    "llm_prefix_dup_rate",
+    "llm_embedding_outliers",
+]
 
 # Tier 3 — green in a prior round but re-implemented/touched since that
 # verdict; a stale green no longer covers the shipped code.
@@ -102,9 +108,6 @@ _FILL_REVERIFY: list[str] = [
     "fn_explode_tokens",
     "fn_format_printf",
     "fn_hash_crypto",
-    "fn_interval_arithmetic",
-    "fn_json",
-    "fn_percentile_exact",
 ]
 
 # Overflow — names added after the 50-name window filled. Verified this

@@ -1302,3 +1302,91 @@ def llm_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(n).cast("bigint").alias("min_tok"),
         F.max(n).cast("bigint").alias("max_tok"),
     )
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_chars, fp,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY fp) AS n_copies
+      FROM f
+    )
+    SELECT doc_id AS kept_id, CAST(n_copies AS BIGINT) AS n_copies,
+           n_chars AS quality
+    FROM r WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "canonical"),
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup canonical selection (llm.dedup.exact_dedup_keep_best):
+    within each normalized-text duplicate cluster keep the highest-quality
+    copy (n_chars desc, doc_id asc) — the keep-the-richest-crawl policy, vs
+    exact_dedup's min-id. One md5 shuffle; argmax and copy count share the
+    fingerprint partitioning (no second exchange)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return dedup.exact_dedup_keep_best(d)
+
+
+@query(
+    "llm_prefix_dup_rate",
+    oracle="""
+    WITH p AS (
+      SELECT source,
+             md5(array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                            1, 12), ' ')) AS fp
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT source, (count(*) OVER (PARTITION BY fp) > 1) AS is_shared FROM p
+    )
+    SELECT source AS "group", count(*) AS n_docs,
+           CAST(sum(CASE WHEN is_shared THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_prefix,
+           CAST(sum(CASE WHEN is_shared THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS shared_rate
+    FROM s GROUP BY source
+    """,
+    tags=("llm", "text", "boilerplate"),
+)
+def llm_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (llm.dedup.prefix_dup_rate): per source, the
+    fraction of documents whose first 12 tokens are shared with another
+    document — templated headers / licence blocks / nav chrome. Exact
+    integer counts, one final IEEE division; prefix md5 is map-side and
+    text never shuffles."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return dedup.prefix_dup_rate(d, k=12)
+
+
+@query(
+    "llm_embedding_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS id,
+             CAST(list_sum(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                  * 16384.0) AS BIGINT))) AS BIGINT) AS norm_q
+      FROM embeddings
+    ), st AS (SELECT count(*) AS n, CAST(sum(norm_q) AS BIGINT) AS s FROM q)
+    SELECT id, norm_q, CAST(norm_q * n - s AS DOUBLE) / s AS dev_ratio
+    FROM q, st
+    ORDER BY abs(norm_q * n - s) DESC, id ASC
+    LIMIT 20
+    """,
+    tags=("llm", "embeddings", "qa"),
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA (llm.similarity.embedding_norm_outliers, top mode): the
+    20 vectors whose quantized squared norm deviates MOST from the corpus
+    mean — truncated / zero / un-normalized vectors surface before they
+    poison ANN recall. floor(x²·2¹⁴) per element keeps every sum an exact
+    integer (order-free across engines); ranking keys are pure integers and
+    the plan is a bounded-heap TakeOrderedAndProject, never a global sort."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.embedding_norm_outliers(e, top=20)

@@ -83,7 +83,10 @@ def test_dark_tier_matches_recorded_files():
     with them exactly (minus explicit overflow, which is dark by
     construction)."""
     dark = {n for n in REGISTRY if n not in _green_union()}
-    assert set(dark_queries()) | set(_OVERFLOW_THIS_ROUND) >= dark
+    assert (
+        set(dark_queries()) | set(_NEW_THIS_ROUND) | set(_OVERFLOW_THIS_ROUND)
+        >= dark
+    )
     assert set(dark_queries()) <= dark, (
         "dark_queries() lists names that already have a green verdict"
     )
