@@ -113,7 +113,9 @@ _FILL_REVERIFY: list[str] = [
 # Overflow — names added after the 50-name window filled. Verified this
 # round only if the driver's budget exceeds 50 names; otherwise they lead
 # the round-6 rotation.
-_OVERFLOW_THIS_ROUND: list[str] = []
+_OVERFLOW_THIS_ROUND: list[str] = [
+    "storage_rcfile_roundtrip",  # RCFile carried late in round 5
+]
 
 _PRIORITY = (
     _DARK_R5

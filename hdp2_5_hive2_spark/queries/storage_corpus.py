@@ -480,3 +480,39 @@ def storage_regex_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("o_orderkey").alias("key_checksum")
     )
+
+
+@query(
+    "storage_rcfile_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL
+                WHEN c_custkey % 5 = 0 THEN ''
+                ELSE c_mktsegment END AS seg,
+           c_nationkey
+    FROM customer
+    """,
+    tags=("storage", "write", "rcfile"),
+)
+def storage_rcfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED AS RCFILE round trip (ql/io/RCFile.java:346-496 container,
+    LazyBinaryColumnarSerDe cell encoding — the format legacy HDP 2.5
+    warehouses hold): write customer through storage.write_rcfile, read it
+    back schema-on-read with the pure-Python format parser. NULLs (every 7th
+    key) and EMPTY strings (every remaining 5th key) are injected so the
+    round trip proves the zero-byte-NULL vs 0xBF-empty cell distinction
+    survives — the lossiness RCFile's columnar layout is most prone to."""
+    from hdp2_5_hive2_spark.storage import read_rcfile, write_rcfile
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    src = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .when(F.col("c_custkey") % 5 == 0, F.lit(""))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        "c_nationkey",
+    )
+    path = f"{IO_ROOT}/customer_rcfile"
+    write_rcfile(src.repartition(4), path)
+    return read_rcfile(spark, path, "c_custkey bigint, seg string, c_nationkey int")

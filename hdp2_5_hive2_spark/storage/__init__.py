@@ -8,6 +8,7 @@ bucketing, compression), the merge-files operators
 (ql/optimizer/StatsOptimizer.java:97 consumes them).
 """
 
+from hdp2_5_hive2_spark.storage.rcfile import read_rcfile, write_rcfile
 from hdp2_5_hive2_spark.storage.writer import (
     analyze_table,
     drop_table,
@@ -40,4 +41,6 @@ __all__ = [
     "write_sequencefile",
     "write_textfile",
     "drop_partition",
+    "read_rcfile",
+    "write_rcfile",
 ]
