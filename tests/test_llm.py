@@ -486,3 +486,34 @@ def test_minhash_exactness_on_boilerplate_heavy_corpus(spark):
     planted = {(1000 + i, 2000 + i) for i in range(120)}
     assert planted <= set(got), "planted twins must all be recovered"
     assert not any(a < 1000 <= b for a, b in got), "no cross-group pairs"
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """Winnowing's contract (MOSS, SIGMOD'03): any shared token run of
+    length >= k+w-1 (= 6 for k=3, w=4) between two documents must yield at
+    least one shared fingerprint; short docs degrade per the edge rules
+    (no k-gram -> empty set, < w shingles -> single overall minimum)."""
+    from hdp2_5_hive2_spark.llm.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = k+w-1
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} tail xyz"),
+            (2, f"{shared} completely different ending here now"),
+            (3, "unrelated words entirely disjoint from both others"),
+            (4, "a b"),      # < k tokens: no shingle
+            (5, "a b c d"),  # 2 shingles < w: one overall min
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_kgrams"], set(r["fps"]))
+        for r in winnow_fingerprints(df, k=3, w=4).collect()
+    }
+    assert rows[1][1] & rows[2][1], "shared 6-token run must share a fingerprint"
+    assert not (rows[1][1] & rows[3][1])
+    assert rows[4] == (0, set())
+    assert rows[5][0] == 2 and len(rows[5][1]) == 1
+    # every fingerprint is an 8-char lowercase hex md5 prefix
+    assert all(len(fp) == 8 and set(fp) <= set("0123456789abcdef")
+               for _, fps in rows.values() for fp in fps)
