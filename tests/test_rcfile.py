@@ -126,6 +126,7 @@ spark = (SparkSession.builder.master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.hadoop.javax.jdo.option.ConnectionURL",
             "jdbc:derby:;databaseName=" + d + "/metastore_db;create=true")
+    .config("spark.hadoop.hive.exec.compress.output", "false")
     .enableHiveSupport().getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from hdp2_5_hive2_spark.storage.rcfile import read_rcfile, write_rcfile, parse_rcfile
@@ -153,6 +154,22 @@ spark.sql("CREATE EXTERNAL TABLE rc_py (k string, s string, v string) "
           "STORED AS RCFILE LOCATION '" + d + "/pyout'")
 got = sorted(tuple(r) for r in spark.sql("SELECT * FROM rc_py").collect())
 assert got == [("1", "a|b", None), ("2", None, "3.5"), ("3", "", "-0.0"), ("4", "héllo", "1.25")], got
+
+# 3) hive writes COMPRESSED (DefaultCodec), python zlib read path parses —
+#    codec parity against Java's Deflater, not just our own writer
+spark.sql("SET hive.exec.compress.output=true")
+spark.sql("SET mapreduce.output.fileoutputformat.compress.codec="
+          "org.apache.hadoop.io.compress.DefaultCodec")
+spark.sql("CREATE EXTERNAL TABLE rc_z (k string, s string) "
+          "STORED AS RCFILE LOCATION '" + d + "/zout'")
+spark.sql("INSERT OVERWRITE TABLE rc_z "
+          "SELECT cast(id AS string), repeat('pad', 20) FROM range(50)")
+import glob
+zfiles = [p for p in glob.glob(d + "/zout/*") if ".crc" not in p]
+zrows = sorted(r for p in zfiles for r in parse_rcfile(open(p, "rb").read()))
+hdr = open(zfiles[0], "rb").read()
+assert hdr[4] == 1, "hive output must actually be compressed"
+assert zrows == sorted((str(i), "pad" * 20) for i in range(50)), zrows[:3]
 print("RC_PARITY_OK")
 """
     import os
