@@ -541,36 +541,40 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CTE_REUSE_SQL = """
+WITH big_cust AS (
+  SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+)
+SELECT 'by_count' AS dim, o_custkey, n, CAST(tot AS DOUBLE) AS tot
+FROM (SELECT * FROM big_cust ORDER BY n DESC, o_custkey LIMIT 10) t
+UNION ALL
+SELECT 'by_total' AS dim, o_custkey, n, CAST(tot AS DOUBLE) AS tot
+FROM (SELECT * FROM big_cust ORDER BY tot DESC, o_custkey LIMIT 10) u
+"""
+
+
 @query(
     "cte_reuse",
-    oracle="""
-    WITH big_cust AS (
-      SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
-      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
-    )
-    SELECT a.o_custkey AS custkey_a, b.o_custkey AS custkey_b,
-           CAST(a.tot AS DOUBLE) AS tot_a, CAST(b.tot AS DOUBLE) AS tot_b
-    FROM big_cust a JOIN big_cust b ON a.n = b.n AND a.o_custkey < b.o_custkey
-    """,
-    tags=("cte", "join", "agg"),
+    oracle=_CTE_REUSE_SQL,
+    tags=("cte", "agg"),
 )
 def cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WITH-clause reuse: one CTE referenced twice (self-joined on equal
-    order counts). Catalyst plans the aggregate once per reference and
+    """WITH-clause reuse: one CTE referenced twice (top-10 customers by
+    order count UNION ALL top-10 by total spend, both off the same
+    aggregate). Catalyst plans the aggregate once per reference and
     ReusedExchange dedupes the shuffle — Hive's CTE handling + YSmart-style
-    shared scans (ql/optimizer/correlation/CorrelationOptimizer.java:85)."""
+    shared scans (ql/optimizer/correlation/CorrelationOptimizer.java:85);
+    plan pinned by tests/test_plans.py::test_cte_reuse_shares_the_aggregate.
+
+    Earlier shape (self-join of the CTE on equal order COUNTs) was replaced
+    in round 5: COUNT is a tiny-cardinality join key, so the pair output
+    grew quadratically with scale — 2.08M rows at sf0.1, row-explosion at
+    100 TB. Both rankings here end in bounded TakeOrderedAndProject heaps
+    and (rank-key DESC, o_custkey) is a total order, so the result is 20
+    rows and engine-deterministic at any scale."""
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH big_cust AS (
-          SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
-          FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
-        )
-        SELECT a.o_custkey AS custkey_a, b.o_custkey AS custkey_b,
-               CAST(a.tot AS DOUBLE) AS tot_a, CAST(b.tot AS DOUBLE) AS tot_b
-        FROM big_cust a JOIN big_cust b ON a.n = b.n AND a.o_custkey < b.o_custkey
-        """
-    )
+    return spark.sql(_CTE_REUSE_SQL)
 
 
 @query(

@@ -383,3 +383,21 @@ def test_catalog_applies_registry_hint(spark):
         assert "ResolvedHint" not in plain._jdf.queryExecution().analyzed().toString()
     finally:
         bh.clear_registry()
+
+
+def test_cte_reuse_shares_the_aggregate(spark):
+    """cte_reuse's CTE is referenced twice; the aggregate's shuffle must be
+    planned once and REUSED (ReusedExchange), and each ranking must end in
+    a bounded TakeOrderedAndProject heap — never a global sort or a
+    recomputed aggregate."""
+    df = REGISTRY["cte_reuse"].fn(spark, SF_CORRECT)
+    df.collect()  # AQE only materializes ReusedExchange in the FINAL plan
+    plan = _executed(df)
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-reuse plan
+    assert "ReusedExchange" in final, plan
+    assert "TakeOrderedAndProject" in final, plan
+    # exactly one hash-partitioned exchange feeds the aggregate; the second
+    # reference rides the reuse, so no second aggregation exchange appears
+    assert final.count("Exchange hashpartitioning") - final.count(
+        "ReusedExchange"
+    ) == 1, plan
