@@ -1424,7 +1424,7 @@ _WINNOW_ORACLE_CTE = """
            md5(array_to_string(fps, ',')) AS fp_sig
     FROM winnowed
     """,
-    tags=("llm", "text", "fingerprint"),
+    tags=("llm", "text", "fingerprint", "bench"),
 )
 def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting with winnowing (MOSS,
@@ -1459,7 +1459,7 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, n_shared FROM p
     ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
     """,
-    tags=("llm", "dedup", "fingerprint"),
+    tags=("llm", "dedup", "fingerprint", "bench"),
 )
 def llm_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document overlap detection over winnowing fingerprints: explode
