@@ -117,6 +117,7 @@ _OVERFLOW_THIS_ROUND: list[str] = [
     "storage_rcfile_roundtrip",     # RCFile carried late in round 5
     "llm_winnowing_fingerprint",    # MOSS winnowing fingerprints (r5)
     "llm_fingerprint_overlap",      # fingerprint-bucket overlap pairs (r5)
+    "llm_semantic_dedup",           # SemDeDup keep/drop composition (r5)
 ]
 
 _PRIORITY = (

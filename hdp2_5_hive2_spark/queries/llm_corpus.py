@@ -1496,3 +1496,81 @@ def llm_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(20)
+
+
+@query(
+    "llm_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5),
+             label
+      FROM embeddings WHERE vec_id < 50
+    ),
+    p AS (
+      SELECT a.vec_id AS da, b.vec_id AS db
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    ),
+    e AS (SELECT da AS s, db AS d FROM p UNION SELECT db, da FROM p),
+    v AS (SELECT DISTINCT s AS id FROM e),
+    walk AS (
+      SELECT id, id AS lab FROM v
+      UNION
+      SELECT e.d AS id, w.lab FROM walk w JOIN e ON e.s = w.id
+    ),
+    comp AS (SELECT id, min(lab) AS rep FROM walk GROUP BY id)
+    SELECT corpus.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN comp.rep IS NOT NULL
+                          AND comp.rep <> corpus.vec_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM corpus LEFT JOIN comp ON comp.id = corpus.vec_id
+    GROUP BY corpus.label
+    """,
+    tags=("llm", "similarity", "dedup", "semantic"),
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end (Abbas et al. 2023, public
+    method): embedding-cosine near-dup pairs (planted 1.5x-scaled copies,
+    cosine ≈ 1.0 vs random 64-d pairs far below the 0.99 threshold) feed
+    connected components; every non-representative member of a cluster is
+    DROPPED and the drops are accounted per label — the keep/drop decision
+    a training-data pipeline actually executes, not just the pair list.
+    Composes similarity.cosine_dup_pairs with
+    curation.connected_components; the oracle recomputes exhaustive O(n²)
+    cosine pairs and recursive-CTE reachability, so the composition must
+    agree transitively.
+
+    100 TB plan: pair generation is the documented scale seam — swap
+    cosine_dup_pairs (blocked GEMM, exact) for lsh_dup candidates at real
+    corpus sizes; components and accounting are unchanged. Labels ride the
+    original rows (one broadcast-size join against the drop set)."""
+    from hdp2_5_hive2_spark.llm import curation as cur
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    copies = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            similarity.as_double_array("embedding"), lambda x: x * 1.5
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = e.select(
+        "vec_id", similarity.as_double_array("embedding").alias("embedding"), "label"
+    ).unionAll(copies)
+    pairs = similarity.cosine_dup_pairs(
+        corpus.select("vec_id", "embedding"), threshold=0.99
+    )
+    comp = cur.connected_components(pairs, a_col="id_a", b_col="id_b")
+    dropped = comp.filter(F.col("id") != F.col("cluster_rep")).select("id")
+    return (
+        corpus.join(dropped, corpus["vec_id"] == dropped["id"], "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(dropped["id"]).alias("n_dropped"),
+        )
+    )
