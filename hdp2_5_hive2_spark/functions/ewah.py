@@ -1,0 +1,218 @@
+"""EWAH bitmap family: ewah_bitmap / ewah_bitmap_and / ewah_bitmap_or /
+ewah_bitmap_empty (FunctionRegistry.java:348-350,:401 in /root/reference;
+GenericUDAFEWAHBitmap.java, AbstractGenericUDFEWAHBitmapBop.java,
+GenericUDFEWAHBitmapEmpty.java; wire format via
+ql/index/bitmap/BitmapObjectOutput.java — every writeInt/writeLong becomes
+one element of a long array).
+
+Wire format (javaewah 0.3.2 ``writeExternal``, the version the reference
+pins in pom.xml:152):
+
+    [ sizeInBits, wordCount, word_0 .. word_{n-1}, lastRLWPosition ]
+
+as a single ``array<bigint>``. Words are 64-bit; the stream alternates
+running-length words (RLW) and their literal words. RLW layout: bit 0 =
+running bit, bits 1-32 = running length (up to 2^32-1 words), bits 33-63 =
+literal word count (up to 2^31-1).
+
+Encoding contract (documented, deliberate): the ENCODER here emits the
+canonical zero-run + literal normal form (runs of empty words compressed,
+every non-empty word a literal). The DECODER reads the full format
+including ones-runs, so any javaewah-produced bitmap round-trips. Exact
+byte-identity with a specific javaewah build is NOT asserted: the library
+is absent from this container (hive-exec-2.3.10-core ships the UDF classes
+but not javaewah, so Hive's own ewah functions could not run here either),
+and Hive's byte layout was never plan-stable anyway — partial-aggregate
+merges go through ``or()`` (GenericUDAFEWAHBitmap.java merge), whose output
+form depends on how rows were split across mappers. What IS exact and
+tested: the set of bits, the container layout, and mutual readability.
+
+Hive semantics carried: the UDAF requires ascending distinct row ids
+("Can't set bits out of order", GenericUDAFEWAHBitmap.java addBitmap) —
+``bitmap_agg`` therefore builds from ``collect_set`` + ``sort_array``,
+which also makes the result deterministic under any row order (stronger
+than Hive, which crashes on unsorted input).
+
+100 TB plan: per-group positions are collected once (the bitmap IS
+proportional to that data — inherent to building an index); encode and the
+binary ops are Arrow-batched, map-side, no extra shuffle beyond the one
+groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD = 64
+_ALL_ONES = (1 << 64) - 1
+_MAX_RUN = (1 << 32) - 1
+_MAX_LIT = (1 << 31) - 1
+
+
+def _to_signed(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _to_unsigned(v: int) -> int:
+    return v + (1 << 64) if v < 0 else v
+
+
+def _rlw(running_bit: int, run_len: int, n_literals: int) -> int:
+    return (running_bit & 1) | (run_len << 1) | (n_literals << 33)
+
+
+def ewah_encode(positions: list[int]) -> list[int]:
+    """Sorted distinct non-negative bit positions -> EWAH long array
+    (zero-run + literal canonical form)."""
+    if not positions:
+        return [0, 1, 0, 0]  # empty bitmap: one empty RLW
+    # group into 64-bit words
+    words: list[tuple[int, int]] = []
+    for p in positions:
+        w, b = p // _WORD, 1 << (p % _WORD)
+        if words and words[-1][0] == w:
+            words[-1] = (w, words[-1][1] | b)
+        else:
+            words.append((w, b))
+    buffer: list[int] = []
+    last_rlw = 0
+    i = 0
+    prev_end = 0  # first word index not yet covered
+    while i < len(words):
+        gap = words[i][0] - prev_end
+        lits: list[int] = []
+        j = i
+        while j < len(words) and words[j][0] == words[i][0] + (j - i):
+            lits.append(words[j][1])
+            j += 1
+        # chunk the zero run across RLWs if it exceeds the 32-bit cap
+        while gap > _MAX_RUN:
+            buffer.append(_rlw(0, _MAX_RUN, 0))
+            gap -= _MAX_RUN
+        # chunk literals across RLWs at the 31-bit cap (never hit in practice)
+        first = True
+        while lits or first:
+            take, lits = lits[:_MAX_LIT], lits[_MAX_LIT:]
+            last_rlw = len(buffer)
+            buffer.append(_rlw(0, gap if first else 0, len(take)))
+            buffer.extend(take)
+            first = False
+        prev_end = words[j - 1][0] + 1
+        i = j
+    size_in_bits = positions[-1] + 1
+    return [size_in_bits, len(buffer)] + [_to_signed(w) for w in buffer] + [last_rlw]
+
+
+def ewah_decode(arr: list[int]) -> list[int]:
+    """EWAH long array -> sorted bit positions. Handles the FULL format
+    (zero-runs, ones-runs, literals) so javaewah-built bitmaps decode."""
+    if not arr or len(arr) < 3:
+        return []
+    n_words = arr[1]
+    words = [_to_unsigned(int(w)) for w in arr[2 : 2 + n_words]]
+    positions: list[int] = []
+    widx = 0  # current logical word index
+    k = 0
+    while k < len(words):
+        rlw = words[k]
+        k += 1
+        running_bit = rlw & 1
+        run_len = (rlw >> 1) & _MAX_RUN
+        n_lit = rlw >> 33
+        if running_bit:
+            for w in range(widx, widx + run_len):
+                base = w * _WORD
+                positions.extend(range(base, base + _WORD))
+        widx += run_len
+        for _ in range(n_lit):
+            lit = words[k]
+            k += 1
+            base = widx * _WORD
+            b = lit
+            while b:
+                low = b & -b
+                positions.append(base + low.bit_length() - 1)
+                b ^= low
+            widx += 1
+    return positions
+
+
+def _binop(a, b, op):
+    sa, sb = set(ewah_decode(a)), set(ewah_decode(b))
+    return ewah_encode(sorted(op(sa, sb)))
+
+
+# ---------------------------------------------------------------------------
+# Spark wiring (Arrow-batched; real annotations set explicitly because the
+# module-level `from __future__ import annotations` stringifies hints)
+# ---------------------------------------------------------------------------
+
+
+def _make_encode_udf():
+    import pandas as pd
+
+    def _enc(positions: "pd.Series") -> "pd.Series":
+        return positions.map(
+            lambda ps: ewah_encode(sorted(int(x) for x in ps))
+        )
+
+    _enc.__annotations__ = {"positions": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_enc, "array<bigint>")
+
+
+def _make_binop_udf(op):
+    import pandas as pd
+
+    def _f(a, b):
+        return pd.Series(
+            [_binop(list(x), list(y), op) for x, y in zip(a, b)]
+        )
+
+    _f.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_f, "array<bigint>")
+
+
+def bitmap_agg(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """ewah_bitmap(value) GROUP BY group_cols — one shuffle (the groupBy);
+    positions deduped and sorted so the ascending-set contract always
+    holds. Adds a ``bitmap array<bigint>`` column."""
+    udf = _make_encode_udf()
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_set(value_col)).alias("_pos"))
+        .withColumn("bitmap", udf(F.col("_pos")))
+        .drop("_pos")
+    )
+
+
+def bitmap_and(a: Column, b: Column) -> Column:
+    return _make_binop_udf(lambda x, y: x & y)(a, b)
+
+
+def bitmap_or(a: Column, b: Column) -> Column:
+    return _make_binop_udf(lambda x, y: x | y)(a, b)
+
+
+def bitmap_empty(bitmap: Column) -> Column:
+    """ewah_bitmap_empty: true iff no bit is set (GenericUDFEWAHBitmapEmpty
+    walks the RLWs looking for a ones-run or a non-zero literal)."""
+    import pandas as pd
+
+    def _f(col):
+        return pd.Series([len(ewah_decode(list(x))) == 0 for x in col])
+
+    _f.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_f, "boolean")(bitmap)
+
+
+def bitmap_cardinality(bitmap: Column) -> Column:
+    """Set-bit count (javaewah cardinality(); not a Hive UDF — exposed so
+    bitmap results can be checked against plain SQL set algebra)."""
+    import pandas as pd
+
+    def _f(col):
+        return pd.Series([len(ewah_decode(list(x))) for x in col])
+
+    _f.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_f, "bigint")(bitmap)

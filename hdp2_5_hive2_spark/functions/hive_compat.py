@@ -238,6 +238,25 @@ _BUILTIN = [
 for _name in _BUILTIN:
     HIVE_FUNCTIONS[_name] = _expr_fn(_name)
 
+
+def _ewah_and(a: Column, b: Column) -> Column:
+    from hdp2_5_hive2_spark.functions.ewah import bitmap_and
+
+    return bitmap_and(a, b)
+
+
+def _ewah_or(a: Column, b: Column) -> Column:
+    from hdp2_5_hive2_spark.functions.ewah import bitmap_or
+
+    return bitmap_or(a, b)
+
+
+def _ewah_empty(bitmap: Column) -> Column:
+    from hdp2_5_hive2_spark.functions.ewah import bitmap_empty
+
+    return bitmap_empty(bitmap)
+
+
 HIVE_FUNCTIONS.update(
     {
         "field": field,
@@ -268,10 +287,18 @@ HIVE_FUNCTIONS.update(
             "context_ngrams",
             "use hdp2_5_hive2_spark.llm.text.context_ngrams (DataFrame-native)",
         ),
-        "ewah_bitmap": _unsupported("ewah_bitmap", "EWAH index internals; no Spark analogue"),
-        "ewah_bitmap_and": _unsupported("ewah_bitmap_and", "EWAH index internals"),
-        "ewah_bitmap_or": _unsupported("ewah_bitmap_or", "EWAH index internals"),
-        "ewah_bitmap_empty": _unsupported("ewah_bitmap_empty", "EWAH index internals"),
+        # ewah_bitmap (UDAF) is a DataFrame-level aggregation here:
+        # hdp2_5_hive2_spark.functions.ewah.bitmap_agg. The Column-algebra
+        # binary/unary ops map directly (javaewah-0.3.2 long-array wire
+        # format; see functions/ewah.py for the exact-byte caveat).
+        "ewah_bitmap": _unsupported(
+            "ewah_bitmap",
+            "aggregate form: use hdp2_5_hive2_spark.functions.ewah.bitmap_agg "
+            "(DataFrame-native UDAF)",
+        ),
+        "ewah_bitmap_and": _ewah_and,
+        "ewah_bitmap_or": _ewah_or,
+        "ewah_bitmap_empty": _ewah_empty,
         "in_file": _unsupported("in_file", "driver-side file probe; use a broadcast semi join"),
         "compute_stats": _unsupported(
             "compute_stats", "use ANALYZE TABLE ... COMPUTE STATISTICS"

@@ -927,3 +927,66 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         hc.mask_date(dcol, 15, 5, -1).alias("m_date_md"),
         hc.mask_date(dcol, -1, -1, 84).alias("m_date_year"),
     )
+
+
+@query(
+    "fn_ewah_bitmap",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderkey % 3 AS grp, o_custkey AS pos FROM orders
+      UNION ALL
+      SELECT 3 AS grp, o_custkey + 100000000 AS pos
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    d AS (SELECT DISTINCT grp, pos FROM g),
+    c AS (SELECT grp, count(*) AS n FROM d GROUP BY grp),
+    i AS (
+      SELECT x.grp AS ga, y.grp AS gb, count(*) AS n_and
+      FROM d x JOIN d y ON x.pos = y.pos AND x.grp < y.grp
+      GROUP BY 1, 2
+    )
+    SELECT ca.grp AS grp_a, cb.grp AS grp_b,
+           CAST(COALESCE(i.n_and, 0) AS BIGINT) AS and_card,
+           CAST(ca.n + cb.n - COALESCE(i.n_and, 0) AS BIGINT) AS or_card,
+           COALESCE(i.n_and, 0) = 0 AS and_empty
+    FROM c ca
+    JOIN c cb ON ca.grp < cb.grp
+    LEFT JOIN i ON i.ga = ca.grp AND i.gb = cb.grp
+    ORDER BY grp_a, grp_b
+    """,
+    tags=("functions", "ewah", "bitmap"),
+)
+def fn_ewah_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewah_bitmap family (FunctionRegistry.java:348-350,:401;
+    GenericUDAFEWAHBitmap.java; javaewah-0.3.2 long-array wire format):
+    build an EWAH bitmap of customer keys per orderkey-mod-3 group plus a
+    planted DISJOINT group at a 1e8 offset (exercises multi-million-word
+    zero runs and a guaranteed-TRUE ewah_bitmap_empty), then for every
+    group pair compute AND/OR cardinalities and AND-emptiness FROM THE
+    BITMAPS. The oracle recomputes the same quantities with plain set
+    algebra (distinct joins), so a single mis-set or mis-decoded bit flips
+    a count and fails the hash."""
+    from hdp2_5_hive2_spark.functions import ewah
+
+    o = load_tables(spark, sf_dir)["orders"]
+    g = o.select(
+        (F.col("o_orderkey") % 3).alias("grp"), F.col("o_custkey").alias("pos")
+    ).unionAll(
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.lit(3).cast("bigint").alias("grp"),
+            (F.col("o_custkey") + 100000000).alias("pos"),
+        )
+    )
+    bm = ewah.bitmap_agg(g, ["grp"], "pos")
+    a = bm.select(F.col("grp").alias("grp_a"), F.col("bitmap").alias("bm_a"))
+    b = bm.select(F.col("grp").alias("grp_b"), F.col("bitmap").alias("bm_b"))
+    pairs = a.crossJoin(b).filter(F.col("grp_a") < F.col("grp_b"))
+    and_bm = ewah.bitmap_and(F.col("bm_a"), F.col("bm_b"))
+    or_bm = ewah.bitmap_or(F.col("bm_a"), F.col("bm_b"))
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        ewah.bitmap_cardinality(and_bm).alias("and_card"),
+        ewah.bitmap_cardinality(or_bm).alias("or_card"),
+        ewah.bitmap_empty(and_bm).alias("and_empty"),
+    ).orderBy("grp_a", "grp_b")

@@ -324,3 +324,74 @@ def test_mask_date_overload(spark):
         datetime.date(1900, 1, 1),
     )
     assert all(v is None for v in tuple(rows[1]))
+
+
+def test_ewah_codec_known_vectors_and_fuzz():
+    """EWAH long-array wire format (javaewah-0.3.2 writeExternal layout):
+    exact known encodings, bit-63 signed-long wraparound, full-format
+    decode incl. ones-runs (which the canonical encoder never emits but
+    javaewah produces), and fuzzed round trips."""
+    import random
+
+    from hdp2_5_hive2_spark.functions.ewah import (
+        _rlw,
+        _to_signed,
+        ewah_decode,
+        ewah_encode,
+    )
+
+    assert ewah_encode([]) == [0, 1, 0, 0]
+    # [sizeinbits, wordcount, RLW(run=0, lit=1), literal, rlwpos]
+    assert ewah_encode([0]) == [1, 2, _to_signed(_rlw(0, 0, 1)), 1, 0]
+    # bit 63 must serialize as a negative signed long
+    enc63 = ewah_encode([63])
+    assert enc63[3] == -(2**63) and ewah_decode(enc63) == [63]
+    # zero-run across a word gap: RLW(run=3) then one literal
+    enc = ewah_encode([200])
+    assert enc == [201, 2, _to_signed(_rlw(0, 3, 1)), 1 << (200 % 64), 0]
+    # ones-run decode (javaewah form)
+    assert ewah_decode([128, 1, _to_signed(_rlw(1, 2, 0)), 0]) == list(range(128))
+    assert ewah_decode(
+        [130, 2, _to_signed(_rlw(1, 2, 1)), 0b11, 0]
+    ) == list(range(130))
+    rnd = random.Random(42)
+    for _ in range(200):
+        n = rnd.randrange(0, 250)
+        ps = sorted(rnd.sample(range(100_000_000), n)) if n else []
+        assert ewah_decode(ewah_encode(ps)) == ps
+
+
+def test_ewah_column_ops(spark):
+    """ewah_bitmap_and/or/empty through the HIVE_FUNCTIONS registry over
+    real bitmap columns, including an empty intersection."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.functions import HIVE_FUNCTIONS, ewah
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (1, 4), (2, 900)],
+        "grp int, pos int",
+    )
+    bm = ewah.bitmap_agg(df, ["grp"], "pos")
+    a = bm.filter("grp = 0").select(F.col("bitmap").alias("ba"))
+    b = bm.filter("grp = 1").select(F.col("bitmap").alias("bb"))
+    c = bm.filter("grp = 2").select(F.col("bitmap").alias("bc"))
+    row = (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            ewah.bitmap_cardinality(
+                HIVE_FUNCTIONS["ewah_bitmap_and"](F.col("ba"), F.col("bb"))
+            ).alias("n_and"),
+            ewah.bitmap_cardinality(
+                HIVE_FUNCTIONS["ewah_bitmap_or"](F.col("ba"), F.col("bb"))
+            ).alias("n_or"),
+            HIVE_FUNCTIONS["ewah_bitmap_empty"](
+                HIVE_FUNCTIONS["ewah_bitmap_and"](F.col("ba"), F.col("bc"))
+            ).alias("disjoint_empty"),
+            HIVE_FUNCTIONS["ewah_bitmap_empty"](F.col("ba")).alias("a_empty"),
+        )
+        .collect()[0]
+    )
+    assert row["n_and"] == 2 and row["n_or"] == 4
+    assert row["disjoint_empty"] is True and row["a_empty"] is False
