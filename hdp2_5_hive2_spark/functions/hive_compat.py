@@ -239,6 +239,23 @@ for _name in _BUILTIN:
     HIVE_FUNCTIONS[_name] = _expr_fn(_name)
 
 
+def _in_file(col: Column, filename: str) -> Column:
+    """Hive in_file(str, filename) (GenericUDFInFile.java): true iff the
+    string equals a whole LINE of the file. The file is read ONCE at
+    expression-build time on the driver (Hive loads it per-task into a
+    HashSet — same contract, small-file assumption); the membership test
+    compiles to an IN literal list, codegen'd per row. For large files use
+    a broadcast semi join instead — this mirrors Hive, where in_file on a
+    big file was equally a per-task HashSet."""
+    with open(filename, "r", encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+    if not lines:
+        return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.lit(False)
+        )
+    return col.isin(*set(lines))
+
+
 def _ewah_and(a: Column, b: Column) -> Column:
     from hdp2_5_hive2_spark.functions.ewah import bitmap_and
 
@@ -299,7 +316,7 @@ HIVE_FUNCTIONS.update(
         "ewah_bitmap_and": _ewah_and,
         "ewah_bitmap_or": _ewah_or,
         "ewah_bitmap_empty": _ewah_empty,
-        "in_file": _unsupported("in_file", "driver-side file probe; use a broadcast semi join"),
+        "in_file": lambda col, filename: _in_file(col, filename),
         "compute_stats": _unsupported(
             "compute_stats", "use ANALYZE TABLE ... COMPUTE STATISTICS"
         ),

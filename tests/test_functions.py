@@ -395,3 +395,24 @@ def test_ewah_column_ops(spark):
     )
     assert row["n_and"] == 2 and row["n_or"] == 4
     assert row["disjoint_empty"] is True and row["a_empty"] is False
+
+
+def test_in_file(spark, tmp_path):
+    """Hive in_file(str, filename): whole-line membership; NULL in -> NULL
+    out (isin semantics); empty file -> always false."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.functions import HIVE_FUNCTIONS
+
+    f = tmp_path / "allow.txt"
+    f.write_text("alpha\nbeta\n")
+    df = spark.createDataFrame(
+        [("alpha",), ("alp",), (None,), ("beta",)], "s string"
+    )
+    fn = HIVE_FUNCTIONS["in_file"]
+    got = [r[0] for r in df.select(fn(F.col("s"), str(f))).collect()]
+    assert got == [True, False, None, True], got
+    empty = tmp_path / "empty.txt"
+    empty.write_text("")
+    got2 = [r[0] for r in df.select(fn(F.col("s"), str(empty))).collect()]
+    assert got2 == [False, False, None, False], got2
