@@ -119,6 +119,7 @@ _OVERFLOW_THIS_ROUND: list[str] = [
     "llm_fingerprint_overlap",      # fingerprint-bucket overlap pairs (r5)
     "llm_semantic_dedup",           # SemDeDup keep/drop composition (r5)
     "fn_ewah_bitmap",               # EWAH bitmap family carried (r5)
+    "llm_vocab_drift",              # corpus-drift QA, chi-square ranking (r5)
 ]
 
 _PRIORITY = (

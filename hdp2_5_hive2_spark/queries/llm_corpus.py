@@ -1574,3 +1574,67 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(dropped["id"]).alias("n_dropped"),
         )
     )
+
+
+@query(
+    "llm_vocab_drift",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id % 2 AS split, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT token,
+             CAST(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM t WHERE token <> '' GROUP BY token
+    ),
+    n AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b FROM c)
+    SELECT token, c_a, c_b,
+           CAST(c_a * n_b - c_b * n_a AS DOUBLE) * CAST(c_a * n_b - c_b * n_a AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(c_a + c_b AS DOUBLE))
+             AS drift
+    FROM c, n
+    ORDER BY drift DESC, token LIMIT 20
+    """,
+    tags=("llm", "text", "qa", "drift"),
+)
+def llm_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift QA: chi-square-style per-token drift between two corpus
+    splits (doc_id parity here; in production, old vs new crawl snapshot).
+    The cross term d = c_a·N_b − c_b·N_a is an EXACT int64 (and exact as a
+    double below 2^53 — holds to ~1e8 tokens per split, documented); the
+    score d²/(N_a·N_b·(c_a+c_b)) is one fixed-order double expression, so
+    both engines produce bit-identical values and (drift DESC, token) is a
+    total order for the top-20 heap.
+
+    100 TB plan: one shuffle on the token key with map-side partial
+    conditional counts; the two split totals are a one-row broadcast cross
+    join; ranking is a bounded TakeOrderedAndProject, never a global
+    sort."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select(
+        (F.col("doc_id") % 2).alias("split"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    c = t.groupBy("token").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).alias("c_b"),
+    )
+    n = c.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    d_term = (F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")).cast(
+        "double"
+    )
+    drift = (d_term * d_term) / (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * (F.col("c_a") + F.col("c_b")).cast("double")
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .select("token", "c_a", "c_b", drift.alias("drift"))
+        .orderBy(F.desc("drift"), "token")
+        .limit(20)
+    )
