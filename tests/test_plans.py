@@ -401,3 +401,26 @@ def test_cte_reuse_shares_the_aggregate(spark):
     assert final.count("Exchange hashpartitioning") - final.count(
         "ReusedExchange"
     ) == 1, plan
+
+
+def test_vocab_drift_plan_is_bounded_heap_with_broadcast_totals(spark):
+    """llm_vocab_drift: ranking must be a bounded TakeOrderedAndProject
+    (never a global Sort) and the one-row totals must come in via a
+    broadcast join, with partial aggregation below the token shuffle."""
+    df = REGISTRY["llm_vocab_drift"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_fingerprint_overlap_reuses_checkpointed_pass(spark):
+    """llm_fingerprint_overlap: the exploded (doc_id, fp) frame is
+    localCheckpoint-materialized, so the executed plan must scan the RDD
+    checkpoint (Scan ExistingRDD) rather than re-running the Arrow
+    winnowing pass per consumer — and the Python kernel must appear at
+    most once upstream."""
+    df = REGISTRY["llm_fingerprint_overlap"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    assert plan.count("ArrowEvalPython") == 0, plan
