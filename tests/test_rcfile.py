@@ -183,3 +183,24 @@ print("RC_PARITY_OK")
         env={**os.environ, "PYTHONPATH": repo},  # workers import the package
     )
     assert "RC_PARITY_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_parser_rejects_corruption():
+    """Bad magic, unsupported versions/codecs, and sync-marker mismatch all
+    fail loudly — a silently mis-framed columnar file is worse than an
+    error."""
+    blob = bytearray(serialize_rcfile(ROWS, ncols=3, sync_interval=50,
+                                      record_interval=2))
+    with pytest.raises(ValueError, match="bad magic"):
+        next(parse_rcfile(b"NOPE" + bytes(blob[4:])))
+    with pytest.raises(ValueError, match="SEQ-magic"):
+        next(parse_rcfile(b"SEQ\x06" + bytes(blob[4:])))
+    with pytest.raises(ValueError, match="version"):
+        next(parse_rcfile(bytes(blob[:3]) + b"\x09" + bytes(blob[4:])))
+    # flip one byte inside the first mid-file sync marker
+    import struct
+    esc = bytes(blob).index(struct.pack(">i", -1), 60)
+    corrupted = bytearray(blob)
+    corrupted[esc + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="sync mismatch"):
+        list(parse_rcfile(bytes(corrupted)))
