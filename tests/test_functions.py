@@ -416,3 +416,37 @@ def test_in_file(spark, tmp_path):
     empty.write_text("")
     got2 = [r[0] for r in df.select(fn(F.col("s"), str(empty))).collect()]
     assert got2 == [False, False, None, False], got2
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        positions=st.lists(
+            st.integers(min_value=0, max_value=10_000_000),
+            unique=True,
+            max_size=200,
+        )
+    )
+    def test_ewah_property_roundtrip(positions):
+        """Any sorted distinct position set round-trips the EWAH wire
+        format, and the serialized header fields stay self-consistent
+        (wordCount matches, lastRLWPosition points inside the buffer)."""
+        from hdp2_5_hive2_spark.functions.ewah import ewah_decode, ewah_encode
+
+        ps = sorted(positions)
+        arr = ewah_encode(ps)
+        assert ewah_decode(arr) == ps
+        size_in_bits, n_words = arr[0], arr[1]
+        assert len(arr) == 2 + n_words + 1
+        assert 0 <= arr[-1] < n_words
+        assert size_in_bits == (ps[-1] + 1 if ps else 0)

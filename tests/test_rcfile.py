@@ -204,3 +204,41 @@ def test_parser_rejects_corruption():
     corrupted[esc + 4] ^= 0xFF
     with pytest.raises(ValueError, match="sync mismatch"):
         list(parse_rcfile(bytes(corrupted)))
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    _cell = st.one_of(
+        st.none(),
+        st.text(max_size=40),  # arbitrary unicode incl. '', '\\N', ctrl chars
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rows=st.lists(st.tuples(_cell, _cell, _cell), max_size=60),
+        codec=st.sampled_from([None, "org.apache.hadoop.io.compress.DefaultCodec"]),
+        record_interval=st.integers(min_value=1, max_value=7),
+        sync_interval=st.integers(min_value=40, max_value=400),
+    )
+    def test_rcfile_property_roundtrip(rows, codec, record_interval, sync_interval):
+        """Any unicode/NULL/empty cell content survives the container
+        byte-exactly under any row-group size, sync density, and codec.
+        Newlines/ctrl chars are fine — RCFile framing is length-prefixed,
+        never delimiter-based (the advantage over TEXTFILE)."""
+        blob = serialize_rcfile(
+            rows,
+            ncols=3,
+            codec=codec,
+            record_interval=record_interval,
+            sync_interval=sync_interval,
+        )
+        assert list(parse_rcfile(blob)) == [tuple(r) for r in rows]
