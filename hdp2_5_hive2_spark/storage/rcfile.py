@@ -67,6 +67,9 @@ SYNC_INTERVAL = 2000  # bytes between sync markers (RCFile.java:385)
 DEFAULT_RECORD_INTERVAL = 10_000  # rows per row group in the Python writer
 DEFAULT_BUFFER_SIZE = 4 * 1024 * 1024  # flush a row group at 4 MB of cells
 _MAGIC = b"RCF\x01"
+_ORIGINAL_MAGIC = b"SEQ\x06"  # pre-0.11 header (RCFile.java:366-373)
+_KEY_CLASS = "org.apache.hadoop.hive.ql.io.RCFile$KeyBuffer"
+_VALUE_CLASS = "org.apache.hadoop.hive.ql.io.RCFile$ValueBuffer"
 _DEFLATE_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
 _COLUMN_NUMBER_KEY = "hive.io.rcfile.column.number"
 _EMPTY_STRING_MARKER = b"\xbf"  # LazyBinaryColumnarSerDe.java:86
@@ -188,9 +191,11 @@ class _RCFileSerializer:
         record_interval: int = DEFAULT_RECORD_INTERVAL,
         buffer_size: int = DEFAULT_BUFFER_SIZE,
         sync_interval: int = SYNC_INTERVAL,
+        use_new_magic: bool = True,
     ) -> None:
         self.ncols = ncols
         self.codec = codec
+        self.use_new_magic = use_new_magic
         self.record_interval = record_interval
         self.buffer_size = buffer_size
         self.sync_interval = sync_interval
@@ -204,8 +209,18 @@ class _RCFileSerializer:
 
     def _write_header(self) -> None:
         out = self.out
-        out.extend(_MAGIC)
+        if self.use_new_magic:
+            out.extend(_MAGIC)
+        else:
+            # pre-0.11 layout (hive.exec.rcfile.use.explicit.header=false;
+            # RCFile.java:1026,1044-1048): SEQ\x06, key/value class names,
+            # compressed flag, block-compressed flag (always false)
+            out.extend(_ORIGINAL_MAGIC)
+            _write_text(out, _KEY_CLASS)
+            _write_text(out, _VALUE_CLASS)
         out.append(1 if self.codec else 0)
+        if not self.use_new_magic:
+            out.append(0)  # blockCompressed: always false for RCFile
         if self.codec:
             if self.codec != _DEFLATE_CODEC:
                 raise ValueError(f"unsupported RCFile codec: {self.codec}")
@@ -277,9 +292,11 @@ def serialize_rcfile(
     record_interval: int = DEFAULT_RECORD_INTERVAL,
     buffer_size: int = DEFAULT_BUFFER_SIZE,
     sync_interval: int = SYNC_INTERVAL,
+    use_new_magic: bool = True,
 ) -> bytes:
     ser = _RCFileSerializer(
-        ncols, seed, codec, record_interval, buffer_size, sync_interval
+        ncols, seed, codec, record_interval, buffer_size, sync_interval,
+        use_new_magic,
     )
     for row in rows:
         ser.append(row)
@@ -293,16 +310,31 @@ def serialize_rcfile(
 
 def parse_rcfile(data: bytes) -> Iterator[tuple[str | None, ...]]:
     """Yield rows (tuples of Optional[str]) from one RCFile's bytes."""
-    if data[:3] != b"RCF":
-        if data[:3] == b"SEQ":
-            raise ValueError("pre-0.11 SEQ-magic RCFile not supported")
+    if data[:3] == b"SEQ":
+        # pre-0.11 header (RCFile.java:1464-1505): SEQ + version byte 6,
+        # then the KeyBuffer/ValueBuffer class names as Text strings
+        if data[3] != 6:
+            raise ValueError(f"unsupported SEQ-magic RCFile version {data[3]}")
+        pos = 4
+        key_cls, pos = _read_text(data, pos)
+        val_cls, pos = _read_text(data, pos)
+        if key_cls != _KEY_CLASS or val_cls != _VALUE_CLASS:
+            raise ValueError("not an RCFile (SequenceFile key/value classes)")
+        original = True
+    elif data[:3] == b"RCF":
+        version = data[3]
+        if version > 1:
+            raise ValueError(f"unsupported RCFile version {version}")
+        pos = 4
+        original = False
+    else:
         raise ValueError("not an RCFile (bad magic)")
-    version = data[3]
-    if version > 1:
-        raise ValueError(f"unsupported RCFile version {version}")
-    pos = 4
     compressed = data[pos] != 0
     pos += 1
+    if original:
+        if data[pos] != 0:  # blockCompressed must be false (RCFile.java:1501)
+            raise ValueError("not an RCFile (block-compressed SequenceFile)")
+        pos += 1
     if compressed:
         codec, pos = _read_text(data, pos)
         if codec != _DEFLATE_CODEC:

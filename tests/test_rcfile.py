@@ -193,7 +193,9 @@ def test_parser_rejects_corruption():
                                       record_interval=2))
     with pytest.raises(ValueError, match="bad magic"):
         next(parse_rcfile(b"NOPE" + bytes(blob[4:])))
-    with pytest.raises(ValueError, match="SEQ-magic"):
+    # a SEQ\x06 header whose key class is not RCFile$KeyBuffer is a true
+    # SequenceFile, not a pre-0.11 RCFile
+    with pytest.raises(ValueError, match="key/value classes"):
         next(parse_rcfile(b"SEQ\x06" + bytes(blob[4:])))
     with pytest.raises(ValueError, match="version"):
         next(parse_rcfile(bytes(blob[:3]) + b"\x09" + bytes(blob[4:])))
@@ -242,3 +244,18 @@ if _HYP:
             sync_interval=sync_interval,
         )
         assert list(parse_rcfile(blob)) == [tuple(r) for r in rows]
+
+
+@pytest.mark.parametrize("codec", [None, "org.apache.hadoop.io.compress.DefaultCodec"])
+def test_seq_magic_header_roundtrip(codec):
+    """Pre-0.11 SEQ-magic RCFiles (hive.exec.rcfile.use.explicit.header=
+    false; RCFile.java:366-373,1464-1505) parse identically: SEQ\\x06
+    magic, KeyBuffer/ValueBuffer class names, the extra block-compressed
+    flag — record framing unchanged."""
+    blob = serialize_rcfile(ROWS, ncols=3, codec=codec, use_new_magic=False)
+    assert blob[:4] == b"SEQ\x06"
+    assert b"RCFile$KeyBuffer" in blob[:120]
+    assert list(parse_rcfile(blob)) == ROWS
+    # wrong SEQ version byte and true SequenceFiles are rejected
+    with pytest.raises(ValueError, match="SEQ-magic RCFile version"):
+        next(parse_rcfile(b"SEQ\x05" + bytes(blob[4:])))
