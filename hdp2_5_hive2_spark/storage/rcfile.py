@@ -43,10 +43,12 @@ Two write paths (same dispatch contract as storage.writer.write_sequencefile):
 
 The READER is pure Python over ``sc.binaryFiles`` — one task per file, no
 JVM serde involved, so it works in any session (including in-memory
-catalogs where Hive DDL is unavailable). Supported codecs: uncompressed and
-DefaultCodec (zlib streams, one per column segment and one for the key —
-RCFile.java:1154-1250 resets the codec stream per column, so each segment
-is independently decompressable). 100 TB note: parallelism is per-file;
+catalogs where Hive DDL is unavailable). Supported codecs: uncompressed,
+DefaultCodec (zlib) and GzipCodec — one stream per column segment and one
+for the key (RCFile.java:1154-1250 resets the codec stream per column, so
+each segment is independently decompressable; wbits=47 inflate auto-detects
+the two zlib-family headers). Both header generations parse: RCF v1 and the
+pre-0.11 SEQ\x06 original. 100 TB note: parallelism is per-file;
 RCFile warehouses are many-file by construction (one file per original MR
 writer task), so a full-table read fans out across the cluster. A single
 monolithic RCFile would need sync-marker splitting, which real RCFile
@@ -71,6 +73,21 @@ _ORIGINAL_MAGIC = b"SEQ\x06"  # pre-0.11 header (RCFile.java:366-373)
 _KEY_CLASS = "org.apache.hadoop.hive.ql.io.RCFile$KeyBuffer"
 _VALUE_CLASS = "org.apache.hadoop.hive.ql.io.RCFile$ValueBuffer"
 _DEFLATE_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
+_GZIP_CODEC = "org.apache.hadoop.io.compress.GzipCodec"
+# both are zlib-family; inflate with wbits=47 auto-detects zlib vs gzip headers
+_SUPPORTED_CODECS = (_DEFLATE_CODEC, _GZIP_CODEC)
+
+
+def _deflate(data: bytes, codec: str) -> bytes:
+    if codec == _GZIP_CODEC:
+        import gzip
+
+        return gzip.compress(data, mtime=0)
+    return zlib.compress(data)
+
+
+def _inflate(data: bytes) -> bytes:
+    return zlib.decompress(data, 47)  # MAX_WBITS|32: zlib or gzip header
 _COLUMN_NUMBER_KEY = "hive.io.rcfile.column.number"
 _EMPTY_STRING_MARKER = b"\xbf"  # LazyBinaryColumnarSerDe.java:86
 
@@ -222,7 +239,7 @@ class _RCFileSerializer:
         if not self.use_new_magic:
             out.append(0)  # blockCompressed: always false for RCFile
         if self.codec:
-            if self.codec != _DEFLATE_CODEC:
+            if self.codec not in _SUPPORTED_CODECS:
                 raise ValueError(f"unsupported RCFile codec: {self.codec}")
             _write_text(out, self.codec)
         out.extend(struct.pack(">i", 1))  # one metadata entry
@@ -252,7 +269,7 @@ class _RCFileSerializer:
             col_bytes = b"".join(cells)
             plain_len = len(col_bytes)
             if self.codec:
-                col_bytes = zlib.compress(col_bytes)
+                col_bytes = _deflate(col_bytes, self.codec)
             len_buf = _encode_len_buf([len(c) for c in cells])
             _write_vlong(key, len(col_bytes))  # on-disk column length
             _write_vlong(key, plain_len)  # uncompressed column length
@@ -260,7 +277,9 @@ class _RCFileSerializer:
             key.extend(len_buf)
             value_segments.append(col_bytes)
         plain_key_len = len(key)
-        key_on_disk = zlib.compress(bytes(key)) if self.codec else bytes(key)
+        key_on_disk = (
+            _deflate(bytes(key), self.codec) if self.codec else bytes(key)
+        )
         value_len = sum(len(s) for s in value_segments)
 
         out = self.out
@@ -337,7 +356,7 @@ def parse_rcfile(data: bytes) -> Iterator[tuple[str | None, ...]]:
         pos += 1
     if compressed:
         codec, pos = _read_text(data, pos)
-        if codec != _DEFLATE_CODEC:
+        if codec not in _SUPPORTED_CODECS:
             raise ValueError(f"unsupported RCFile codec: {codec}")
     (n_meta,) = struct.unpack_from(">i", data, pos)
     pos += 4
@@ -369,7 +388,7 @@ def parse_rcfile(data: bytes) -> Iterator[tuple[str | None, ...]]:
         key = data[pos : pos + key_on_disk_len]
         pos += key_on_disk_len
         if compressed:
-            key = zlib.decompress(key)
+            key = _inflate(key)
 
         kpos = 0
         num_rows, kpos = _read_vlong(key, kpos)
@@ -394,7 +413,7 @@ def parse_rcfile(data: bytes) -> Iterator[tuple[str | None, ...]]:
             seg = data[pos : pos + col_disk_lens[ci]]
             pos += col_disk_lens[ci]
             if compressed:
-                seg = zlib.decompress(seg)
+                seg = _inflate(seg)
             cells: list[str | None] = []
             off = 0
             for ln in col_cell_lens[ci]:

@@ -55,7 +55,11 @@ ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", [None, "org.apache.hadoop.io.compress.DefaultCodec"])
+@pytest.mark.parametrize(
+    "codec",
+    [None, "org.apache.hadoop.io.compress.DefaultCodec",
+     "org.apache.hadoop.io.compress.GzipCodec"],
+)
 def test_bytes_roundtrip(codec):
     blob = serialize_rcfile(ROWS, ncols=3, codec=codec)
     assert blob[:4] == b"RCF\x01"
@@ -155,21 +159,24 @@ spark.sql("CREATE EXTERNAL TABLE rc_py (k string, s string, v string) "
 got = sorted(tuple(r) for r in spark.sql("SELECT * FROM rc_py").collect())
 assert got == [("1", "a|b", None), ("2", None, "3.5"), ("3", "", "-0.0"), ("4", "héllo", "1.25")], got
 
-# 3) hive writes COMPRESSED (DefaultCodec), python zlib read path parses —
-#    codec parity against Java's Deflater, not just our own writer
-spark.sql("SET hive.exec.compress.output=true")
-spark.sql("SET mapreduce.output.fileoutputformat.compress.codec="
-          "org.apache.hadoop.io.compress.DefaultCodec")
-spark.sql("CREATE EXTERNAL TABLE rc_z (k string, s string) "
-          "STORED AS RCFILE LOCATION '" + d + "/zout'")
-spark.sql("INSERT OVERWRITE TABLE rc_z "
-          "SELECT cast(id AS string), repeat('pad', 20) FROM range(50)")
+# 3) hive writes COMPRESSED (DefaultCodec, then GzipCodec), python read
+#    path parses — codec parity against Java's compressors, not just our
+#    own writer
 import glob
-zfiles = [p for p in glob.glob(d + "/zout/*") if ".crc" not in p]
-zrows = sorted(r for p in zfiles for r in parse_rcfile(open(p, "rb").read()))
-hdr = open(zfiles[0], "rb").read()
-assert hdr[4] == 1, "hive output must actually be compressed"
-assert zrows == sorted((str(i), "pad" * 20) for i in range(50)), zrows[:3]
+spark.sql("SET hive.exec.compress.output=true")
+for tbl, codec in (("rc_z", "DefaultCodec"), ("rc_g", "GzipCodec")):
+    spark.sql("SET mapreduce.output.fileoutputformat.compress.codec="
+              "org.apache.hadoop.io.compress." + codec)
+    spark.sql("CREATE EXTERNAL TABLE " + tbl + " (k string, s string) "
+              "STORED AS RCFILE LOCATION '" + d + "/" + tbl + "'")
+    spark.sql("INSERT OVERWRITE TABLE " + tbl +
+              " SELECT cast(id AS string), repeat('pad', 20) FROM range(50)")
+    zfiles = [p for p in glob.glob(d + "/" + tbl + "/*") if ".crc" not in p]
+    zrows = sorted(r for p in zfiles for r in parse_rcfile(open(p, "rb").read()))
+    hdr = open(zfiles[0], "rb").read()
+    assert hdr[4] == 1, codec + ": hive output must actually be compressed"
+    assert codec in hdr[:64].decode("utf-8", "replace"), hdr[:64]
+    assert zrows == sorted((str(i), "pad" * 20) for i in range(50)), (codec, zrows[:3])
 print("RC_PARITY_OK")
 """
     import os
