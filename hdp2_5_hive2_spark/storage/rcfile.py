@@ -327,8 +327,16 @@ def serialize_rcfile(
 # --------------------------------------------------------------------------
 
 
-def parse_rcfile(data: bytes) -> Iterator[tuple[str | None, ...]]:
-    """Yield rows (tuples of Optional[str]) from one RCFile's bytes."""
+def parse_rcfile(
+    data: bytes, wanted: Sequence[int] | None = None
+) -> Iterator[tuple[str | None, ...]]:
+    """Yield rows (tuples of Optional[str]) from one RCFile's bytes.
+
+    ``wanted`` (sorted column ordinals) enables COLUMN PRUNING — the reason
+    RCFile is columnar (RCFile.java Reader skips unselected columns via the
+    per-column on-disk lengths in the key buffer): unwanted columns are
+    seeked over without decompression or cell decoding, and the yielded
+    tuples contain only the wanted ordinals in the given order."""
     if data[:3] == b"SEQ":
         # pre-0.11 header (RCFile.java:1464-1505): SEQ + version byte 6,
         # then the KeyBuffer/ValueBuffer class names as Text strings
@@ -408,8 +416,13 @@ def parse_rcfile(data: bytes) -> Iterator[tuple[str | None, ...]]:
             col_disk_lens.append(on_disk_len)
             col_cell_lens.append(cell_lens)
 
-        columns: list[list[str | None]] = []
+        keep = range(ncols) if wanted is None else wanted
+        keep_set = set(keep)
+        columns: dict[int, list[str | None]] = {}
         for ci in range(ncols):
+            if ci not in keep_set:  # columnar skip: never inflate or decode
+                pos += col_disk_lens[ci]
+                continue
             seg = data[pos : pos + col_disk_lens[ci]]
             pos += col_disk_lens[ci]
             if compressed:
@@ -419,9 +432,9 @@ def parse_rcfile(data: bytes) -> Iterator[tuple[str | None, ...]]:
             for ln in col_cell_lens[ci]:
                 cells.append(_decode_cell(seg[off : off + ln]))
                 off += ln
-            columns.append(cells)
+            columns[ci] = cells
         for ri in range(num_rows):
-            yield tuple(columns[ci][ri] for ci in range(ncols))
+            yield tuple(columns[ci][ri] for ci in keep)
 
 
 # --------------------------------------------------------------------------
@@ -492,24 +505,44 @@ def _write_rcfile_hive(df: DataFrame, path: str) -> None:
         spark.catalog.dropTempView(view)
 
 
-def read_rcfile(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def read_rcfile(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    select: Sequence[str] | None = None,
+) -> DataFrame:
     """Schema-on-read over an RCFile directory: parse each file with the
     pure-Python format parser (one task per file via binaryFiles), then
     lazily cast the string cells to the DDL ``schema`` — the columnar
     serde's permissive contract (malformed values become NULL via try_cast,
-    never a job abort)."""
+    never a job abort).
+
+    ``select`` projects a subset of the file's columns AT THE FORMAT LAYER
+    (RCFile's columnar skip: unselected columns are seeked over, never
+    decompressed or decoded) — the analogue of Parquet column pruning, and
+    the property that made RCFile columnar in the first place."""
     from pyspark.sql.types import StructType
 
     target = StructType.fromDDL(schema)
-    names = [f.name for f in target.fields]
+    fields = list(target.fields)
+    if select is not None:
+        by_name = {f.name: i for i, f in enumerate(fields)}
+        missing = [n for n in select if n not in by_name]
+        if missing:
+            raise ValueError(f"select names not in schema: {missing}")
+        wanted = [by_name[n] for n in select]
+        fields = [target.fields[i] for i in wanted]
+    else:
+        wanted = None
+    names = [f.name for f in fields]
 
     def _parse(kv: tuple[str, bytes]) -> Iterator[tuple[str | None, ...]]:
         if not kv[1]:  # zero-byte part files (empty Hive writer tasks)
             return iter(())
-        return parse_rcfile(kv[1])
+        return parse_rcfile(kv[1], wanted)
 
     rows = spark.sparkContext.binaryFiles(path).flatMap(_parse)
     raw = spark.createDataFrame(rows, ", ".join(f"`{n}` string" for n in names))
     return raw.select(
-        *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in target.fields]
+        *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in fields]
     )

@@ -266,3 +266,34 @@ def test_seq_magic_header_roundtrip(codec):
     # wrong SEQ version byte and true SequenceFiles are rejected
     with pytest.raises(ValueError, match="SEQ-magic RCFile version"):
         next(parse_rcfile(b"SEQ\x05" + bytes(blob[4:])))
+
+
+def test_column_pruning_skips_decode(spark, tmp_path):
+    """parse_rcfile(wanted=...) must never touch unselected column bytes:
+    corrupt column 1's cell bytes to invalid UTF-8 in place (same lengths,
+    framing intact) — pruned reads succeed, full reads fail to decode."""
+    blob = bytearray(serialize_rcfile([("k1", "alpha", "v1"), ("k2", "bravo", "v2")], ncols=3))
+    for word in (b"alpha", b"bravo"):
+        i = bytes(blob).index(word)
+        blob[i : i + 5] = b"\xff\xfe\xff\xfe\xff"
+    pruned = list(parse_rcfile(bytes(blob), wanted=[0, 2]))
+    assert pruned == [("k1", "v1"), ("k2", "v2")]
+    with pytest.raises(UnicodeDecodeError):
+        list(parse_rcfile(bytes(blob)))
+
+    # DataFrame layer: select= projects at the format layer
+    from hdp2_5_hive2_spark.storage import read_rcfile, write_rcfile
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, "y", None)], "a int, b string, c double"
+    )
+    path = str(tmp_path / "rc_prune")
+    write_rcfile(df.coalesce(1), path)
+    got = read_rcfile(
+        spark, path, "a int, b string, c double", select=["c", "a"]
+    )
+    assert got.columns == ["c", "a"]
+    rows = sorted((tuple(r) for r in got.collect()), key=lambda t: t[1])
+    assert rows == [(2.5, 1), (None, 2)]
+    with pytest.raises(ValueError, match="select names"):
+        read_rcfile(spark, path, "a int, b string, c double", select=["zz"])
