@@ -246,9 +246,19 @@ def _in_file(col: Column, filename: str) -> Column:
     HashSet — same contract, small-file assumption); the membership test
     compiles to an IN literal list, codegen'd per row. For large files use
     a broadcast semi join instead — this mirrors Hive, where in_file on a
-    big file was equally a per-task HashSet."""
-    with open(filename, "r", encoding="utf-8") as fh:
-        lines = fh.read().splitlines()
+    big file was equally a per-task HashSet.
+
+    Line splitting mirrors BufferedReader.readLine (GenericUDFInFile uses
+    it): only \\n, \\r and \\r\\n terminate lines — NOT \\x0b, \\x0c,
+    \\x85 or \\u2028, which str.splitlines would also split on
+    (ADVICE r5)."""
+    import re as _re
+
+    with open(filename, "r", encoding="utf-8", newline="") as fh:
+        raw = fh.read()
+    lines = _re.split("\r\n|\r|\n", raw)
+    if lines and lines[-1] == "":
+        lines.pop()  # a trailing terminator does not add an empty member
     if not lines:
         return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
             F.lit(False)

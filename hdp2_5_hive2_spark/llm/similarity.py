@@ -352,6 +352,86 @@ def cosine_dup_pairs(
     )
 
 
+def lsh_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= threshold) via LSH candidate buckets
+    + exact cosine re-check — the documented 100 TB substitute for
+    cosine_dup_pairs' exact blocked GEMM (same (id_a, id_b), id_a < id_b
+    output contract, so connected_components consumes either
+    interchangeably — the SemDeDup scale seam, VERDICT r5 #6).
+
+    Recall contract: two vectors with IDENTICAL direction (cosine 1.0 —
+    e.g. scaled copies) agree on the sign of every hyperplane dot product,
+    so they share a signature in EVERY table and are always candidates.
+    Near-but-not-identical directions are caught with probability
+    1-(1-p^bits)^tables where p = 1 - angle/pi; at threshold 0.99
+    (angle <= 8.1 degrees, p >= 0.955) bits=8, tables=8 gives >= 0.9998.
+    False candidates cost only the re-check, never a wrong pair.
+
+    100 TB plan: signatures are one numpy matmul per Arrow batch (map
+    side); the only shuffle is the (tbl, sig) bucket self-join, whose
+    fan-out is bounded by bucket occupancy (raise `bits` to split hot
+    buckets); the exact re-check is map-side Arrow. No all-pairs stage at
+    any scale."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.asarray(
+        [p for t in range(tables) for p in _hyperplanes(dim, bits, seed + 1000 * t)]
+    )
+    bit_weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["nv"]), dtype=np.float64)
+            d = x @ planes.T  # (n, tables*bits)
+            bits_m = (d > 0).astype(np.uint64).reshape(len(pdf), tables, bits)
+            sig = (bits_m * bit_weights).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(tables),
+                    "nv": [v for v in pdf["nv"] for _ in range(tables)],
+                    "tbl": np.tile(np.arange(tables, dtype=np.int32), len(pdf)),
+                    "sig": sig.reshape(-1),
+                }
+            )
+
+    v = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("nv"))
+    banded = v.mapInPandas(
+        gen, f"id {id_type}, nv array<double>, tbl int, sig bigint"
+    )
+    a = banded.select(
+        F.col("id").alias("query_id"), F.col("nv").alias("qv"), "tbl", "sig"
+    )
+    b = banded.select(
+        F.col("id").alias("neighbor_id"), F.col("nv").alias("cv"), "tbl", "sig"
+    )
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", "cv", "qv")
+    )
+    return (
+        _score_candidate_pairs(cand)
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+        )
+    )
+
+
 def _train_centroids(
     corpus: DataFrame, vec_col: str, n_centroids: int, iters: int = 5, sample: int = 2048
 ):

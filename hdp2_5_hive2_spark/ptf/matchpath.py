@@ -33,20 +33,34 @@ def match_path(
     order_by: list[str],
     symbols: dict[str, Column],
     pattern: str,
+    after_match: str = "past_last",
 ) -> DataFrame:
-    """Find non-overlapping matches of `pattern` over each partition's rows
-    ordered by `order_by`.
+    """Find matches of `pattern` over each partition's rows ordered by
+    `order_by`.
 
     symbols: name → boolean Column; a row's symbol is the FIRST name (in dict
     order) whose predicate holds, else no symbol (never matches).
     pattern: regex over symbol names joined by '.' for concatenation, with
     '*' / '+' / '?' quantifiers — e.g. "UP.DOWN*", "HIGH+". (Same surface as
     MatchPath.java's path expressions.)
+    after_match: where the scan resumes after a successful match — the
+    AFTER MATCH SKIP axis:
+      - ``"past_last"``: resume after the match's last row —
+        non-overlapping matches (MATCH_RECOGNIZE's SKIP PAST LAST ROW
+        default, and this module's historical behavior);
+      - ``"next_row"``: attempt a match at EVERY row, so matches may
+        overlap — Hive MatchPath's native semantics
+        (ql/udf/ptf/MatchPath.java execute() calls
+        SymbolFunction.match(syFn, row, pItr) for each input row in turn,
+        i.e. SKIP TO NEXT ROW).
 
     Returns the matched rows with three extra columns:
       match_number (per partition, 1-based), match_symbol, match_pos
-      (0-based offset of the row within its match).
+      (0-based offset of the row within its match). Under ``"next_row"`` a
+      source row appears once per match it participates in.
     """
+    if after_match not in ("past_last", "next_row"):
+        raise ValueError(f"unknown after_match mode: {after_match!r}")
     if len(symbols) > len(_SYMBOL_CHARS):
         raise ValueError("too many symbols")
     sym_names = list(symbols)
@@ -80,6 +94,18 @@ def match_path(
     part_cols = list(partition_by)
     shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    def iter_spans(seq: str):
+        """Non-empty match spans under the chosen AFTER MATCH SKIP mode."""
+        if after_match == "past_last":
+            for m in compiled.finditer(seq):
+                if m.end() > m.start():
+                    yield m.start(), m.end()
+        else:  # next_row: attempt at every position; overlaps allowed
+            for i in range(len(seq)):
+                m = compiled.match(seq, i)
+                if m is not None and m.end() > i:
+                    yield i, m.end()
+
     def scan_group(pdf: pd.DataFrame) -> pd.DataFrame | None:
         seq = "".join(s if isinstance(s, str) else "\x00" for s in pdf["_mp_sym"])
         take: list[int] = []
@@ -87,11 +113,9 @@ def match_path(
         m_sym: list[str] = []
         m_pos: list[int] = []
         n = 0
-        for m in compiled.finditer(seq):
-            if m.start() == m.end():
-                continue  # ignore empty matches (e.g. pure X* at a gap)
+        for start, end in iter_spans(seq):
             n += 1
-            for pos, idx in enumerate(range(m.start(), m.end())):
+            for pos, idx in enumerate(range(start, end)):
                 take.append(idx)
                 m_num.append(n)
                 m_sym.append(rev_char[seq[idx]])
@@ -140,16 +164,14 @@ def match_path(
         m_sym: list[str] = []
         m_pos: list[np.ndarray] = []
         cur_g, cur_n = -1, 0
-        for m in compiled.finditer(seq):
-            if m.start() == m.end():
-                continue
-            rows = row_of_pos[m.start() : m.end()]
+        for start, end in iter_spans(seq):
+            rows = row_of_pos[start:end]
             g = int(gid[rows[0]])
             cur_n = cur_n + 1 if g == cur_g else 1
             cur_g = g
             take.append(rows)
             m_num.extend([cur_n] * len(rows))
-            m_sym.extend(rev_char[seq[p]] for p in range(m.start(), m.end()))
+            m_sym.extend(rev_char[seq[p]] for p in range(start, end))
             m_pos.append(np.arange(len(rows), dtype=np.int32))
         if not take:
             return None

@@ -52,6 +52,7 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 _NEW_THIS_ROUND: list[str] = [
     "llm_semantic_dedup_lsh",       # SemDeDup scale seam: LSH pair source (r6)
     "fn_ewah_cardinality",          # run-aware EWAH kernels, dense ones-runs (r6)
+    "matchpath_skip_to_next_row",   # MatchPath AFTER MATCH SKIP TO NEXT ROW (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

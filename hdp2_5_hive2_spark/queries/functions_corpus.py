@@ -990,3 +990,70 @@ def fn_ewah_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewah.bitmap_cardinality(or_bm).alias("or_card"),
         ewah.bitmap_empty(and_bm).alias("and_empty"),
     ).orderBy("grp_a", "grp_b")
+
+
+@query(
+    "fn_ewah_cardinality",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT o_orderpriority AS grp, o_custkey AS pos FROM orders
+    ),
+    c AS (SELECT grp, count(*) AS card FROM s GROUP BY grp),
+    i AS (
+      SELECT grp, count(*) AS n FROM s
+      WHERE pos BETWEEN 0 AND 19999 GROUP BY grp
+    )
+    SELECT c.grp AS grp,
+           CAST(c.card AS BIGINT) AS card,
+           CAST(COALESCE(i.n, 0) AS BIGINT) AS and_dense_card,
+           CAST(c.card - COALESCE(i.n, 0) + 20000 AS BIGINT) AS or_dense_card,
+           COALESCE(i.n, 0) = 0 AS and_dense_empty
+    FROM c LEFT JOIN i ON i.grp = c.grp
+    ORDER BY grp
+    """,
+    tags=("functions", "ewah", "bitmap"),
+)
+def fn_ewah_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-aware EWAH kernels under driver check (VERDICT r5 #3): per
+    o_orderpriority group, a customer-key bitmap is ANDed/ORed against a
+    DENSE 20,000-bit all-set bitmap (313 all-ones words). The OR output's
+    builder compresses those words into ones-run RLWs, so
+    bitmap_cardinality must take the Sum-popcount + 64*ones-run path — a
+    position-materializing decode would still pass fn_ewah_bitmap (sparse
+    bitmaps) but shows up here as the exact kernel this query pins. The
+    oracle recomputes every quantity with plain set algebra
+    (|S|, |S inter [0,20000)|, |S union [0,20000)| = |S| - |inter| + 20000).
+
+    100 TB plan: one groupBy shuffle builds the group bitmaps; the dense
+    fixture bitmap is a one-row broadcast; all bitmap math is Arrow-batched
+    map-side work over the RLE form, O(compressed size) per row."""
+    from hdp2_5_hive2_spark.functions import ewah
+
+    o = load_tables(spark, sf_dir)["orders"]
+    s = o.select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_custkey").alias("pos")
+    )
+    bm = ewah.bitmap_agg(s, ["grp"], "pos")
+    dense = (
+        spark.range(1)
+        .select(
+            F.lit("_dense").alias("grp"),
+            F.explode(F.sequence(F.lit(0), F.lit(19999))).alias("pos"),
+        )
+    )
+    db = ewah.bitmap_agg(dense, ["grp"], "pos").select(
+        F.col("bitmap").alias("dense_bm")
+    )
+    and_bm = ewah.bitmap_and(F.col("bitmap"), F.col("dense_bm"))
+    or_bm = ewah.bitmap_or(F.col("bitmap"), F.col("dense_bm"))
+    return (
+        bm.crossJoin(F.broadcast(db))
+        .select(
+            "grp",
+            ewah.bitmap_cardinality("bitmap").alias("card"),
+            ewah.bitmap_cardinality(and_bm).alias("and_dense_card"),
+            ewah.bitmap_cardinality(or_bm).alias("or_dense_card"),
+            ewah.bitmap_empty(and_bm).alias("and_dense_empty"),
+        )
+        .orderBy("grp")
+    )

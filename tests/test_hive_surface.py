@@ -37,6 +37,38 @@ def test_matchpath_finds_runs(spark):
     ]
 
 
+def test_matchpath_skip_to_next_row_overlaps(spark):
+    """after_match="next_row" (Hive MatchPath.java execute(): a match
+    attempt at every input row) vs the past_last default on the same data:
+    overlapping H.H+ runs. Sequence H H H L: past_last consumes the whole
+    greedy run as ONE match; next_row also emits the suffix match starting
+    at the second H."""
+    rows = [(1, 1, 9), (1, 2, 9), (1, 3, 9), (1, 4, 0)]
+    df = spark.createDataFrame(rows, "pid int, seq int, v int")
+    sym = {"H": F.col("v") > 5, "L": F.col("v") <= 5}
+    past = sorted(
+        (r.seq, r.match_number, r.match_pos)
+        for r in match_path(
+            df, ["pid"], ["seq"], sym, "H.H+", after_match="past_last"
+        ).collect()
+    )
+    assert past == [(1, 1, 0), (2, 1, 1), (3, 1, 2)]
+    nxt = sorted(
+        (r.seq, r.match_number, r.match_pos)
+        for r in match_path(
+            df, ["pid"], ["seq"], sym, "H.H+", after_match="next_row"
+        ).collect()
+    )
+    # match 1 = seq 1-3 (greedy from row 1), match 2 = seq 2-3 (from row 2)
+    assert nxt == [
+        (1, 1, 0), (2, 1, 1), (2, 2, 0), (3, 1, 2), (3, 2, 1),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="after_match"):
+        match_path(df, ["pid"], ["seq"], sym, "H", after_match="bogus")
+
+
 def test_matchpath_alternation_pattern(spark):
     rows = [(1, i, v) for i, v in enumerate([1, 9, 1, 9, 9, 1])]
     df = spark.createDataFrame(rows, "pid int, seq int, v int")

@@ -140,10 +140,31 @@ df = spark.createDataFrame(
 expect = [(1, "a|b", None), (2, None, 3.5), (3, "", -0.0), (4, "héllo", 1.25)]
 
 # 1) hive writes (write_rcfile dispatches to the DDL path), python parses
+#    (use_jvm=False pins the pure-Python format parser)
 write_rcfile(df.coalesce(1), d + "/hiveout")
-back = read_rcfile(spark, d + "/hiveout", "k int, s string, v double")
+back = read_rcfile(spark, d + "/hiveout", "k int, s string, v double",
+                   use_jvm=False)
 rows = sorted(tuple(r) for r in back.collect())
 assert rows == expect, rows
+
+# 1b) JVM read path (VERDICT r5 #4): auto-dispatch in a hive session goes
+#     through CREATE EXTERNAL ... STORED AS RCFILE + spark.table; must
+#     return identical rows, and column pruning must project on the scan
+backj = read_rcfile(spark, d + "/hiveout", "k int, s string, v double")
+assert sorted(tuple(r) for r in backj.collect()) == expect
+import io, contextlib
+buf = io.StringIO()
+with contextlib.redirect_stdout(buf):
+    backj.explain()
+plan = buf.getvalue()
+assert "Scan hive" in plan or "HiveTableScan" in plan, plan
+pruned = read_rcfile(spark, d + "/hiveout", "k int, s string, v double",
+                     select=["k", "v"])
+assert sorted(tuple(r) for r in pruned.collect()) == sorted(
+    (k, v) for k, _, v in expect)
+# repeated reads reuse the deterministic catalog entry (IF NOT EXISTS)
+again = read_rcfile(spark, d + "/hiveout", "k int, s string, v double")
+assert sorted(tuple(r) for r in again.collect()) == expect
 
 # 2) python writes (forced via codec=None fallback on a fresh df with the
 #    in-memory serializer), hive EXTERNAL table reads
@@ -351,3 +372,46 @@ def test_read_rcfile_split_dataframe(spark, tmp_path):
     )
     assert pruned.columns == ["k"]
     assert pruned.agg({"k": "sum"}).collect()[0][0] == sum(range(2000))
+
+
+def test_schema_mismatch_descriptive_errors():
+    """ADVICE r5: a DDL wider than the file's declared column count (or a
+    selected ordinal past it) must raise a descriptive schema-mismatch
+    ValueError, not an opaque KeyError mid-decode."""
+    blob = serialize_rcfile([("1", "a", "x"), ("2", "b", "y")], ncols=3)
+    with pytest.raises(ValueError, match="schema mismatch.*3 columns"):
+        list(parse_rcfile(blob, wanted=[0, 5]))
+    with pytest.raises(ValueError, match="DDL schema has 4"):
+        list(parse_rcfile(blob, expect_ncols=4))
+    # matching widths parse fine
+    assert len(list(parse_rcfile(blob, expect_ncols=3))) == 2
+
+
+def test_truncated_range_read_raises(tmp_path):
+    """ADVICE r5: parse_rcfile_range must raise on EOF mid-record (a
+    truncated file silently dropping rows is corruption, not success);
+    EOF exactly at a record boundary stays a clean stop."""
+    from hdp2_5_hive2_spark.storage.rcfile import (
+        _parse_header,
+        parse_rcfile_range,
+    )
+
+    rows = [(str(i), "v" * 40) for i in range(500)]
+    blob = serialize_rcfile(rows, ncols=2)
+    header_end, ncols, compressed, sync = _parse_header(blob)
+    whole = tmp_path / "whole.rc"
+    whole.write_bytes(blob)
+    got = list(
+        parse_rcfile_range(
+            str(whole), 0, len(blob), ncols, compressed, sync, header_end
+        )
+    )
+    assert got == rows
+    cut = tmp_path / "cut.rc"
+    cut.write_bytes(blob[: len(blob) - 7])  # chop mid-record
+    with pytest.raises(ValueError, match="truncated record"):
+        list(
+            parse_rcfile_range(
+                str(cut), 0, len(blob), ncols, compressed, sync, header_end
+            )
+        )
