@@ -236,6 +236,54 @@ def bigram_novelty(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """The counting core of BPE tokenizer training (Sennrich et al. 2016,
+    public method): weighted adjacent-symbol-pair frequencies at merge
+    iteration 0 (symbols = characters). The most frequent pair is the next
+    merge rule; re-running after applying merges iterates the algorithm.
+
+    Shape: corpus tokens -> (word, count) vocabulary (ONE shuffle over
+    words, map-side partial agg), then pairs are generated from the
+    DISTINCT vocabulary only — per-word work is O(word length) over the
+    vocab, never over the corpus — and weighted by the word counts
+    (vocab-sized shuffle). Output: (pair, cnt), optionally top-k by
+    (cnt DESC, pair) — a total order, so LIMIT is deterministic.
+
+    100 TB plan: corpus text is touched exactly once (tokenize + word
+    count); everything after is proportional to |vocab|, which is
+    corpus-size-independent (Heaps' law). The top-k is a bounded
+    TakeOrderedAndProject, never a global sort. All codegen built-ins —
+    no Python in the pipeline."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "n",
+            F.explode(
+                # substring(word, i, 2) for i in 1..len-1; the length guard
+                # keeps sequence() strictly ascending (Spark's sequence(1,0)
+                # would DESCEND, not return empty)
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    out = pairs.groupBy("pair").agg(F.sum("n").alias("cnt"))
+    if top_k is not None:
+        out = out.orderBy(F.desc("cnt"), F.asc("pair")).limit(top_k)
+    return out
+
+
 def bigram_lm_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", q_bits: int = 20
 ) -> DataFrame:

@@ -53,6 +53,9 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_semantic_dedup_lsh",       # SemDeDup scale seam: LSH pair source (r6)
     "fn_ewah_cardinality",          # run-aware EWAH kernels, dense ones-runs (r6)
     "matchpath_skip_to_next_row",   # MatchPath AFTER MATCH SKIP TO NEXT ROW (r6)
+    "llm_bpe_pair_counts",          # BPE tokenizer-training pair stats (r6)
+    "llm_source_temperature_mix",   # temperature mixture weights, T=0.5 (r6)
+    "llm_filter_funnel",            # quality-gate survival funnel (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

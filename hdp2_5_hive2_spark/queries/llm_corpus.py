@@ -1714,3 +1714,161 @@ def llm_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift"), "token")
         .limit(20)
     )
+
+
+@query(
+    "llm_source_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                 CAST(max(n_docs) AS BIGINT) AS n_max FROM c)
+    SELECT c.source,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS p_uniform,
+           sqrt(CAST(c.n_docs AS DOUBLE) / CAST(t.n_max AS DOUBLE)) AS w_t05_rel,
+           CAST(floor(sqrt(CAST(c.n_docs AS DOUBLE) / CAST(t.n_max AS DOUBLE))
+                      * 1000.0) AS BIGINT) AS quota_per_1k_of_max
+    FROM c, t
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "sampling", "mixture"),
+)
+def llm_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixture weights (the mT5/XLM-R sampling
+    rule, public method: p_s proportional to n_s^T, here T=0.5): per source,
+    the uniform share and the temperature-flattened sampling weight
+    relative to the largest source, plus an integer per-1000 quota.
+
+    Exactness discipline: every double is a FIXED chain of single IEEE ops
+    over exact integers — one division, one sqrt (both correctly rounded
+    per IEEE-754, so Spark's JVM and DuckDB's libm agree bitwise), one
+    multiply, one floor. Normalizing by Sum(sqrt(n_s)) instead would need an
+    order-dependent float sum and could never hash-match; the relative
+    form carries the same information (divide by the constant row sum to
+    recover probabilities).
+
+    100 TB plan: one map-side count per source (tiny result), a one-row
+    broadcast of the totals, all codegen."""
+    d = load_tables(spark, sf_dir)["documents"]
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").alias("n_total"), F.max("n_docs").alias("n_max")
+    )
+    ratio = F.col("n_docs").cast("double") / F.col("n_max").cast("double")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total").cast("double"))
+            .alias("p_uniform"),
+            F.sqrt(ratio).alias("w_t05_rel"),
+            F.floor(F.sqrt(ratio) * F.lit(1000.0))
+            .cast("bigint")
+            .alias("quota_per_1k_of_max"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "llm_filter_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             length(trim(text)) > 0 AS g1,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+                                           x -> x <> ''))) AS n_uniq,
+             lang
+      FROM documents
+    ),
+    g AS (
+      SELECT g1,
+             g1 AND n_tok >= 20                    AS g2,
+             g1 AND n_tok >= 20 AND lang = 'en'    AS g3,
+             g1 AND n_tok >= 20 AND lang = 'en'
+                AND n_uniq * 10 >= n_tok * 3       AS g4,
+             n_tok
+      FROM f
+    ),
+    tot AS (SELECT count(*) AS n0 FROM g)
+    SELECT s.stage, s.n_docs, s.n_tokens,
+           CAST(s.n_docs AS DOUBLE) / CAST(tot.n0 AS DOUBLE) AS survival
+    FROM (
+      SELECT 1 AS stage, CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN g1 THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens FROM g
+      UNION ALL
+      SELECT 2, CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN g2 THEN n_tok ELSE 0 END) AS BIGINT) FROM g
+      UNION ALL
+      SELECT 3, CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN g3 THEN n_tok ELSE 0 END) AS BIGINT) FROM g
+      UNION ALL
+      SELECT 4, CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN g4 THEN n_tok ELSE 0 END) AS BIGINT) FROM g
+    ) s, tot
+    ORDER BY stage
+    """,
+    tags=("llm", "curation", "quality", "funnel"),
+)
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel / pipeline-yield report: surviving documents
+    and whitespace tokens after each cascaded gate — (1) non-empty, (2)
+    length >= 20 tokens, (3) lang = en, (4) unique-token ratio >= 30%
+    (the Gopher-style repetition gate) — the per-stage accounting every
+    production curation pipeline publishes before training. Counts are
+    exact ints; survival is one exact division.
+
+    100 TB plan: ONE pass over text computes all per-doc flags map-side
+    (codegen'd conditionals, no shuffle of text); the funnel is four
+    conditional sums in a single partial+final aggregate; the one-row
+    total broadcasts. Adding gates costs zero extra passes."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    f = d.select(
+        (F.length(F.trim("text")) > 0).alias("g1"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        "lang",
+    )
+    g = f.select(
+        "g1",
+        (F.col("g1") & (F.col("n_tok") >= 20)).alias("g2"),
+        (F.col("g1") & (F.col("n_tok") >= 20) & (F.col("lang") == "en"))
+        .alias("g3"),
+        (
+            F.col("g1")
+            & (F.col("n_tok") >= 20)
+            & (F.col("lang") == "en")
+            & (F.col("n_uniq") * 10 >= F.col("n_tok") * 3)
+        ).alias("g4"),
+        "n_tok",
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            x
+            for i in (1, 2, 3, 4)
+            for x in (
+                F.sum(F.when(F.col(f"g{i}"), 1).otherwise(0)).alias(f"d{i}"),
+                F.sum(F.when(F.col(f"g{i}"), F.col("n_tok")).otherwise(0))
+                .alias(f"t{i}"),
+            )
+        ],
+    )
+    stages = [
+        agg.select(
+            F.lit(i).alias("stage"),
+            F.col(f"d{i}").alias("n_docs"),
+            F.col(f"t{i}").alias("n_tokens"),
+            (F.col(f"d{i}").cast("double") / F.col("n0").cast("double"))
+            .alias("survival"),
+        )
+        for i in (1, 2, 3, 4)
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("stage")

@@ -613,3 +613,39 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_dup_docs").cast("double") / F.col("n_docs")).alias("dup_rate"),
         )
     )
+
+
+@query(
+    "llm_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    v AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, CAST(i AS INTEGER), 2)))
+               AS pair,
+             n
+      FROM v WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 50
+    """,
+    tags=("llm", "retrieval", "tokenizer", "bpe"),
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair statistics (Sennrich et al. 2016): the
+    top-50 adjacent character pairs weighted by word frequency — iteration
+    0 of the merge loop; argmax of this table IS the first merge rule. The
+    oracle recomputes the same vocabulary -> pair expansion with DuckDB
+    list_transform, and (cnt DESC, pair) totally orders the heap.
+
+    100 TB plan: see retrieval.bpe_pair_counts — corpus text is read once
+    into a word-count vocabulary (one shuffle, map-side combine); pair
+    expansion runs over the DISTINCT vocab (Heaps-law-bounded), and the
+    top-50 is a TakeOrderedAndProject."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.bpe_pair_counts(d, top_k=50)
