@@ -15,10 +15,11 @@ running-length words (RLW) and their literal words. RLW layout: bit 0 =
 running bit, bits 1-32 = running length (up to 2^32-1 words), bits 33-63 =
 literal word count (up to 2^31-1).
 
-Encoding contract (documented, deliberate): the ENCODER here emits the
-canonical zero-run + literal normal form (runs of empty words compressed,
-every non-empty word a literal). The DECODER reads the full format
-including ones-runs, so any javaewah-produced bitmap round-trips. Exact
+Encoding contract (documented, deliberate): the ENCODER emits the full
+run-compressed normal form — zero gaps AND dense all-ones words both
+become RLW running lengths (r6; previously ones-words were literals), the
+same shape javaewah produces for dense data. The DECODER reads the full
+format including ones-runs, so any javaewah-produced bitmap decodes. Exact
 byte-identity with a specific javaewah build is NOT asserted: the library
 is absent from this container (hive-exec-2.3.10-core ships the UDF classes
 but not javaewah, so Hive's own ewah functions could not run here either),
@@ -77,45 +78,30 @@ def _rlw(running_bit: int, run_len: int, n_literals: int) -> int:
 
 
 def ewah_encode(positions: list[int]) -> list[int]:
-    """Sorted distinct non-negative bit positions -> EWAH long array
-    (zero-run + literal canonical form)."""
+    """Sorted distinct non-negative bit positions -> EWAH long array.
+    Run-aware both ways since r6: zero gaps AND dense all-ones words
+    compress into RLW running lengths (the same normal form the merge
+    builder emits and javaewah itself produces for dense data); mixed
+    words become literals."""
     if not positions:
         return [0, 1, 0, 0]  # empty bitmap: one empty RLW
-    # group into 64-bit words
-    words: list[tuple[int, int]] = []
+    b = _Builder()
+    cur_word = -1
+    cur_bits = 0
+    prev_end = 0  # first word index not yet emitted
     for p in positions:
-        w, b = p // _WORD, 1 << (p % _WORD)
-        if words and words[-1][0] == w:
-            words[-1] = (w, words[-1][1] | b)
-        else:
-            words.append((w, b))
-    buffer: list[int] = []
-    last_rlw = 0
-    i = 0
-    prev_end = 0  # first word index not yet covered
-    while i < len(words):
-        gap = words[i][0] - prev_end
-        lits: list[int] = []
-        j = i
-        while j < len(words) and words[j][0] == words[i][0] + (j - i):
-            lits.append(words[j][1])
-            j += 1
-        # chunk the zero run across RLWs if it exceeds the 32-bit cap
-        while gap > _MAX_RUN:
-            buffer.append(_rlw(0, _MAX_RUN, 0))
-            gap -= _MAX_RUN
-        # chunk literals across RLWs at the 31-bit cap (never hit in practice)
-        first = True
-        while lits or first:
-            take, lits = lits[:_MAX_LIT], lits[_MAX_LIT:]
-            last_rlw = len(buffer)
-            buffer.append(_rlw(0, gap if first else 0, len(take)))
-            buffer.extend(take)
-            first = False
-        prev_end = words[j - 1][0] + 1
-        i = j
-    size_in_bits = positions[-1] + 1
-    return [size_in_bits, len(buffer)] + [_to_signed(w) for w in buffer] + [last_rlw]
+        w = p // _WORD
+        if w != cur_word:
+            if cur_word >= 0:
+                b.add_uniform(0, cur_word - prev_end)
+                b.add_literal(cur_bits)
+                prev_end = cur_word + 1
+            cur_word = w
+            cur_bits = 0
+        cur_bits |= 1 << (p % _WORD)
+    b.add_uniform(0, cur_word - prev_end)
+    b.add_literal(cur_bits)
+    return b.finish()
 
 
 def ewah_decode(arr: list[int]) -> list[int]:
