@@ -369,3 +369,80 @@ def feature_hash_vectors(
         for i in range(dim)
     ]
     return toks.groupBy(id_col).agg(*aggs)
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document by
+    the log-likelihood ratio of two hashed-unigram bag-of-words language
+    models — one fit on the ``target`` domain sample, one on the raw corpus
+    — so that resampling ∝ exp(weight) tilts the corpus toward the target
+    distribution. weight(doc) = Σ_b f_b(doc)·(ln p̂_target[b] − ln p̂_raw[b])
+    with add-one smoothing over ``dim`` hash buckets; the bucket hash is
+    md5-based (same as :func:`feature_hash_vectors`) so both engines bucket
+    identically.
+
+    Output: (id_col, n_tokens, weight) for every row of ``df``.
+
+    Determinism: bucket counts and totals are exact ints; the per-document
+    sum runs over FIXED positional bucket slots in bucket order (a sum()
+    aggregate would add in partition order and drift cross-engine). The ln
+    calls are the one non-correctly-rounded step (Java Math.log vs C libm
+    can differ in the last ulp), so like the ANN queries, corpus checks
+    should compare RANKS of the weights, not raw doubles: distinct bucket
+    histograms produce weight gaps orders of magnitude above ulp noise, and
+    identical histograms produce bit-identical weights within each engine,
+    so rank order (weight desc, id asc) is engine-stable.
+
+    100 TB: tokenize/bucket is pure codegen; the only corpus-sized shuffle
+    is the per-doc bucket histogram keyed on the doc id. Both LM
+    distributions are dim-sized one-row aggregates that ride broadcast
+    cross joins — the classic DSIR shape (hashed n-grams exist precisely so
+    the model is O(dim), not O(vocab))."""
+    if dim <= 0:
+        raise ValueError(f"dsir_importance_weights requires dim >= 1, got {dim}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint") % dim
+    )
+
+    def bucketed(frame: DataFrame, cols: list) -> DataFrame:
+        return frame.select(*cols, F.explode(tokens(text_col)).alias("term")).withColumn(
+            "_b", bucket
+        )
+
+    doc_toks = bucketed(df, [id_col])
+    feats = doc_toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).alias(f"_f{i}")
+            for i in range(dim)
+        ],
+    )
+    # dim-sized LM count rows (one-row frames, broadcast below)
+    def lm_row(frame: DataFrame, prefix: str) -> DataFrame:
+        return bucketed(frame, []).agg(
+            F.count(F.lit(1)).alias(f"{prefix}_total"),
+            *[
+                F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).alias(f"{prefix}{i}")
+                for i in range(dim)
+            ],
+        )
+
+    joined = feats.crossJoin(F.broadcast(lm_row(target, "_t"))).crossJoin(
+        F.broadcast(lm_row(df, "_r"))
+    )
+    # ln p̂_t[b] − ln p̂_r[b] = ln(t_b+1) − ln(T+dim) − ln(r_b+1) + ln(R+dim)
+    w_const = F.log(F.col("_r_total") + dim) - F.log(F.col("_t_total") + dim)
+    total = None
+    for i in range(dim):
+        term_i = F.col(f"_f{i}") * (
+            F.log(F.col(f"_t{i}") + 1) - F.log(F.col(f"_r{i}") + 1) + w_const
+        )
+        total = term_i if total is None else total + term_i
+    return joined.select(id_col, "n_tokens", total.alias("weight"))

@@ -717,3 +717,111 @@ def embedding_norm_outliers(
     return out.filter(
         F.col("_absdev") * F.lit(int(dev_den)) > F.col("s") * F.lit(int(dev_num))
     ).select("id", "norm_q", "dev_ratio")
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 1_000_000,
+) -> DataFrame:
+    """Int8-quantized cosine top-k — the memory-bound ANN serving path
+    (4× smaller vectors than float32, 8× smaller than float64; integer
+    dot products). Each vector is symmetrically quantized with the SAME
+    convention as :func:`quantize_int8_summary` (scale = 127/max|v|,
+    q_i = clip(floor(v_i*scale), -127, 127)) and scored by quantized
+    cosine: (qc·qq) / (sqrt(qc·qc) * sqrt(qq·qq)).
+
+    Returns (query_id, neighbor_id, rank, score), ties broken by neighbor
+    id. Cross-engine determinism is EXACT here, unlike the float path:
+    every dot product and norm-square is integer arithmetic (≤ dim·127²,
+    exact in int64 and in the doubles both engines convert to), and the
+    final sqrt/multiply/divide chain is one correctly-rounded IEEE op per
+    step on identical inputs — so even the scores are bit-identical, and
+    quantization ties (common, the int lattice is coarse) break on the id
+    in both engines identically.
+
+    Execution mirrors :func:`brute_force_topk` (collected+broadcast query
+    block, per-batch integer matmul, partial top-k per batch, window
+    merge); the same ``max_queries`` broadcast-small contract is enforced.
+    100 TB: corpus-side work is one Arrow pass emitting n_batches×Q×k rows
+    — the int8 matrices are ¼ the float32 scan bytes, which is the point
+    of serving quantized."""
+    import numpy as np
+    import pandas as pd
+
+    def _quant(m: "np.ndarray") -> "np.ndarray":
+        ab = np.abs(m)
+        max_abs = ab.max(axis=1)
+        scale = np.where(max_abs == 0.0, 1.0, 127.0 / np.where(max_abs == 0.0, 1.0, max_abs))
+        return np.clip(np.floor(m * scale[:, None]), -127.0, 127.0).astype(np.int64)
+
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    c_id_type = corpus.schema[id_col].dataType.simpleString()
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"quantized_topk: query set exceeds max_queries={max_queries} "
+            "rows; the quantized brute-force path collects+broadcasts every "
+            "query vector. Use lsh_topk or ivf_topk for large query sets."
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    if not q_rows:
+        return c.limit(0).select(
+            F.col("neighbor_id").cast(q_id_type).alias("query_id"),
+            "neighbor_id",
+            F.lit(1).alias("rank"),
+            F.lit(0.0).alias("score"),
+        )
+    q_ids = np.asarray([r.qid for r in q_rows])
+    qq = _quant(np.asarray([r.qv for r in q_rows], dtype=np.float64))  # (Q, d) int64
+    qn2 = (qq * qq).sum(axis=1)  # exact ints
+    qnorm = np.sqrt(qn2.astype(np.float64))
+    qnorm[qnorm == 0.0] = 1.0
+    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qx = _quant(np.asarray(list(pdf["cv"]), dtype=np.float64))  # (n, d) int64
+            cn2 = (qx * qx).sum(axis=1)
+            cnorm = np.sqrt(cn2.astype(np.float64))
+            cnorm[cnorm == 0.0] = 1.0
+            dot = qx @ qq.T  # (n, Q) exact int64
+            # fixed op order — dot / (cnorm * qnorm), mirrored by the oracle
+            s = dot.astype(np.float64) / (cnorm[:, None] * qnorm[None, :])
+            nb = pdf["neighbor_id"].to_numpy()
+            top = min(k, len(nb))
+            by_nb = np.argsort(nb, kind="stable")
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                idx = by_nb[np.argsort(-s[by_nb, j], kind="stable")][:top]
+                out_q.append(np.full(top, q_ids[j]))
+                out_n.append(nb[idx])
+                out_s.append(s[idx, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    scored = c.repartition(shuffle_n).mapInPandas(
+        gen, f"query_id {q_id_type}, neighbor_id {c_id_type}, score double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

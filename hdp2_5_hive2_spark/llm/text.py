@@ -478,3 +478,42 @@ def normalize_text(
     if collapse_ws:
         c = F.regexp_replace(F.trim(c), r"\s+", " ")
     return c
+
+
+def token_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram diversity via the Gini–Simpson index:
+    1 - Σ(c_i/n)² = (n² - Σc_i²)/n² over within-document token counts — a
+    repetition/gibberish filter (low diversity ⇒ few tokens dominate, the
+    degenerate-text signature Gopher's repetition rules target) that
+    complements :func:`repetition_stats`: dup_token_frac only sees WHETHER
+    a token repeats, the Gini index weighs HOW unevenly (a doc that is 90%
+    one token and a doc with every token exactly twice both have high dup
+    fractions but very different Gini).
+
+    Output: (id_col, n_tokens, n_distinct, gini). Every aggregate is an
+    exact int64 (n, Σc², distinct count ≤ 2^53 far beyond any real doc) and
+    the single closing division is one correctly-rounded IEEE op — the
+    oracle matches bitwise, no ranking indirection needed.
+
+    100 TB: explode → (doc, term) count → per-doc moment sums; both
+    aggregations key on the document id (map-side partial combine, one
+    logical shuffle partitioning reused), per-doc state is three longs. The
+    document text itself never shuffles."""
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    per_term = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_term.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("_sumsq"),
+    )
+    n = F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        ((n * n - F.col("_sumsq")).cast("double") / (n * n).cast("double")).alias(
+            "gini"
+        ),
+    )

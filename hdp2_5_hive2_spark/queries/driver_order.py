@@ -56,6 +56,9 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_bpe_pair_counts",          # BPE tokenizer-training pair stats (r6)
     "llm_source_temperature_mix",   # temperature mixture weights, T=0.5 (r6)
     "llm_filter_funnel",            # quality-gate survival funnel (r6)
+    "llm_token_diversity",          # Gini–Simpson repetition filter (r6)
+    "llm_quantized_ann_recall",     # int8 ANN recall@10 audit (r6)
+    "llm_dsir_weights",             # DSIR importance resampling (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

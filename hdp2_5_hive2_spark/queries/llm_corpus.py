@@ -1872,3 +1872,115 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionAll(s)
     return out.orderBy("stage")
+
+
+@query(
+    "llm_token_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+    ), d AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * c) AS BIGINT) AS sumsq
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(n_tokens * n_tokens - sumsq AS DOUBLE)
+             / CAST(n_tokens * n_tokens AS DOUBLE) AS gini
+    FROM d
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gini–Simpson token diversity (llm.text.token_diversity)
+    — the degenerate-text filter that weighs HOW unevenly tokens repeat,
+    not just whether they do (complement of llm_repetition_stats). Exact
+    int64 moments + one closing IEEE division, so all 4 columns hash-match
+    bitwise across every document."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.token_diversity(d)
+
+
+@query(
+    "llm_quantized_ann_recall",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 5
+    ), qq AS (
+      SELECT vec_id,
+             list_transform(v, x -> greatest(-127.0, least(127.0,
+               floor(x * (CASE WHEN m = 0.0 THEN 1.0 ELSE 127.0 / m END))))) AS qv
+      FROM (SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+            FROM q)
+    ), qc AS (
+      SELECT vec_id,
+             list_transform(v, x -> greatest(-127.0, least(127.0,
+               floor(x * (CASE WHEN m = 0.0 THEN 1.0 ELSE 127.0 / m END))))) AS qv
+      FROM (SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+            FROM c)
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id
+               ) AS rank
+        FROM c CROSS JOIN q
+      ) WHERE rank <= 10
+    ), quant AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qq.vec_id AS query_id, qc.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qq.vec_id
+                 ORDER BY list_dot_product(qc.qv, qq.qv)
+                          / (sqrt(list_dot_product(qc.qv, qc.qv))
+                             * sqrt(list_dot_product(qq.qv, qq.qv))) DESC,
+                          qc.vec_id
+               ) AS rank
+        FROM qc CROSS JOIN qq
+      ) WHERE rank <= 10
+    )
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN n.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_overlap
+    FROM exact e
+    LEFT JOIN quant n
+      ON e.query_id = n.query_id AND e.neighbor_id = n.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("llm", "similarity", "ann", "quantize"),
+)
+def llm_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of int8-quantized ANN serving (llm.similarity
+    .quantized_topk) against the exact float path (brute_force_topk): per
+    query, how many of the true top-10 survive quantization — the
+    acceptance gate before shipping a quantized index. The quantized side
+    is integer arithmetic end-to-end (scores bit-identical cross-engine,
+    ties broken on the id); the exact side reuses the llm_ann_topk rank
+    argument. Output (query_id, n_overlap) is all-integer."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus, queries = e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(corpus=corpus, queries=queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    quant = (
+        similarity.quantized_topk(corpus=corpus, queries=queries, k=10)
+        .select("query_id", "neighbor_id")
+        .withColumn("_m", F.lit(1))
+    )
+    return (
+        exact.join(quant, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("n_overlap"))
+    )

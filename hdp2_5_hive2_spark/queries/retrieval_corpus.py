@@ -649,3 +649,78 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 is a TakeOrderedAndProject."""
     d = load_tables(spark, sf_dir)["documents"]
     return retrieval.bpe_pair_counts(d, top_k=50)
+
+
+def _dsir_oracle(dim: int = 16, target_source: str = "src0", topk: int = 20) -> str:
+    """Oracle SQL mirroring retrieval.dsir_importance_weights' FIXED
+    bucket-order expression tree (generated once at import; the registry
+    stores the plain string)."""
+    b = "CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % " + str(dim)
+    f_slots = ",\n".join(
+        f"        SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS f{i}" for i in range(dim)
+    )
+    t_slots = ",\n".join(
+        f"        SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS t{i}" for i in range(dim)
+    )
+    r_slots = ",\n".join(
+        f"        SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS r{i}" for i in range(dim)
+    )
+    # identical inner structure to the Spark column expression:
+    # f_i * (ln(t_i+1) - ln(r_i+1) + (ln(R+dim) - ln(T+dim))), summed 0..dim-1
+    terms = " + ".join(
+        f"f{i} * (ln(t{i} + 1) - ln(r{i} + 1) + (ln(r_total + {dim}) - ln(t_total + {dim})))"
+        for i in range(dim)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), bk AS (
+      SELECT doc_id, source, {b} AS b FROM tok
+    ), feats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+{f_slots}
+      FROM bk GROUP BY doc_id
+    ), t AS (
+      SELECT count(*) AS t_total,
+{t_slots}
+      FROM bk WHERE source = '{target_source}'
+    ), r AS (
+      SELECT count(*) AS r_total,
+{r_slots}
+      FROM bk
+    )
+    SELECT doc_id, n_tokens, rank FROM (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY ({terms}) DESC, doc_id) AS rank
+      FROM feats, t, r
+    ) WHERE rank <= {topk}
+    """
+
+
+@query(
+    "llm_dsir_weights",
+    oracle=_dsir_oracle(),
+    tags=("llm", "retrieval", "curation", "dsir"),
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (retrieval
+    .dsir_importance_weights): score every document by the hashed-unigram
+    log-likelihood ratio against the source='src0' target domain, return
+    the top-20 candidates (rank, not the raw double — ln is the one
+    non-correctly-rounded op in the chain, so like llm_ann_topk the corpus
+    pins the engine-stable ranking; distinct bucket histograms separate by
+    ≫ ulp, identical histograms tie exactly and break on doc_id)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    weights = retrieval.dsir_importance_weights(
+        d, target=d.filter(F.col("source") == "src0"), dim=16
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("weight"), F.asc("doc_id"))
+    return (
+        weights.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "n_tokens", "rank")
+    )

@@ -628,3 +628,75 @@ if _HYP:
             "pairs connected only through hot-bucket fingerprints are "
             "excluded by the documented cap"
         )
+
+
+def test_token_diversity_hand_computed(spark):
+    """'a a a b' → n=4, distinct=2, Σc²=10, gini=(16-10)/16=0.375; a
+    single-token doc has gini 0; an all-distinct doc has gini (n²-n)/n²."""
+    from hdp2_5_hive2_spark.llm.text import token_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "p q r s")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in token_diversity(df).collect()}
+    assert (got[1].n_tokens, got[1].n_distinct, got[1].gini) == (4, 2, 0.375)
+    assert (got[2].n_tokens, got[2].n_distinct, got[2].gini) == (1, 1, 0.0)
+    assert (got[3].n_tokens, got[3].n_distinct, got[3].gini) == (4, 4, 12 / 16)
+
+
+def test_quantized_topk_recall_and_planted_dup(spark):
+    """Int8 quantization of 64-d vectors keeps cosine ranks nearly intact:
+    recall@10 vs the exact path must be high on the fixture embeddings, and
+    a planted exact copy of the query must rank 1 with score 1.0 (integer
+    self-dot — exactly representable)."""
+    e = load_tables(spark, SF_CORRECT)["embeddings"]
+    corpus, queries = e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(corpus, queries, k=10).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.quantized_topk(corpus, queries, k=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall@10 {recall}"
+    # planted exact copy: quantizes identically -> quantized cosine exactly 1
+    copy = queries.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 777000).alias("vec_id"), "embedding", "label"
+    )
+    res = similarity.quantized_topk(
+        corpus.unionAll(copy), queries.filter(F.col("vec_id") == 0), k=3
+    ).collect()
+    top = [r for r in res if r.rank == 1][0]
+    assert top.neighbor_id == 777000
+    assert top.score == 1.0
+
+
+def test_quantized_topk_guards(spark):
+    e = load_tables(spark, SF_CORRECT)["embeddings"]
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.quantized_topk(e, e, k=5, max_queries=3)
+    # empty query set -> empty result with the contract schema
+    empty = similarity.quantized_topk(e, e.filter(F.lit(False)), k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "rank", "score"]
+
+
+def test_dsir_weights_tilt_toward_target(spark):
+    """Docs drawn from the target domain's vocabulary must outscore docs
+    from a disjoint vocabulary: DSIR's whole contract."""
+    from hdp2_5_hive2_spark.llm.retrieval import dsir_importance_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "spark shuffle join agg scan") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(1, "spark shuffle join agg scan"), (2, "llama alpaca vicuna gecko emu")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.weight for r in dsir_importance_weights(raw, target).collect()}
+    assert got[1] > got[2], got
+    with pytest.raises(ValueError, match="dim >= 1"):
+        dsir_importance_weights(raw, target, dim=0)
