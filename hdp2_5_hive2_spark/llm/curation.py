@@ -343,3 +343,33 @@ def cross_corpus_exact_dedup(
         .join(F.broadcast(ev), "fp", "left_anti")
         .drop("fp")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document cap — the per-domain/per-host cap of crawl
+    curation (no single domain may dominate the corpus): keep at most
+    ``cap`` rows per group, chosen by a DETERMINISTIC hash order
+    (md5 of the id, ties on the id), not arrival order — stable across
+    runs, partitionings and engines, the same leakage-safe discipline as
+    the hash-based split assignment.
+
+    Output: the input rows that survive the cap, plus their ``_cap_rank``.
+
+    100 TB: one hash-partitioned window per group (no global sort); groups
+    are domains, so cardinality is high and skew is bounded by the cap
+    itself — the window's per-partition state is O(1). A hot domain with
+    billions of rows still ranks in one pass; if a single domain exceeds a
+    task's input split, pre-aggregate with a salted top-``cap`` per salt
+    then re-rank the ≤ cap·n_salts survivors."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_cap_rank", F.row_number().over(w))
+        .filter(F.col("_cap_rank") <= cap)
+    )

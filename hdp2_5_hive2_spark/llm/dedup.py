@@ -545,3 +545,73 @@ def prefix_dup_rate(
             / F.count(F.lit(1))
         ).alias("shared_rate"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact substring-containment dedup (the RefinedWeb "document is a
+    substring of another document" pass): returns (inner_id, outer_id)
+    where the inner document's full text occurs verbatim inside the
+    STRICTLY LONGER outer document. Equal texts are exact-dedup territory
+    (:func:`exact_dedup`) and are deliberately excluded.
+
+    Candidate generation rides the winnowing guarantee
+    (llm.text.winnow_fingerprints): an inner document of >= k+w-1 tokens
+    contained in an outer one is a shared token run of its whole length,
+    so the two MUST share at least one fingerprint — the fingerprint
+    bucket self-join therefore has perfect recall for inner docs >= k+w-1
+    tokens (shorter ones are excluded from the contract, mirrored by the
+    n_kgrams filter). Each candidate is then verified with one
+    substring-position check on the pair's actual text.
+
+    100 TB: fingerprints are computed in ONE Arrow pass (no shuffle); the
+    bucket self-join shuffles 8-char keys; only CANDIDATE texts are joined
+    back (semi-join pruned). ``max_bucket`` (recommended at corpus scale,
+    e.g. 50) drops boilerplate fingerprints whose buckets exceed the cap —
+    the same hot-bucket discipline as llm_fingerprint_overlap; the default
+    None keeps perfect recall for oracle-exact fixtures."""
+    from hdp2_5_hive2_spark.llm.text import winnow_fingerprints
+
+    min_tokens = k + w - 1
+    fp = winnow_fingerprints(df, text_col=text_col, k=k, w=w).select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.col("n_kgrams"),
+        F.explode("fps").alias("fp"),
+    )
+    if max_bucket is not None:
+        keep = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_n")).filter(
+            (F.col("_n") >= 2) & (F.col("_n") <= max_bucket)
+        )
+        fp = fp.join(F.broadcast(keep.select("fp")), "fp")
+    # inner side must satisfy the guarantee's minimum length; outer side is
+    # only required to be strictly longer in characters
+    inner = fp.filter(F.col("n_kgrams") >= min_tokens - (k - 1)).select(
+        F.col("id").alias("inner_id"), F.col("n_chars").alias("inner_chars"), "fp"
+    )
+    outer = fp.select(
+        F.col("id").alias("outer_id"), F.col("n_chars").alias("outer_chars"), "fp"
+    )
+    cand = (
+        inner.join(outer, "fp")
+        .filter(
+            (F.col("inner_id") != F.col("outer_id"))
+            & (F.col("inner_chars") < F.col("outer_chars"))
+        )
+        .select("inner_id", "outer_id")
+        .dropDuplicates(["inner_id", "outer_id"])
+    )
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext"))
+    verified = (
+        cand.join(texts.withColumnRenamed("_tid", "inner_id").withColumnRenamed("_ttext", "_inner_text"), "inner_id")
+        .join(texts.withColumnRenamed("_tid", "outer_id").withColumnRenamed("_ttext", "_outer_text"), "outer_id")
+        .filter(F.instr(F.col("_outer_text"), F.col("_inner_text")) > 0)
+        .select("inner_id", "outer_id")
+    )
+    return verified

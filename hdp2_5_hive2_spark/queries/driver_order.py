@@ -59,6 +59,10 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_token_diversity",          # Gini–Simpson repetition filter (r6)
     "llm_quantized_ann_recall",     # int8 ANN recall@10 audit (r6)
     "llm_dsir_weights",             # DSIR importance resampling (r6)
+    "llm_containment_dedup",        # substring-containment dedup (r6)
+    "llm_source_cap",               # per-domain cap, hash-ordered (r6)
+    "llm_minhash_est_error",        # MinHash estimate-vs-exact audit (r6)
+    "llm_split_leakage",            # cross-split near-dup matrix (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

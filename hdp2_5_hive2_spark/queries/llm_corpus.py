@@ -1984,3 +1984,273 @@ def llm_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("n_overlap"))
     )
+
+
+@query(
+    "llm_containment_dedup",
+    oracle="""
+    WITH sliced AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      WHERE doc_id < 30
+    ), corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, array_to_string(t[6:25], ' ') AS text
+      FROM sliced WHERE len(t) >= 25
+    ), tok AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM corpus
+    )
+    SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+    FROM tok a JOIN tok b ON a.doc_id <> b.doc_id
+    WHERE a.n_tokens >= 6
+      AND length(a.text) < length(b.text)
+      AND contains(b.text, a.text)
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment dedup (llm.dedup.containment_pairs): 30
+    planted token-slice documents (tokens 6-25 of their parent) must each
+    be flagged inside their parent, and any natural containments must
+    match the oracle's exhaustive O(n²) position scan — the winnowing
+    guarantee makes the fingerprint-bucket candidate pass lossless for
+    inner docs of >= k+w-1 tokens, so bucketed recall equals exhaustive
+    truth."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    planted = (
+        d.filter(F.col("doc_id") < 30)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 25)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(F.col("t"), 6, 20)).alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionAll(planted)
+    return dedup.containment_pairs(corpus)
+
+
+@query(
+    "llm_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS r
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_checksum
+    FROM ranked GROUP BY source
+    """,
+    tags=("llm", "curation", "cap"),
+)
+def llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (llm.curation.cap_per_group, cap=10) — the
+    per-domain cap of crawl curation. The kept set is hash-ordered
+    (md5(doc_id)) so it is deterministic across engines; per source the
+    query reports total docs, kept docs and the kept-id checksum."""
+    d = load_tables(spark, sf_dir)["documents"]
+    kept = curation.cap_per_group(d, group_col="source", cap=10).select(
+        "source", F.col("doc_id").alias("kept_id")
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("kept_id").alias("kept_id_checksum"),
+    )
+    return totals.join(kept_agg, "source").select(
+        "source", "n_docs", "n_kept", "kept_id_checksum"
+    )
+
+
+def _md5_minhash_oracle(num_hashes: int = 16) -> str:
+    """Oracle for llm_minhash_est_error — generated once at import with the
+    same fixed per-hash md5 salts the Spark side uses."""
+    sig_cols = ",\n".join(
+        f"        min(md5('{i}:' || sh)) AS m{i}" for i in range(num_hashes)
+    )
+    matches = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 50
+    ), near AS (
+      SELECT doc_id, array_to_string(t[1:len(t)-1], ' ') AS text FROM base
+    ), corpus AS (
+      SELECT doc_id, text, 'a' AS side FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id, text, 'b' AS side FROM near
+    ), sh AS (
+      SELECT doc_id, side,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM (SELECT doc_id, side, string_split_regex(trim(text), '\\s+') AS t FROM corpus)
+    ), sig AS (
+      SELECT doc_id, side,
+{sig_cols}
+      FROM sh GROUP BY doc_id, side
+    ), sets AS (
+      SELECT doc_id, side,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, side, string_split_regex(trim(text), '\\s+') AS t FROM corpus)
+    )
+    SELECT a.doc_id,
+           CAST(({matches}) AS BIGINT) AS est_matches,
+           CAST(({matches}) AS DOUBLE) / {num_hashes} AS est_jaccard,
+           CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+           CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) AS n_union,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+    FROM sig a JOIN sig b ON a.doc_id = b.doc_id AND a.side = 'a' AND b.side = 'b'
+    JOIN sets sa ON sa.doc_id = a.doc_id AND sa.side = 'a'
+    JOIN sets sb ON sb.doc_id = a.doc_id AND sb.side = 'b'
+    """
+
+
+@query(
+    "llm_minhash_est_error",
+    oracle=_md5_minhash_oracle(),
+    tags=("llm", "dedup", "minhash", "qa"),
+)
+def llm_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy audit: for 50 planted near-dup pairs (each doc vs
+    itself minus its last token), compare the 16-hash MinHash Jaccard
+    ESTIMATE against exact shingle Jaccard — the calibration check run
+    before trusting LSH thresholds on a new corpus. The signature hash is
+    md5('i:' || shingle) compared lexicographically (engine-identical, no
+    integer conversion), match counts and set sizes are exact ints, and
+    the two closing divisions are single IEEE ops — bitwise oracle parity
+    with no rank indirection.
+
+    100 TB: signatures are 16 conditional mins over the exploded
+    (doc, shingle) frame — one shuffle keyed on the doc id, map-side
+    partial mins; the exact-Jaccard side here is per-PLANTED-pair only
+    (array intersect on a 1:1 join), not all-pairs."""
+    num_hashes = 16
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    near = d.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+
+    def sig(frame: DataFrame, suffix: str) -> DataFrame:
+        sh = frame.select(
+            "doc_id",
+            F.explode(F.array_distinct(dedup.shingles("text", 3))).alias("sh"),
+        )
+        return sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(
+                    f"m{i}{suffix}"
+                )
+                for i in range(num_hashes)
+            ]
+        )
+
+    def sets(frame: DataFrame, alias: str) -> DataFrame:
+        return frame.select(
+            "doc_id", F.array_distinct(dedup.shingles("text", 3)).alias(alias)
+        )
+
+    est = None
+    for i in range(num_hashes):
+        m = F.when(F.col(f"m{i}a") == F.col(f"m{i}b"), 1).otherwise(0)
+        est = m if est is None else est + m
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size(F.array_union("sa", "sb"))
+    return (
+        sig(base, "a")
+        .join(sig(near, "b"), "doc_id")
+        .join(sets(base, "sa"), "doc_id")
+        .join(sets(near, "sb"), "doc_id")
+        .select(
+            "doc_id",
+            est.cast("bigint").alias("est_matches"),
+            (est.cast("double") / num_hashes).alias("est_jaccard"),
+            inter.cast("bigint").alias("n_inter"),
+            uni.cast("bigint").alias("n_union"),
+            (inter.cast("double") / uni).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "llm_split_leakage",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 AS b
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) >= 1 AND len(b.sh) >= 1
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    )
+    SELECT least(pa.split, pb.split) AS split_a,
+           greatest(pa.split, pb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(da + db) AS BIGINT) AS id_checksum
+    FROM pairs
+    JOIN sp pa ON pa.doc_id = da
+    JOIN sp pb ON pb.doc_id = db
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "curation", "dedup", "leakage"),
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: assign the deterministic hash split
+    (same rule as llm_split_assign), find all near-duplicate pairs
+    (MinHash-LSH candidates + exact Jaccard >= 0.8 — recall-complete vs
+    the oracle's exhaustive scan, see llm_ngram_jaccard), and report the
+    pair-count matrix by split combination. Off-diagonal rows ARE the
+    leakage: an eval doc with a train-set near-dup inflates benchmark
+    scores — this is the audit run before any split ships.
+
+    100 TB: split assignment is map-side; the pair source is the bucketed
+    LSH pass (never all-pairs); the closing matrix is a ≤6-row aggregate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    sp = d.select(
+        "doc_id",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split"),
+    )
+    joined = (
+        pairs.join(sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")), "id_a")
+        .join(sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")), "id_b")
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "id_a",
+            "id_b",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).alias("id_checksum"),
+        )
+    )

@@ -700,3 +700,53 @@ def test_dsir_weights_tilt_toward_target(spark):
     assert got[1] > got[2], got
     with pytest.raises(ValueError, match="dim >= 1"):
         dsir_importance_weights(raw, target, dim=0)
+
+
+def test_containment_pairs_planted_and_negative(spark):
+    """A verbatim token-slice must be flagged inside its parent; a doc that
+    shares tokens but not a contiguous run must not; short inner docs
+    (< k+w-1 tokens) are outside the contract and must not appear."""
+    from hdp2_5_hive2_spark.llm.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "gamma delta epsilon zeta eta theta"),  # tokens 3-8 of doc 1
+            (3, "theta alpha kappa beta iota gamma"),  # same tokens, no run
+            (4, "beta gamma"),  # contained but < 6 tokens: excluded
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.inner_id, r.outer_id) for r in containment_pairs(df).collect()}
+    assert (2, 1) in got
+    assert all(p[0] != 3 for p in got), got
+    assert all(p[0] != 4 for p in got), got
+
+
+def test_containment_pairs_hot_bucket_cap(spark):
+    """max_bucket drops fingerprints shared by more docs than the cap —
+    with cap=1 no bucket survives, so no candidates at all."""
+    from hdp2_5_hive2_spark.llm.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "beta gamma delta epsilon zeta eta"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert containment_pairs(df).count() == 1
+    assert containment_pairs(df, max_bucket=1).count() == 0
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from hdp2_5_hive2_spark.llm.curation import cap_per_group
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    kept = cap_per_group(d, group_col="source", cap=10)
+    per = {r.source: r.n for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per and all(v <= 10 for v in per.values())
+    # deterministic: same kept ids across two evaluations
+    ids1 = {r.doc_id for r in kept.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in cap_per_group(d, group_col="source", cap=10).select("doc_id").collect()}
+    assert ids1 == ids2
