@@ -373,3 +373,34 @@ def cap_per_group(
         df.withColumn("_cap_rank", F.row_number().over(w))
         .filter(F.col("_cap_rank") <= cap)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the data-versioning audit between two corpus
+    releases: classify every document id as ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, different content) or
+    ``unchanged`` (both, identical content). Content identity is md5 of
+    the text, computed MAP-SIDE before the join, so the full-outer join
+    shuffles (id, 32-hex) rows — document text itself never crosses the
+    exchange, the same discipline as exact_dedup.
+
+    Output: (id_col, status).
+
+    100 TB: one full-outer shuffle join keyed on the id; both hash passes
+    are map-side codegen. For repeated diffing at scale, persist the
+    (id, md5) manifest of each release and diff manifests instead."""
+    o = old.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_oh"))
+    n = new.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_nh"))
+    joined = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), "added")
+        .when(F.col("_nh").isNull(), "removed")
+        .when(F.col("_oh") == F.col("_nh"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(F.col("_id").alias(id_col), status.alias("status"))

@@ -2254,3 +2254,60 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("id_a") + F.col("id_b")).alias("id_checksum"),
         )
     )
+
+
+@query(
+    "llm_corpus_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, text FROM documents
+    ), new AS (
+      SELECT doc_id, text || CASE WHEN doc_id % 13 = 0 THEN ' addendum' ELSE '' END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id < 20
+    ), o AS (SELECT doc_id, md5(text) AS h FROM old),
+    n AS (SELECT doc_id, md5(text) AS h FROM new),
+    d AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h = n.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM d GROUP BY status
+    """,
+    tags=("llm", "curation", "versioning"),
+)
+def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus releases (llm.curation
+    .snapshot_diff): release N+1 drops every 17th doc, appends an addendum
+    to every 13th, and adds 20 new docs — the diff must classify every id
+    as added/removed/changed/unchanged, aggregated with id checksums. Text
+    is md5'd map-side; only (id, hash) rows shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    new = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 13 == 0, F.lit(" addendum")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("text"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    diff = curation.snapshot_diff(d.select("doc_id", "text"), new)
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
