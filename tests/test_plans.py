@@ -424,3 +424,46 @@ def test_fingerprint_overlap_reuses_checkpointed_pass(spark):
     plan = _executed(df)
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
     assert plan.count("ArrowEvalPython") == 0, plan
+
+
+def test_dsir_weights_broadcast_lms_single_doc_shuffle(spark):
+    """DSIR: both LM distributions ride broadcasts (dim-sized one-row
+    frames); the only hashpartitioning exchanges are doc-keyed (the feature
+    histogram) — the corpus itself never re-shuffles for the scoring join."""
+    from hdp2_5_hive2_spark.llm import retrieval
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(
+        retrieval.dsir_importance_weights(d, d.filter(F.col("source") == "src0"), dim=8)
+    )
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_token_diversity_doc_keyed_aggregations_only(spark):
+    """Both aggregations key on the doc id: one exchange feeds partial →
+    final hash aggregates; no window, no sort over corpus data."""
+    from hdp2_5_hive2_spark.llm.text import token_diversity
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(token_diversity(d))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_snapshot_diff_hashes_map_side(spark):
+    """The full-outer join's exchanges carry (id, md5) — text is projected
+    away before the shuffle, so no exchange row is wider than the hash."""
+    from hdp2_5_hive2_spark.llm.curation import snapshot_diff
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    new = d.select("doc_id", F.upper("text").alias("text"))
+    plan = _executed(snapshot_diff(d, new))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # md5 is computed in a Project BELOW the join, not above it
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"))
+    assert "md5" in plan[join_pos:], plan
+    # the exchange inputs must not reference the text column
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        first_line = seg.split("\n")[0]
+        assert "text" not in first_line, first_line
