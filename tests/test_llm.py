@@ -750,3 +750,41 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     ids1 = {r.doc_id for r in kept.select("doc_id").collect()}
     ids2 = {r.doc_id for r in cap_per_group(d, group_col="source", cap=10).select("doc_id").collect()}
     assert ids1 == ids2
+
+
+try:
+    from hypothesis import given as _h_given, settings as _h_settings
+    from hypothesis import strategies as _h_st
+
+    @_h_settings(max_examples=8, deadline=None)
+    @_h_given(
+        data=_h_st.lists(
+            _h_st.lists(
+                _h_st.sampled_from("red blue green gold iron wolf moon star".split()),
+                min_size=8,
+                max_size=24,
+            ),
+            min_size=2,
+            max_size=6,
+        ),
+        slice_at=_h_st.integers(min_value=0, max_value=3),
+    )
+    def test_containment_property(spark, data, slice_at):
+        """For random token documents plus a planted >=6-token slice of doc 0,
+        every reported pair is truly contained (soundness) and the planted
+        slice is always found (the winnowing-guarantee completeness case)."""
+        from hdp2_5_hive2_spark.llm.dedup import containment_pairs
+
+        docs = [(i, " ".join(toks)) for i, toks in enumerate(data)]
+        inner_toks = data[0][slice_at : slice_at + 6]
+        docs.append((999, " ".join(inner_toks)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        texts = dict(docs)
+        pairs = {(r.inner_id, r.outer_id) for r in containment_pairs(df).collect()}
+        for inner, outer in pairs:
+            assert texts[inner] in texts[outer]
+            assert len(texts[inner]) < len(texts[outer])
+        if len(texts[999]) < len(texts[0]):
+            assert (999, 0) in pairs
+except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA
+    pass
