@@ -1959,7 +1959,7 @@ def llm_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON e.query_id = n.query_id AND e.neighbor_id = n.neighbor_id
     GROUP BY e.query_id
     """,
-    tags=("llm", "similarity", "ann", "quantize"),
+    tags=("llm", "similarity", "ann", "quantize", "bench"),
 )
 def llm_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 audit of int8-quantized ANN serving (llm.similarity

@@ -702,7 +702,7 @@ def _dsir_oracle(dim: int = 16, target_source: str = "src0", topk: int = 20) -> 
 @query(
     "llm_dsir_weights",
     oracle=_dsir_oracle(),
-    tags=("llm", "retrieval", "curation", "dsir"),
+    tags=("llm", "retrieval", "curation", "dsir", "bench"),
 )
 def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling selection (retrieval
