@@ -825,3 +825,75 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def nearest_anchor(
+    df: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    max_anchors: int = 100_000,
+) -> DataFrame:
+    """Assign every vector to its nearest anchor by cosine — the
+    partition-assignment step of IVF indexing / embedding-space sharding,
+    exposed standalone so cell-balance can be audited before committing to
+    an anchor set. Ties break on the anchor id.
+
+    Output: (id_col, anchor_id, score).
+
+    Execution: the anchor set is collected+broadcast (enforced small, like
+    brute_force_topk's query block); assignment is ONE map-side Arrow pass
+    — a (batch × anchors) matmul and a per-row argmax. ZERO shuffle: at
+    100 TB the corpus is read once and never exchanged; the output column
+    rides with each row for downstream per-cell aggregation (which then
+    shuffles only (cell, agg) state)."""
+    import numpy as np
+    import pandas as pd
+
+    a_rows = (
+        anchors.select(
+            F.col(anchor_id_col).alias("aid"), as_double_array(vec_col).alias("av")
+        )
+        .limit(max_anchors + 1)
+        .collect()
+    )
+    if len(a_rows) > max_anchors:
+        raise ValueError(
+            f"nearest_anchor: anchor set exceeds max_anchors={max_anchors}; "
+            "anchors are collected+broadcast by contract"
+        )
+    if not a_rows:
+        raise ValueError("nearest_anchor: empty anchor set")
+    id_type = df.schema[id_col].dataType.simpleString()
+    aid_type = anchors.schema[anchor_id_col].dataType.simpleString()
+    # sort by anchor id so np.argmax's first-max tie rule IS the id rule
+    a_rows = sorted(a_rows, key=lambda r: r.aid)
+    a_ids = np.asarray([r.aid for r in a_rows])
+    am = np.asarray([r.av for r in a_rows], dtype=np.float64)
+    an = np.linalg.norm(am, axis=1)
+    an[an == 0] = 1.0
+    amn = am / an[:, None]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["v"]), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0] = 1.0
+            s = (x / xn[:, None]) @ amn.T  # (n, A)
+            best = np.argmax(s, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "anchor_id": a_ids[best],
+                    "score": s[np.arange(len(best)), best],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("_id"), as_double_array(vec_col).alias("v"))
+        .mapInPandas(gen, f"_id {id_type}, anchor_id {aid_type}, score double")
+        .withColumnRenamed("_id", id_col)
+    )

@@ -64,6 +64,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_minhash_est_error",        # MinHash estimate-vs-exact audit (r6)
     "llm_split_leakage",            # cross-split near-dup matrix (r6)
     "llm_corpus_diff",              # snapshot diff, md5 manifests (r6)
+    "llm_anchor_cells",             # IVF/shard cell-balance audit (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -2311,3 +2311,49 @@ def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+@query(
+    "llm_anchor_cells",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 8
+    ), assigned AS (
+      SELECT vec_id, anchor_id FROM (
+        SELECT c.vec_id, a.anchor_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, a.av) DESC, a.anchor_id
+               ) AS rn
+        FROM c CROSS JOIN a
+      ) WHERE rn = 1
+    )
+    SELECT anchor_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+    FROM assigned GROUP BY anchor_id
+    """,
+    tags=("llm", "similarity", "ivf", "sharding"),
+)
+def llm_anchor_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cell-balance audit (llm.similarity.nearest_anchor):
+    assign every corpus vector to its nearest of 8 fixed anchor vectors and
+    report per-cell counts + id checksums — the skew check run before
+    committing an IVF anchor set or embedding-sharded layout (a hot cell
+    becomes the straggler task at index-build time). Assignment ranks are
+    engine-stable (random 64-d vectors never near-tie; exact ties break on
+    the anchor id in both engines)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    anchors = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 8)
+    assigned = similarity.nearest_anchor(corpus, anchors)
+    return assigned.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").alias("id_checksum"),
+    )

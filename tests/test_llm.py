@@ -788,3 +788,24 @@ try:
             assert (999, 0) in pairs
 except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA
     pass
+
+
+def test_nearest_anchor_guards_and_self_assignment(spark):
+    from hdp2_5_hive2_spark.llm.similarity import nearest_anchor
+
+    e = load_tables(spark, SF_CORRECT)["embeddings"]
+    anchors = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    # an anchor vector present in the corpus must assign to itself (cos=1)
+    got = {
+        r.vec_id: (r.anchor_id, r.score)
+        for r in nearest_anchor(e.filter(F.col("vec_id") < 4), anchors).collect()
+    }
+    for vid, (aid, score) in got.items():
+        assert aid == vid
+        assert abs(score - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="max_anchors"):
+        nearest_anchor(e, anchors, max_anchors=2)
+    with pytest.raises(ValueError, match="empty anchor"):
+        nearest_anchor(e, anchors.filter(F.lit(False)))
