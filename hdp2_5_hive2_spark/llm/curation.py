@@ -394,13 +394,24 @@ def snapshot_diff(
     100 TB: one full-outer shuffle join keyed on the id; both hash passes
     are map-side codegen. For repeated diffing at scale, persist the
     (id, md5) manifest of each release and diff manifests instead."""
-    o = old.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_oh"))
-    n = new.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_nh"))
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_oh"),
+        F.lit(1).alias("_op"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_nh"),
+        F.lit(1).alias("_np"),
+    )
     joined = o.join(n, "_id", "full_outer")
+    # presence flags, not hash nullity: a NULL text hashes to NULL but the
+    # row still EXISTS in its snapshot — null-safe equality then classifies
+    # NULL→NULL text as unchanged instead of misreporting added/removed
     status = (
-        F.when(F.col("_oh").isNull(), "added")
-        .when(F.col("_nh").isNull(), "removed")
-        .when(F.col("_oh") == F.col("_nh"), "unchanged")
+        F.when(F.col("_op").isNull(), "added")
+        .when(F.col("_np").isNull(), "removed")
+        .when(F.col("_oh").eqNullSafe(F.col("_nh")), "unchanged")
         .otherwise("changed")
     )
     return joined.select(F.col("_id").alias(id_col), status.alias("status"))

@@ -2270,9 +2270,9 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT doc_id, md5(text) AS h FROM new),
     d AS (
       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-             CASE WHEN o.h IS NULL THEN 'added'
-                  WHEN n.h IS NULL THEN 'removed'
-                  WHEN o.h = n.h THEN 'unchanged'
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
                   ELSE 'changed' END AS status
       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     )

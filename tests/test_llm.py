@@ -809,3 +809,25 @@ def test_nearest_anchor_guards_and_self_assignment(spark):
         nearest_anchor(e, anchors, max_anchors=2)
     with pytest.raises(ValueError, match="empty anchor"):
         nearest_anchor(e, anchors.filter(F.lit(False)))
+
+
+def test_snapshot_diff_null_text_presence(spark):
+    """NULL text must not masquerade as absence: a doc whose text is NULL in
+    both snapshots is unchanged; NULL→value and value→NULL are changed."""
+    from hdp2_5_hive2_spark.llm.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "keep"), (4, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now set"), (3, "keep"), (5, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",
+        4: "removed",
+        5: "added",
+    }
