@@ -426,10 +426,15 @@ def dsir_importance_weights(
     )
     # dim-sized LM count rows (one-row frames, broadcast below)
     def lm_row(frame: DataFrame, prefix: str) -> DataFrame:
+        # coalesce: an EMPTY frame's sum() aggregates are NULL, which would
+        # silently NULL every weight — with add-one smoothing an empty
+        # target is legitimate (uniform LM), so zero-fill instead
         return bucketed(frame, []).agg(
             F.count(F.lit(1)).alias(f"{prefix}_total"),
             *[
-                F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).alias(f"{prefix}{i}")
+                F.coalesce(
+                    F.sum(F.when(F.col("_b") == i, 1).otherwise(0)), F.lit(0)
+                ).alias(f"{prefix}{i}")
                 for i in range(dim)
             ],
         )

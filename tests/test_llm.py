@@ -831,3 +831,16 @@ def test_snapshot_diff_null_text_presence(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_dsir_weights_empty_target_is_uniform_lm(spark):
+    """An empty target sample must not NULL the weights: add-one smoothing
+    makes it the uniform LM, so weights are finite doubles."""
+    from hdp2_5_hive2_spark.llm.retrieval import dsir_importance_weights
+
+    raw = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, "llama alpaca vicuna")], ["doc_id", "text"]
+    )
+    rows = dsir_importance_weights(raw, raw.filter(F.lit(False)), dim=8).collect()
+    assert len(rows) == 2
+    assert all(r.weight is not None for r in rows), rows
