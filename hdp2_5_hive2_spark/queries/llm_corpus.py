@@ -2357,3 +2357,99 @@ def llm_anchor_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("vec_id").alias("id_checksum"),
     )
+
+
+@query(
+    "llm_quality_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, text, toks,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bigs
+      FROM t
+    ), flat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             (length(text)
+              - (length(text) - length(replace(text, ' ', ''))))
+               / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+             CAST(len(list_intersect(toks,
+                 ['the','and','of','to','a','in','is','it','you','that']))
+               AS INTEGER) AS stopword_hits,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INTEGER)
+               AS alpha_chars,
+             (len(toks) - len(list_distinct(toks))) / len(toks) AS dup_token_frac,
+             CASE WHEN len(toks) >= 2
+                  THEN (len(bigs) - len(list_distinct(bigs))) / len(bigs)
+                  ELSE 0.0 END AS dup_bigram_frac
+      FROM b
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+      GROUP BY doc_id, term
+    ), div AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+               / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini
+      FROM tf GROUP BY doc_id
+    )
+    SELECT flat.doc_id, n_tokens, n_chars, avg_token_len, stopword_hits,
+           alpha_chars, dup_token_frac, dup_bigram_frac, n_distinct, gini
+    FROM flat JOIN div ON flat.doc_id = div.doc_id
+    """,
+    tags=("llm", "text", "quality", "features"),
+)
+def llm_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality FEATURE MATRIX — the feature-extraction pass
+    that feeds a trained quality-filter model (FineWeb/DataComp style):
+    length/shape stats, stopword and alphabetic signals, Gopher repetition
+    fractions, and Gini diversity in one wide frame. Every column is exact
+    ints or a single IEEE division, so the full matrix hash-matches.
+
+    100 TB: everything except the diversity join is ONE map-side codegen
+    pass over the corpus (no shuffle); token_diversity contributes the
+    only exchanges (doc-keyed, map-side combine), and the closing join is
+    id-to-id on co-partitioned aggregation output."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_spaces = n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    en_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in text.STOPWORDS["en"]]))
+    )
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+    n_uniq = F.size(F.array_distinct(toks))
+    big = F.arrays_zip(F.slice(toks, 1, n_tok - 1), F.slice(toks, 2, n_tok - 1))
+    n_big = F.size(big)
+    n_uniq_big = F.size(F.array_distinct(big))
+    flat = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        ((n_chars - n_spaces) / n_tok.cast("double")).alias("avg_token_len"),
+        en_hits.alias("stopword_hits"),
+        alpha_chars.alias("alpha_chars"),
+        ((n_tok - n_uniq) / n_tok).alias("dup_token_frac"),
+        F.when(n_tok >= 2, (n_big - n_uniq_big) / n_big)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    div = text.token_diversity(d).select("doc_id", "n_distinct", "gini")
+    return flat.join(div, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "avg_token_len",
+        "stopword_hits",
+        "alpha_chars",
+        "dup_token_frac",
+        "dup_bigram_frac",
+        "n_distinct",
+        "gini",
+    )
