@@ -66,6 +66,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_corpus_diff",              # snapshot diff, md5 manifests (r6)
     "llm_anchor_cells",             # IVF/shard cell-balance audit (r6)
     "llm_quality_features",         # quality-filter feature matrix (r6)
+    "llm_dup_rate_sample",          # hash-sample dup-rate estimate (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -2453,3 +2453,69 @@ def llm_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         "gini",
     )
+
+
+@query(
+    "llm_dup_rate_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS th,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 5 AS b
+      FROM documents
+    ), full_stats AS (
+      SELECT count(*) AS n_docs, count(DISTINCT th) AS n_uniq FROM h
+    ), samp AS (
+      SELECT count(*) AS n_sample, count(DISTINCT th) AS n_uniq_sample
+      FROM h WHERE b = 0
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sample AS BIGINT) AS n_sample,
+           CAST(n_docs - n_uniq AS DOUBLE) / n_docs AS full_dup_frac,
+           CAST(n_sample - n_uniq_sample AS DOUBLE) / n_sample AS sample_dup_frac
+    FROM full_stats, samp
+    """,
+    tags=("llm", "dedup", "sampling", "qa"),
+)
+def llm_dup_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled duplicate-rate estimation: exact-dup fraction (1 −
+    distinct-md5/total) over the FULL corpus vs over a deterministic 20%
+    hash sample (md5-bucket of the id) — the estimate-first discipline for
+    100 TB corpus QA, where the sample pass reads 1/K of the data and the
+    full pass is run only when the estimate crosses a threshold. Both
+    fractions are exact ints + one IEEE division; the sample is
+    hash-deterministic so both engines pick the same docs.
+
+    Caveat (documented): an id-hash sample UNDERESTIMATES the dup fraction
+    when duplicate clusters are small (a pair survives the sample only if
+    both members do — probability 1/K² for a pair); the oracle pins the
+    arithmetic, not an unbiasedness claim."""
+    d = load_tables(spark, sf_dir)["documents"]
+    h = d.select(
+        "doc_id",
+        F.md5("text").alias("th"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 5
+        ).alias("b"),
+    )
+    full_stats = h.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("th").alias("n_uniq"),
+    )
+    samp = h.filter(F.col("b") == 0).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.count_distinct("th").alias("n_uniq_sample"),
+    )
+    return full_stats.crossJoin(samp).select(
+        "n_docs",
+        "n_sample",
+        (
+            (F.col("n_docs") - F.col("n_uniq")).cast("double") / F.col("n_docs")
+        ).alias("full_dup_frac"),
+        (
+            (F.col("n_sample") - F.col("n_uniq_sample")).cast("double")
+            / F.col("n_sample")
+        ).alias("sample_dup_frac"),
+    )
