@@ -415,3 +415,74 @@ def snapshot_diff(
         .otherwise("changed")
     )
     return joined.select(F.col("_id").alias(id_col), status.alias("status"))
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    positive_pairs: DataFrame,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contrastive training-pair mining for embedding/retrieval models:
+    each POSITIVE pair (a near-duplicate pair from any dedup kernel)
+    is completed with a deterministic hard-ish NEGATIVE — a document drawn
+    from a hash-assigned bucket, excluding the anchor itself and anything
+    the positive-pair set marks as a near-dup of the anchor.
+
+    The negative choice is pure hash arithmetic (anchor's target bucket =
+    md5(anchor||':neg') mod n_buckets; within the bucket, min
+    (md5(anchor:candidate), candidate)) — reproducible across runs,
+    engines and partitionings, like every sampling op in this package.
+
+    Output: (anchor_id, pos_id, neg_id) — one row per positive pair whose
+    negative bucket is non-empty after exclusions.
+
+    100 TB: the corpus is bucketed map-side; the join fans each anchor out
+    to ONE bucket (n/n_buckets docs — scale n_buckets with the corpus to
+    bound it); dup exclusion is a left-anti against the pair set; the
+    per-anchor argmin is a window over the bounded candidate set. The
+    positive-pair set is dedup output — already sub-quadratic."""
+    b_doc = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_buckets
+    )
+    docs = df.select(F.col(id_col).alias("cand_id"), b_doc.alias("bucket"))
+    anchors = positive_pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("pos_id")
+    )
+    target = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("anchor_id").cast("string"), F.lit(":neg"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    cand = (
+        anchors.withColumn("bucket", target)
+        .join(docs, "bucket")
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+    )
+    # exclude known near-dups of the anchor (both orientations)
+    dup_edges = positive_pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("cand_id")
+    ).unionAll(
+        positive_pairs.select(
+            F.col("id_b").alias("anchor_id"), F.col("id_a").alias("cand_id")
+        )
+    )
+    cand = cand.join(dup_edges, ["anchor_id", "cand_id"], "left_anti")
+    pick = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"), F.lit(":"), F.col("cand_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("anchor_id", "pos_id").orderBy(pick, F.col("cand_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("anchor_id", "pos_id", F.col("cand_id").alias("neg_id"))
+    )

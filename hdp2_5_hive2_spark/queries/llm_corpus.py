@@ -2519,3 +2519,58 @@ def llm_dup_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_sample")
         ).alias("sample_dup_frac"),
     )
+
+
+@query(
+    "llm_contrastive_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    ), pos AS (
+      SELECT a.doc_id AS anchor_id, b.doc_id AS pos_id
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) >= 1 AND len(b.sh) >= 1
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ), bucketed AS (
+      SELECT doc_id AS cand_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 16 AS bucket
+      FROM documents
+    ), dup_edges AS (
+      SELECT anchor_id, pos_id AS cand_id FROM pos
+      UNION ALL
+      SELECT pos_id AS anchor_id, anchor_id AS cand_id FROM pos
+    ), cand AS (
+      SELECT p.anchor_id, p.pos_id, b.cand_id,
+             md5(CAST(p.anchor_id AS VARCHAR) || ':' || CAST(b.cand_id AS VARCHAR))
+               AS pick
+      FROM pos p
+      JOIN bucketed b
+        ON b.bucket = CAST(('0x' || substring(
+             md5(CAST(p.anchor_id AS VARCHAR) || ':neg'), 1, 8)) AS BIGINT) % 16
+      WHERE b.cand_id <> p.anchor_id
+        AND NOT EXISTS (SELECT 1 FROM dup_edges d
+                        WHERE d.anchor_id = p.anchor_id AND d.cand_id = b.cand_id)
+    )
+    SELECT anchor_id, pos_id, neg_id FROM (
+      SELECT anchor_id, pos_id, cand_id AS neg_id,
+             row_number() OVER (PARTITION BY anchor_id, pos_id
+                                ORDER BY pick, cand_id) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+    tags=("llm", "curation", "contrastive", "sampling"),
+)
+def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive, negative) training triples
+    (llm.curation.contrastive_pairs): positives are the MinHash near-dup
+    pairs (recall-complete vs the oracle's exhaustive Jaccard scan),
+    negatives are hash-bucketed deterministic draws excluding the anchor's
+    known near-dups — the triple-mining step for embedding-model training.
+    All ids and the md5 pick arithmetic are engine-exact."""
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
+    return curation.contrastive_pairs(d, pairs, n_buckets=16)

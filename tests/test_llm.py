@@ -844,3 +844,24 @@ def test_dsir_weights_empty_target_is_uniform_lm(spark):
     rows = dsir_importance_weights(raw, raw.filter(F.lit(False)), dim=8).collect()
     assert len(rows) == 2
     assert all(r.weight is not None for r in rows), rows
+
+
+def test_contrastive_pairs_semantics(spark):
+    """Every triple's negative is neither the anchor nor any of the
+    anchor's known near-dups, is drawn from the anchor's hash bucket, and
+    the choice is deterministic across evaluations."""
+    from hdp2_5_hive2_spark.llm.curation import contrastive_pairs
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
+    trip = contrastive_pairs(d, pairs, n_buckets=16)
+    rows = trip.collect()
+    assert rows, "expected at least one triple on the fixture corpus"
+    dup = {(r.id_a, r.id_b) for r in pairs.collect()}
+    dup |= {(b, a) for a, b in dup}
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        assert (r.anchor_id, r.neg_id) not in dup
+    again = {(r.anchor_id, r.pos_id): r.neg_id for r in trip.collect()}
+    first = {(r.anchor_id, r.pos_id): r.neg_id for r in rows}
+    assert again == first
