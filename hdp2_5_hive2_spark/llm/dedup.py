@@ -570,6 +570,14 @@ def containment_pairs(
     n_kgrams filter). Each candidate is then verified with one
     substring-position check on the pair's actual text.
 
+    Contract caveat: the guarantee assumes TOKEN-ALIGNED containment (the
+    inner text occurs at whitespace boundaries of the outer document, the
+    only way real duplication arises from token-joined text). A purely
+    character-level embedding that splits a token ("…xalpha beta…"
+    containing "alpha beta…" mid-token) shares no token run and can be
+    missed by the candidate pass even though a raw position() scan would
+    find it.
+
     100 TB: fingerprints are computed in ONE Arrow pass (no shuffle); the
     bucket self-join shuffles 8-char keys; only CANDIDATE texts are joined
     back (semi-join pruned). ``max_bucket`` (recommended at corpus scale,
