@@ -586,7 +586,6 @@ def containment_pairs(
     None keeps perfect recall for oracle-exact fixtures."""
     from hdp2_5_hive2_spark.llm.text import winnow_fingerprints
 
-    min_tokens = k + w - 1
     fp = winnow_fingerprints(df, text_col=text_col, k=k, w=w).select(
         F.col(id_col).alias("id"),
         F.length(F.col(text_col)).alias("n_chars"),
@@ -598,9 +597,10 @@ def containment_pairs(
             (F.col("_n") >= 2) & (F.col("_n") <= max_bucket)
         )
         fp = fp.join(F.broadcast(keep.select("fp")), "fp")
-    # inner side must satisfy the guarantee's minimum length; outer side is
-    # only required to be strictly longer in characters
-    inner = fp.filter(F.col("n_kgrams") >= min_tokens - (k - 1)).select(
+    # inner side must satisfy the guarantee's minimum length — n_tokens >=
+    # k+w-1 means n_kgrams >= w; outer side is only required to be strictly
+    # longer in characters
+    inner = fp.filter(F.col("n_kgrams") >= w).select(
         F.col("id").alias("inner_id"), F.col("n_chars").alias("inner_chars"), "fp"
     )
     outer = fp.select(

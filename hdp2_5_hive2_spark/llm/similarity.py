@@ -753,9 +753,9 @@ def quantized_topk(
     import pandas as pd
 
     def _quant(m: "np.ndarray") -> "np.ndarray":
-        ab = np.abs(m)
-        max_abs = ab.max(axis=1)
-        scale = np.where(max_abs == 0.0, 1.0, 127.0 / np.where(max_abs == 0.0, 1.0, max_abs))
+        max_abs = np.abs(m).max(axis=1)
+        # all-zero rows take scale 1.0 (quantize to zeros, no div-by-zero)
+        scale = 127.0 / np.where(max_abs == 0.0, 127.0, max_abs)
         return np.clip(np.floor(m * scale[:, None]), -127.0, 127.0).astype(np.int64)
 
     q_id_type = queries.schema[id_col].dataType.simpleString()
