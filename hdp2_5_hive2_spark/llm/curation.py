@@ -486,3 +486,98 @@ def contrastive_pairs(
         .filter(F.col("_rn") == 1)
         .select("anchor_id", "pos_id", F.col("cand_id").alias("neg_id"))
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_rep) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the ADVERSARIAL-GRAPH alternative to :func:`connected_components`:
+    min-label propagation needs O(component diameter) rounds, which a
+    pathological chain/cycle graph can stretch to thousands, while the
+    star operators contract every component to a star in O(log²)
+    (O(log) in practice) rounds regardless of diameter. Same output
+    contract as connected_components; dedup graphs (tiny diameter) should
+    keep using label propagation — fewer rounds, simpler plans.
+
+    large-star: each node connects its STRICTLY LARGER neighbors to the
+    minimum of its closed neighborhood; small-star: each node connects its
+    ≤ neighbors (and itself) to that minimum. Both preserve connectivity;
+    alternating them reaches a fixed point where every component is a star
+    rooted at its minimum id.
+
+    Per round: two grouped mins + two projections, all on (node, node)
+    pairs — no text, no payload. Convergence here is an exact edge-set
+    comparison (two anti-joins); at corpus scale swap it for a monotone
+    checksum witness (Σ endpoints strictly decreases) the way
+    connected_components uses its label sum."""
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not e.take(1):
+        return e.select(F.col("a").alias("id"), F.col("b").alias("cluster_rep"))
+
+    def closed_min(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+        )
+
+    for _ in range(max_iter):
+        # large-star: (v, m(u)) for every neighbor v > u
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = closed_min(sym)
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the large-star output: (v, m(u)) for v <= u, plus
+        # (u, m(u))
+        sym2 = ls.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        small = sym2.filter(F.col("v") <= F.col("u"))
+        mins2 = (
+            small.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+        )
+        ss = (
+            small.join(mins2, "u")
+            .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+            .union(mins2.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            ss.exceptAll(e).take(1) or e.exceptAll(ss).take(1)
+        )
+        e = ss
+        if not changed:
+            labels = e.select(F.col("b").alias("id"), F.col("a").alias("rep")).union(
+                e.select(F.col("a").alias("id"), F.col("a").alias("rep"))
+            )
+            return (
+                labels.groupBy("id")
+                .agg(F.min("rep").alias("cluster_rep"))
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )

@@ -68,6 +68,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_quality_features",         # quality-filter feature matrix (r6)
     "llm_dup_rate_sample",          # hash-sample dup-rate estimate (r6)
     "llm_contrastive_pairs",        # anchor/pos/neg triple mining (r6)
+    "llm_dedup_clusters_star",      # large/small-star CC backend (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -2574,3 +2574,36 @@ def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     pairs = dedup.minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
     return curation.contrastive_pairs(d, pairs, n_buckets=16)
+
+
+@query(
+    "llm_dedup_clusters_star",
+    oracle="WITH RECURSIVE " + _ngram_cte(15) + """
+    , rare AS (SELECT ngram FROM ngd GROUP BY ngram HAVING count(*) <= 100),
+    e0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM ngd a JOIN ngd b USING (ngram) JOIN rare USING (ngram)
+           WHERE a.doc_id < b.doc_id),
+    e AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0),
+    v AS (SELECT DISTINCT s AS id FROM e),
+    walk AS (
+      SELECT id, id AS lab FROM v
+      UNION
+      SELECT e.d AS id, w.lab FROM walk w JOIN e ON e.s = w.id
+    )
+    SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+    FROM walk GROUP BY id
+    """,
+    tags=("llm", "curation", "dedup", "star"),
+)
+def llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate clusters as llm_dedup_clusters but computed with the
+    ADVERSARIAL-GRAPH backend (llm.curation.connected_components_star,
+    Kiveris large-star/small-star — O(log) rounds regardless of component
+    diameter, vs label propagation's O(diameter)): both backends must
+    agree with the same recursive-CTE reachability oracle, turning the
+    'swap in star-contraction for long chains' claim into a driver-checked
+    contract."""
+    d = load_tables(spark, sf_dir)["documents"]
+    edges = curation.shared_ngram_edges(d, n=16, max_df=100)
+    cc = curation.connected_components_star(edges)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_rep")

@@ -865,3 +865,68 @@ def test_contrastive_pairs_semantics(spark):
     again = {(r.anchor_id, r.pos_id): r.neg_id for r in trip.collect()}
     first = {(r.anchor_id, r.pos_id): r.neg_id for r in rows}
     assert again == first
+
+
+def _cc_truth(pairs):
+    """Pure-Python union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def test_star_components_match_label_propagation_and_truth(spark):
+    """large-star/small-star must equal min-label propagation AND a
+    union-find oracle on random graphs (stars, chains, cycles, forests)."""
+    import random
+
+    from hdp2_5_hive2_spark.llm.curation import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    cases = []
+    # random sparse graph
+    cases.append([(rng.randrange(60), rng.randrange(60)) for _ in range(50)])
+    # two chains + a cycle + isolated pair
+    cases.append(
+        [(i, i + 1) for i in range(0, 12)]
+        + [(100 + i, 101 + i) for i in range(6)]
+        + [(200, 201), (201, 202), (202, 200), (300, 301)]
+    )
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        truth = _cc_truth(pairs)
+        star = {r.id: r.cluster_rep for r in connected_components_star(df).collect()}
+        prop = {r.id: r.cluster_rep for r in connected_components(df).collect()}
+        assert star == truth, (sorted(star.items())[:5], sorted(truth.items())[:5])
+        assert prop == truth
+
+
+def test_star_components_beat_diameter_bound(spark):
+    """A 120-vertex chain: label propagation's round count equals the
+    diameter (so max_iter=10 must fail), while the star variant contracts
+    it within its default budget — the documented adversarial-graph case."""
+    from hdp2_5_hive2_spark.llm.curation import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=10)
+    got = {r.id: r.cluster_rep for r in connected_components_star(df).collect()}
+    assert got == {i: 0 for i in range(121)}
