@@ -29,8 +29,9 @@ Scale notes (100 TB):
     clusters (diameter ≤ ~3), so 3-4 shuffle rounds close them. Each round
     is one join + one min-agg on (id, label) pairs; ``localCheckpoint``
     truncates lineage so round N's plan does not re-run rounds 1..N-1. For
-    adversarially long chains, swap in large-star/small-star (Kiveris et
-    al., "Connected Components in MapReduce and Beyond") — same contract.
+    adversarially long chains use :func:`connected_components_star`
+    (Kiveris et al. large-star/small-star — O(log) rounds regardless of
+    diameter) — same contract, equality property-tested.
   - stratified_sample: one shuffle on the strata key; the ``row_number() <=
     k`` filter compiles to WindowGroupLimit (rank-limit pushdown), so each
     partition keeps a k-row heap instead of fully sorting its stratum.
@@ -186,7 +187,8 @@ def connected_components(
     changes nothing. Labels only decrease, so the label SUM is a strictly
     decreasing convergence witness — one cheap agg per round instead of a
     change-count join. Rounds needed = component diameter (tiny for dedup
-    graphs; see module docstring for the large-diameter alternative).
+    graphs); :func:`connected_components_star` is the diameter-independent
+    alternative for adversarial graphs.
     """
     sym = (
         edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
