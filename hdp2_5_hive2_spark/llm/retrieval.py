@@ -285,12 +285,21 @@ def bpe_pair_counts(
 
 
 def bigram_lm_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", q_bits: int = 20
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_bits: int = 20,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document average bigram-LM probability — the CCNet-style
     "language-model quality score" that ranks documents by how typical their
     token transitions are for the corpus. p(w2|w1) = C(w1 w2)/C(w1 ·), both
-    counted over the whole corpus.
+    counted over the whole corpus — or, when ``train_df`` is given, over
+    that HELD-OUT reference corpus (the CCNet shape proper: score crawl
+    text under a clean-domain LM). Bigrams absent from the training counts
+    are excluded from the average (inner join — no smoothing), and a
+    document with no known bigram drops out entirely; callers treat
+    absence as "no evidence", the same convention as decontaminate.
 
     Exactness discipline: per-bigram probabilities are QUANTIZED to integers
     (floor(p·2^q_bits)) before any aggregation, so the per-doc sum is exact
@@ -310,8 +319,11 @@ def bigram_lm_score(
     # reuse does not dedupe Python-kernel subtrees (same rationale as
     # dedup._banded_memo; measured 1.67 s → 1.20 s at sf0.1).
     rows = word_ngram_counts(df, text_col, id_col, n=2).localCheckpoint(eager=False)
+    model_rows = (
+        rows if train_df is None else word_ngram_counts(train_df, text_col, id_col, n=2)
+    )
     cb = (
-        rows.groupBy("ngram")
+        model_rows.groupBy("ngram")
         .agg(F.sum("cnt").alias("c_bg"))
         .withColumn("w1", F.split(F.col("ngram"), " ")[0])
     )

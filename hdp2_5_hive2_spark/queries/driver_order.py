@@ -69,6 +69,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_dup_rate_sample",          # hash-sample dup-rate estimate (r6)
     "llm_contrastive_pairs",        # anchor/pos/neg triple mining (r6)
     "llm_dedup_clusters_star",      # large/small-star CC backend (r6)
+    "llm_heldout_lm_score",         # CCNet held-out LM scoring (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -724,3 +724,56 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("doc_id", "n_tokens", "rank")
     )
+
+
+@query(
+    "llm_heldout_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), b AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS ngram
+      FROM t WHERE len(t) >= 2
+    ), db AS (
+      SELECT doc_id, ngram, count(*) AS cnt FROM b GROUP BY doc_id, ngram
+    ), train AS (
+      SELECT doc_id, ngram, count(*) AS cnt FROM b
+      WHERE source IN ('src0','src1','src2','src3','src4')
+      GROUP BY doc_id, ngram
+    ), cb AS (
+      SELECT ngram, CAST(SUM(cnt) AS BIGINT) AS c_bg,
+             string_split(ngram, ' ')[1] AS w1
+      FROM train GROUP BY ngram
+    ), cp AS (
+      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cb GROUP BY w1
+    ), q AS (
+      SELECT cb.ngram,
+             CAST(floor((CAST(cb.c_bg AS DOUBLE) / cp.c_w1)
+                        * CAST(1048576 AS DOUBLE)) AS BIGINT) AS pq
+      FROM cb JOIN cp USING (w1)
+    )
+    SELECT db.doc_id AS doc_id,
+           CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(db.cnt * q.pq) AS BIGINT) AS score_q,
+           CAST(SUM(db.cnt * q.pq) AS DOUBLE)
+             / (CAST(SUM(db.cnt) AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS avg_prob
+    FROM db JOIN q USING (ngram) GROUP BY db.doc_id
+    """,
+    tags=("llm", "retrieval", "lm-score", "heldout"),
+)
+def llm_heldout_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM scoring (retrieval.bigram_lm_score with
+    ``train_df`` — the CCNet shape proper): the LM is fit ONLY on sources
+    src0-src4 (the "clean reference domain") and every document is scored
+    under it; bigrams unseen in training are excluded (inner join, no
+    smoothing — documented kernel contract). n_bigrams here counts the
+    KNOWN bigram occurrences per doc, so the column also exposes how much
+    of each document the reference LM covers."""
+    d = load_tables(spark, sf_dir)["documents"]
+    train = d.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    return retrieval.bigram_lm_score(d, train_df=train)
