@@ -70,6 +70,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_contrastive_pairs",        # anchor/pos/neg triple mining (r6)
     "llm_dedup_clusters_star",      # large/small-star CC backend (r6)
     "llm_heldout_lm_score",         # CCNet held-out LM scoring (r6)
+    "llm_fim_transform",            # fill-in-middle PSM restructuring (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

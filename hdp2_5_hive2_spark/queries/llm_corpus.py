@@ -2607,3 +2607,93 @@ def llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = curation.shared_ngram_edges(d, n=16, max_df=100)
     cc = curation.connected_components_star(edges)
     return cc.select(F.col("id").alias("doc_id"), "cluster_rep")
+
+
+@query(
+    "llm_fim_transform",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) // 3 AS third,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 8))
+               AS BIGINT) AS ha,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 8))
+               AS BIGINT) AS hb
+      FROM documents WHERE length(text) >= 30
+    ), cut AS (
+      SELECT doc_id, text, n,
+             1 + (ha % third) AS p1,
+             third + 1 + (hb % third) AS p2
+      FROM base
+    ), parts AS (
+      SELECT doc_id,
+             substring(text, 1, p1 - 1) AS pre,
+             substring(text, p1, p2 - p1) AS mid,
+             substring(text, p2, n - p2 + 1) AS suf
+      FROM cut
+    )
+    SELECT doc_id,
+           CAST(length(pre) AS BIGINT) AS n_prefix,
+           CAST(length(mid) AS BIGINT) AS n_middle,
+           CAST(length(suf) AS BIGINT) AS n_suffix,
+           md5('<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid) AS fim_md5
+    FROM parts
+    """,
+    tags=("llm", "text", "transform", "fim"),
+)
+def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle restructuring (Bavarian et al. 2022, PSM format):
+    split each document at two DETERMINISTIC hash-jittered cut points
+    (first cut in the first third, second in the middle third) and emit
+    '<PRE>'+prefix+'<SUF>'+suffix+'<MID>'+middle — the data transformation
+    that teaches code/text models infilling. Reproducibility discipline:
+    the cuts are md5-of-id arithmetic, so the same corpus always yields
+    the same training text (verified by the md5 of the transformed text).
+
+    100 TB: pure map-side codegen string arithmetic — zero shuffle, zero
+    Python; the transform streams at scan speed."""
+    d = load_tables(spark, sf_dir)["documents"]
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+
+    cut = (
+        d.filter(F.length("text") >= 30)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("n"),
+            (F.length("text") / 3).cast("long").alias("third"),
+            h(":a").alias("ha"),
+            h(":b").alias("hb"),
+        )
+        .select(
+            "doc_id",
+            "text",
+            "n",
+            (F.lit(1) + F.col("ha") % F.col("third")).alias("p1"),
+            (F.col("third") + 1 + F.col("hb") % F.col("third")).alias("p2"),
+        )
+    )
+    parts = cut.select(
+        "doc_id",
+        F.expr("substring(text, 1, p1 - 1)").alias("pre"),
+        F.expr("substring(text, p1, p2 - p1)").alias("mid"),
+        F.expr("substring(text, p2, n - p2 + 1)").alias("suf"),
+    )
+    return parts.select(
+        "doc_id",
+        F.length("pre").cast("bigint").alias("n_prefix"),
+        F.length("mid").cast("bigint").alias("n_middle"),
+        F.length("suf").cast("bigint").alias("n_suffix"),
+        F.md5(
+            F.concat(
+                F.lit("<PRE>"), F.col("pre"), F.lit("<SUF>"), F.col("suf"),
+                F.lit("<MID>"), F.col("mid"),
+            )
+        ).alias("fim_md5"),
+    )
