@@ -467,3 +467,15 @@ def test_snapshot_diff_hashes_map_side(spark):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         first_line = seg.split("\n")[0]
         assert "text" not in first_line, first_line
+
+
+def test_contrastive_negative_pick_uses_window_group_limit(spark):
+    """The per-anchor argmin compiles to partial+final WindowGroupLimit
+    (rank-limit pushdown): each partition keeps a 1-row heap per anchor
+    instead of sorting its whole candidate bucket."""
+    from hdp2_5_hive2_spark.llm import curation, dedup
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
+    plan = _executed(curation.contrastive_pairs(d, pairs))
+    assert plan.count("WindowGroupLimit") >= 2, plan
