@@ -930,3 +930,33 @@ def test_star_components_beat_diameter_bound(spark):
         connected_components(df, max_iter=10)
     got = {r.id: r.cluster_rep for r in connected_components_star(df).collect()}
     assert got == {i: 0 for i in range(121)}
+
+
+try:
+    from hypothesis import given as _h_given2, settings as _h_settings2
+    from hypothesis import strategies as _h_st2
+
+    @_h_settings2(max_examples=6, deadline=None)
+    @_h_given2(
+        edges=_h_st2.lists(
+            _h_st2.tuples(
+                _h_st2.integers(min_value=0, max_value=40),
+                _h_st2.integers(min_value=0, max_value=40),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_star_components_random_graphs_property(spark, edges):
+        """Star contraction equals union-find truth on arbitrary random
+        graphs (self-loops dropped, multi-edges collapsed)."""
+        from hdp2_5_hive2_spark.llm.curation import connected_components_star
+
+        pairs = [(a, b) for a, b in edges if a != b]
+        if not pairs:
+            return
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {r.id: r.cluster_rep for r in connected_components_star(df).collect()}
+        assert got == _cc_truth(pairs)
+except ImportError:  # pragma: no cover
+    pass
