@@ -1,9 +1,16 @@
 """LLM-training-data pipeline operators (beyond the Hive reference surface).
 
 Modules:
-  - text: tokenization, quality scoring, language ID, fingerprinting, n-grams
-  - dedup: exact, MinHash+LSH, SimHash, n-gram Jaccard
-  - similarity: embedding cosine top-k (brute force + LSH-bucketed)
+  - text: tokenization, quality scoring, language ID, winnowing/fingerprints,
+    n-grams, chunking/packing, diversity, normalization, PII scrub
+  - dedup: exact (+keep-best/prefix/chunk), MinHash+LSH, SimHash, n-gram
+    Jaccard, substring containment
+  - similarity: embedding cosine top-k (brute force, LSH, IVF, int8
+    quantized), dup pairs, anchors/centroids/kNN, norm outliers
+  - curation: decontamination, connected components (label-prop + Kiveris
+    star), sampling (stratified/weighted/cap/contrastive), snapshot diff
+  - retrieval: TF-IDF, BM25, vocab stats, bigram LM (self + held-out),
+    DSIR importance weights, BPE pair counts, feature hashing
   - multimodal: binary-column plumbing with stubbed decoders
 
 All operators are DataFrame→DataFrame transforms built from JVM-side
