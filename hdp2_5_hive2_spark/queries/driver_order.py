@@ -71,6 +71,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_dedup_clusters_star",      # large/small-star CC backend (r6)
     "llm_heldout_lm_score",         # CCNet held-out LM scoring (r6)
     "llm_fim_transform",            # fill-in-middle PSM restructuring (r6)
+    "llm_lang_confusion",           # lang-ID confusion matrix QA (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

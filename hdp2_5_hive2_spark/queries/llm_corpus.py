@@ -2697,3 +2697,52 @@ def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fim_md5"),
     )
+
+
+@query(
+    "llm_lang_confusion",
+    oracle="""
+    WITH pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN mx = 0 THEN 'und'
+                  WHEN h_de = mx THEN 'de'
+                  WHEN h_en = mx THEN 'en'
+                  WHEN h_es = mx THEN 'es'
+                  WHEN h_fr = mx THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+      FROM (
+        SELECT doc_id, lang,
+               len(list_intersect(t, ['the','and','of','to','a','in','is','it','you','that'])) AS h_en,
+               len(list_intersect(t, ['el','la','de','que','y','en','un','ser','se','no'])) AS h_es,
+               len(list_intersect(t, ['le','la','de','et','un','être','que','pour','dans','ce'])) AS h_fr,
+               len(list_intersect(t, ['der','die','und','in','den','von','zu','das','mit','sich'])) AS h_de,
+               len(list_intersect(t, ['的','一','是','不','了','人','我','在','有','他'])) AS h_zh,
+               greatest(
+                 len(list_intersect(t, ['the','and','of','to','a','in','is','it','you','that'])),
+                 len(list_intersect(t, ['el','la','de','que','y','en','un','ser','se','no'])),
+                 len(list_intersect(t, ['le','la','de','et','un','être','que','pour','dans','ce'])),
+                 len(list_intersect(t, ['der','die','und','in','den','von','zu','das','mit','sich'])),
+                 len(list_intersect(t, ['的','一','是','不','了','人','我','在','有','他']))) AS mx
+        FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+      ) h
+    )
+    SELECT lang AS lang_true, lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM pred GROUP BY lang, lang_pred
+    """,
+    tags=("llm", "text", "langid", "qa"),
+)
+def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: detected language (llm.text.lang_id)
+    vs the table's ground-truth lang column, with per-cell doc counts and
+    id checksums — the QA artifact that decides whether the lang filter's
+    precision is good enough to gate on (off-diagonal mass = docs a lang
+    filter would mis-route). Pure map-side detection + one tiny-key
+    aggregation."""
+    d = load_tables(spark, sf_dir)["documents"]
+    pred = text.lang_id(d).select("doc_id", F.col("lang").alias("lang_true"), "lang_pred")
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
