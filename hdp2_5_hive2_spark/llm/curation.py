@@ -583,3 +583,66 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    id_block: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic balanced shard assignment for training-data layout:
+    rank every row globally by ``(weight desc, id asc)`` and deal ranks
+    round-robin over ``n_shards`` — the longest-processing-time heuristic
+    that keeps per-shard token totals within one max-document of each
+    other, so no trainer shard becomes the epoch straggler.
+
+    Output: (id_col, weight_col, rank, shard) with rank 1-based and
+    ``shard = (rank - 1) % n_shards``.
+
+    Plan / 100 TB notes: a bare ``row_number() OVER (ORDER BY ...)`` drags
+    the corpus into ONE partition (Spark's "No Partition Defined" cliff) —
+    instead the global rank is the two-phase distributed form (same
+    composition as ``text.pack_sequences``): rows bucket by
+    ``(weight, floor(id / id_block))``, whose lexicographic
+    (weight desc, block asc) order is a PREFIX of the global order, so a
+    per-bucket parallel window rank plus broadcast bucket base offsets
+    (cumsum over the bucket-count table — bucket-cardinality-sized, tiny)
+    compose into the exact global rank. The ``id_block`` sub-bucketing
+    bounds window-partition size even when one weight value dominates the
+    corpus (every boilerplate-length document): a hot weight splits into
+    id-range blocks that still concatenate in order. Integer weights
+    assumed (token counts, byte sizes); range-bucket continuous weights
+    first."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    if id_block <= 0:
+        raise ValueError("id_block must be positive")
+    base = df.select(
+        F.col(id_col),
+        F.col(weight_col),
+        F.floor(F.col(id_col) / id_block).alias("_blk"),
+    )
+    in_bucket = Window.partitionBy(weight_col, "_blk").orderBy(F.col(id_col).asc())
+    bucket_order = Window.orderBy(
+        F.col(weight_col).desc(), F.col("_blk").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        base.groupBy(weight_col, "_blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_base", F.coalesce(F.sum("_n").over(bucket_order), F.lit(0)))
+        .select(weight_col, "_blk", "_base")
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(in_bucket))
+        .join(F.broadcast(bases), [weight_col, "_blk"])
+        .select(
+            id_col,
+            weight_col,
+            (F.col("_base") + F.col("_rn")).cast("bigint").alias("rank"),
+            ((F.col("_base") + F.col("_rn") - 1) % n_shards)
+            .cast("int")
+            .alias("shard"),
+        )
+    )

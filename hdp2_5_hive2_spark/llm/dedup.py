@@ -623,3 +623,77 @@ def containment_pairs(
         .select("inner_id", "outer_id")
     )
     return verified
+
+
+def dedup_chunks_keep_first(
+    df: DataFrame,
+    chunk_tokens: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document dedup TRANSFORM (CCNet-style paragraph/chunk removal):
+    where :func:`chunk_dup_stats` only *reports* duplicated chunks, this
+    removes them — every chunk occurrence that is not the globally FIRST
+    occurrence of its fingerprint (order: ``(id, chunk_idx)`` ascending) is
+    dropped, and each document's residual text is rebuilt from its
+    surviving chunks in position order. The chunk grid is non-overlapping
+    (reconstruction would double tokens otherwise), i.e. chunk ``i`` covers
+    tokens ``[i*chunk_tokens, (i+1)*chunk_tokens)``.
+
+    Output: (id_col, n_chunks, n_kept, n_tokens_kept, residual_text).
+
+    Plan / 100 TB notes: chunk text reduces to a 16-byte md5 map-side, so
+    the keep-first shuffle carries only (fp, id, chunk_idx) rows; the
+    winner per fingerprint is a window ``row_number`` over the fp-keyed
+    exchange (boilerplate-heavy fingerprints are data-skew on that key —
+    AQE's skew handling splits them, and the window itself is a streaming
+    rank, not a buffered collect). Kept-chunk indices fold back to one
+    small array per document (bounded by n_chunks), and the residual text
+    is re-sliced from the ORIGINAL token array in the doc-keyed join — the
+    full text crosses the wire exactly once, chunk text never does."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    from pyspark.sql import Window
+
+    from hdp2_5_hive2_spark.llm.text import chunk_documents, tokens as _tokens
+
+    chunks = chunk_documents(
+        df, text_col=text_col, id_col=id_col, chunk_tokens=chunk_tokens, overlap=0
+    ).select(id_col, "chunk_idx", F.md5("chunk_text").alias("fp"))
+    first = Window.partitionBy("fp").orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    decided = chunks.withColumn(
+        "_kept", F.row_number().over(first) == F.lit(1)
+    )
+    per_doc = decided.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_kept"), F.col("chunk_idx")))
+        ).alias("_kept_idx"),
+    )
+    toks = _tokens(F.col(text_col))
+    rebuilt = (
+        df.select(id_col, toks.alias("_toks"))
+        .join(per_doc, id_col)
+        .select(
+            id_col,
+            "n_chunks",
+            F.size("_kept_idx").alias("n_kept"),
+            F.flatten(
+                F.transform(
+                    "_kept_idx",
+                    lambda i: F.slice(
+                        F.col("_toks"), i * chunk_tokens + 1, chunk_tokens
+                    ),
+                )
+            ).alias("_kept_toks"),
+        )
+    )
+    return rebuilt.select(
+        id_col,
+        "n_chunks",
+        "n_kept",
+        F.size("_kept_toks").alias("n_tokens_kept"),
+        F.array_join("_kept_toks", " ").alias("residual_text"),
+    )

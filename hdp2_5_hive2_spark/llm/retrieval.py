@@ -463,3 +463,55 @@ def dsir_importance_weights(
         )
         total = term_i if total is None else total + term_i
     return joined.select(id_col, "n_tokens", total.alias("weight"))
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) of N ranked
+    retrieval lists: ``score(d) = sum over lists L of 1 / (k0 + rank_L(d))``
+    with the conventional ``k0 = 60``; documents absent from a list simply
+    contribute nothing for it. The standard hybrid-retrieval merge (lexical
+    BM25 + embedding ANN) that needs no score calibration because it only
+    consumes RANKS.
+
+    Output: (id_col, rrf_score, rank) limited to ``topk``, ties broken by id.
+
+    Determinism discipline: each list's contribution occupies a FIXED
+    positional slot (_r0.._rn) and the score sums the slots left-to-right —
+    1/(k0+rank) is a single IEEE division on exact ints, so the doubles are
+    bit-identical cross-engine (same pattern as ``bm25_rank``).
+
+    Plan / 100 TB notes: ranked lists are top-k-bounded by construction
+    (their producers cap them), so the fold of full-outer joins runs on
+    list-sized inputs — the corpus itself never enters this operator; the
+    final global row_number ranks a <= N*topk-row frame."""
+    if not ranked:
+        raise ValueError("rrf_fuse requires at least one ranked list")
+    if k0 <= 0:
+        raise ValueError("k0 must be positive")
+    fused = None
+    for i, r in enumerate(ranked):
+        part = r.select(F.col(id_col), F.col(rank_col).alias(f"_r{i}"))
+        fused = part if fused is None else fused.join(part, id_col, "full_outer")
+    total = None
+    for i in range(len(ranked)):
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        total = c if total is None else total + c
+    scored = fused.select(F.col(id_col), total.alias("rrf_score"))
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("rrf_score"), F.col(id_col).asc())
+            ),
+        )
+        .filter(F.col("rank") <= topk)
+        .select(id_col, "rrf_score", "rank")
+    )

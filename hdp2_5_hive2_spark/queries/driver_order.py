@@ -72,6 +72,9 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_heldout_lm_score",         # CCNet held-out LM scoring (r6)
     "llm_fim_transform",            # fill-in-middle PSM restructuring (r6)
     "llm_lang_confusion",           # lang-ID confusion matrix QA (r6)
+    "llm_chunk_dedup_keep_first",   # CCNet chunk-removal transform (r6)
+    "llm_balanced_shards",          # two-phase-rank LPT sharding (r6)
+    "llm_rrf_fusion",               # reciprocal-rank hybrid retrieval (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

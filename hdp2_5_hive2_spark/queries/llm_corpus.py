@@ -2746,3 +2746,111 @@ def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+@query(
+    "llm_chunk_dedup_keep_first",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'terms of service apply to this page all rights reserved contact us for more info ' || text
+                  ELSE text END AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+    ), toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
+    ), ch AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+             array_to_string(t[u.i*15+1 : u.i*15+15], ' ') AS chunk_text,
+             len(t[u.i*15+1 : u.i*15+15]) AS n_ct
+      FROM toks, unnest(range(CAST(ceil(len(t)/15.0) AS BIGINT))) AS u(i)
+    ), kf AS (
+      SELECT doc_id, chunk_idx, chunk_text, n_ct,
+             row_number() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, chunk_idx) AS occ
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN occ = 1 THEN n_ct END), 0) AS INT)
+             AS n_tokens_kept,
+           md5(coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                          FILTER (WHERE occ = 1), '')) AS residual_fp
+    FROM kf GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "transform"),
+)
+def llm_chunk_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup as a TRANSFORM (llm.dedup.dedup_chunks_keep_first,
+    CCNet-style paragraph removal): the corpus plants (a) a shared 15-token
+    boilerplate prefix on every 7th doc — exactly one chunk on the 15-token
+    grid — and (b) full copies of every 11th doc at doc_id+1000000. Only
+    the globally FIRST occurrence of each chunk fingerprint survives; every
+    document's residual text is rebuilt from its surviving chunks, so the
+    planted copies collapse to empty (md5('') fingerprints) and the
+    boilerplate chunk survives exactly once corpus-wide. Chunk text reduces
+    to md5 map-side; full text shuffles once (the doc-keyed rebuild
+    join)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bp = "terms of service apply to this page all rights reserved contact us for more info "
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(bp), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionAll(
+        d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    res = dedup.dedup_chunks_keep_first(corpus, chunk_tokens=15)
+    return res.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        "n_tokens_kept",
+        F.md5("residual_text").alias("residual_fp"),
+    )
+
+
+@query(
+    "llm_balanced_shards",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+      FROM w
+    )
+    SELECT CAST((rank - 1) % 8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(min(rank) AS BIGINT) AS first_rank
+    FROM r GROUP BY 1
+    """,
+    tags=("llm", "curation", "sharding"),
+)
+def llm_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment (llm.curation.balanced_shards):
+    rank the corpus by (token count desc, id) with the two-phase
+    distributed rank — per-(weight, id-block) parallel window ranks plus
+    broadcast bucket base offsets, never a single-partition global window —
+    and deal ranks round-robin over 8 shards (longest-processing-time:
+    per-shard token totals stay within one max-document). Audited per
+    shard: doc count, token total, id checksum, first rank."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = d.select("doc_id", text.token_count("text").alias("n_tokens"))
+    sharded = curation.balanced_shards(w, n_shards=8, weight_col="n_tokens")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.min("rank").alias("first_rank"),
+    )

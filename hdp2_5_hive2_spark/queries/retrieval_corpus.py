@@ -777,3 +777,91 @@ def llm_heldout_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     )
     return retrieval.bigram_lm_score(d, train_df=train)
+
+
+@query(
+    "llm_rrf_fusion",
+    oracle=_TOK_CTE
+    + """
+    , tf_all AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS df_term FROM tf_all GROUP BY term
+    ), st AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+               / count(*) AS avgdl
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents
+    ), s AS (
+      SELECT t.doc_id, t.term,
+             ((CAST(n.n_docs AS DOUBLE) - d.df_term + CAST(0.5 AS DOUBLE))
+                / (CAST(d.df_term AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+               / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * (l.dl / n.avgdl))) AS s
+      FROM tf_all t
+      JOIN dfq d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN st n
+      WHERE t.term IN ('spark', 'join', 'window')
+    ), p AS (
+      SELECT doc_id,
+             coalesce(MAX(CASE WHEN term = 'spark'  THEN s END), 0.0)
+           + coalesce(MAX(CASE WHEN term = 'join'   THEN s END), 0.0)
+           + coalesce(MAX(CASE WHEN term = 'window' THEN s END), 0.0) AS score
+      FROM s GROUP BY doc_id
+    ), bm AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM p
+      ) WHERE rank <= 50
+    ), ann AS (
+      SELECT doc_id, rank FROM (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])) DESC,
+                          c.vec_id
+               ) AS rank
+        FROM embeddings c
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+      ) WHERE rank <= 50
+    ), f AS (
+      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + bm.rank), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + ann.rank), CAST(0 AS DOUBLE))
+               AS rrf_score
+      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    )
+    SELECT doc_id, rrf_score, rank FROM (
+      SELECT doc_id, rrf_score,
+             row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM f
+    ) WHERE rank <= 20
+    """,
+    tags=("llm", "retrieval", "fusion"),
+)
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (llm.retrieval.rrf_fuse):
+    fuse the BM25 top-50 for {spark, join, window} with the embedding-cosine
+    top-50 for query vector vec_id=7 (docs and embeddings share the id
+    space) — score(d) = 1/(60+rank_bm25) + 1/(60+rank_ann), absent lists
+    contribute 0. Scores derive from integer RANKS in fixed slots (single
+    IEEE divisions summed left-to-right), so doubles match bitwise
+    cross-engine even though raw cosine floats would not."""
+    from hdp2_5_hive2_spark.llm import similarity
+
+    t = load_tables(spark, sf_dir)
+    d, e = t["documents"], t["embeddings"]
+    bm = retrieval.bm25_rank(d, ["spark", "join", "window"], topk=50).select(
+        "doc_id", "rank"
+    )
+    ann = similarity.brute_force_topk(
+        corpus=e, queries=e.filter(F.col("vec_id") == 7), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return retrieval.rrf_fuse([bm, ann], topk=20)

@@ -960,3 +960,80 @@ try:
         assert got == _cc_truth(pairs)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_dedup_chunks_keep_first_hand_computed(spark):
+    """3-token grid over a 3-doc corpus: doc 1 = 'a b c d e f', doc 2 repeats
+    doc 1's first chunk then adds its own, doc 3 is a full copy of doc 1.
+    Keep-first: doc 1 keeps both chunks; doc 2 loses chunk 0 ('a b c', first
+    seen in doc 1) but keeps 'x y z'; doc 3 keeps nothing."""
+    from hdp2_5_hive2_spark.llm.dedup import dedup_chunks_keep_first
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z"), (3, "a b c d e f")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in dedup_chunks_keep_first(df, chunk_tokens=3).collect()}
+    assert (got[1].n_chunks, got[1].n_kept, got[1].residual_text) == (2, 2, "a b c d e f")
+    assert (got[2].n_chunks, got[2].n_kept, got[2].residual_text) == (2, 1, "x y z")
+    assert (got[3].n_chunks, got[3].n_kept, got[3].n_tokens_kept, got[3].residual_text) == (
+        2, 0, 0, ""
+    )
+
+
+def test_dedup_chunks_short_tail_and_guard(spark):
+    """The final short chunk participates like any other: two docs sharing
+    only their 2-token tail chunk each keep their full-size head chunk, and
+    the tail survives once. chunk_tokens=0 raises."""
+    from hdp2_5_hive2_spark.llm.dedup import dedup_chunks_keep_first
+
+    df = spark.createDataFrame(
+        [(1, "p q r t u"), (2, "m n o t u")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in dedup_chunks_keep_first(df, chunk_tokens=3).collect()}
+    assert (got[1].n_kept, got[1].residual_text) == (2, "p q r t u")
+    assert (got[2].n_kept, got[2].residual_text) == (1, "m n o")
+    with pytest.raises(ValueError):
+        dedup_chunks_keep_first(df, chunk_tokens=0)
+
+
+def test_balanced_shards_rank_and_balance(spark):
+    """Global rank = (weight desc, id asc) dealt round-robin; with a hot
+    weight value and a tiny id_block the sub-bucket bases must still compose
+    into the exact global rank, and per-shard weight totals stay within one
+    max-weight of each other."""
+    from hdp2_5_hive2_spark.llm.curation import balanced_shards
+
+    rows = [(i, 10) for i in range(8)] + [(i, 20 - i) for i in range(8, 16)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = balanced_shards(df, n_shards=4, id_block=3).collect()
+    by_rank = sorted(got, key=lambda r: r.rank)
+    # weights desc: ids 8..15 carry 12,11,10,..,5 interleaved with the hot 10s
+    expect_order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    assert [r.doc_id for r in by_rank] == [t[0] for t in expect_order]
+    assert [r.rank for r in by_rank] == list(range(1, 17))
+    assert all(r.shard == (r.rank - 1) % 4 for r in got)
+    totals = {}
+    for r in got:
+        totals[r.shard] = totals.get(r.shard, 0) + r.n_tokens
+    assert max(totals.values()) - min(totals.values()) <= 20
+    with pytest.raises(ValueError):
+        balanced_shards(df, n_shards=0)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two 3-deep lists: doc 1 is rank 1 in both (2/61), doc 2 only list A
+    rank 2 (1/62), doc 3 only list B rank 2 (1/62 — exact tie with doc 2,
+    broken by id), doc 4 only list A rank 3 (1/63)."""
+    from hdp2_5_hive2_spark.llm.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (4, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(1, 1), (3, 2), (5, 3)], ["doc_id", "rank"])
+    got = rrf_fuse([a, b], k0=60, topk=10).collect()
+    order = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [1, 2, 3, 4, 5]
+    scores = {r.doc_id: r.rrf_score for r in got}
+    assert scores[1] == 1.0 / 61 + 1.0 / 61
+    assert scores[2] == scores[3] == 1.0 / 62
+    with pytest.raises(ValueError):
+        rrf_fuse([], topk=5)

@@ -479,3 +479,51 @@ def test_contrastive_negative_pick_uses_window_group_limit(spark):
     pairs = dedup.minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
     plan = _executed(curation.contrastive_pairs(d, pairs))
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_balanced_shards_broadcasts_bases_no_global_window(spark):
+    """The two-phase rank must broadcast the bucket-base table (bucket-
+    cardinality-sized) and never run a partition-less global window over the
+    corpus — every Window node's spec carries a partition key."""
+    from hdp2_5_hive2_spark.llm.curation import balanced_shards
+    from hdp2_5_hive2_spark.llm.text import token_count
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    w = d.select("doc_id", token_count("text").alias("n_tokens"))
+    df = balanced_shards(w, n_shards=8)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus-sized rank window partitions by (weight, block); the only
+    # unpartitioned window runs over the tiny bucket-count aggregate, which
+    # sits UNDER the broadcast exchange side of the join
+    corpus_side = plan.split("BroadcastExchange")[0]
+    for seg in corpus_side.split("Window ")[1:]:
+        head = seg.split("\n")[0]
+        assert "partitionBy" not in head or "n_tokens" in head, head
+
+
+def test_chunk_dedup_keep_first_shuffles_hashes_not_chunk_text(spark):
+    """The keep-first exchange carries (fp, id, chunk_idx) — chunk_text is
+    md5'd away below every hash exchange; the full document text crosses
+    exactly one exchange (the doc-keyed rebuild join)."""
+    from hdp2_5_hive2_spark.llm.dedup import dedup_chunks_keep_first
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = _executed(dedup_chunks_keep_first(d, chunk_tokens=15))
+    assert "chunk_text" not in "".join(
+        seg.split("\n")[0] for seg in plan.split("Exchange hashpartitioning")[1:]
+    ), plan
+
+
+def test_rrf_fusion_joins_listsized_frames(spark):
+    """RRF operates on topk-bounded lists: the fused plan's final rank
+    window sees a frame no wider than the joined rank slots (no text / no
+    embedding columns above the producers)."""
+    from hdp2_5_hive2_spark.llm import retrieval
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    a = retrieval.bm25_rank(d, ["spark", "join"], topk=10).select("doc_id", "rank")
+    b = retrieval.bm25_rank(d, ["window", "merge"], topk=10).select("doc_id", "rank")
+    plan = _executed(retrieval.rrf_fuse([a, b], topk=5))
+    tail = plan.split("FullOuter")[0]
+    assert "text#" not in tail.split("\n")[0]
