@@ -897,3 +897,66 @@ def nearest_anchor(
         .mapInPandas(gen, f"_id {id_type}, anchor_id {aid_type}, score double")
         .withColumnRenamed("_id", id_col)
     )
+
+
+def rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidate_k: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving: cheap int8-quantized candidate generation
+    (:func:`quantized_topk`, ``candidate_k`` per query) followed by an
+    EXACT float cosine re-rank of just those candidates — the standard
+    coarse-then-precise retrieval layout (quantized index scans the
+    corpus; the float vectors are fetched only for the shortlist).
+
+    Returns (query_id, neighbor_id, rank), rank 1..k by exact cosine over
+    the candidate set, ties broken by neighbor id.
+
+    Plan / 100 TB notes: stage 1 is the quantized corpus scan (¼ the
+    float32 bytes); stage 2 touches candidate_k × Q rows only, so the
+    exact cosine here runs as Catalyst ``zip_with``/``aggregate`` HOFs —
+    interpreted, but over a shortlist-sized frame where that cost is
+    irrelevant (the same HOFs on the full corpus were measured at
+    ~30 µs/pair and rejected for stage 1). The float-vector fetch is a
+    corpus-keyed join on neighbor_id; the query block broadcasts."""
+    if k <= 0 or candidate_k < k:
+        raise ValueError("need 0 < k <= candidate_k")
+    cand = quantized_topk(
+        corpus, queries, k=candidate_k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("_cv", "_qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("_cv", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("_qv", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    scored = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", (dot / (nc * nq)).alias("_score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -517,3 +517,53 @@ def token_diversity(
             "gini"
         ),
     )
+
+
+def top_ngram_fraction(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021, table A1): the
+    fraction of a document's n-gram occurrences claimed by its single most
+    frequent n-gram — degenerate/boilerplate text scores high. Complements
+    :func:`repetition_stats` (which measures how many n-grams are
+    duplicated at all, not how dominant the top one is).
+
+    Output: (id_col, n_ngrams, top_ngram, top_count, top_frac); documents
+    with fewer than ``n`` tokens yield no n-grams and are omitted. Count
+    ties break on the lexicographically smallest n-gram (ASCII/binary
+    collation on both engines).
+
+    Plan / 100 TB notes: n-grams explode via ``arrays_zip`` over shifted
+    ``slice`` views — lambda-free, so the whole expansion stays in
+    whole-stage codegen (a ``transform()`` n-gram builder evaluates
+    interpreted, PERF.md r5). One (id, ngram) shuffle with map-side
+    partial counts; the per-doc argmax compiles to WindowGroupLimit."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    # greatest(...,0): a doc shorter than n tokens yields empty views (and
+    # no row after explode) instead of a negative-length slice error
+    views = [
+        F.slice(toks, i + 1, F.greatest(n_tok - n + 1, F.lit(0))) for i in range(n)
+    ]
+    grams = F.arrays_zip(*views) if n > 1 else F.arrays_zip(views[0])
+    exploded = (
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(id_col, F.concat_ws(" ", F.col("_g.*")).alias("ngram"))
+    )
+    counts = exploded.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = W.partitionBy(id_col)
+    ranked = counts.withColumn(
+        "_rn",
+        F.row_number().over(per_doc.orderBy(F.desc("cnt"), F.asc("ngram"))),
+    ).withColumn("n_ngrams", F.sum("cnt").over(per_doc))
+    return ranked.filter(F.col("_rn") == 1).select(
+        id_col,
+        "n_ngrams",
+        F.col("ngram").alias("top_ngram"),
+        F.col("cnt").alias("top_count"),
+        (F.col("cnt").cast("double") / F.col("n_ngrams")).alias("top_frac"),
+    )

@@ -75,6 +75,8 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_chunk_dedup_keep_first",   # CCNet chunk-removal transform (r6)
     "llm_balanced_shards",          # two-phase-rank LPT sharding (r6)
     "llm_rrf_fusion",               # reciprocal-rank hybrid retrieval (r6)
+    "llm_top_ngram_fraction",       # Gopher top-bigram dominance filter (r6)
+    "llm_two_stage_rerank",         # quantized-candidates + exact rerank (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

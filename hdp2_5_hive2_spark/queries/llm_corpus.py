@@ -2854,3 +2854,102 @@ def llm_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_checksum"),
         F.min("rank").alias("first_rank"),
     )
+
+
+@query(
+    "llm_top_ngram_fraction",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), big AS (
+      SELECT doc_id, t[u.i + 1] || ' ' || t[u.i + 2] AS ngram
+      FROM toks, unnest(range(len(t) - 1)) AS u(i)
+    ), cnt AS (
+      SELECT doc_id, ngram, count(*) AS cnt FROM big GROUP BY doc_id, ngram
+    ), ranked AS (
+      SELECT doc_id, ngram, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_ngrams,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, ngram) AS rn
+      FROM cnt
+    )
+    SELECT doc_id, n_ngrams, ngram AS top_ngram,
+           CAST(cnt AS BIGINT) AS top_count,
+           CAST(cnt AS DOUBLE) / n_ngrams AS top_frac
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("llm", "text", "quality", "gopher"),
+)
+def llm_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-bigram dominance filter (llm.text.top_ngram_fraction,
+    Rae et al. 2021 table A1): per document, the share of bigram
+    occurrences claimed by the single most frequent bigram — degenerate /
+    boilerplate text scores high where repetition_stats' dup fractions
+    measure breadth, not dominance. Lambda-free arrays_zip n-gram
+    expansion (codegen), one (id, ngram) shuffle, WindowGroupLimit
+    argmax; count ties break on the lexicographically smallest bigram."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return text.top_ngram_fraction(d, n=2)
+
+
+@query(
+    "llm_two_stage_rerank",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 5
+    ), qq AS (
+      SELECT vec_id,
+             list_transform(v, x -> greatest(-127.0, least(127.0,
+               floor(x * (CASE WHEN m = 0.0 THEN 1.0 ELSE 127.0 / m END))))) AS qv
+      FROM (SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+            FROM q)
+    ), qc AS (
+      SELECT vec_id,
+             list_transform(v, x -> greatest(-127.0, least(127.0,
+               floor(x * (CASE WHEN m = 0.0 THEN 1.0 ELSE 127.0 / m END))))) AS qv
+      FROM (SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+            FROM c)
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qq.vec_id AS query_id, qc.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qq.vec_id
+                 ORDER BY list_dot_product(qc.qv, qq.qv)
+                          / (sqrt(list_dot_product(qc.qv, qc.qv))
+                             * sqrt(list_dot_product(qq.qv, qq.qv))) DESC,
+                          qc.vec_id
+               ) AS rank
+        FROM qc CROSS JOIN qq
+      ) WHERE rank <= 30
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             row_number() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(c.v, q.v) DESC, cand.neighbor_id
+             ) AS rank
+      FROM cand
+      JOIN c ON cand.neighbor_id = c.vec_id
+      JOIN q ON cand.query_id = q.vec_id
+    ) WHERE rank <= 10
+    """,
+    tags=("llm", "similarity", "ann", "rerank"),
+)
+def llm_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving (llm.similarity.rerank_topk): int8-quantized
+    candidate generation (top-30 per query — integer arithmetic, scores
+    bit-identical cross-engine) followed by exact float-cosine re-rank of
+    just the shortlist, emitting the final top-10. The coarse-then-precise
+    layout quantized indexes ship with: the corpus scan reads ¼ the bytes,
+    floats are fetched only for candidate_k rows per query. Final ranks
+    are engine-stable (random 64-d vectors never near-tie; residual ties
+    break on neighbor id both sides)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus, queries = e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
+    return similarity.rerank_topk(corpus, queries, k=10, candidate_k=30)

@@ -1037,3 +1037,47 @@ def test_rrf_fuse_hand_computed(spark):
     assert scores[2] == scores[3] == 1.0 / 62
     with pytest.raises(ValueError):
         rrf_fuse([], topk=5)
+
+
+def test_top_ngram_fraction_hand_computed(spark):
+    """'a b a b a' → 4 bigrams, top 'a b'×2 → 0.5; single-token docs yield
+    no n-grams and are omitted; ties break on the smaller bigram; n=3
+    counts trigrams."""
+    from hdp2_5_hive2_spark.llm.text import top_ngram_fraction
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, "p q r")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in top_ngram_fraction(df, n=2).collect()}
+    assert set(got) == {1, 3}
+    assert (got[1].n_ngrams, got[1].top_ngram, got[1].top_count, got[1].top_frac) == (
+        4, "a b", 2, 0.5
+    )
+    assert (got[3].top_ngram, got[3].top_count) == ("p q", 1)
+    tri = {r.doc_id: r for r in top_ngram_fraction(df, n=3).collect()}
+    assert (tri[1].n_ngrams, tri[1].top_ngram, tri[1].top_count) == (3, "a b a", 2)
+    assert 3 not in tri or tri[3].top_count == 1
+    with pytest.raises(ValueError):
+        top_ngram_fraction(df, n=0)
+
+
+def test_rerank_topk_exhaustive_candidates_match_exact(spark):
+    """With candidate_k = |corpus| the quantized stage recalls everything,
+    so the exact re-rank must reproduce brute_force_topk's neighbor ranking
+    exactly; k > candidate_k raises."""
+    e = load_tables(spark, SF_CORRECT)["embeddings"].filter(F.col("vec_id") < 60)
+    corpus, queries = e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
+    n_corpus = corpus.count()
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.brute_force_topk(corpus, queries, k=10).collect()
+    }
+    rer = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.rerank_topk(
+            corpus, queries, k=10, candidate_k=n_corpus
+        ).collect()
+    }
+    assert rer == exact
+    with pytest.raises(ValueError):
+        similarity.rerank_topk(corpus, queries, k=10, candidate_k=5)
