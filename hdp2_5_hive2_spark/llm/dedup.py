@@ -697,3 +697,68 @@ def dedup_chunks_keep_first(
         F.size("_kept_toks").alias("n_tokens_kept"),
         F.array_join("_kept_toks", " ").alias("residual_text"),
     )
+
+
+def minhash_lsh_pairs_cross(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Incremental-ingest near-dedup: MinHash+LSH candidates between a NEW
+    batch and an EXISTING reference corpus only — no new×new and no
+    ref×ref pairs, which is what makes this the production crawl-ingest
+    path (the reference side's signatures are computed once and act as the
+    standing index; each incoming batch bucket-joins against it instead of
+    re-deduping the whole corpus quadratically).
+
+    Returns (new_id, ref_id, jaccard) with jaccard >= threshold, exact-
+    Jaccard verified — same guarantee as :func:`minhash_lsh_pairs`, so the
+    output equals the exhaustive exact new×ref scan at the same threshold.
+
+    Scale notes: both sides reduce to (id, band_id, band_hash) 20-byte
+    rows map-side (one Arrow pass each; the ref side's pass is the
+    once-per-index cost — persist its banded frame across batches);
+    the bucket join shuffles ids only, and verification re-shingles just
+    the candidate documents from each side."""
+    b_new = _banded_memo(new_df, text_col, id_col, num_hashes, bands, n_shingle)
+    b_ref = _banded_memo(ref_df, text_col, id_col, num_hashes, bands, n_shingle)
+    cand_ids = (
+        b_new.select(F.col("id").alias("new_id"), "band_id", "band_hash")
+        .join(
+            b_ref.select(F.col("id").alias("ref_id"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .select("new_id", "ref_id")
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+    new_docs = new_df.join(
+        cand_ids.select(F.col("new_id").alias("cid")),
+        F.col(id_col) == F.col("cid"),
+        "leftsemi",
+    )
+    ref_docs = ref_df.join(
+        cand_ids.select(F.col("ref_id").alias("cid")),
+        F.col(id_col) == F.col("cid"),
+        "leftsemi",
+    )
+    sh_new = shingle_sets(new_docs, text_col, id_col, n=n_shingle).select(
+        F.col("id").alias("new_id"), F.col("sh").alias("sh_n")
+    )
+    sh_ref = shingle_sets(ref_docs, text_col, id_col, n=n_shingle).select(
+        F.col("id").alias("ref_id"), F.col("sh").alias("sh_r")
+    )
+    jac = F.size(F.array_intersect("sh_n", "sh_r")) / F.size(
+        F.array_union("sh_n", "sh_r")
+    )
+    return (
+        cand_ids.join(sh_new, "new_id")
+        .join(sh_ref, "ref_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "ref_id", "jaccard")
+    )

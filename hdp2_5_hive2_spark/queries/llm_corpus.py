@@ -2781,7 +2781,7 @@ def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                           FILTER (WHERE occ = 1), '')) AS residual_fp
     FROM kf GROUP BY doc_id
     """,
-    tags=("llm", "dedup", "transform"),
+    tags=("llm", "dedup", "transform", "bench"),
 )
 def llm_chunk_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level dedup as a TRANSFORM (llm.dedup.dedup_chunks_keep_first,
@@ -2939,7 +2939,7 @@ def llm_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN q ON cand.query_id = q.vec_id
     ) WHERE rank <= 10
     """,
-    tags=("llm", "similarity", "ann", "rerank"),
+    tags=("llm", "similarity", "ann", "rerank", "bench"),
 )
 def llm_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN serving (llm.similarity.rerank_topk): int8-quantized
@@ -2953,3 +2953,62 @@ def llm_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["embeddings"]
     corpus, queries = e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
     return similarity.rerank_topk(corpus, queries, k=10, candidate_k=30)
+
+
+@query(
+    "llm_cross_dedup_incremental",
+    oracle=r"""
+    WITH newt AS (
+      SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(t[1 : len(t) - 1], ' ') AS text
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE doc_id < 30)
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id,
+             array_to_string(list_reverse(t), ' ') AS text
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE doc_id >= 200 AND doc_id < 230)
+    ), sn AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM newt)
+    ), sr AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+    )
+    SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+           CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.sh, r.sh))) AS jaccard
+    FROM sn n CROSS JOIN sr r
+    WHERE len(n.sh) >= 1 AND len(r.sh) >= 1
+      AND CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(n.sh, r.sh))) >= 0.8
+    """,
+    tags=("llm", "dedup", "minhash", "incremental"),
+)
+def llm_cross_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-ingest near-dedup (llm.dedup
+    .minhash_lsh_pairs_cross): a NEW batch — 30 docs that are existing
+    docs minus their last token (true near-dups) plus 30 word-REVERSED
+    docs (trigram-destroyed, must NOT pair) — is LSH-bucket-joined against
+    the standing corpus index; no new×new or ref×ref candidates are ever
+    generated. The oracle is the exhaustive exact-Jaccard new×ref scan at
+    the same 0.8 threshold, so both LSH misses and false survivors fail
+    the hash."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    dropped = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    reversed_ = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 230)).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(toks)).alias("text"),
+    )
+    new_batch = dropped.unionAll(reversed_)
+    return dedup.minhash_lsh_pairs_cross(
+        new_batch, d, num_hashes=32, bands=16, threshold=0.8
+    )

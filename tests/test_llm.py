@@ -1081,3 +1081,20 @@ def test_rerank_topk_exhaustive_candidates_match_exact(spark):
     assert rer == exact
     with pytest.raises(ValueError):
         similarity.rerank_topk(corpus, queries, k=10, candidate_k=5)
+
+
+def test_minhash_cross_pairs_only_new_vs_ref(spark):
+    """Planted: every new doc is an existing doc minus its last token. The
+    cross variant must recover every (new, original) pair, never emit a
+    ref×ref or new×new pair, and never pair a new doc with an unrelated
+    ref doc (exact-Jaccard verification kills band collisions)."""
+    d = load_tables(spark, SF_CORRECT)["documents"].filter(F.col("doc_id") < 120)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    new = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    got = dedup.minhash_lsh_pairs_cross(new, d, threshold=0.8).collect()
+    pairs = {(r.new_id, r.ref_id) for r in got}
+    assert {(i + 1000000, i) for i in range(40)} <= pairs
+    assert all(n >= 1000000 > r for n, r in pairs)
