@@ -646,3 +646,59 @@ def balanced_shards(
             .alias("shard"),
         )
     )
+
+
+def temperature_epoch_plan(
+    df: DataFrame,
+    budget_multiple: int = 4,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Epoch/repeat-factor planning for a temperature-flattened mixture
+    (the audit run before launching training: which sources must repeat,
+    and how often, to fill the token budget). Budget B = budget_multiple ×
+    total corpus tokens; each source draws p_s = sqrt(n_s) / Σ sqrt(n_s)
+    of it (the T=0.5 mT5/XLM-R sampling rule), so its data repeats for
+    epochs_needed = B·p_s / n_s epochs — > budget_multiple means the
+    flattening up-samples the source beyond uniform replay.
+
+    Output: (source, n_docs, n_tokens, p_mix, epochs_needed, over_uniform).
+
+    Exactness discipline: the mixture normalizer is an order-DEPENDENT
+    float sum, so it folds over the per-source sqrt values in SORTED order
+    — a fixed sequence of single IEEE adds that both engines reproduce
+    bitwise (Catalyst ``aggregate`` over ``sort_array`` here; sorted-list
+    fold in SQL). Every other double is one correctly-rounded op on exact
+    integers. The source table is mixture-sized (not corpus-sized), so the
+    interpreted HOF fold is irrelevant to scale: the corpus itself is
+    touched once, map-side, for token counts."""
+    if budget_multiple <= 0:
+        raise ValueError("budget_multiple must be positive")
+    from hdp2_5_hive2_spark.llm.text import token_count
+
+    w = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    )
+    t = w.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.sqrt(F.col("n_tokens").cast("double")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_norm"),
+    )
+    p = F.sqrt(F.col("n_tokens").cast("double")) / F.col("_norm")
+    budget = (F.lit(budget_multiple) * F.col("_total")).cast("double")
+    epochs = budget * p / F.col("n_tokens").cast("double")
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            p.alias("p_mix"),
+            epochs.alias("epochs_needed"),
+            (epochs > F.lit(float(budget_multiple))).alias("over_uniform"),
+        )
+    )

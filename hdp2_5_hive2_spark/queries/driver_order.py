@@ -78,6 +78,8 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_top_ngram_fraction",       # Gopher top-bigram dominance filter (r6)
     "llm_two_stage_rerank",         # quantized-candidates + exact rerank (r6)
     "llm_cross_dedup_incremental",  # new-batch vs corpus-index LSH dedup (r6)
+    "llm_length_trim",              # interquartile exact-percentile trim (r6)
+    "llm_epoch_plan",               # temperature-mixture repeat factors (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -3012,3 +3012,104 @@ def llm_cross_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_cross(
         new_batch, d, num_hashes=32, bands=16, threshold=0.8
     )
+
+
+@query(
+    "llm_length_trim",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), q AS (
+      SELECT quantile_cont(n_tokens, 0.25) AS q1,
+             quantile_cont(n_tokens, 0.75) AS q3
+      FROM w
+    )
+    SELECT w.source,
+           CAST(count(*) AS BIGINT) AS n_docs_total,
+           CAST(sum(CASE WHEN w.n_tokens >= q.q1 AND w.n_tokens <= q.q3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN w.n_tokens >= q.q1 AND w.n_tokens <= q.q3
+                         THEN w.doc_id END) AS BIGINT) AS kept_id_checksum,
+           q.q1 AS q1_tokens, q.q3 AS q3_tokens
+    FROM w CROSS JOIN q
+    GROUP BY w.source, q.q1, q.q3
+    """,
+    tags=("llm", "curation", "percentile"),
+)
+def llm_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interquartile length trim (the standard too-short/too-long document
+    filter expressed as exact corpus percentiles): keep documents whose
+    token count lies within [p25, p75], reported per source with id
+    checksums and the thresholds themselves. Exactness: token counts are
+    integers and quarter-fraction ranks interpolate exactly in float64, so
+    Spark `percentile` and DuckDB `quantile_cont` agree bitwise (same
+    argument as window_percentile_exact). Plan: one map-side token count,
+    a two-double global aggregate broadcast back, then one per-source
+    count — the corpus never shuffles by length."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = d.select("doc_id", "source", text.token_count("text").alias("n_tokens"))
+    q = w.agg(
+        F.percentile("n_tokens", F.lit(0.25)).alias("q1_tokens"),
+        F.percentile("n_tokens", F.lit(0.75)).alias("q3_tokens"),
+    )
+    kept = (F.col("n_tokens") >= F.col("q1_tokens")) & (
+        F.col("n_tokens") <= F.col("q3_tokens")
+    )
+    return (
+        w.crossJoin(F.broadcast(q))
+        .groupBy("source", "q1_tokens", "q3_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("doc_id"))).alias("kept_id_checksum"),
+        )
+        .select(
+            "source",
+            "n_docs_total",
+            "n_docs_kept",
+            "kept_id_checksum",
+            "q1_tokens",
+            "q3_tokens",
+        )
+    )
+
+
+@query(
+    "llm_epoch_plan",
+    oracle=r"""
+    WITH w AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             list_aggregate(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
+                            'sum') AS norm
+      FROM w
+    )
+    SELECT w.source, w.n_docs, w.n_tokens,
+           sqrt(CAST(w.n_tokens AS DOUBLE)) / t.norm AS p_mix,
+           CAST(4 * t.total_tokens AS DOUBLE)
+             * (sqrt(CAST(w.n_tokens AS DOUBLE)) / t.norm)
+             / CAST(w.n_tokens AS DOUBLE) AS epochs_needed,
+           CAST(4 * t.total_tokens AS DOUBLE)
+             * (sqrt(CAST(w.n_tokens AS DOUBLE)) / t.norm)
+             / CAST(w.n_tokens AS DOUBLE) > 4.0 AS over_uniform
+    FROM w CROSS JOIN t
+    """,
+    tags=("llm", "curation", "mixture", "planning"),
+)
+def llm_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-factor planning audit (llm.curation.temperature_epoch_plan):
+    with a budget of 4× the corpus tokens and a T=0.5 temperature mixture,
+    how many epochs must each source replay, and which sources repeat
+    beyond uniform. The mixture normalizer Σ sqrt(n_s) folds in SORTED
+    order on both engines — the one order-dependent float sum in the
+    query, made deterministic instead of being dodged (cf. the relative
+    weights in llm_source_temperature_mix)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.temperature_epoch_plan(d, budget_multiple=4)

@@ -1098,3 +1098,22 @@ def test_minhash_cross_pairs_only_new_vs_ref(spark):
     pairs = {(r.new_id, r.ref_id) for r in got}
     assert {(i + 1000000, i) for i in range(40)} <= pairs
     assert all(n >= 1000000 > r for n, r in pairs)
+
+
+def test_temperature_epoch_plan_hand_computed(spark):
+    """Two sources, 100 and 400 tokens (one doc each): norm = 10+20 = 30,
+    p = 1/3 and 2/3, budget = 4*500 = 2000 → epochs = 2000*(1/3)/100 ≈ 6.67
+    (over uniform) and 2000*(2/3)/400 ≈ 3.33 (under)."""
+    from hdp2_5_hive2_spark.llm.curation import temperature_epoch_plan
+
+    df = spark.createDataFrame(
+        [(1, "a " * 99 + "a", "small"), (2, "b " * 399 + "b", "big")],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source: r for r in temperature_epoch_plan(df, budget_multiple=4).collect()}
+    assert got["small"].n_tokens == 100 and got["big"].n_tokens == 400
+    assert abs(got["small"].p_mix - 1 / 3) < 1e-12
+    assert abs(got["small"].epochs_needed - 2000 / 3 / 100) < 1e-9
+    assert got["small"].over_uniform and not got["big"].over_uniform
+    with pytest.raises(ValueError):
+        temperature_epoch_plan(df, budget_multiple=0)
