@@ -2,15 +2,20 @@
 
 Modules:
   - text: tokenization, quality scoring, language ID, winnowing/fingerprints,
-    n-grams, chunking/packing, diversity, normalization, PII scrub
-  - dedup: exact (+keep-best/prefix/chunk), MinHash+LSH, SimHash, n-gram
+    n-grams (+top-n-gram dominance), chunking/packing, diversity,
+    normalization, PII scrub
+  - dedup: exact (+keep-best/prefix/chunk), chunk-removal transform,
+    MinHash+LSH (self + incremental cross-corpus), SimHash, n-gram
     Jaccard, substring containment
   - similarity: embedding cosine top-k (brute force, LSH, IVF, int8
-    quantized), dup pairs, anchors/centroids/kNN, norm outliers
+    quantized, two-stage rerank), dup pairs, anchors/centroids/kNN,
+    norm outliers
   - curation: decontamination, connected components (label-prop + Kiveris
-    star), sampling (stratified/weighted/cap/contrastive), snapshot diff
+    star), sampling (stratified/weighted/cap/contrastive), snapshot diff,
+    balanced shards, temperature epoch planning
   - retrieval: TF-IDF, BM25, vocab stats, bigram LM (self + held-out),
-    DSIR importance weights, BPE pair counts, feature hashing
+    DSIR importance weights, BPE pair counts, feature hashing,
+    reciprocal-rank fusion
   - multimodal: binary-column plumbing with stubbed decoders
 
 All operators are DataFrame→DataFrame transforms built from JVM-side

@@ -80,6 +80,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_cross_dedup_incremental",  # new-batch vs corpus-index LSH dedup (r6)
     "llm_length_trim",              # interquartile exact-percentile trim (r6)
     "llm_epoch_plan",               # temperature-mixture repeat factors (r6)
+    "llm_ccnet_buckets",            # LM-score head/middle/tail tertiles (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

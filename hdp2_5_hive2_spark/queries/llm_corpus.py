@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.catalog import load_tables
-from hdp2_5_hive2_spark.llm import curation, dedup, similarity, text
+from hdp2_5_hive2_spark.llm import curation, dedup, retrieval, similarity, text
 from hdp2_5_hive2_spark.queries.registry import query
 
 # DuckDB-side shingle CTE reused by the Jaccard oracles (token 3-grams,
@@ -3113,3 +3113,87 @@ def llm_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights in llm_source_temperature_mix)."""
     d = load_tables(spark, sf_dir)["documents"]
     return curation.temperature_epoch_plan(d, budget_multiple=4)
+
+
+@query(
+    "llm_ccnet_buckets",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS ngram
+      FROM t WHERE len(t) >= 2
+    ), db AS (
+      SELECT doc_id, ngram, count(*) AS cnt FROM b GROUP BY doc_id, ngram
+    ), cb AS (
+      SELECT ngram, CAST(SUM(cnt) AS BIGINT) AS c_bg,
+             string_split(ngram, ' ')[1] AS w1
+      FROM db GROUP BY ngram
+    ), cp AS (
+      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cb GROUP BY w1
+    ), q AS (
+      SELECT cb.ngram,
+             CAST(floor((CAST(cb.c_bg AS DOUBLE) / cp.c_w1)
+                        * CAST(1048576 AS DOUBLE)) AS BIGINT) AS pq
+      FROM cb JOIN cp USING (w1)
+    ), sc AS (
+      SELECT db.doc_id,
+             CAST(SUM(db.cnt * q.pq) AS BIGINT)
+               // CAST(SUM(db.cnt) AS BIGINT) AS avg_q
+      FROM db JOIN q USING (ngram) GROUP BY db.doc_id
+    ), r AS (
+      SELECT doc_id, avg_q,
+             row_number() OVER (ORDER BY avg_q DESC, doc_id) AS rank,
+             count(*) OVER () AS n_total
+      FROM sc
+    )
+    SELECT CASE ((rank - 1) * 3) // n_total
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(min(avg_q) AS BIGINT) AS min_avg_q,
+           CAST(max(avg_q) AS BIGINT) AS max_avg_q
+    FROM r GROUP BY 1
+    """,
+    tags=("llm", "curation", "lm-score", "ccnet"),
+)
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail selection (Wenzek et al. 2020): rank every
+    document by its bigram-LM quality score and cut the corpus into score
+    tertiles — the step that keeps 'head' for pretraining. Composition of
+    two verified kernels: retrieval.bigram_lm_score's exact-int score_q
+    (quantized 2^-20 probabilities → bigint sums) divided down to an
+    integer per-doc avg_q, then curation.balanced_shards' two-phase
+    distributed rank over it — the bucket-base table is bounded by the
+    2^20 quantization lattice, never corpus-sized, so no global
+    single-partition window anywhere. Tertile = ((rank-1)*3) div n, all
+    integer arithmetic; ties rank by doc id on both engines."""
+    d = load_tables(spark, sf_dir)["documents"]
+    scored = retrieval.bigram_lm_score(d).select(
+        "doc_id", F.expr("score_q div n_bigrams").alias("avg_q")
+    )
+    ranked = curation.balanced_shards(
+        scored, n_shards=3, weight_col="avg_q"
+    ).select("doc_id", "avg_q", "rank")
+    tot = ranked.agg(F.count(F.lit(1)).alias("n_total"))
+    bucket = F.expr("((rank - 1) * 3) div n_total")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(bucket == 0, F.lit("head"))
+            .when(bucket == 1, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+            "doc_id",
+            "avg_q",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.min("avg_q").alias("min_avg_q"),
+            F.max("avg_q").alias("max_avg_q"),
+        )
+    )

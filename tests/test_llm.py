@@ -1117,3 +1117,79 @@ def test_temperature_epoch_plan_hand_computed(spark):
     assert got["small"].over_uniform and not got["big"].over_uniform
     with pytest.raises(ValueError):
         temperature_epoch_plan(df, budget_multiple=0)
+
+
+if _HYP:
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.data())
+    def test_balanced_shards_matches_python_reference_property(spark, data):
+        """Random (id, weight) frames with heavy weight collisions and a
+        tiny id_block: the distributed two-phase rank must equal the naive
+        single-machine sort enumeration for every row."""
+        from hdp2_5_hive2_spark.llm.curation import balanced_shards
+
+        rows = data.draw(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=10_000),
+                    st.integers(min_value=0, max_value=5),
+                ),
+                min_size=1,
+                max_size=40,
+                unique_by=lambda t: t[0],
+            )
+        )
+        n_shards = data.draw(st.integers(min_value=1, max_value=5))
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        got = {
+            r.doc_id: (r.rank, r.shard)
+            for r in balanced_shards(
+                df, n_shards=n_shards, weight_col="w", id_block=2
+            ).collect()
+        }
+        expect = {
+            i: (rk + 1, rk % n_shards)
+            for rk, (i, _) in enumerate(sorted(rows, key=lambda t: (-t[1], t[0])))
+        }
+        assert got == expect
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.data())
+    def test_dedup_chunks_keep_first_matches_python_reference_property(spark, data):
+        """Random small-vocab corpora (lots of chunk collisions): the
+        distributed keep-first transform must equal the sequential Python
+        reference — same kept flags, same residual text."""
+        from hdp2_5_hive2_spark.llm.dedup import dedup_chunks_keep_first
+
+        ct = data.draw(st.integers(min_value=1, max_value=3))
+        docs = data.draw(
+            st.lists(
+                st.lists(
+                    st.sampled_from(["a", "b", "c"]), min_size=1, max_size=9
+                ),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        seen: set[str] = set()
+        expect = {}
+        for i, toks in enumerate(docs):
+            kept_toks: list[str] = []
+            n_chunks = n_kept = 0
+            for s in range(0, len(toks), ct):
+                chunk = toks[s : s + ct]
+                n_chunks += 1
+                key = " ".join(chunk)
+                if key not in seen:
+                    seen.add(key)
+                    n_kept += 1
+                    kept_toks.extend(chunk)
+            expect[i] = (n_chunks, n_kept, len(kept_toks), " ".join(kept_toks))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.n_chunks, r.n_kept, r.n_tokens_kept, r.residual_text)
+            for r in dedup_chunks_keep_first(df, chunk_tokens=ct).collect()
+        }
+        assert got == expect
