@@ -435,3 +435,48 @@ def test_week_bucketing_floors_pre_epoch_days(spark):
     # python's // is floor division — the semantics the oracles use
     expected = [(-1) // 7, (-7) // 7, (-8) // 7, 0 // 7, 6 // 7, 7 // 7]
     assert got == expected == [-1, -1, -2, 0, 0, 1]
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark):
+    """The incremental cross-corpus near-dedup kernel is streamable by
+    construction: because candidates are only new-batch × static-index
+    (never new×new), per-micro-batch results are independent, so running
+    the kernel inside foreachBatch over ANY partitioning of the incoming
+    docs must union to exactly the one-shot result on the whole batch —
+    the production crawl-ingest loop."""
+    from hdp2_5_hive2_spark.llm import dedup
+
+    ref = load_tables(spark, SF_SMOKE)["documents"].select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    new = ref.filter(F.col("doc_id") < 24).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    want = {
+        (r.new_id, r.ref_id)
+        for r in dedup.minhash_lsh_pairs_cross(new, ref, threshold=0.8).collect()
+    }
+    assert len(want) >= 24  # every planted near-dup found in one shot
+
+    tmp = Path(tempfile.mkdtemp(prefix="docs_stream_"))
+    src = str(tmp / "in")
+    new.repartition(4).write.mode("overwrite").parquet(src)
+    got: set = set()
+
+    def sink(batch_df, batch_id):
+        got.update(
+            (r.new_id, r.ref_id)
+            for r in dedup.minhash_lsh_pairs_cross(
+                batch_df, ref, threshold=0.8
+            ).collect()
+        )
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert got == want
+    shutil.rmtree(tmp, ignore_errors=True)
