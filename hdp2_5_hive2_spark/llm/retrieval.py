@@ -515,3 +515,85 @@ def rrf_fuse(
         .filter(F.col("rank") <= topk)
         .select(id_col, "rrf_score", "rank")
     )
+
+
+def bpe_merge_step_stats(
+    df: DataFrame,
+    pair: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """One BPE merge iteration's accounting (Sennrich et al. 2016): pick
+    the most frequent adjacent character pair (or take ``pair``) and
+    compute exactly what applying it greedily left-to-right would do —
+    how many merges happen corpus-wide, how many word occurrences are
+    touched, and the symbol count before/after. This is the bookkeeping
+    the tokenizer-training loop runs every iteration to decide when to
+    stop; :func:`bpe_pair_counts` supplies iteration 0's candidate table.
+
+    Output: one row (pair, affected_word_occs, n_merges, symbols_before,
+    symbols_after).
+
+    Exact greedy math without a sequential scan: match positions i
+    (word[i:i+2] == pair) can only be CONSECUTIVE when the pair is a
+    doubled character, and a left-to-right greedy pass merges
+    ceil(len/2) = (len+1) div 2 matches out of each maximal run of
+    consecutive match positions — so merges come from a gaps-and-islands
+    grouping (position minus row_number), all integer arithmetic.
+
+    100 TB plan: corpus text is touched once (the word-count shuffle,
+    shared shape with bpe_pair_counts); match positions, islands, and the
+    merge arithmetic run over the DISTINCT vocabulary only (Heaps-bounded)
+    and are weighted by word counts at the end. All codegen built-ins —
+    no Python, no HOFs on the corpus path."""
+    from hdp2_5_hive2_spark.llm.text import tokens
+
+    if pair is None:
+        top = bpe_pair_counts(df, text_col=text_col, top_k=1).collect()
+        if not top:
+            raise ValueError("empty corpus: no adjacent pair to merge")
+        pair = top[0]["pair"]
+    if len(pair) != 2:
+        raise ValueError("pair must be exactly two characters")
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = vocab.agg(
+        F.sum(F.col("n") * F.length("word")).alias("symbols_before")
+    )
+    pos = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "n",
+            F.explode(F.expr("sequence(1, length(word) - 1)")).alias("i"),
+        )
+        .filter(F.col("word").substr(F.col("i"), F.lit(2)) == F.lit(pair))
+    )
+    w = Window.partitionBy("word").orderBy(F.col("i").asc())
+    islands = (
+        pos.withColumn("g", F.col("i") - F.row_number().over(w))
+        .groupBy("word", "n", "g")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    per_word = islands.groupBy("word", "n").agg(
+        F.sum(F.expr("(m + 1) div 2")).alias("mw")
+    )
+    agg = per_word.agg(
+        F.sum("n").alias("affected_word_occs"),
+        F.sum(F.col("n") * F.col("mw")).alias("n_merges"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .select(
+            F.lit(pair).alias("pair"),
+            F.coalesce("affected_word_occs", F.lit(0)).alias("affected_word_occs"),
+            F.coalesce("n_merges", F.lit(0)).alias("n_merges"),
+            "symbols_before",
+            (F.col("symbols_before") - F.coalesce("n_merges", F.lit(0))).alias(
+                "symbols_after"
+            ),
+        )
+    )

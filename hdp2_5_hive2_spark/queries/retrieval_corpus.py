@@ -865,3 +865,59 @@ def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=e, queries=e.filter(F.col("vec_id") == 7), k=50
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return retrieval.rrf_fuse([bm, ann], topk=20)
+
+
+@query(
+    "llm_bpe_merge_step",
+    oracle=_TOK_CTE
+    + r"""
+    , vocab AS (
+      SELECT term AS word, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE term <> '' GROUP BY term
+    ), cand AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM vocab, unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2
+      GROUP BY 1
+    ), top AS (
+      SELECT pair FROM cand ORDER BY cnt DESC, pair LIMIT 1
+    ), pos AS (
+      SELECT v.word, v.n, CAST(u.i AS BIGINT) AS i
+      FROM vocab v, unnest(generate_series(1, length(v.word) - 1)) AS u(i), top
+      WHERE length(v.word) >= 2
+        AND substr(v.word, CAST(u.i AS INT), 2) = top.pair
+    ), isl AS (
+      SELECT word, n,
+             i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+      FROM pos
+    ), runs AS (
+      SELECT word, n, g, CAST(count(*) AS BIGINT) AS m
+      FROM isl GROUP BY word, n, g
+    ), pw AS (
+      SELECT word, n, CAST(SUM((m + 1) // 2) AS BIGINT) AS mw
+      FROM runs GROUP BY word, n
+    ), tot AS (
+      SELECT CAST(SUM(n * length(word)) AS BIGINT) AS symbols_before FROM vocab
+    )
+    SELECT top.pair,
+           CAST(coalesce(SUM(pw.n), 0) AS BIGINT) AS affected_word_occs,
+           CAST(coalesce(SUM(pw.n * pw.mw), 0) AS BIGINT) AS n_merges,
+           tot.symbols_before,
+           tot.symbols_before - CAST(coalesce(SUM(pw.n * pw.mw), 0) AS BIGINT)
+             AS symbols_after
+    FROM tot CROSS JOIN top LEFT JOIN pw ON true
+    GROUP BY top.pair, tot.symbols_before
+    """,
+    tags=("llm", "retrieval", "bpe", "tokenizer"),
+)
+def llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration's exact accounting (llm.retrieval
+    .bpe_merge_step_stats): the top adjacent character pair is applied
+    greedily left-to-right and the resulting merge count, affected word
+    occurrences, and symbol totals are computed via gaps-and-islands
+    integer arithmetic over the DISTINCT vocabulary (each maximal run of
+    consecutive match positions yields (len+1) div 2 merges — consecutive
+    matches only occur for doubled-character pairs). The corpus is touched
+    once; everything downstream is Heaps-bounded vocab work."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.bpe_merge_step_stats(d)

@@ -1193,3 +1193,26 @@ if _HYP:
             for r in dedup_chunks_keep_first(df, chunk_tokens=ct).collect()
         }
         assert got == expect
+
+
+def test_bpe_merge_step_stats_hand_computed(spark):
+    """Greedy run math: corpus 'aaaa aaa ab' ×1 → top pair 'aa'
+    (weighted count 3+2=5 beats 'ab' at ... wait: pairs: aaaa→{aa×3},
+    aaa→{aa×2}, ab→{ab×1} → 'aa' cnt 5. Greedy merges: aaaa→2, aaa→1,
+    ab→0 → 3 merges over 2 affected words; symbols 4+3+2=9 → 6."""
+    from hdp2_5_hive2_spark.llm.retrieval import bpe_merge_step_stats
+
+    df = spark.createDataFrame([(1, "aaaa aaa ab")], ["doc_id", "text"])
+    r = bpe_merge_step_stats(df).collect()[0]
+    assert (r.pair, r.affected_word_occs, r.n_merges) == ("aa", 2, 3)
+    assert (r.symbols_before, r.symbols_after) == (9, 6)
+
+    # explicit non-doubled pair: 'abab abba' — 'ab' appears at 1,3 in abab
+    # (non-consecutive islands -> 2 merges) and at 1 in abba (1 merge)
+    df2 = spark.createDataFrame([(1, "abab abba")], ["doc_id", "text"])
+    r2 = bpe_merge_step_stats(df2, pair="ab").collect()[0]
+    assert (r2.pair, r2.affected_word_occs, r2.n_merges) == ("ab", 2, 3)
+    assert (r2.symbols_before, r2.symbols_after) == (8, 5)
+
+    with pytest.raises(ValueError):
+        bpe_merge_step_stats(df, pair="abc")
