@@ -597,3 +597,70 @@ def bpe_merge_step_stats(
             ),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterated BPE tokenizer training (Sennrich et al. 2016): ``n_merges``
+    rounds of (count adjacent symbol pairs over the distinct vocabulary →
+    take the most frequent → apply the merge), returning the learned merge
+    table (merge_idx, pair, cnt) — the artifact a BPE tokenizer ships.
+    Merged symbols are written as Unicode private-use placeholders
+    (U+E000+i), so later rounds merge merged symbols exactly like the real
+    algorithm; ``replace`` is greedy left-to-right non-overlapping in
+    Spark, DuckDB and Java alike, which IS the BPE merge order, and is
+    injective over a vocab that cannot yet contain the fresh symbol.
+
+    Plan / 100 TB notes: the corpus is touched ONCE (the word-count
+    shuffle); the vocab is localCheckpoint'ed and every round after is
+    Heaps-bounded vocab work — a pair count, a 1-row argmax collect (the
+    algorithm is inherently sequential in the merge table, so one tiny
+    driver round-trip per merge is the honest cost), and a map-side
+    replace. No Python touches any row."""
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    from hdp2_5_hive2_spark.llm.text import tokens
+
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, int]] = []
+    for i in range(n_merges):
+        pairs = (
+            vocab.filter(F.length("word") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(word) - 1),"
+                        " i -> substring(word, i, 2))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        pair, cnt = pairs[0]["pair"], int(pairs[0]["cnt"])
+        merges.append((i, pair, cnt))
+        vocab = vocab.select(
+            F.replace(F.col("word"), F.lit(pair), F.lit(chr(0xE000 + i))).alias(
+                "word"
+            ),
+            "n",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "merge_idx int, pair string, cnt bigint"
+    )

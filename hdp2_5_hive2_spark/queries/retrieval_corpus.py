@@ -921,3 +921,47 @@ def llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; everything downstream is Heaps-bounded vocab work."""
     d = load_tables(spark, sf_dir)["documents"]
     return retrieval.bpe_merge_step_stats(d)
+
+
+@query(
+    "llm_bpe_train3",
+    oracle=_TOK_CTE
+    + r"""
+    , v0 AS (
+      SELECT term AS word, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE term <> '' GROUP BY term
+    ), p0 AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM v0, unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2 GROUP BY 1
+    ), t0 AS (SELECT pair, cnt FROM p0 ORDER BY cnt DESC, pair LIMIT 1),
+    v1 AS (
+      SELECT replace(word, (SELECT pair FROM t0), chr(57344)) AS word, n FROM v0
+    ), p1 AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM v1, unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2 GROUP BY 1
+    ), t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    v2 AS (
+      SELECT replace(word, (SELECT pair FROM t1), chr(57345)) AS word, n FROM v1
+    ), p2 AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM v2, unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2 GROUP BY 1
+    ), t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)
+    SELECT 0 AS merge_idx, pair, cnt FROM t0
+    UNION ALL SELECT 1, pair, cnt FROM t1
+    UNION ALL SELECT 2, pair, cnt FROM t2
+    """,
+    tags=("llm", "retrieval", "bpe", "tokenizer"),
+)
+def llm_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of actual BPE training (llm.retrieval.bpe_train): each
+    round counts adjacent symbol pairs over the transformed vocabulary,
+    takes the (cnt desc, pair) argmax, and applies the merge with greedy
+    left-to-right replace into a fresh private-use symbol — so rounds 2-3
+    can (and do) merge previously-merged symbols, exactly like the real
+    algorithm. Output is the learned merge table. The corpus is scanned
+    once; every round is Heaps-bounded vocab work."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.bpe_train(d, n_merges=3)

@@ -1216,3 +1216,27 @@ def test_bpe_merge_step_stats_hand_computed(spark):
 
     with pytest.raises(ValueError):
         bpe_merge_step_stats(df, pair="abc")
+
+
+def test_bpe_train_learns_cascading_merges(spark):
+    """Cascading merges: corpus 'ababab'x3 + 'abc'x2. Round 0 merges 'ab'
+    (3 matches per 'ababab' x3 + 1 per 'abc' x2 = 11) into S0=U+E000, so
+    'ababab' becomes S0 S0 S0. Round 1 must merge the DOUBLED MERGED
+    symbol S0S0 (cnt 2x3=6 — greedy counts 2 pairs in S0S0S0? no: greedy
+    over a run of 3 S0s has 2 match positions but pair COUNTING is plain
+    adjacency: 2 per word x3 = 6), producing S1 S0. Round 2 merges S1S0
+    (cnt 3) — merged-symbol-on-merged-symbol, the real algorithm's
+    behavior."""
+    from hdp2_5_hive2_spark.llm.retrieval import bpe_train
+
+    S0, S1 = chr(0xE000), chr(0xE001)
+    df = spark.createDataFrame(
+        [(1, "ababab ababab ababab abc abc")], ["doc_id", "text"]
+    )
+    got = bpe_train(df, n_merges=3).collect()
+    assert [r.merge_idx for r in got] == [0, 1, 2]
+    assert (got[0].pair, got[0].cnt) == ("ab", 11)
+    assert (got[1].pair, got[1].cnt) == (S0 + S0, 6)
+    assert (got[2].pair, got[2].cnt) == (S1 + S0, 3)
+    with pytest.raises(ValueError):
+        bpe_train(df, n_merges=0)
