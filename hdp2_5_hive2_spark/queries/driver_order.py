@@ -83,6 +83,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_ccnet_buckets",            # LM-score head/middle/tail tertiles (r6)
     "llm_bpe_merge_step",           # greedy merge-round accounting (r6)
     "llm_bpe_train3",               # 3-round iterated BPE training (r6)
+    "llm_bpe_fertility_gain",       # learned-merge compression audit (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

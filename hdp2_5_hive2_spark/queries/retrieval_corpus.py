@@ -965,3 +965,91 @@ def llm_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; every round is Heaps-bounded vocab work."""
     d = load_tables(spark, sf_dir)["documents"]
     return retrieval.bpe_train(d, n_merges=3)
+
+
+@query(
+    "llm_bpe_fertility_gain",
+    oracle=_TOK_CTE
+    + r"""
+    , v0 AS (
+      SELECT term AS word, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE term <> '' GROUP BY term
+    ), p0 AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM v0, unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2 GROUP BY 1
+    ), t0 AS (SELECT pair FROM p0 ORDER BY cnt DESC, pair LIMIT 1),
+    v1 AS (
+      SELECT replace(word, (SELECT pair FROM t0), chr(57344)) AS word, n FROM v0
+    ), p1 AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM v1, unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2 GROUP BY 1
+    ), t1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    v2 AS (
+      SELECT replace(word, (SELECT pair FROM t1), chr(57345)) AS word, n FROM v1
+    ), p2 AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM v2, unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2 GROUP BY 1
+    ), t2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+    v3 AS (
+      SELECT replace(word, (SELECT pair FROM t2), chr(57346)) AS word, n FROM v2
+    ), stats AS (
+      SELECT (SELECT CAST(SUM(n * length(word)) AS BIGINT) FROM v0) AS symbols_before,
+             (SELECT CAST(SUM(n * length(word)) AS BIGINT) FROM v3) AS symbols_after,
+             (SELECT CAST(SUM(n) AS BIGINT) FROM v0) AS word_occs
+    )
+    SELECT symbols_before, symbols_after, word_occs,
+           CAST(symbols_before - symbols_after AS DOUBLE)
+             / CAST(symbols_before AS DOUBLE) AS compression,
+           CAST(symbols_after AS DOUBLE) / CAST(word_occs AS DOUBLE)
+             AS fertility_after
+    FROM stats
+    """,
+    tags=("llm", "retrieval", "bpe", "tokenizer"),
+)
+def llm_bpe_fertility_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End use of the learned BPE merges: apply llm_bpe_train3's three
+    merge rules to the vocabulary and measure the corpus-weighted symbol
+    compression and resulting fertility (symbols per word occurrence) —
+    the number a tokenizer team watches to decide how many merges to buy.
+    Integer symbol totals; two single IEEE divisions at the end."""
+    d = load_tables(spark, sf_dir)["documents"]
+    from hdp2_5_hive2_spark.llm.text import tokens as _tokens
+
+    merges = retrieval.bpe_train(d, n_merges=3).collect()
+    vocab = (
+        d.select(F.explode(_tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    before = vocab.agg(
+        F.sum(F.col("n") * F.length("word")).alias("symbols_before"),
+        F.sum("n").alias("word_occs"),
+    )
+    after_word = F.col("word")
+    for m in merges:
+        after_word = F.replace(
+            after_word, F.lit(m["pair"]), F.lit(chr(0xE000 + m["merge_idx"]))
+        )
+    after = vocab.select(after_word.alias("word"), "n").agg(
+        F.sum(F.col("n") * F.length("word")).alias("symbols_after")
+    )
+    return (
+        before.crossJoin(F.broadcast(after))
+        .select(
+            "symbols_before",
+            "symbols_after",
+            "word_occs",
+            (
+                (F.col("symbols_before") - F.col("symbols_after")).cast("double")
+                / F.col("symbols_before").cast("double")
+            ).alias("compression"),
+            (
+                F.col("symbols_after").cast("double")
+                / F.col("word_occs").cast("double")
+            ).alias("fertility_after"),
+        )
+    )
