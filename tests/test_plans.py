@@ -527,3 +527,24 @@ def test_rrf_fusion_joins_listsized_frames(spark):
     plan = _executed(retrieval.rrf_fuse([a, b], topk=5))
     tail = plan.split("FullOuter")[0]
     assert "text#" not in tail.split("\n")[0]
+
+
+def test_length_trim_broadcasts_thresholds_single_corpus_shuffle(spark):
+    """The percentile thresholds reduce to a one-row broadcast; the corpus
+    itself shuffles only for the per-source aggregate — no length-keyed
+    exchange, no text column in any exchange."""
+    plan = _executed(REGISTRY["llm_length_trim"].fn(spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.split("\n")[0]
+        assert "text" not in head and "n_tokens" not in head, head
+
+
+def test_epoch_plan_mixture_table_broadcast(spark):
+    """The per-source table and its sorted-fold normalizer are
+    mixture-sized; the corpus contributes one map-side token-count pass
+    into the source aggregate, and the totals come back as a one-row
+    broadcast."""
+    plan = _executed(REGISTRY["llm_epoch_plan"].fn(spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
