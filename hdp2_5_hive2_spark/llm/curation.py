@@ -702,3 +702,97 @@ def temperature_epoch_plan(
             (epochs > F.lit(float(budget_multiple))).alias("over_uniform"),
         )
     )
+
+
+def decontaminate_bloom(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 22,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination — the constant-memory variant of
+    :func:`decontaminate` for when the eval suite's n-gram set is too
+    large to broadcast as strings: the eval n-grams compress into an
+    ``m_bits`` bitmap (m/8 bytes broadcast per executor, size independent
+    of |eval|), and every train document probes its distinct word
+    ``n``-grams against it. Output: (id_col, n_ngrams, n_flagged,
+    contaminated) — n_flagged counts Bloom-POSITIVE n-grams, which
+    includes the filter's false positives; with k=3 hash functions and
+    m=4M bits the FP rate is (1-e^(-kN/m))^k, and because the hash
+    positions are deterministic (md5-derived, the repo's cross-engine
+    idiom) the same false positives occur on any engine — the operator is
+    exactly reproducible, just intentionally one-sided.
+
+    Plan / 100 TB notes: the eval side reduces to <= k·|eval n-grams|
+    bit positions JVM-side (conv(md5)) and is collected ONCE to pack the
+    bitmap (driver memory = m/8 bytes); the train side is the same Arrow
+    n-gram pass decontaminate uses, followed by a vectorized probe against
+    the task-local bitmap — no join, no shuffle of n-grams; only the
+    per-doc (id, counts) rows aggregate."""
+    if n < 1 or k < 1 or m_bits < 8:
+        raise ValueError("need n >= 1, k >= 1, m_bits >= 8")
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    ev = word_ngram_rows(eval_df, text_col, id_col, n).select("ngram").distinct()
+    pos_cols = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("ngram"), F.lit(f"#{j}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        ).alias(f"p{j}")
+        for j in range(k)
+    ]
+    rows = ev.select(*pos_cols).collect()
+    bitmap = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+    for r in rows:
+        for j in range(k):
+            p = r[j]
+            bitmap[p >> 3] |= 1 << (p & 7)
+    spark = train_df.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap.tobytes())
+
+    grams = word_ngram_rows(train_df, text_col, id_col, n)
+
+    def probe(batches):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            flags = []
+            for g in pdf["ngram"]:
+                gb = g.encode("utf-8")
+                hit = True
+                for j in range(k):
+                    p = (
+                        int(hashlib.md5(gb + f"#{j}".encode()).hexdigest()[:8], 16)
+                        % m_bits
+                    )
+                    if not (bm[p >> 3] >> (p & 7)) & 1:
+                        hit = False
+                        break
+                flags.append(hit)
+            yield pd.DataFrame({"id": pdf["id"], "flag": flags})
+
+    probed = grams.mapInPandas(probe, "id bigint, flag boolean")
+    return (
+        probed.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("flag"), 1).otherwise(0)).alias("n_flagged"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_ngrams",
+            "n_flagged",
+            (F.col("n_flagged") > 0).alias("contaminated"),
+        )
+    )

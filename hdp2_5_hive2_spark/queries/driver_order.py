@@ -84,6 +84,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_bpe_merge_step",           # greedy merge-round accounting (r6)
     "llm_bpe_train3",               # 3-round iterated BPE training (r6)
     "llm_bpe_fertility_gain",       # learned-merge compression audit (r6)
+    "llm_decontaminate_bloom",      # constant-memory Bloom decontamination (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -3197,3 +3197,48 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("avg_q").alias("max_avg_q"),
         )
     )
+
+
+@query(
+    "llm_decontaminate_bloom",
+    oracle="WITH " + _ngram_cte(7) + """
+    , ev AS (SELECT DISTINCT ngram FROM ngd WHERE doc_id % 29 = 0),
+    pos AS (
+      SELECT DISTINCT
+             CAST(('0x' || substring(md5(ngram || '#' || j), 1, 8)) AS BIGINT)
+               % 4194304 AS p
+      FROM ev, unnest([0, 1, 2]) AS u(j)
+    ), tr AS (SELECT doc_id, ngram FROM ngd WHERE doc_id % 29 <> 0),
+    trpos AS (
+      SELECT doc_id, ngram,
+             CAST(('0x' || substring(md5(ngram || '#' || j), 1, 8)) AS BIGINT)
+               % 4194304 AS p
+      FROM tr, unnest([0, 1, 2]) AS u(j)
+    ),
+    probe AS (
+      SELECT t.doc_id, t.ngram,
+             SUM(CASE WHEN pos.p IS NULL THEN 0 ELSE 1 END) AS n_set
+      FROM trpos t LEFT JOIN pos ON pos.p = t.p
+      GROUP BY t.doc_id, t.ngram
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN n_set = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           SUM(CASE WHEN n_set = 3 THEN 1 ELSE 0 END) > 0 AS contaminated
+    FROM probe GROUP BY doc_id
+    """,
+    tags=("llm", "curation", "decontaminate", "bloom"),
+)
+def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (llm.curation.decontaminate_bloom):
+    same eval split as llm_decontaminate (doc_id % 29 stands in for the
+    benchmark suite), but the eval 8-grams compress to a 4M-bit bitmap
+    (k=3 md5-derived hash positions) that every train document probes —
+    the constant-broadcast-size scale path. The oracle reproduces the
+    EXACT filter semantics, false positives included, by testing each
+    train n-gram's 3 positions against the eval position set."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ev = d.where(F.col("doc_id") % 29 == 0)
+    tr = d.where(F.col("doc_id") % 29 != 0)
+    return curation.decontaminate_bloom(tr, ev, n=8, m_bits=1 << 22, k=3)

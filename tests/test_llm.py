@@ -1240,3 +1240,24 @@ def test_bpe_train_learns_cascading_merges(spark):
     assert (got[2].pair, got[2].cnt) == (S1 + S0, 3)
     with pytest.raises(ValueError):
         bpe_train(df, n_merges=0)
+
+
+def test_decontaminate_bloom_no_false_negatives(spark):
+    """Bloom filters are one-sided: every document that truly shares an
+    8-gram with the eval set MUST be flagged (no false negatives), and
+    flagged counts are >= the exact decontaminate counts (false positives
+    only add). Bad params raise."""
+    from hdp2_5_hive2_spark.llm import curation
+
+    d = load_tables(spark, SF_CORRECT)["documents"].filter(F.col("doc_id") < 120)
+    ev = d.where(F.col("doc_id") % 29 == 0)
+    tr = d.where(F.col("doc_id") % 29 != 0)
+    exact = {r.doc_id: r.n_hit_ngrams for r in curation.decontaminate(tr, ev, n=8).collect()}
+    bloom = {
+        r.doc_id: r.n_flagged
+        for r in curation.decontaminate_bloom(tr, ev, n=8).collect()
+    }
+    for doc, n_hits in exact.items():
+        assert bloom.get(doc, 0) >= n_hits, (doc, n_hits, bloom.get(doc))
+    with pytest.raises(ValueError):
+        curation.decontaminate_bloom(tr, ev, k=0)
