@@ -796,3 +796,60 @@ def decontaminate_bloom(
             (F.col("n_flagged") > 0).alias("contaminated"),
         )
     )
+
+
+def realize_mixture(
+    df: DataFrame,
+    budget_multiple: int = 4,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the :func:`temperature_epoch_plan`: every document gets
+    a deterministic integer copy count realizing its source's fractional
+    epoch requirement — floor(epochs) copies for everyone, plus one more
+    when the document's md5-uniform draw falls below the fractional part
+    (stochastic rounding that is exactly reproducible, the same md5-draw
+    device as weighted_sample). Aggregated per source, the realized token
+    counts land within one document of epochs × n_tokens.
+
+    Output: (source, n_docs, realized_docs, realized_tokens,
+    epochs_needed).
+
+    Determinism: epochs_needed is the epoch plan's bit-stable double
+    (sorted-fold normalizer); its floor and fractional part are single
+    IEEE ops; the draw is md5(id)[:8 hex] / 2^32 — an exact power-of-two
+    division — compared against the fraction. Identical decisions on any
+    engine. Plan: the per-source plan broadcasts (mixture-sized); one
+    map-side pass computes copies; one per-source aggregate."""
+    from hdp2_5_hive2_spark.llm.text import token_count
+
+    plan = temperature_epoch_plan(
+        df, budget_multiple=budget_multiple, text_col=text_col, source_col=source_col
+    ).select(source_col, "epochs_needed")
+    draw = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint") / F.lit(4294967296.0)
+    frac = F.col("epochs_needed") - F.floor("epochs_needed")
+    copies = (
+        F.floor("epochs_needed")
+        + F.when(draw < frac, F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    return (
+        df.select(id_col, source_col, token_count(text_col).alias("_nt"))
+        .join(F.broadcast(plan), source_col)
+        .select(source_col, "_nt", copies.alias("_c"), F.col("epochs_needed"))
+        .groupBy(source_col, "epochs_needed")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_c").alias("realized_docs"),
+            F.sum(F.col("_c") * F.col("_nt")).alias("realized_tokens"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "realized_docs",
+            "realized_tokens",
+            "epochs_needed",
+        )
+    )

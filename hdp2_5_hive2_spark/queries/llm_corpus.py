@@ -3242,3 +3242,58 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.where(F.col("doc_id") % 29 == 0)
     tr = d.where(F.col("doc_id") % 29 != 0)
     return curation.decontaminate_bloom(tr, ev, n=8, m_bits=1 << 22, k=3)
+
+
+@query(
+    "llm_mixture_realize",
+    oracle=r"""
+    WITH w AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             list_aggregate(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
+                            'sum') AS norm
+      FROM w
+    ), plan AS (
+      SELECT w.source,
+             CAST(4 * t.total_tokens AS DOUBLE)
+               * (sqrt(CAST(w.n_tokens AS DOUBLE)) / t.norm)
+               / CAST(w.n_tokens AS DOUBLE) AS epochs_needed
+      FROM w CROSS JOIN t
+    ), d AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS nt,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / CAST(4294967296 AS DOUBLE) AS draw
+      FROM documents
+    ), c AS (
+      SELECT d.source, d.nt, plan.epochs_needed,
+             CAST(floor(plan.epochs_needed)
+                  + CASE WHEN d.draw < plan.epochs_needed
+                                        - floor(plan.epochs_needed)
+                         THEN 1 ELSE 0 END AS BIGINT) AS copies
+      FROM d JOIN plan ON d.source = plan.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(copies) AS BIGINT) AS realized_docs,
+           CAST(sum(copies * nt) AS BIGINT) AS realized_tokens,
+           epochs_needed
+    FROM c GROUP BY source, epochs_needed
+    """,
+    tags=("llm", "curation", "mixture", "sampling"),
+)
+def llm_mixture_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized temperature mixture (llm.curation.realize_mixture):
+    llm_epoch_plan's fractional per-source epochs become integer per-doc
+    copy counts via md5-deterministic stochastic rounding, and the
+    realized per-source doc/token totals are audited against the plan.
+    Every decision is a comparison between bit-stable doubles (sorted-fold
+    epochs, power-of-two-division draws), so both engines replicate the
+    sampling exactly."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.realize_mixture(d, budget_multiple=4)

@@ -1261,3 +1261,25 @@ def test_decontaminate_bloom_no_false_negatives(spark):
         assert bloom.get(doc, 0) >= n_hits, (doc, n_hits, bloom.get(doc))
     with pytest.raises(ValueError):
         curation.decontaminate_bloom(tr, ev, k=0)
+
+
+def test_realize_mixture_bounds_and_determinism(spark):
+    """Realized tokens per source land within one document's tokens of
+    epochs × source tokens (stochastic rounding bound), and re-running
+    produces identical counts (md5 draws, no RNG)."""
+    from hdp2_5_hive2_spark.llm.curation import realize_mixture, temperature_epoch_plan
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    plan = {r.source: r for r in temperature_epoch_plan(d, 4).collect()}
+    got1 = {r.source: r for r in realize_mixture(d, 4).collect()}
+    got2 = {r.source: r for r in realize_mixture(d, 4).collect()}
+    assert {s: (r.realized_docs, r.realized_tokens) for s, r in got1.items()} == {
+        s: (r.realized_docs, r.realized_tokens) for s, r in got2.items()
+    }
+    for s, r in got1.items():
+        target = plan[s].epochs_needed * plan[s].n_tokens
+        # per-doc rounding error is < 1 copy of that doc; summed slack is
+        # bounded by the largest doc's tokens times the doc count variance —
+        # use a generous statistical bound that still catches sign errors
+        assert abs(r.realized_tokens - target) < 0.25 * plan[s].n_tokens, (
+            s, r.realized_tokens, target)
