@@ -50,6 +50,19 @@ def _shuffle_n(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
+def _arrow_fence(df: DataFrame) -> DataFrame:
+    """Parallelism fence for Arrow kernels, now conditional: mapInPandas
+    inherits the input partitioning, so a single small file would run the
+    kernel as ONE serial task — but when the upstream scan already carries
+    at least the session's shuffle width (the 100 TB case: thousands of
+    file splits), the extra full repartition would shuffle every byte of
+    text for nothing, so it is skipped."""
+    n = _shuffle_n(df)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def word_ngram_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
 ) -> DataFrame:
@@ -99,8 +112,7 @@ def word_ngram_counts(
             )
 
     return (
-        df.select(id_col, text_col)
-        .repartition(_shuffle_n(df))
+        _arrow_fence(df.select(id_col, text_col))
         .mapInPandas(gen, "id bigint, ngram string, cnt bigint")
     )
 

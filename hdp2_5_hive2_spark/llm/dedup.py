@@ -56,6 +56,19 @@ def _shuffle_n(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
+def _arrow_fence(df: DataFrame) -> DataFrame:
+    """Parallelism fence for Arrow kernels, now conditional: mapInPandas
+    inherits the input partitioning, so a single small file would run the
+    kernel as ONE serial task — but when the upstream scan already carries
+    at least the session's shuffle width (the 100 TB case: thousands of
+    file splits), the extra full repartition would shuffle every byte of
+    text for nothing, so it is skipped."""
+    n = _shuffle_n(df)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _shingle_list(text: str, n: int) -> list[str]:
     """Distinct, order-preserving token n-gram shingles of one document.
     Tokenization matches ``text.tokens`` (split on runs of whitespace,
@@ -111,8 +124,7 @@ def shingle_sets(
     # Parallelism fence: mapInPandas inherits the input partitioning, which
     # for a single small file is one serial task.
     return (
-        df.select(id_col, text_col)
-        .repartition(_shuffle_n(df))
+        _arrow_fence(df.select(id_col, text_col))
         .mapInPandas(gen, "id bigint, sh array<string>, n_tok int")
     )
 
@@ -171,8 +183,7 @@ def _minhash_banded(
             )
 
     return (
-        df.select(id_col, text_col)
-        .repartition(_shuffle_n(df))
+        _arrow_fence(df.select(id_col, text_col))
         .mapInPandas(gen, "id bigint, band_id int, band_hash bigint")
     )
 
@@ -310,8 +321,7 @@ def _simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             )
 
     return (
-        df.select(id_col, text_col)
-        .repartition(_shuffle_n(df))
+        _arrow_fence(df.select(id_col, text_col))
         .mapInPandas(gen, "id bigint, sh64 bigint")
     )
 

@@ -776,6 +776,12 @@ try:
         from hdp2_5_hive2_spark.llm.dedup import containment_pairs
 
         docs = [(i, " ".join(toks)) for i, toks in enumerate(data)]
+        # clamp so the planted slice is a full 6 = k+w-1 tokens: a shorter
+        # tail slice is OUTSIDE the winnowing guarantee's contract (inner
+        # docs under k+w-1 tokens are excluded by the n_kgrams filter) —
+        # hypothesis found exactly that hole with slice_at=3 on an 8-token
+        # doc 0
+        slice_at = min(slice_at, len(data[0]) - 6)
         inner_toks = data[0][slice_at : slice_at + 6]
         docs.append((999, " ".join(inner_toks)))
         df = spark.createDataFrame(docs, ["doc_id", "text"])
