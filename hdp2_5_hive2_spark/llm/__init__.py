@@ -10,12 +10,13 @@ Modules:
   - similarity: embedding cosine top-k (brute force, LSH, IVF, int8
     quantized, two-stage rerank), dup pairs, anchors/centroids/kNN,
     norm outliers
-  - curation: decontamination, connected components (label-prop + Kiveris
-    star), sampling (stratified/weighted/cap/contrastive), snapshot diff,
-    balanced shards, temperature epoch planning
+  - curation: decontamination (broadcast n-grams + Bloom-bitmap variant),
+    connected components (label-prop + Kiveris star), sampling
+    (stratified/weighted/cap/contrastive), snapshot diff, balanced
+    shards, temperature epoch planning + md5-rounded realization
   - retrieval: TF-IDF, BM25, vocab stats, bigram LM (self + held-out),
-    DSIR importance weights, BPE pair counts, feature hashing,
-    reciprocal-rank fusion
+    DSIR importance weights, BPE pair counts + merge-step accounting +
+    iterated training, feature hashing, reciprocal-rank fusion
   - multimodal: binary-column plumbing with stubbed decoders
 
 All operators are DataFrame→DataFrame transforms built from JVM-side
