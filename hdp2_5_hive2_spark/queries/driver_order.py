@@ -86,6 +86,8 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_bpe_fertility_gain",       # learned-merge compression audit (r6)
     "llm_decontaminate_bloom",      # constant-memory Bloom decontamination (r6)
     "llm_mixture_realize",          # md5-rounded epoch-plan materialization (r6)
+    "llm_containment_filter",       # contained-doc removal transform (r6)
+    "llm_bpe_doc_tokens",           # per-doc cost under learned merges (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

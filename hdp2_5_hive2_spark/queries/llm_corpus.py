@@ -3297,3 +3297,70 @@ def llm_mixture_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling exactly."""
     d = load_tables(spark, sf_dir)["documents"]
     return curation.realize_mixture(d, budget_multiple=4)
+
+
+@query(
+    "llm_containment_filter",
+    oracle="""
+    WITH sliced AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      WHERE doc_id < 30
+    ), corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, array_to_string(t[6:25], ' ') AS text
+      FROM sliced WHERE len(t) >= 25
+    ), tok AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM corpus
+    ), inner_ids AS (
+      SELECT DISTINCT a.doc_id
+      FROM tok a JOIN tok b ON a.doc_id <> b.doc_id
+      WHERE a.n_tokens >= 6
+        AND length(a.text) < length(b.text)
+        AND contains(b.text, a.text)
+    )
+    SELECT CAST(c.doc_id >= 2000000 AS BOOLEAN) AS is_planted,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN i.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN i.doc_id IS NULL THEN c.doc_id END) AS BIGINT)
+             AS kept_id_checksum
+    FROM corpus c LEFT JOIN inner_ids i ON c.doc_id = i.doc_id
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup", "containment", "transform"),
+)
+def llm_containment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup as a corpus FILTER: every document whose text is
+    verbatim inside a strictly longer document is dropped (the RefinedWeb
+    removal step, composed from containment_pairs' verified inner ids via
+    one anti join). Same planted corpus as llm_containment_dedup; the
+    audit shows all 30 planted slices removed and counts any organic
+    containments among the originals."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    planted = (
+        d.filter(F.col("doc_id") < 30)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 25)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(F.col("t"), 6, 20)).alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionAll(planted)
+    inner = dedup.containment_pairs(corpus).select(
+        F.col("inner_id").alias("doc_id")
+    ).distinct()
+    kept_flag = F.col("_in").isNull()
+    return (
+        corpus.join(inner.withColumn("_in", F.lit(1)), "doc_id", "left")
+        .groupBy((F.col("doc_id") >= 2000000).alias("is_planted"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept_flag, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept_flag, F.col("doc_id"))).alias("kept_id_checksum"),
+        )
+    )

@@ -1053,3 +1053,81 @@ def llm_bpe_fertility_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility_after"),
         )
     )
+
+
+@query(
+    "llm_bpe_doc_tokens",
+    oracle=_TOK_CTE
+    + r"""
+    , v0 AS (
+      SELECT term AS word, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE term <> '' GROUP BY term
+    ), p0 AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM v0, unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2 GROUP BY 1
+    ), t0 AS (SELECT pair FROM p0 ORDER BY cnt DESC, pair LIMIT 1),
+    v1 AS (
+      SELECT replace(word, (SELECT pair FROM t0), chr(57344)) AS word, n FROM v0
+    ), p1 AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM v1, unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2 GROUP BY 1
+    ), t1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    v2 AS (
+      SELECT replace(word, (SELECT pair FROM t1), chr(57345)) AS word, n FROM v1
+    ), p2 AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM v2, unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2 GROUP BY 1
+    ), t2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+    r AS (
+      SELECT doc_id,
+             length(term) AS lp,
+             length(replace(replace(replace(term,
+                      (SELECT pair FROM t0), chr(57344)),
+                      (SELECT pair FROM t1), chr(57345)),
+                      (SELECT pair FROM t2), chr(57346))) AS ls
+      FROM tok WHERE term <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(lp) AS BIGINT) AS symbols_plain,
+           CAST(sum(ls) AS BIGINT) AS symbols_bpe
+    FROM r GROUP BY doc_id
+    """,
+    tags=("llm", "retrieval", "bpe", "tokenizer"),
+)
+def llm_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenization cost under the learned BPE merges: apply
+    llm_bpe_train3's three rules (chained greedy replaces — sequential
+    application, exactly the training transform) to every word occurrence
+    and report per-doc symbol counts before/after — the per-example
+    context-window budget under the real tokenizer, where
+    llm_bpe_fertility_gain gave only the corpus aggregate. One explode +
+    codegen replace chain + one doc-keyed aggregate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    from hdp2_5_hive2_spark.llm.text import tokens as _tokens
+
+    merges = retrieval.bpe_train(d, n_merges=3).collect()
+    words = d.select(
+        "doc_id", F.explode(_tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    transformed = F.col("word")
+    for m in merges:
+        transformed = F.replace(
+            transformed, F.lit(m["pair"]), F.lit(chr(0xE000 + m["merge_idx"]))
+        )
+    return (
+        words.select(
+            "doc_id",
+            F.length("word").alias("lp"),
+            F.length(transformed).alias("ls"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("lp").alias("symbols_plain"),
+            F.sum("ls").alias("symbols_bpe"),
+        )
+    )
