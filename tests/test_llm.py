@@ -1289,3 +1289,42 @@ def test_realize_mixture_bounds_and_determinism(spark):
         # use a generous statistical bound that still catches sign errors
         assert abs(r.realized_tokens - target) < 0.25 * plan[s].n_tokens, (
             s, r.realized_tokens, target)
+
+
+if _HYP:
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.data())
+    def test_rrf_fuse_matches_python_reference_property(spark, data):
+        """Random N ranked lists (N in 1..3, partial overlap, arbitrary
+        k0): the fused order and scores must equal the sequential Python
+        reference, including exact ties broken by id."""
+        from hdp2_5_hive2_spark.llm.retrieval import rrf_fuse
+
+        n_lists = data.draw(st.integers(min_value=1, max_value=3))
+        k0 = data.draw(st.integers(min_value=1, max_value=90))
+        lists = []
+        for _ in range(n_lists):
+            ids = data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=30),
+                    min_size=1,
+                    max_size=8,
+                    unique=True,
+                )
+            )
+            lists.append([(d, r + 1) for r, d in enumerate(ids)])
+        expect: dict[int, float] = {}
+        for lst in lists:
+            for d, r in lst:
+                expect[d] = expect.get(d, 0.0) + 1.0 / (k0 + r)
+        order = sorted(expect, key=lambda d: (-expect[d], d))
+        dfs = [spark.createDataFrame(l, ["doc_id", "rank"]) for l in lists]
+        got = sorted(
+            rrf_fuse(dfs, k0=k0, topk=100).collect(), key=lambda r: r.rank
+        )
+        assert [r.doc_id for r in got] == order
+        for r in got:
+            assert r.rrf_score == sum(
+                1.0 / (k0 + rk) for lst in lists for d, rk in lst if d == r.doc_id
+            )

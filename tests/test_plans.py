@@ -548,3 +548,35 @@ def test_epoch_plan_mixture_table_broadcast(spark):
     plan = _executed(REGISTRY["llm_epoch_plan"].fn(spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_arrow_fence_skips_when_already_parallel(spark):
+    """The conditional Arrow fence: a single-file-ish input (few
+    partitions) gets repartitioned up to the session shuffle width, but an
+    input already at/above that width must pass through UNCHANGED — no
+    extra full-text exchange in the kernel plan."""
+    from hdp2_5_hive2_spark.llm.dedup import _arrow_fence
+
+    d = load_tables(spark, SF_CORRECT)["documents"].select("doc_id", "text")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = d.coalesce(1)
+    assert _arrow_fence(narrow).rdd.getNumPartitions() == n
+    wide = d.repartition(n + 4)
+    fenced = _arrow_fence(wide)
+    assert fenced is wide  # identity: no plan change at all
+
+
+def test_cross_dedup_band_join_shuffles_ids_not_text(spark):
+    """The incremental cross-dedup bucket join exchanges carry
+    (id, band_id, band_hash) 20-byte rows — document text appears in no
+    hash exchange above the Arrow band kernels."""
+    from hdp2_5_hive2_spark.llm.dedup import minhash_lsh_pairs_cross
+
+    d = load_tables(spark, SF_CORRECT)["documents"].select("doc_id", "text")
+    new = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    plan = _executed(minhash_lsh_pairs_cross(new, d))
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.split("\n")[0]
+        assert "text" not in head, head
