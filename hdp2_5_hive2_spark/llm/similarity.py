@@ -602,6 +602,112 @@ def knn_classify(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_anchors: int = 1_000_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    vector, the top-k most cosine-similar corpus vectors whose label
+    DIFFERS from the anchor's (the "hard" negatives — near the decision
+    boundary, unlike the random negatives `curation.contrastive_pairs`
+    draws). Returns (anchor_id, negative_id, rank, score), ties broken by
+    neighbor id.
+
+    Execution mirrors :func:`brute_force_topk`: the anchor block (ids,
+    vectors AND labels) is collected — broadcast-small by contract,
+    enforced by ``max_anchors`` — and each corpus Arrow batch scores
+    itself against all anchors in one BLAS matmul, masks the same-label
+    columns to -inf, and emits only its per-anchor top-k. The shuffle
+    carries n_batches × A × k rows, never N × A; a final window rank
+    merges the partials. At 100 TB the corpus side stays fully
+    distributed and the label filter costs one vectorized comparison per
+    batch (no join: labels ride the collected anchor matrix)."""
+    import numpy as np
+    import pandas as pd
+
+    a_id_type = anchors.schema[id_col].dataType.simpleString()
+    c_id_type = corpus.schema[id_col].dataType.simpleString()
+    a_rows = (
+        anchors.select(
+            F.col(id_col).alias("aid"),
+            as_double_array(vec_col).alias("av"),
+            F.col(label_col).alias("al"),
+        )
+        .limit(max_anchors + 1)
+        .collect()
+    )
+    if len(a_rows) > max_anchors:
+        raise ValueError(
+            f"hard_negatives: anchor set exceeds max_anchors={max_anchors} "
+            "rows; the exact path collects+broadcasts every anchor vector."
+        )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        as_double_array(vec_col).alias("cv"),
+        F.col(label_col).alias("cl"),
+    )
+    if not a_rows:
+        return c.limit(0).select(
+            F.col("negative_id").cast(a_id_type).alias("anchor_id"),
+            "negative_id",
+            F.lit(1).alias("rank"),
+            F.lit(0.0).alias("score"),
+        )
+    a_ids = np.asarray([r.aid for r in a_rows])
+    a_labels = np.asarray([r.al for r in a_rows])
+    am = np.asarray([r.av for r in a_rows], dtype=np.float64)
+    an = np.linalg.norm(am, axis=1)
+    an[an == 0] = 1.0
+    amn = am / an[:, None]
+    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["cv"]), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0] = 1.0
+            s = (x / xn[:, None]) @ amn.T  # (n, A)
+            same = pdf["cl"].to_numpy()[:, None] == a_labels[None, :]
+            s[same] = -np.inf
+            nb = pdf["negative_id"].to_numpy()
+            by_nb = np.argsort(nb, kind="stable")
+            out_a, out_n, out_s = [], [], []
+            for j in range(len(a_ids)):
+                idx = by_nb[np.argsort(-s[by_nb, j], kind="stable")]
+                idx = idx[np.isfinite(s[idx, j])][: min(k, len(nb))]
+                if not len(idx):
+                    continue
+                out_a.append(np.full(len(idx), a_ids[j]))
+                out_n.append(nb[idx])
+                out_s.append(s[idx, j])
+            if not out_a:
+                continue
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.concatenate(out_a),
+                    "negative_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    scored = c.repartition(shuffle_n).mapInPandas(
+        gen, f"anchor_id {a_id_type}, negative_id {c_id_type}, score double"
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "rank", "score")
+    )
+
+
 def quantize_int8_summary(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

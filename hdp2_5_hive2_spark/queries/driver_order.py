@@ -88,6 +88,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_mixture_realize",          # md5-rounded epoch-plan materialization (r6)
     "llm_containment_filter",       # contained-doc removal transform (r6)
     "llm_bpe_doc_tokens",           # per-doc cost under learned merges (r6)
+    "llm_hard_negatives",           # ANN hard-negative mining (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

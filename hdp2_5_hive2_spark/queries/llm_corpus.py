@@ -3364,3 +3364,38 @@ def llm_containment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept_flag, F.col("doc_id"))).alias("kept_id_checksum"),
         )
     )
+
+
+@query(
+    "llm_hard_negatives",
+    oracle="""
+    SELECT anchor_id, negative_id, rank FROM (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(a.embedding AS DOUBLE[])) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings c
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 25) a
+      WHERE c.vec_id >= 25 AND c.label <> a.label
+    ) r WHERE rank <= 8
+    """,
+    tags=("llm", "similarity", "contrastive", "mining"),
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (llm.similarity.hard_negatives): for each of 25 anchor vectors, the 8
+    most cosine-similar corpus vectors with a DIFFERENT label — the
+    near-boundary negatives that make embedding training converge, vs the
+    random negatives of llm_contrastive_pairs. Anchor labels ride the
+    broadcast anchor matrix so the label mask is one vectorized comparison
+    per Arrow batch (no join, no extra shuffle); output pins integer ranks
+    only (cosine ULP discipline of llm_ann_topk)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.hard_negatives(
+        corpus=e.filter(F.col("vec_id") >= 25),
+        anchors=e.filter(F.col("vec_id") < 25),
+        k=8,
+    ).select("anchor_id", "negative_id", "rank")
