@@ -353,6 +353,88 @@ def bigram_lm_score(
     )
 
 
+def kn_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_bits: int = 20,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document average INTERPOLATED KNESER-NEY bigram probability — the
+    smoothing family CCNet's KenLM filter actually uses (here at bigram
+    order). For every observed bigram:
+
+        P_KN(w2|w1) = (c(w1 w2) - D)/c(w1 ·)
+                      + ((D · N1+(w1 ·))/c(w1 ·)) · (N1+(· w2)/T)
+
+    with discount D, continuation counts N1+ (distinct left/right
+    neighbors) and T = distinct bigram types. Unlike the MLE
+    :func:`bigram_lm_score`, frequent-but-predictable continuations are
+    discounted and novel continuations credited by how promiscuous their
+    right word is — the standard fix for MLE's overconfidence.
+
+    Exactness discipline: every count is exact bigint; P_KN is evaluated in
+    a FIXED operation order (two divisions, one product, one sum — each a
+    single IEEE double op, deterministic on any engine), then QUANTIZED to
+    floor(p·2^q_bits) before per-doc aggregation, so document sums are
+    order-free integer arithmetic. D=0.75 and the quantization scale are
+    exact binary fractions.
+
+    Plan: same shape as bigram_lm_score — one Arrow n-gram pass feeds both
+    the model aggregation and the per-doc join; the three model tables
+    (c(w1·)+N1+(w1·), N1+(·w2), T) are vocab-sized aggregations of the
+    bigram-type table, T broadcast as a one-row literal. At 100 TB the only
+    large shuffles are the ngram groupBys and the final per-doc join (AQE
+    handles head-word skew). Output: (id_col, n_bigrams, score_q,
+    avg_prob)."""
+    from hdp2_5_hive2_spark.llm.curation import word_ngram_counts
+
+    scale = float(1 << q_bits)
+    rows = word_ngram_counts(df, text_col, id_col, n=2).localCheckpoint(eager=False)
+    cb = (
+        rows.groupBy("ngram")
+        .agg(F.sum("cnt").alias("c_bg"))
+        .withColumn("w1", F.split(F.col("ngram"), " ")[0])
+        .withColumn("w2", F.split(F.col("ngram"), " ")[1])
+        .localCheckpoint(eager=False)
+    )
+    cw = cb.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_w1"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    cont = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    t_types = cb.agg(F.count(F.lit(1)).alias("t_types"))
+    d = F.lit(float(discount))
+    p = (
+        (F.col("c_bg").cast("double") - d) / F.col("c_w1").cast("double")
+    ) + (
+        ((d * F.col("n1_fwd").cast("double")) / F.col("c_w1").cast("double"))
+        * (F.col("n1_bwd").cast("double") / F.col("t_types").cast("double"))
+    )
+    q = (
+        cb.join(cw, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(t_types))
+        .select("ngram", F.floor(p * F.lit(scale)).cast("bigint").alias("pq"))
+    )
+    return (
+        rows.join(q, "ngram")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("pq")).alias("score_q"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "score_q",
+            (
+                F.col("score_q").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(scale))
+            ).alias("avg_prob"),
+        )
+    )
+
+
 def feature_hash_vectors(
     df: DataFrame,
     dim: int = 16,

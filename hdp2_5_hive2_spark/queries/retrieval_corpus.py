@@ -1131,3 +1131,57 @@ def llm_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ls").alias("symbols_bpe"),
         )
     )
+
+
+@query(
+    "llm_kn_bigram_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS ngram
+      FROM t WHERE len(t) >= 2
+    ), db AS (
+      SELECT doc_id, ngram, count(*) AS cnt FROM b GROUP BY doc_id, ngram
+    ), cb AS (
+      SELECT ngram, CAST(SUM(cnt) AS BIGINT) AS c_bg,
+             string_split(ngram, ' ')[1] AS w1,
+             string_split(ngram, ' ')[2] AS w2
+      FROM db GROUP BY ngram
+    ), cw AS (
+      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1,
+             CAST(count(*) AS BIGINT) AS n1_fwd
+      FROM cb GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1_bwd FROM cb GROUP BY w2
+    ), tt AS (
+      SELECT CAST(count(*) AS BIGINT) AS t_types FROM cb
+    ), q AS (
+      SELECT cb.ngram,
+             CAST(floor((
+               ((CAST(c_bg AS DOUBLE) - 0.75) / CAST(c_w1 AS DOUBLE))
+               + (((0.75 * CAST(n1_fwd AS DOUBLE)) / CAST(c_w1 AS DOUBLE))
+                  * (CAST(n1_bwd AS DOUBLE) / CAST(t_types AS DOUBLE)))
+             ) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS pq
+      FROM cb JOIN cw USING (w1) JOIN cont USING (w2), tt
+    )
+    SELECT db.doc_id AS doc_id,
+           CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(db.cnt * q.pq) AS BIGINT) AS score_q,
+           CAST(SUM(db.cnt * q.pq) AS DOUBLE)
+             / (CAST(SUM(db.cnt) AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS avg_prob
+    FROM db JOIN q USING (ngram) GROUP BY db.doc_id
+    """,
+    tags=("llm", "retrieval", "lm-score", "kneser-ney"),
+)
+def llm_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM quality score per document
+    (retrieval.kn_bigram_score, D=0.75) — the smoothing family CCNet's
+    KenLM filter uses, vs llm_bigram_lm_score's raw MLE. P_KN is evaluated
+    in a fixed IEEE op order over exact integer counts and quantized to
+    2^-20 BEFORE aggregation, so the oracle hash is bitwise despite being
+    a probability model."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.kn_bigram_score(d)

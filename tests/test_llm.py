@@ -1328,3 +1328,67 @@ if _HYP:
             assert r.rrf_score == sum(
                 1.0 / (k0 + rk) for lst in lists for d, rk in lst if d == r.doc_id
             )
+
+
+def test_kn_bigram_score_hand_computed(spark):
+    """kn_bigram_score equals a pure-Python interpolated-KN computation on a
+    tiny corpus (discount 0.75): exact bigram/continuation counts, fixed op
+    order, floor(p*2^20) quantization before the per-doc sum."""
+    from collections import Counter
+
+    from hdp2_5_hive2_spark.llm.retrieval import kn_bigram_score
+
+    docs = [
+        (1, "a b a b c"),
+        (2, "b c b c d"),
+        (3, "a b"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in kn_bigram_score(df).collect()}
+
+    per_doc: dict[int, Counter] = {}
+    corpus = Counter()
+    for doc_id, text in docs:
+        toks = text.split()
+        bgs = Counter(
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        )
+        per_doc[doc_id] = bgs
+        corpus.update(bgs)
+    c_w1 = Counter()
+    n1_fwd = Counter()
+    n1_bwd = Counter()
+    for bg, c in corpus.items():
+        w1, w2 = bg.split(" ")
+        c_w1[w1] += c
+        n1_fwd[w1] += 1
+        n1_bwd[w2] += 1
+    t_types = len(corpus)
+    d = 0.75
+    pq = {
+        bg: int(
+            (
+                ((c - d) / c_w1[bg.split(" ")[0]])
+                + (
+                    ((d * n1_fwd[bg.split(" ")[0]]) / c_w1[bg.split(" ")[0]])
+                    * (n1_bwd[bg.split(" ")[1]] / t_types)
+                )
+            )
+            * (1 << 20)
+            // 1
+        )
+        for bg, c in corpus.items()
+    }
+    for doc_id, bgs in per_doc.items():
+        n = sum(bgs.values())
+        score_q = sum(cnt * pq[bg] for bg, cnt in bgs.items())
+        assert got[doc_id].n_bigrams == n
+        assert got[doc_id].score_q == score_q
+        assert got[doc_id].avg_prob == score_q / (n * float(1 << 20))
+    # KN is a proper conditional distribution: for each w1, the observed
+    # probability mass plus the reserved continuation mass stays <= 1
+    for w1 in c_w1:
+        obs = sum(
+            pq[bg] / float(1 << 20) for bg in corpus if bg.split(" ")[0] == w1
+        )
+        assert obs <= 1.0 + 1e-9

@@ -16,8 +16,9 @@ sys.path.insert(0, ".")
 
 def main() -> int:
     import __spark_entry__ as entry
+    from pyspark.sql import SparkSession
+
     from hdp2_5_hive2_spark.queries.driver_order import green_union
-    from hdp2_5_hive2_spark.session import get_session
     from tests.oracle import dtype_guard, duckdb_conn, rowset
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -26,7 +27,10 @@ def main() -> int:
     if "--all-new" in sys.argv:
         args = sorted(set(qmap) - green_union())
     sf = "/root/testdata/sf0.01"
-    spark = get_session(app_name="verify-queries", shuffle_partitions=8)
+    # BARE session on purpose — the external driver builds its own, so repo
+    # code must self-configure (the verify skill's core gotcha).
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_conn(sf)
     failures = 0
     for name in args:
