@@ -547,6 +547,87 @@ def dsir_importance_weights(
     return joined.select(id_col, "n_tokens", total.alias("weight"))
 
 
+def nb_hashed_classify(
+    df: DataFrame,
+    class_col: str,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier over hashed unigram buckets,
+    trained AND applied in one distributed composition (the fastText-style
+    linear bag-of-words baseline used to label corpus quality/language at
+    scale):
+
+        score(doc, c) = Σ_b f_b(doc)·(ln(t_c[b]+1) − ln(T_c+dim))
+                        + (ln(docs_c) − ln(N))
+
+    i.e. add-one-smoothed per-class token likelihoods plus the class
+    log-prior; pred = argmax_c (ties to the lexicographically smaller
+    class). Hash buckets reuse the md5 convention of
+    :func:`feature_hash_vectors` so any engine buckets identically.
+
+    Determinism: counts are exact ints; the per-doc sum runs over FIXED
+    positional bucket slots in bucket order (never a partition-ordered
+    sum()), so scores are bit-stable within an engine; like
+    :func:`dsir_importance_weights`, consumers should pin the ARGMAX/rank,
+    not raw doubles — distinct histograms separate by ≫ ulp and identical
+    ones tie exactly into the class tie-break.
+
+    100 TB: tokenize/bucket is codegen; the per-doc histogram is the one
+    corpus-sized shuffle; the model is n_classes rows × dim slots
+    (broadcast), so training cost is independent of vocabulary — the whole
+    point of feature hashing. Output: (id_col, n_tokens, pred_<class_col>).
+    """
+    if dim <= 0:
+        raise ValueError(f"nb_hashed_classify requires dim >= 1, got {dim}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint") % dim
+    )
+    toks = df.select(
+        id_col, class_col, F.explode(tokens(text_col)).alias("term")
+    ).withColumn("_b", bucket)
+    feats = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).alias(f"_f{i}")
+            for i in range(dim)
+        ],
+    )
+    models = toks.groupBy(class_col).agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[
+            F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).alias(f"_t{i}")
+            for i in range(dim)
+        ],
+    )
+    priors = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_docs"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = feats.crossJoin(
+        F.broadcast(models.join(priors, class_col))
+    ).crossJoin(F.broadcast(n_docs))
+    total = None
+    for i in range(dim):
+        term_i = F.col(f"_f{i}") * (
+            F.log(F.col(f"_t{i}") + 1) - F.log(F.col("_total") + dim)
+        )
+        total = term_i if total is None else total + term_i
+    score = total + (F.log(F.col("_docs")) - F.log(F.col("_n_docs")))
+    return (
+        scored.withColumn("_score", score)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.desc("_score"), F.asc(class_col)
+                )
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .select(id_col, "n_tokens", F.col(class_col).alias(f"pred_{class_col}"))
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[DataFrame],
     id_col: str = "doc_id",

@@ -90,6 +90,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_bpe_doc_tokens",           # per-doc cost under learned merges (r6)
     "llm_hard_negatives",           # ANN hard-negative mining (r6)
     "llm_kn_bigram_score",          # interpolated Kneser-Ney bigram LM (r6)
+    "llm_nb_classify",              # hashed Naive Bayes classifier (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -1185,3 +1185,66 @@ def llm_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     a probability model."""
     d = load_tables(spark, sf_dir)["documents"]
     return retrieval.kn_bigram_score(d)
+
+
+def _nb_oracle(dim: int = 32) -> str:
+    """Oracle SQL mirroring retrieval.nb_hashed_classify's FIXED bucket-order
+    score expression (generated once at import)."""
+    b = "CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % " + str(dim)
+    f_slots = ",\n".join(
+        f"        SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS f{i}" for i in range(dim)
+    )
+    t_slots = ",\n".join(
+        f"        SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS t{i}" for i in range(dim)
+    )
+    score = " + ".join(
+        f"f{i} * (ln(t{i} + 1) - ln(total + {dim}))" for i in range(dim)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), bk AS (
+      SELECT doc_id, lang, {b} AS b FROM tok
+    ), feats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+{f_slots}
+      FROM bk GROUP BY doc_id
+    ), models AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS total,
+{t_slots}
+      FROM bk GROUP BY lang
+    ), mp AS (
+      SELECT m.*, p.docs_c FROM models m
+      JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS docs_c
+            FROM documents GROUP BY lang) p USING (lang)
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT doc_id, n_tokens, lang AS pred_lang FROM (
+      SELECT f.doc_id, f.n_tokens, mp.lang,
+             row_number() OVER (
+               PARTITION BY f.doc_id
+               ORDER BY ({score} + (ln(docs_c) - ln(n_docs))) DESC, mp.lang
+             ) AS r
+      FROM feats f CROSS JOIN mp CROSS JOIN nd
+    ) WHERE r = 1
+    """
+
+
+@query(
+    "llm_nb_classify",
+    oracle=_nb_oracle(),
+    tags=("llm", "retrieval", "classifier", "naive-bayes"),
+)
+def llm_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained and applied in
+    one distributed composition (retrieval.nb_hashed_classify, 32 md5 hash
+    buckets, add-one smoothing, class log-priors) — the fastText-style
+    linear baseline for corpus labeling. Model is n_classes × 32 ints
+    (broadcast); scores evaluate in fixed bucket order so the argmax is
+    engine-stable (DSIR ln/rank discipline); output pins (doc_id,
+    n_tokens, pred_lang) only."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.nb_hashed_classify(d, class_col="lang", dim=32)

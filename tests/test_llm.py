@@ -1392,3 +1392,28 @@ def test_kn_bigram_score_hand_computed(spark):
             pq[bg] / float(1 << 20) for bg in corpus if bg.split(" ")[0] == w1
         )
         assert obs <= 1.0 + 1e-9
+
+
+def test_nb_hashed_classify_separates_obvious_classes(spark):
+    """NB with hashed buckets recovers the generating class on a toy corpus
+    with disjoint vocabularies, and the prior breaks the empty-evidence
+    tie toward the majority class."""
+    from hdp2_5_hive2_spark.llm.retrieval import nb_hashed_classify
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "apple banana cherry fruit sweet", "food"))
+    for i in range(10, 16):
+        rows.append((i, "gear piston engine torque metal", "machine"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r.doc_id: r.pred_lang for r in nb_hashed_classify(df, "lang").collect()}
+    for i in range(10):
+        assert got[i] == "food"
+    for i in range(10, 16):
+        assert got[i] == "machine"
+
+    # dim guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        nb_hashed_classify(df, "lang", dim=0)
