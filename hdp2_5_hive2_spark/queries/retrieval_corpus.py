@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from hdp2_5_hive2_spark import stats
 from hdp2_5_hive2_spark.catalog import load_tables
 from hdp2_5_hive2_spark.llm import curation, retrieval
+from hdp2_5_hive2_spark.llm import text as llm_text
 from hdp2_5_hive2_spark.queries.registry import query
 
 # Shared tokenization CTE (DuckDB side) — mirrors llm.text.tokens.
@@ -1248,3 +1249,56 @@ def llm_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens, pred_lang) only."""
     d = load_tables(spark, sf_dir)["documents"]
     return retrieval.nb_hashed_classify(d, class_col="lang", dim=32)
+
+
+@query(
+    "llm_chars_per_token_fit",
+    oracle="""
+    WITH base AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS x,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents
+    ), agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM base GROUP BY source
+    )
+    SELECT source, n,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0 THEN
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE)
+           END AS intercept,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) <> 0 THEN
+             (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS r2
+    FROM agg
+    """,
+    tags=("llm", "stats", "regression"),
+)
+def llm_chars_per_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chars-per-token linear fit (stats.linfit_by_group): the
+    tokenizer cost model "bytes ≈ a + b·tokens" fitted in closed form from
+    one aggregation pass of exact-int sufficient statistics — the
+    distributed normal-equations primitive (never an iterative driver
+    loop). Slope/intercept/r² are fixed-order IEEE ops over exact bigint
+    sums, so the doubles hash-match the oracle bitwise."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select(
+        "source",
+        llm_text.token_count("text").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    return stats.linfit_by_group(base, ["source"], "x", "y")

@@ -172,3 +172,62 @@ def approx_ndv_accuracy(
         )
         .alias("sketch_ok"),
     )
+
+
+def linfit_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Closed-form simple linear regression per group via the normal
+    equations — the distributed ML primitive ("y ≈ a + b·x") computed as ONE
+    map-side-combinable aggregation pass, never an iterative driver loop:
+
+        b  = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        a  = (Σy − b·Σx) / n
+        r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    Exactness contract: ``x_col``/``y_col`` must be integer-valued columns —
+    all five sufficient statistics are then exact bigints in any partition
+    order, and slope/intercept/r² are a handful of IEEE double ops in a
+    fixed order, so results are bit-identical on any engine. (Bigint bounds:
+    Σx² overflows at n·x² > 2^63 ≈ 9.2e18 — e.g. 1e10 rows of x ≤ 3e4 —
+    beyond that pre-scale x or switch the sums to DECIMAL(38,0).)
+
+    Degenerate groups (all x equal, or n·Σy² = (Σy)² for r²'s denominator)
+    return NULL slope/intercept/r² rather than ±inf.
+
+    Output: group_cols + (n, slope, intercept, r2).
+
+    100 TB: one shuffle on the group keys with map-side partial aggregation;
+    the five statistics are the whole reduce state — this is the textbook
+    "aggregate sufficient statistics, solve tiny system on the result"
+    pattern, embarrassingly scalable."""
+    x = F.col(x_col).cast("bigint") if isinstance(x_col, str) else x_col.cast("bigint")
+    y = F.col(y_col).cast("bigint") if isinstance(y_col, str) else y_col.cast("bigint")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = F.when(den_x != 0, num / den_x)
+    intercept = F.when(
+        den_x != 0,
+        (F.col("sy").cast("double") - (num / den_x) * F.col("sx").cast("double"))
+        / F.col("n").cast("double"),
+    )
+    r2 = F.when((den_x != 0) & (den_y != 0), (num * num) / (den_x * den_y))
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

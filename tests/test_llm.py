@@ -1417,3 +1417,21 @@ def test_nb_hashed_classify_separates_obvious_classes(spark):
 
     with _pytest.raises(ValueError):
         nb_hashed_classify(df, "lang", dim=0)
+
+
+def test_linfit_by_group_exact_line_and_degenerate(spark):
+    """linfit_by_group recovers an exact line (slope 3, intercept 7, r2=1)
+    and returns NULLs for a degenerate all-same-x group."""
+    from hdp2_5_hive2_spark.stats import linfit_by_group
+
+    rows = [("a", x, 3 * x + 7) for x in range(1, 11)]
+    rows += [("b", 5, y) for y in (1, 2, 3)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r.g: r for r in linfit_by_group(df, ["g"], "x", "y").collect()}
+    assert got["a"].slope == 3.0
+    assert got["a"].intercept == 7.0
+    assert got["a"].r2 == 1.0
+    assert got["a"].n == 10
+    assert got["b"].slope is None
+    assert got["b"].intercept is None
+    assert got["b"].r2 is None
