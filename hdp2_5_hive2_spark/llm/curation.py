@@ -865,3 +865,69 @@ def realize_mixture(
             "epochs_needed",
         )
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iters: int = 3,
+    q_bits: int = 30,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list in PURE INTEGER
+    arithmetic — the centrality score that picks a duplicate cluster's
+    canonical representative (most-connected member) better than min-id.
+
+    Determinism: damping is the exact rational 17/20 and ranks live on a
+    2^q_bits integer scale, so every update is
+
+        rq'(v) = (3·S) // (20·N)  +  (17 · Σ_{u~v} rq(u) // deg(u)) // 20
+
+    with S = 2^q_bits — integer division and integer sums ONLY, no float op
+    anywhere, hence bit-identical results on any engine (unlike classic
+    float PageRank whose partition-ordered sums never hash-match).
+
+    Plan: the symmetric edge list with degrees is materialized once
+    (localCheckpoint) and reused every round; each iteration is one join
+    (rank onto edge source) + one groupBy(dst) shuffle — the standard
+    distributed PageRank shape, O(iters) rounds with lineage truncated per
+    round. N is read once up front (driver scalar, same as
+    connected_components' convergence probe). At 100 TB both per-round
+    shuffles key on vertex ids; skew concentrates on high-degree hubs,
+    which AQE splits.
+
+    Output: (id, rank_q) — rank on the 2^q_bits scale; Σ rank_q ≈ S up to
+    per-node floor losses."""
+    s_scale = 1 << q_bits
+    sym = (
+        edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .union(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e2 = sym.join(deg, "s").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("s").alias("id")).localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("id", F.lit(0).cast("bigint").alias("rank_q"))
+    ranks = nodes.select("id", F.lit(s_scale // n_nodes).cast("bigint").alias("rq"))
+    base = (3 * s_scale) // (20 * n_nodes)
+    for _ in range(iters):
+        sums = (
+            e2.join(ranks, e2["s"] == ranks["id"])
+            .select(F.col("d"), F.expr("rq div deg").alias("contrib"))
+            .groupBy("d")
+            .agg(F.sum("contrib").alias("sin"))
+        )
+        ranks = (
+            nodes.join(sums, nodes["id"] == sums["d"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr("(17 * coalesce(sin, CAST(0 AS BIGINT))) div 20")
+                ).alias("rq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("rq").alias("rank_q"))

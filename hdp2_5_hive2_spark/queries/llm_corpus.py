@@ -3399,3 +3399,59 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchors=e.filter(F.col("vec_id") < 25),
         k=8,
     ).select("anchor_id", "negative_id", "rank")
+
+
+def _pagerank_oracle(iters: int = 3, q_bits: int = 30) -> str:
+    """Unrolled integer-PageRank oracle over the rare-16-gram dup graph
+    (generated once at import; pure integer `//` arithmetic mirrors
+    curation.pagerank_int exactly)."""
+    s_scale = 1 << q_bits
+    ctes = [
+        "WITH " + _ngram_cte(15),
+        ", rare AS (SELECT ngram FROM ngd GROUP BY ngram HAVING count(*) <= 100)",
+        """, e0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM ngd a JOIN ngd b USING (ngram) JOIN rare USING (ngram)
+           WHERE a.doc_id < b.doc_id)""",
+        ", e AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0)",
+        ", deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s)",
+        ", v AS (SELECT s AS id FROM deg)",
+        ", nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)",
+        f", r0 AS (SELECT id, CAST({s_scale} // n AS BIGINT) AS rq FROM v CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f""", s{i} AS (
+        SELECT e.d, CAST(SUM(r{i-1}.rq // deg.deg) AS BIGINT) AS sin
+        FROM e JOIN deg USING (s) JOIN r{i-1} ON r{i-1}.id = e.s
+        GROUP BY e.d)"""
+        )
+        ctes.append(
+            f""", r{i} AS (
+        SELECT v.id,
+               CAST(({3 * s_scale} // (20 * nn.n))
+                    + (17 * COALESCE(s{i}.sin, 0)) // 20 AS BIGINT) AS rq
+        FROM v CROSS JOIN nn LEFT JOIN s{i} ON v.id = s{i}.d)"""
+        )
+    return "\n".join(ctes) + f"""
+    SELECT id AS doc_id, rq AS rank_q FROM r{iters}
+    """
+
+
+@query(
+    "llm_pagerank_centrality",
+    oracle=_pagerank_oracle(),
+    tags=("llm", "curation", "graph", "pagerank"),
+)
+def llm_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the duplicate-candidate graph
+    (curation.pagerank_int, 3 iterations): ranks every node of the shared
+    rare-16-gram graph so cluster representatives can be chosen by
+    connectivity instead of min-id. Damping is the exact rational 17/20 on
+    a 2^30 integer rank scale — every update is integer division and
+    integer sums, NO float op at all, so the oracle hash is exact by
+    construction (the distributed-PageRank determinism trick)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    edges = curation.shared_ngram_edges(d, n=16, max_df=100)
+    return curation.pagerank_int(edges, iters=3).select(
+        F.col("id").alias("doc_id"), "rank_q"
+    )

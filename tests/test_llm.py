@@ -1435,3 +1435,29 @@ def test_linfit_by_group_exact_line_and_degenerate(spark):
     assert got["b"].slope is None
     assert got["b"].intercept is None
     assert got["b"].r2 is None
+
+
+def test_pagerank_int_star_and_conservation(spark):
+    """Integer PageRank on a star graph: the hub outranks every leaf, leaves
+    tie exactly, total mass stays within per-node floor losses of 2^30, and
+    a path graph ranks the middle above the endpoints."""
+    from hdp2_5_hive2_spark.llm.curation import pagerank_int
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["doc_a", "doc_b"]
+    )
+    got = {r.id: r.rank_q for r in pagerank_int(star, iters=3).collect()}
+    assert len(got) == 6
+    leaves = [got[i] for i in range(1, 6)]
+    assert len(set(leaves)) == 1
+    assert got[0] > leaves[0]
+    total = sum(got.values())
+    # every update floors twice per node; 3 iterations x 6 nodes bounds loss
+    assert (1 << 30) - 6 * 2 * 3 * 20 <= total <= (1 << 30)
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    gp = {r.id: r.rank_q for r in pagerank_int(path, iters=3).collect()}
+    assert gp[2] > gp[1] == gp[3]
+
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert pagerank_int(empty).count() == 0
