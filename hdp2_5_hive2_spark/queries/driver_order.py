@@ -93,6 +93,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_nb_classify",              # hashed Naive Bayes classifier (r6)
     "llm_chars_per_token_fit",      # closed-form linfit sufficient stats (r6)
     "llm_pagerank_centrality",      # integer PageRank over dup graph (r6)
+    "llm_lsh_band_curve",           # LSH banding S-curve audit (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

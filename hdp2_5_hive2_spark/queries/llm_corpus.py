@@ -3455,3 +3455,165 @@ def llm_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pagerank_int(edges, iters=3).select(
         F.col("id").alias("doc_id"), "rank_q"
     )
+
+
+def _lsh_band_curve_oracle(num_hashes: int = 16) -> str:
+    """Oracle for llm_lsh_band_curve — the md5-minhash corpus of
+    _md5_minhash_oracle plus, per band config (b,r), the analytic S-curve
+    detection probability 1-(1-j^r)^b at j = est_matches/16 (explicit
+    squaring chains — every op a single IEEE double op) and the OBSERVED
+    band collision (any band of r consecutive hash slots fully equal)."""
+    sig_cols = ",\n".join(
+        f"        min(md5('{i}:' || sh)) AS m{i}" for i in range(num_hashes)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+
+    def band_hit(r: int) -> str:
+        bands = []
+        for s in range(0, num_hashes, r):
+            bands.append(
+                "(" + " AND ".join(f"a.m{i} = b.m{i}" for i in range(s, s + r)) + ")"
+            )
+        return "(" + " OR ".join(bands) + ")"
+
+    def sq(x: str, k: int) -> str:
+        for _ in range(k):
+            x = f"({x} * {x})"
+        return x
+
+    def pq(b: int, r: int) -> str:
+        j = f"(CAST(est_matches AS DOUBLE) / {num_hashes})"
+        jr = sq(j, r.bit_length() - 1)
+        cb = sq(f"(1.0 - {jr})", b.bit_length() - 1)
+        return f"CAST(floor((1.0 - {cb}) * 1048576.0) AS BIGINT)"
+
+    configs = [(16, 1), (8, 2), (4, 4), (2, 8)]
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT doc_id, CAST({b} AS INTEGER) AS bands,
+           CAST({r} AS INTEGER) AS rows_per_band, est_matches,
+           {pq(b, r)} AS detect_prob_q, hit_{b}_{r} AS band_hit FROM joined"""
+        for b, r in configs
+    )
+    hits = ",\n".join(
+        f"           {band_hit(r)} AS hit_{b}_{r}" for b, r in configs
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 50
+    ), near AS (
+      SELECT doc_id, array_to_string(t[1:len(t)-1], ' ') AS text FROM base
+    ), corpus AS (
+      SELECT doc_id, text, 'a' AS side FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id, text, 'b' AS side FROM near
+    ), sh AS (
+      SELECT doc_id, side,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM (SELECT doc_id, side, string_split_regex(trim(text), '\\s+') AS t FROM corpus)
+    ), sig AS (
+      SELECT doc_id, side,
+{sig_cols}
+      FROM sh GROUP BY doc_id, side
+    ), joined AS (
+      SELECT a.doc_id AS doc_id,
+             CAST(({matches}) AS BIGINT) AS est_matches,
+{hits}
+      FROM sig a JOIN sig b ON a.doc_id = b.doc_id AND a.side = 'a' AND b.side = 'b'
+    )
+{arms}
+    """
+
+
+@query(
+    "llm_lsh_band_curve",
+    oracle=_lsh_band_curve_oracle(),
+    tags=("llm", "dedup", "minhash", "lsh", "qa"),
+)
+def llm_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter audit (the S-curve table a dedup pipeline
+    reads before picking bands×rows): for 50 planted near-dup pairs and
+    every (b,r) split of the 16-hash MinHash signature — (16,1), (8,2),
+    (4,4), (2,8) — emit the ANALYTIC detection probability
+    1-(1-j^r)^b at the estimated Jaccard j = matches/16, and the OBSERVED
+    band collision (would bucketing at that config have caught the pair).
+    j is an exact /16 division and the powers are explicit squaring
+    chains, so the quantized probability is bitwise-deterministic; band
+    hits are boolean algebra over hash-slot equality.
+
+    100 TB: signatures are the same 16 conditional mins as
+    llm_minhash_est_error (one doc-keyed shuffle); the curve itself is
+    4 constant-width projections of the pair frame — audit cost is
+    O(pairs), nothing corpus-sized."""
+    num_hashes = 16
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    near = d.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+
+    def sig(frame: DataFrame, suffix: str) -> DataFrame:
+        sh = frame.select(
+            "doc_id",
+            F.explode(F.array_distinct(dedup.shingles("text", 3))).alias("sh"),
+        )
+        return sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(
+                    f"m{i}{suffix}"
+                )
+                for i in range(num_hashes)
+            ]
+        )
+
+    joined = sig(base, "a").join(sig(near, "b"), "doc_id")
+    est = None
+    for i in range(num_hashes):
+        m = F.when(F.col(f"m{i}a") == F.col(f"m{i}b"), 1).otherwise(0)
+        est = m if est is None else est + m
+    cols = [F.col("doc_id"), est.cast("bigint").alias("est_matches")]
+    configs = [(16, 1), (8, 2), (4, 4), (2, 8)]
+    for b, r in configs:
+        bands = []
+        for s in range(0, num_hashes, r):
+            band = None
+            for i in range(s, s + r):
+                eq = F.col(f"m{i}a") == F.col(f"m{i}b")
+                band = eq if band is None else band & eq
+            bands.append(band)
+        hit = bands[0]
+        for x in bands[1:]:
+            hit = hit | x
+        cols.append(hit.alias(f"hit_{b}_{r}"))
+    pairs = joined.select(*cols)
+
+    def sq(c, k: int):
+        for _ in range(k):
+            c = c * c
+        return c
+
+    arms = []
+    for b, r in configs:
+        j = F.col("est_matches").cast("double") / F.lit(num_hashes)
+        jr = sq(j, r.bit_length() - 1)
+        cb = sq(F.lit(1.0) - jr, b.bit_length() - 1)
+        p = F.lit(1.0) - cb
+        arms.append(
+            pairs.select(
+                "doc_id",
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "est_matches",
+                F.floor(p * F.lit(1048576.0)).cast("bigint").alias("detect_prob_q"),
+                F.col(f"hit_{b}_{r}").alias("band_hit"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out

@@ -1461,3 +1461,33 @@ def test_pagerank_int_star_and_conservation(spark):
 
     empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     assert pagerank_int(empty).count() == 0
+
+
+def test_lsh_band_curve_invariants(spark):
+    """S-curve invariants on the sf0.001 fixture: fewer rows-per-band never
+    hurts detection (p(16,1) >= p(8,2) >= p(4,4) >= p(2,8) pointwise), the
+    (16,1) observed hit is exactly est_matches >= 1, endpoints are exact
+    (m=16 -> pq=2^20; m=0 -> pq=0), and each config emits one row per pair."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["llm_lsh_band_curve"].fn(spark, SF_SMOKE).collect()
+    per_doc: dict[int, dict[tuple, object]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, {})[(r.bands, r.rows_per_band)] = r
+    assert per_doc
+    order = [(16, 1), (8, 2), (4, 4), (2, 8)]
+    for doc, cfgs in per_doc.items():
+        assert set(cfgs) == set(order)
+        probs = [cfgs[c].detect_prob_q for c in order]
+        assert probs == sorted(probs, reverse=True)
+        m = cfgs[(16, 1)].est_matches
+        assert cfgs[(16, 1)].band_hit == (m >= 1)
+        if m == 16:
+            assert probs[0] == 1 << 20
+        if m == 0:
+            assert probs == [0, 0, 0, 0]
+        # observed collisions can only get rarer as bands widen
+        hits = [bool(cfgs[c].band_hit) for c in order]
+        for earlier, later in zip(hits, hits[1:]):
+            assert earlier or not later
