@@ -94,6 +94,9 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_chars_per_token_fit",      # closed-form linfit sufficient stats (r6)
     "llm_pagerank_centrality",      # integer PageRank over dup graph (r6)
     "llm_lsh_band_curve",           # LSH banding S-curve audit (r6)
+    "events_heavy_hitters_cms",     # count-min sketch heavy hitters (r6)
+    "llm_classifier_auc",           # exact tie-corrected ROC-AUC (r6)
+    "llm_ks_length_drift",          # exact two-sample KS statistic (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

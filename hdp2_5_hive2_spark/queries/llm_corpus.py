@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hdp2_5_hive2_spark import stats
 from hdp2_5_hive2_spark.catalog import load_tables
 from hdp2_5_hive2_spark.llm import curation, dedup, retrieval, similarity, text
 from hdp2_5_hive2_spark.queries.registry import query
@@ -3617,3 +3618,78 @@ def llm_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionAll(a)
     return out
+
+
+@query(
+    "llm_classifier_auc",
+    oracle="""
+    WITH by_score AS (
+      SELECT n_chars AS s,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n
+      FROM documents GROUP BY n_chars
+    ), cum AS (
+      SELECT p, n,
+             COALESCE(SUM(n) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_less
+      FROM by_score
+    )
+    SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(n) AS BIGINT) AS n_neg,
+           CAST(2 * SUM(p * n_less) + SUM(p * n) AS BIGINT) AS auc_num,
+           CAST(2 * SUM(p * n_less) + SUM(p * n) AS DOUBLE)
+             / (2.0 * (CAST(SUM(p) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))) AS auc
+    FROM cum
+    """,
+    tags=("llm", "stats", "evaluation", "auc"),
+)
+def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC (stats.binary_auc — tie-corrected Mann–Whitney in pure
+    integer arithmetic until one final division): does document length
+    predict lang='en'? The evaluation primitive every quality-classifier
+    pipeline needs, computed distributedly: one groupBy(score) collapse,
+    one bounded window over distinct scores, one row out. auc_num = 2C+T
+    is an exact bigint, so the driver hash is exact."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return stats.binary_auc(
+        d.select(F.col("n_chars"), (F.col("lang") == "en").alias("is_en")),
+        score_col="n_chars",
+        label_col="is_en",
+    )
+
+
+@query(
+    "llm_ks_length_drift",
+    oracle="""
+    WITH per_val AS (
+      SELECT len(string_split_regex(trim(text), '\\s+')) AS v,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY 1
+    ), cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM per_val
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM per_val
+    )
+    SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+           CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+           CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+             / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE)) AS ks_stat
+    FROM cum CROSS JOIN tot
+    """,
+    tags=("llm", "stats", "drift", "ks"),
+)
+def llm_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between src0 and src1
+    document-length distributions (stats.ks_statistic): D = max ECDF gap
+    computed as integer cross-multiplication |cum_a·n_b − cum_b·n_a| over
+    merged distinct lengths, divided exactly once — the distribution-level
+    drift check complementing llm_vocab_drift's token-level chi-square."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select(
+        "source", text.token_count("text").alias("n_tok")
+    )
+    return stats.ks_statistic(base, "n_tok", "source", "src0", "src1")

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hdp2_5_hive2_spark import stats
 from hdp2_5_hive2_spark.catalog import load_tables
 from hdp2_5_hive2_spark.queries.registry import query
 from hdp2_5_hive2_spark.streaming import events as ev
@@ -761,4 +762,81 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.where(F.col("from_type").isNotNull())
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@query(
+    "events_heavy_hitters_cms",
+    oracle="""
+    WITH sk AS (
+      SELECT 0 AS row,
+             CAST(('0x' || substring(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 1,
+             CAST(('0x' || substring(md5('1:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64,
+             CAST(count(*) AS BIGINT)
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 2,
+             CAST(('0x' || substring(md5('2:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64,
+             CAST(count(*) AS BIGINT)
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 3,
+             CAST(('0x' || substring(md5('3:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64,
+             CAST(count(*) AS BIGINT)
+      FROM events GROUP BY 2
+    ), exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id LIMIT 20
+    ), keyrows AS (
+      SELECT user_id, exact_cnt, 0 AS row,
+             CAST(('0x' || substring(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+      FROM exact
+      UNION ALL
+      SELECT user_id, exact_cnt, 1,
+             CAST(('0x' || substring(md5('1:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+      FROM exact
+      UNION ALL
+      SELECT user_id, exact_cnt, 2,
+             CAST(('0x' || substring(md5('2:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+      FROM exact
+      UNION ALL
+      SELECT user_id, exact_cnt, 3,
+             CAST(('0x' || substring(md5('3:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+      FROM exact
+    )
+    SELECT k.user_id, k.exact_cnt,
+           CAST(min(sk.cnt) AS BIGINT) AS cms_est,
+           CAST(min(sk.cnt) - k.exact_cnt AS BIGINT) AS overcount
+    FROM keyrows k JOIN sk USING (row, bucket)
+    GROUP BY k.user_id, k.exact_cnt
+    """,
+    tags=("events", "sketch", "cms"),
+)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min-sketch heavy-hitter audit (stats.count_min_sketch, 4×64
+    md5-hashed cells): the top-20 users by exact event count, each with
+    its CMS point estimate and the one-sided overcount. The sketch is 256
+    integer cells built in ONE scan with map-side combine — the
+    fixed-memory structure that survives any key cardinality at 100 TB —
+    and estimates broadcast-join against it; md5 bucketing makes every
+    cell engine-exact, so even the collision pattern is oracle-checkable."""
+    e = load_tables(spark, sf_dir)["events"]
+    sketch = stats.count_min_sketch(e, "user_id", depth=4, width=64)
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+    est = stats.cms_estimate(exact, sketch, "user_id", depth=4, width=64)
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )

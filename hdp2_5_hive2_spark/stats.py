@@ -231,3 +231,203 @@ def linfit_by_group(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count–min sketch cells (row, bucket, cnt) for a key column — the
+    fixed-memory frequency summary (Cormode & Muthukrishnan 2005) that
+    answers "how often did key k appear" within depth×width integer cells
+    no matter how many distinct keys exist.
+
+    Hashes are md5-derived ('i:' || key, first 8 hex digits mod width) so
+    any engine buckets identically — the same convention as
+    feature_hash_vectors. ONE scan: each row explodes into `depth`
+    (row, bucket) increments and a single groupBy aggregates the cells
+    (map-side combine reduces to ≤ depth·width rows per task before the
+    shuffle — the sketch, not the data, crosses the wire)."""
+    if depth <= 0 or width <= 0:
+        raise ValueError(f"count_min_sketch requires depth/width >= 1, got {depth}x{width}")
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{i}:"), F.col(key_col).cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % width
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(hashes).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-query the count–min sketch for every row of ``keys``: the
+    estimate is min over the key's depth cells — always ≥ the true count
+    (one-sided error, the CMS guarantee). The sketch is depth×width rows
+    by construction, so the join is broadcast; cost is O(|keys|·depth)."""
+    rows = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{i}:"),
+                                            F.col(key_col).cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_h"),
+    ).select("*", F.col("_h.row").alias("row"), F.col("_h.bucket").alias("bucket"))
+    return (
+        rows.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(*[c for c in keys.columns])
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC (Mann–Whitney with tie correction) for an
+    integer-valued score against a boolean label, in pure integer
+    arithmetic until one final division:
+
+        AUC = (2·C + T) / (2·n_pos·n_neg)
+
+    where, aggregating by DISTINCT score ascending, C = Σ p_s·N_<(s)
+    (concordant pairs: positive outscores negative) and T = Σ p_s·n_s
+    (tied pairs, counted half).
+
+    Plan: one groupBy(score) reduces the corpus to distinct-score rows;
+    the cumulative negative count is a window over that score-sized frame
+    (bounded by distinct score values, NOT corpus rows — same discipline
+    as vocab_coverage's running sum). Output one row:
+    (n_pos, n_neg, auc_num, auc) with auc_num = 2C+T exact bigint."""
+    from pyspark.sql import Window as _W
+
+    by_score = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("n"),
+    )
+    w = _W.orderBy("s").rowsBetween(_W.unboundedPreceding, -1)
+    cum = by_score.withColumn("n_less", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return cum.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+        (2 * F.sum(F.col("p") * F.col("n_less")) + F.sum(F.col("p") * F.col("n")))
+        .alias("auc_num"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_num",
+        (
+            F.col("auc_num").cast("double")
+            / (
+                F.lit(2.0)
+                * (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+            )
+        ).alias("auc"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic over an integer value
+    column: D = max_x |F_a(x) − F_b(x)|, computed as integer
+    cross-multiplication max |cum_a·n_b − cum_b·n_a| over the merged
+    distinct values, divided once at the end — no float accumulation, so
+    the statistic is bitwise-deterministic.
+
+    Plan: groupBy(value) collapses the corpus to distinct-value rows with
+    per-group counts; cumulative sums run over that bounded frame (same
+    single-partition-window discipline as binary_auc). Output one row:
+    (n_a, n_b, ks_num, ks_stat)."""
+    from pyspark.sql import Window as _W
+
+    per_val = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+    cum = per_val.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    return (
+        cum.crossJoin(
+            F.broadcast(
+                per_val.agg(
+                    F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+                )
+            )
+        )
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("ks_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )

@@ -1491,3 +1491,79 @@ def test_lsh_band_curve_invariants(spark):
         hits = [bool(cfgs[c].band_hit) for c in order]
         for earlier, later in zip(hits, hits[1:]):
             assert earlier or not later
+
+
+def test_cms_one_sided_error_and_exact_when_sparse(spark):
+    """CMS estimates are never below the true count; with distinct keys far
+    fewer than cells, estimates are exact for most keys; dimension guard."""
+    from hdp2_5_hive2_spark.stats import cms_estimate, count_min_sketch
+
+    rows = [(k,) for k in range(10) for _ in range(k + 1)]
+    df = spark.createDataFrame(rows, ["k"])
+    sk = count_min_sketch(df, "k", depth=4, width=64)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    est = {r.k: (r.c, r.cms_est) for r in cms_estimate(exact, sk, "k").collect()}
+    assert len(est) == 10
+    for k, (c, e) in est.items():
+        assert c == k + 1
+        assert e >= c
+    # 10 keys in 4x64 cells: overwhelmingly exact
+    assert sum(1 for c, e in est.values() if e == c) >= 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        count_min_sketch(df, "k", depth=0)
+
+
+def test_binary_auc_known_values(spark):
+    """AUC = 1 for perfectly separated scores, 0.5 for fully tied scores,
+    and matches the hand formula with ties."""
+    from hdp2_5_hive2_spark.stats import binary_auc
+
+    sep = spark.createDataFrame(
+        [(s, s >= 5) for s in range(10)], ["score", "label"]
+    )
+    r = binary_auc(sep, "score", "label").first()
+    assert (r.n_pos, r.n_neg, r.auc) == (5, 5, 1.0)
+
+    tied = spark.createDataFrame(
+        [(7, True)] * 3 + [(7, False)] * 5, ["score", "label"]
+    )
+    r = binary_auc(tied, "score", "label").first()
+    assert r.auc == 0.5
+
+    # one discordant pair: scores pos=[2,4], neg=[3]; C = 1 of 2 pairs
+    mixed = spark.createDataFrame(
+        [(2, True), (4, True), (3, False)], ["score", "label"]
+    )
+    r = binary_auc(mixed, "score", "label").first()
+    assert r.auc_num == 2  # 2*C(=1) + T(=0)
+    assert r.auc == 0.5
+
+
+def test_ks_statistic_known_values(spark):
+    """KS = 1 for disjoint supports, 0 for identical samples, and the exact
+    fraction for a hand-computable overlap."""
+    from hdp2_5_hive2_spark.stats import ks_statistic
+
+    disjoint = spark.createDataFrame(
+        [(v, "a") for v in (1, 2, 3)] + [(v, "b") for v in (10, 11)],
+        ["v", "g"],
+    )
+    r = ks_statistic(disjoint, "v", "g", "a", "b").first()
+    assert r.ks_stat == 1.0
+
+    same = spark.createDataFrame(
+        [(v, g) for g in ("a", "b") for v in (1, 2, 2, 5)], ["v", "g"]
+    )
+    r = ks_statistic(same, "v", "g", "a", "b").first()
+    assert r.ks_stat == 0.0
+
+    # a={1,2}, b={2,3}: ECDFs — at v=1: 1/2 vs 0 -> gap 1/2
+    hand = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b"), (3, "b")], ["v", "g"]
+    )
+    r = ks_statistic(hand, "v", "g", "a", "b").first()
+    assert (r.n_a, r.n_b, r.ks_num) == (2, 2, 2)
+    assert r.ks_stat == 0.5
