@@ -931,3 +931,100 @@ def pagerank_int(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.col("rq").alias("rank_q"))
+
+
+def graph_stats(
+    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """One-row structural summary of an undirected simple graph (the health
+    check run on a dedup candidate graph before trusting its clusters):
+    (n_nodes, n_edges, max_degree, n_triangles, n_wedges, clustering) with
+    global clustering = 3·triangles / wedges.
+
+    Exactness: everything is integer counting — wedges Σ deg·(deg−1)/2 is
+    exact (consecutive integers, the product is even) and the single
+    closing division is one IEEE op.
+
+    Plan: triangles count via the two-join ordered enumeration
+    (a<b, b<c, a<c — each triangle counted exactly once); both joins key
+    on a vertex id. Cost is Σ deg² in the worst case, which is exactly why
+    the dedup edge builders cap per-ngram fan-out — on those bounded
+    graphs this is cheap at any corpus size; for power-law webgraphs use
+    degree-ordered orientation (edges point low→high degree) first."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).where(
+        F.col("a") < F.col("b")
+    )
+    e = e.localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("deg").alias("max_degree"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        summary.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3.0) * F.col("n_triangles").cast("double"))
+                / F.col("n_wedges").cast("double"),
+            ).alias("clustering"),
+        )
+    )
+
+
+def pareto_front(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D Pareto front (the SKYLINE operator, Börzsönyi et al. 2001) for
+    two MAXIMIZED integer criteria: rows not strictly dominated by any
+    other row (dominated ⟺ some row is ≥ on both axes and > on one).
+    Duplicate coordinate pairs on the front are all kept.
+
+    Spark-first shape — never the O(n²) nested loop: collapse to distinct
+    x values with their max y (one groupBy), take the running max of y
+    over strictly greater x (a window over the BOUNDED distinct-x frame,
+    same discipline as vocab_coverage), and keep rows whose y equals their
+    x's max AND strictly exceeds every higher-x max. The corpus is touched
+    by exactly one aggregation and one semi-join back."""
+    from pyspark.sql import Window as _W
+
+    x, y = F.col(x_col), F.col(y_col)
+    mt = df.groupBy(x.alias("_x")).agg(F.max(y).alias("_mt"))
+    w = _W.orderBy(F.desc("_x")).rowsBetween(_W.unboundedPreceding, -1)
+    front_xy = (
+        mt.withColumn("_m_strict", F.max("_mt").over(w))
+        .where(
+            F.col("_m_strict").isNull() | (F.col("_mt") > F.col("_m_strict"))
+        )
+        .select("_x", F.col("_mt").alias("_y"))
+    )
+    return df.join(
+        F.broadcast(front_xy),
+        (x == F.col("_x")) & (y == F.col("_y")),
+    ).drop("_x", "_y")

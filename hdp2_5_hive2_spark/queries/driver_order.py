@@ -97,6 +97,8 @@ _NEW_THIS_ROUND: list[str] = [
     "events_heavy_hitters_cms",     # count-min sketch heavy hitters (r6)
     "llm_classifier_auc",           # exact tie-corrected ROC-AUC (r6)
     "llm_ks_length_drift",          # exact two-sample KS statistic (r6)
+    "llm_dup_graph_stats",          # triangle/wedge graph health check (r6)
+    "llm_pareto_quality_length",    # skyline / Pareto-front operator (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

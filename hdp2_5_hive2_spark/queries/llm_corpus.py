@@ -3693,3 +3693,102 @@ def llm_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", text.token_count("text").alias("n_tok")
     )
     return stats.ks_statistic(base, "n_tok", "source", "src0", "src1")
+
+
+@query(
+    "llm_dup_graph_stats",
+    oracle="WITH " + _ngram_cte(15) + """
+    , rare AS (SELECT ngram FROM ngd GROUP BY ngram HAVING count(*) <= 100),
+    e0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM ngd a JOIN ngd b USING (ngram) JOIN rare USING (ngram)
+           WHERE a.doc_id < b.doc_id),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT da AS v FROM e0 UNION ALL SELECT db FROM e0
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e0 e1 JOIN e0 e2 ON e1.db = e2.da
+      JOIN e0 e3 ON e1.da = e3.da AND e2.db = e3.db
+    ),
+    summ AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(max(deg) AS BIGINT) AS max_degree,
+             CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
+    SELECT n_nodes, n_edges, max_degree, n_triangles, n_wedges,
+           CASE WHEN n_wedges > 0 THEN
+             (3.0 * CAST(n_triangles AS DOUBLE)) / CAST(n_wedges AS DOUBLE)
+           END AS clustering
+    FROM summ CROSS JOIN ne CROSS JOIN tri
+    """,
+    tags=("llm", "curation", "graph", "qa"),
+)
+def llm_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural health check of the dedup candidate graph
+    (curation.graph_stats over the rare-16-gram edges): node/edge counts,
+    max degree, exact triangle count via the ordered two-join enumeration,
+    wedge count and global clustering coefficient. High clustering means
+    the LSH buckets found coherent duplicate groups; a near-zero value on
+    a dense graph means boilerplate fan-out. All counting is integer-exact
+    with one closing division."""
+    d = load_tables(spark, sf_dir)["documents"]
+    edges = curation.shared_ngram_edges(d, n=16, max_df=100)
+    return curation.graph_stats(edges)
+
+
+@query(
+    "llm_pareto_quality_length",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+              + CASE WHEN stopword_hits > 0 THEN 1 ELSE 0 END
+              + CASE WHEN alpha_chars * 2 > n_chars THEN 1 ELSE 0 END) AS quality_score,
+             n_tokens
+      FROM (
+        SELECT doc_id, length(text) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               len(list_intersect(string_split_regex(trim(text), '\\s+'),
+                   ['the','and','of','to','a','in','is','it','you','that'])) AS stopword_hits,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+        FROM documents
+      )
+    )
+    SELECT doc_id, quality_score, n_tokens FROM base a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM base b
+      WHERE b.quality_score >= a.quality_score AND b.n_tokens >= a.n_tokens
+        AND (b.quality_score > a.quality_score OR b.n_tokens > a.n_tokens)
+    )
+    """,
+    tags=("llm", "curation", "skyline"),
+)
+def llm_pareto_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE operator (curation.pareto_front, Börzsönyi et al. 2001): the
+    Pareto-optimal documents maximizing (quality_score, n_tokens) — no
+    other document is at least as good on both axes and better on one.
+    The Spark plan is one groupBy to distinct-x maxima, a bounded window
+    for the strict running max, and one broadcast semi-join back — never
+    the quadratic NOT EXISTS the oracle uses to define the semantics."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.array(*[F.lit(s) for s in
+                     ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]])
+    base = d.select(
+        "doc_id",
+        (
+            F.when(F.size(toks).between(10, 1000), 1).otherwise(0)
+            + F.when(F.size(F.array_intersect(toks, stop)) > 0, 1).otherwise(0)
+            + F.when(
+                F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) * 2
+                > F.length("text"),
+                1,
+            ).otherwise(0)
+        ).alias("quality_score"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    return curation.pareto_front(base, "quality_score", "n_tokens")

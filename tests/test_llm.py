@@ -1567,3 +1567,51 @@ def test_ks_statistic_known_values(spark):
     r = ks_statistic(hand, "v", "g", "a", "b").first()
     assert (r.n_a, r.n_b, r.ks_num) == (2, 2, 2)
     assert r.ks_stat == 0.5
+
+
+def test_graph_stats_triangle_and_wedges(spark):
+    """graph_stats on a hand graph: K3 plus a pendant — 1 triangle, wedges
+    C(3,2)·... computed by hand, clustering = 3T/wedges."""
+    from hdp2_5_hive2_spark.llm.curation import graph_stats
+
+    # triangle 1-2-3 plus pendant 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["doc_a", "doc_b"]
+    )
+    r = graph_stats(edges).first()
+    assert r.n_nodes == 4
+    assert r.n_edges == 4
+    assert r.max_degree == 3
+    assert r.n_triangles == 1
+    # degrees: 2,2,3,1 -> wedges = 1+1+3+0 = 5
+    assert r.n_wedges == 5
+    assert r.clustering == 3.0 / 5.0
+
+    # triangle-free star: clustering defined, zero
+    star = spark.createDataFrame([(0, i) for i in range(1, 4)], ["doc_a", "doc_b"])
+    r = graph_stats(star).first()
+    assert r.n_triangles == 0
+    assert r.clustering == 0.0
+
+
+def test_pareto_front_matches_quadratic_definition(spark):
+    """pareto_front equals the brute-force dominance filter on random
+    integer points, including duplicate-coordinate front points."""
+    import random
+
+    from hdp2_5_hive2_spark.llm.curation import pareto_front
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 8), rng.randint(0, 8)) for i in range(80)]
+    pts += [(100, 8, 8), (101, 8, 8)]  # duplicate extreme: both kept
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = sorted(r.id for r in pareto_front(df, "x", "y").collect())
+    expect = sorted(
+        i
+        for i, x, y in pts
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y)) for _, x2, y2 in pts
+        )
+    )
+    assert got == expect
+    assert 100 in got and 101 in got
