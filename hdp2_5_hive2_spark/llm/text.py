@@ -567,3 +567,46 @@ def top_ngram_fraction(
         F.col("cnt").alias("top_count"),
         (F.col("cnt").cast("double") / F.col("n_ngrams")).alias("top_frac"),
     )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Crawl-style URL canonicalization (the normalization step before URL
+    dedup in a web-corpus pipeline): lowercase scheme and host, drop
+    default ports (http:80 / https:443), strip trailing path slashes, drop
+    the fragment, remove ``utm_*`` tracking parameters and SORT the
+    remaining query parameters. Pure column algebra (regexp extracts +
+    array ops) — conservative ASCII regexes so Java regex and RE2 agree.
+
+    Not a full RFC 3986 normalizer (no %-decoding, no IDN) — it is the
+    deterministic 90% that collapses the duplicate-URL variants crawls
+    actually produce."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    port = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(q, "&"),
+                lambda p: (~p.startswith("utm_")) & (p != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )

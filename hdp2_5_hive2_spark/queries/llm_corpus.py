@@ -3792,3 +3792,84 @@ def llm_pareto_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
     return curation.pareto_front(base, "quality_score", "n_tokens")
+
+
+@query(
+    "llm_url_canonical_dedup",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             'HTTP://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM'
+             || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END
+             || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&a=1&b=2'
+                     ELSE '?b=2&a=1&utm_medium=x' END
+             || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             || '://'
+             || lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+             || CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) <> ''
+                      AND NOT ((lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+                                AND regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) = '80')
+                           OR (lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+                                AND regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) = '443'))
+                THEN ':' || regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1)
+                ELSE '' END
+             || regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+             || CASE WHEN array_to_string(list_sort(list_filter(
+                        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                        p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') <> ''
+                THEN '?' || array_to_string(list_sort(list_filter(
+                        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                        p -> NOT starts_with(p, 'utm_') AND p <> '')), '&')
+                ELSE '' END AS canonical_url
+      FROM planted
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM canon GROUP BY canonical_url
+    """,
+    tags=("llm", "curation", "url", "dedup"),
+)
+def llm_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup after canonicalization (llm.text.canonicalize_url): the
+    crawl-pipeline step that collapses scheme/host case, default ports,
+    trailing slashes, fragments, utm_* tracking params and query-param
+    order before treating URLs as identities. Planted variants (host/path
+    keyed on doc_id mod 5/40 plus case/port/slash/param noise) collapse
+    to 40 canonical groups; output counts + min-id keeper + checksum per
+    group. Column algebra only — one groupBy shuffle on the canonical
+    key at any corpus size."""
+    d = load_tables(spark, sf_dir)["documents"]
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&a=1&b=2")
+            ).otherwise(F.lit("?b=2&a=1&utm_medium=x")),
+            F.lit("#sec"),
+            (F.col("doc_id") % 4).cast("string"),
+        ).alias("url"),
+    )
+    return (
+        planted.select("doc_id", text.canonicalize_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )

@@ -1615,3 +1615,21 @@ def test_pareto_front_matches_quadratic_definition(spark):
     )
     assert got == expect
     assert 100 in got and 101 in got
+
+
+def test_canonicalize_url_cases(spark):
+    """canonicalize_url edge cases: default vs explicit ports, fragment and
+    utm stripping, param sorting, trailing-slash and case handling."""
+    from hdp2_5_hive2_spark.llm.text import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b/?z=1&utm_x=t&a=2#f", "http://www.ex.com/A/b?a=2&z=1"),
+        ("https://ex.com:443/p", "https://ex.com/p"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+        ("http://ex.com/", "http://ex.com"),
+        ("http://ex.com/p?utm_source=x", "http://ex.com/p"),
+        ("http://ex.com/p?b=2&a=1", "http://ex.com/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
