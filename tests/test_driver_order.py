@@ -79,10 +79,18 @@ def test_invariants_survive_next_round_file(tmp_path):
         "sanity"
     )
     _check_invariants(simulated)
-    # the six round-5 overflow names must now be green, i.e. non-dark
-    assert dark_queries(simulated) == [
-        n for n in REGISTRY if n not in simulated and n not in driver_order()[:_WINDOW]
-    ]
+    # the six round-5 overflow names must now be green, i.e. non-dark, and
+    # the leftover dark names (overflow beyond the window) keep the
+    # documented contract: plan order first, unplanned alphabetically after
+    leftover = {
+        n
+        for n in REGISTRY
+        if n not in simulated and n not in driver_order()[:_WINDOW]
+    }
+    expected = [n for n in _ROTATION_PLAN if n in leftover] + sorted(
+        leftover - set(_ROTATION_PLAN)
+    )
+    assert dark_queries(simulated) == expected
 
 
 def test_invariants_survive_partial_round_file(tmp_path):
