@@ -431,3 +431,102 @@ def ks_statistic(
             ).alias("ks_stat"),
         )
     )
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: Sequence[str], p: int = 5
+) -> DataFrame:
+    """Per-group HyperLogLog registers (group..., bucket, rho) for a value
+    column — the from-scratch, ENGINE-PORTABLE distinct-count sketch
+    (Flajolet/Fusy/Gandouet/Meunier 2007; the reference's ANALYZE ndv path
+    is the same register-max idea via NumDistinctValueEstimator.java's FM
+    sketches, and Spark's native HLL++ is `approx_count_distinct`, see
+    `approx_ndv_accuracy`). This variant hashes with md5 so ANY engine —
+    Spark, DuckDB, a future reader of persisted registers — rebuilds
+    identical registers, which makes the sketch itself oracle-checkable,
+    persistable, and mergeable across engines, not just within one JVM.
+
+    Hash layout: the first 15 md5 hex digits form a 60-bit integer; the low
+    ``p`` bits pick the register, the remaining W = 60-p bits feed
+    rho = W - bitlength(rest) + 1 (the 1-based position of the leftmost
+    1-bit), capped at 31 so downstream sums stay exactly representable.
+    bitlength is computed as the length of the base-2 string — exact
+    integer arithmetic, no float log2 edge cases.
+
+    Plan/scale: one map-side projection then ONE groupBy(group, bucket)
+    shuffle with partial max — per task at most groups x m register rows
+    cross the wire (the sketch, not the data). Register streams from
+    disjoint splits merge by the same groupBy-max, which is the whole point
+    of the format."""
+    m = 1 << p
+    w = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    bucket = (h % m).alias("bucket")
+    rest = F.floor(h / m).cast("bigint")
+    # conv(0) = "0" (length 1) would give rho = w, one short of the true
+    # w+1 for an all-zero suffix; both are >= the 31 cap, so no special case.
+    rho = F.least(
+        F.lit(w) - F.length(F.conv(rest.cast("string"), 10, 2)) + F.lit(1),
+        F.lit(31),
+    ).alias("rho")
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    registers: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge register sets down to coarser groups (or to one global sketch
+    with ``group_cols=[]``): register-wise MAX — the HLL union operation.
+    Lossless w.r.t. re-sketching the concatenated inputs, which is what
+    makes per-partition / per-day sketches composable at 100 TB."""
+    return (
+        registers.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: Sequence[str], p: int = 5
+) -> DataFrame:
+    """Finalize registers into (group..., v_zero, s_num, hll_ndv).
+
+    All pre-float state is exact integer: v_zero counts absent/zero
+    registers, s_num = sum(2^(31-rho)) + v_zero * 2^31 is the harmonic-mean
+    denominator scaled by 2^31 (rho <= 31 keeps every term and the sum an
+    exact BIGINT). The single float op is the closing division
+    alpha_m * m^2 * 2^31 / s_num — one IEEE rounding of exactly-agreed
+    operands, so estimates hash-match bit-for-bit across engines. The raw
+    (uncorrected) estimator is reported; callers in the linear-counting
+    regime (E < 2.5m, v_zero > 0) also have v_zero to apply it."""
+    m = 1 << p
+    numerator = _hll_alpha(m) * m * m * 2.0**31
+    groups = list(group_cols) if group_cols else []
+    agg = registers.groupBy(*groups).agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 31 - rho)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 31)
+        ).cast("bigint").alias("s_num"),
+    )
+    return agg.select(
+        *groups,
+        "v_zero",
+        "s_num",
+        (F.lit(numerator) / F.col("s_num").cast("double")).alias("hll_ndv"),
+    )

@@ -1633,3 +1633,55 @@ def test_canonicalize_url_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_hll_merge_is_lossless_and_estimate_close(spark):
+    """Register-wise MAX of per-group sketches must equal the sketch of the
+    concatenated data (the HLL union law), and the global estimate must be
+    within the ~1.04/sqrt(m) error regime of the true ndv."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.stats import hll_estimate, hll_merge, hll_registers
+
+    df = spark.range(0, 3000).select(
+        F.concat(F.lit("item-"), F.col("id").cast("string")).alias("v"),
+        (F.col("id") % 7).cast("string").alias("g"),
+    )
+    per_group = hll_registers(df, "v", ["g"], p=5)
+    merged = {
+        (r["bucket"],): r["rho"]
+        for r in hll_merge(per_group, []).collect()
+    }
+    direct = {
+        (r["bucket"],): r["rho"]
+        for r in hll_registers(df.select("v"), "v", [], p=5).collect()
+    }
+    assert merged == direct
+    est = hll_estimate(hll_merge(per_group, []), [], p=5).first()
+    assert est["s_num"] > 0
+    # 3000 distinct, m=32: expect well within 5 standard errors (~92%).
+    assert abs(est["hll_ndv"] / 3000.0 - 1.0) < 0.92
+    # duplicates must not move registers at all
+    doubled = hll_registers(df.union(df), "v", [], p=5)
+    assert {(r["bucket"],): r["rho"] for r in doubled.collect()} == direct
+
+
+def test_hll_registers_match_reference_python(spark):
+    """The md5 register layout is the portability contract: recompute
+    registers in plain Python (hashlib) and require identity."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.stats import hll_registers
+
+    vals = [f"tok{i}" for i in range(400)]
+    expected: dict[int, int] = {}
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        bucket, rest = h % 32, h // 32
+        rho = min(55 - rest.bit_length() + 1, 31) if rest else 31
+        expected[bucket] = max(expected.get(bucket, 0), rho)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r["bucket"]: r["rho"] for r in hll_registers(df, "v", [], p=5).collect()}
+    assert got == expected
