@@ -1066,3 +1066,105 @@ def rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """DISTRIBUTED Lloyd k-means over an embedding column, exact-integer
+    end-to-end — the full-corpus counterpart of `_train_centroids` (which
+    runs on a driver-side sample, the IVF convention). Returns per-cluster
+    (cid, n_members, id_checksum, inertia) after `iters` refinement rounds
+    from deterministic seeds (the k lowest-id vectors).
+
+    Determinism/oracle contract: vectors quantize to integers with
+    floor(x * scale) — scale is a power of two, so x*scale is EXACT in
+    binary floating point and floor carries no rounding ambiguity. Squared
+    L2 distances, argmin assignment (ties -> lowest cluster id), centroid
+    updates floor(sum/count) and the final inertia are then all int64
+    arithmetic: any engine reproduces every cluster bit-for-bit. Empty
+    clusters keep their previous centroid.
+
+    Scale shape (the standard 100 TB Lloyd loop): per iteration, ONE
+    Arrow map pass assigns each partition against the broadcast k x d
+    centroid matrix via an int64 GEMM (no shuffle), then ONE groupBy
+    shuffles k rows of d+1 partial sums (map-side combine makes the
+    shuffle payload k x d integers per task, independent of corpus size),
+    and the k new centroids sync through the driver — the unavoidable
+    Lloyd barrier, k*d ints per round."""
+    import numpy as np
+    import pandas as pd
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("bigint"),
+    )
+    base = df.select(F.col(id_col).alias("id"), q.alias("q"))
+    seeds = base.orderBy("id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"kmeans_lloyd: need >= {k} rows, got {len(seeds)}")
+    cent = np.asarray([r.q for r in seeds], dtype=np.int64)
+    dims = cent.shape[1]
+    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def assign(centroids: np.ndarray) -> DataFrame:
+        cmat = centroids.copy()
+        cnorm = (cmat * cmat).sum(axis=1)
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.asarray(list(pdf["q"]), dtype=np.int64)
+                d2 = (
+                    (x * x).sum(axis=1, keepdims=True)
+                    - 2 * (x @ cmat.T)
+                    + cnorm[None, :]
+                )
+                cid = d2.argmin(axis=1)  # first minimum = lowest cluster id
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "q": pdf["q"],
+                        "cid": cid.astype("int64"),
+                        "d2": d2[np.arange(len(x)), cid],
+                    }
+                )
+
+        src = base if base.rdd.getNumPartitions() >= shuffle_n else base.repartition(shuffle_n)
+        return src.mapInPandas(
+            gen, "id bigint, q array<bigint>, cid bigint, d2 bigint"
+        )
+
+    for _ in range(iters):
+        sums = (
+            assign(cent)
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                    for i in range(dims)
+                ],
+            )
+            .collect()
+        )
+        nxt = cent.copy()
+        for r in sums:
+            nxt[r["cid"]] = [r[f"s{i}"] // r["cnt"] for i in range(dims)]
+        cent = nxt
+
+    return (
+        assign(cent)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("id").alias("id_checksum"),
+            F.sum("d2").alias("inertia"),
+        )
+    )

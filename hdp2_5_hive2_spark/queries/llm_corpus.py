@@ -3951,3 +3951,85 @@ def llm_hll_ngram_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_ndv").cast("double")
         ).alias("rel_err"),
     )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dims: int = 64, scale: int = 1024) -> str:
+    """Unrolled Lloyd iterations in plain SQL: assignment = argmin of exact
+    integer squared distance (ties -> lowest cid), update = floor(sum/cnt)
+    per dimension, empty clusters keep the previous centroid."""
+    def dist_cte(dname: str, cname: str) -> str:
+        return f"""
+    {dname} AS (
+      SELECT e.vec_id, e.q, {cname}.cid,
+             list_aggregate(list_transform(generate_series(1, {dims}),
+                 i -> (e.q[i] - {cname}.c[i]) * (e.q[i] - {cname}.c[i])), 'sum') AS d2
+      FROM e CROSS JOIN {cname}
+    )"""
+
+    def assign_cte(aname: str, dname: str) -> str:
+        return f"""
+    {aname} AS (
+      SELECT vec_id, q, cid, d2 FROM (
+        SELECT vec_id, q, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM {dname}
+      ) WHERE rk = 1
+    )"""
+
+    def update_cte(mname: str, aname: str, cprev: str, cname: str) -> str:
+        return f"""
+    {mname} AS (
+      SELECT cid, i, CAST(floor(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+      FROM {aname}, unnest(generate_series(1, {dims})) AS u(i)
+      GROUP BY cid, i
+    ), {cname} AS (
+      SELECT {cprev}.cid, COALESCE(n.c, {cprev}.c) AS c
+      FROM {cprev} LEFT JOIN
+           (SELECT cid, list(v ORDER BY i) AS c FROM {mname} GROUP BY cid) n
+           USING (cid)
+    )"""
+
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+      FROM e ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    for it in range(iters):
+        parts.append("," + dist_cte(f"d{it}", f"c{it}"))
+        parts.append("," + assign_cte(f"a{it}", f"d{it}"))
+        parts.append("," + update_cte(f"m{it}", f"a{it}", f"c{it}", f"c{it + 1}"))
+    parts.append("," + dist_cte("dfin", f"c{iters}"))
+    parts.append("," + assign_cte("afin", "dfin"))
+    parts.append("""
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM afin GROUP BY cid
+    """)
+    return "".join(parts)
+
+
+@query(
+    "llm_kmeans_clusters",
+    oracle=_kmeans_oracle(),
+    tags=("llm", "similarity", "clustering", "kmeans"),
+)
+def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table
+    (llm.similarity.kmeans_lloyd): k=8 clusters refined for 2 full-corpus
+    iterations from deterministic lowest-id seeds. Quantizing by the
+    power-of-two scale makes every distance, update and the final inertia
+    exact int64, so cluster sizes, membership checksums AND inertia
+    hash-match the oracle bit-for-bit — the auditable version of the
+    sample-based trainer inside ivf_topk. Per iteration: one Arrow GEMM
+    assignment pass (no shuffle) + one k-row partial-sum shuffle + a k x d
+    driver sync — the canonical cluster-scale Lloyd loop."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.kmeans_lloyd(e, k=8, iters=2)

@@ -1685,3 +1685,36 @@ def test_hll_registers_match_reference_python(spark):
     df = spark.createDataFrame([(v,) for v in vals], "v string")
     got = {r["bucket"]: r["rho"] for r in hll_registers(df, "v", [], p=5).collect()}
     assert got == expected
+
+
+def test_kmeans_lloyd_inertia_decreases_and_is_deterministic(spark):
+    """More Lloyd rounds can only lower (never raise) total inertia, empty
+    seeds raise, and repeated runs return identical clusters."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.similarity import kmeans_lloyd
+
+    df = (
+        spark.range(0, 200)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: (
+                    ((F.col("id") % 4) * 10).cast("double")
+                    + (F.pmod(F.col("id") * i, F.lit(7))).cast("double") / 10.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    one = {r["cid"]: r for r in kmeans_lloyd(df, k=4, iters=1).collect()}
+    three = {r["cid"]: r for r in kmeans_lloyd(df, k=4, iters=3).collect()}
+    assert sum(r["inertia"] for r in three.values()) <= sum(
+        r["inertia"] for r in one.values()
+    )
+    assert sum(r["n_members"] for r in three.values()) == 200
+    again = {r["cid"]: tuple(r) for r in kmeans_lloyd(df, k=4, iters=3).collect()}
+    assert again == {c: tuple(r) for c, r in three.items()}
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(df.limit(2), k=4)
