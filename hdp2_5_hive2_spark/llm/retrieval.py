@@ -827,3 +827,52 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_idx int, pair string, cnt bigint"
     )
+
+
+def oov_rate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate of held-out text under a capped vocabulary
+    learned from the training split — the tokenizer-budget QA metric (what
+    fraction of deployment tokens would fall to <unk> at this vocab size).
+    Returns (group, n_tokens, n_oov, oov_rate) per eval group.
+
+    Vocabulary = the `vocab_size` most frequent training tokens, ties broken
+    by token string so the cut is deterministic at any engine. The ranking
+    runs on the POST-AGG vocab table (vocab-sized, single-partition window —
+    same device as vocab_coverage), and the learned vocab is BROADCAST to
+    the eval side, so eval text is scored map-side: one groupBy(group)
+    shuffle of per-task partial counts ends the job. Exact integers until
+    the one closing division."""
+    counts = (
+        train.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= vocab_size)
+        .select("term")
+    )
+    ev = eval_df.select(group_col, F.explode(tokens(text_col)).alias("term"))
+    return (
+        ev.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )

@@ -102,6 +102,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_url_canonical_dedup",      # URL canonicalization dedup (r6)
     "llm_hll_ngram_ndv",            # engine-portable HyperLogLog ndv (r6)
     "llm_kmeans_clusters",          # distributed exact-int Lloyd k-means (r6)
+    "llm_oov_rate",                 # capped-vocab held-out OOV rate (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -1302,3 +1302,50 @@ def llm_chars_per_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("y"),
     )
     return stats.linfit_by_group(base, ["source"], "x", "y")
+
+
+@query(
+    "llm_oov_rate",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id, source, text,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS b
+      FROM documents
+    ), tr AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM sp WHERE b < 90
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS cnt FROM tr GROUP BY term
+        ORDER BY cnt DESC, term ASC LIMIT 16
+      )
+    ), ev AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM sp WHERE b >= 90
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM ev GROUP BY source
+    """,
+    tags=("llm", "retrieval", "vocab", "oov"),
+)
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out OOV rate under a capped 16-token vocabulary learned from the
+    train split (llm.retrieval.oov_rate) — the tokenizer-budget acceptance
+    metric: what fraction of deployment tokens falls to <unk> at this vocab
+    size. Split rule is the standard md5(doc_id)%100 hash split (<90 train,
+    rest held out — same rule as llm_split_assign). The vocab ranking runs
+    on the post-agg vocab-sized table and is then BROADCAST, so held-out
+    text is scored map-side; exact integer counts, one closing division."""
+    d = load_tables(spark, sf_dir)["documents"]
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    train = d.filter(b < 90)
+    heldout = d.filter(b >= 90)
+    return retrieval.oov_rate(train, heldout, vocab_size=16)

@@ -1718,3 +1718,23 @@ def test_kmeans_lloyd_inertia_decreases_and_is_deterministic(spark):
     assert again == {c: tuple(r) for c, r in three.items()}
     with _pytest.raises(ValueError):
         kmeans_lloyd(df.limit(2), k=4)
+
+
+def test_oov_rate_bounds(spark):
+    """vocab covering everything -> 0 OOV; empty vocab -> all OOV."""
+    from hdp2_5_hive2_spark.llm.retrieval import oov_rate
+
+    train = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b", "s1")], "doc_id long, text string, source string"
+    )
+    ev = spark.createDataFrame(
+        [(3, "a c c", "s1"), (4, "d d", "s2")], "doc_id long, text string, source string"
+    )
+    full = {r["source"]: r for r in oov_rate(train, ev, vocab_size=10).collect()}
+    assert full["s1"]["n_oov"] == 0 and full["s1"]["oov_rate"] == 0.0
+    assert full["s2"]["n_oov"] == 2 and full["s2"]["oov_rate"] == 1.0  # 'd' unseen
+    none = {r["source"]: r for r in oov_rate(train, ev, vocab_size=0).collect()}
+    assert none["s1"]["n_oov"] == 3 and none["s2"]["n_oov"] == 2
+    capped = {r["source"]: r for r in oov_rate(train, ev, vocab_size=2).collect()}
+    # train counts: a=2 b=2 c=1 -> vocab {a,b} (count desc, term asc)
+    assert capped["s1"]["n_oov"] == 2  # the two 'c' occurrences
