@@ -103,6 +103,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_hll_ngram_ndv",            # engine-portable HyperLogLog ndv (r6)
     "llm_kmeans_clusters",          # distributed exact-int Lloyd k-means (r6)
     "llm_oov_rate",                 # capped-vocab held-out OOV rate (r6)
+    "events_zorder_layout",         # Morton-key clustering + skip audit (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -840,3 +840,56 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+def _zorder_oracle(bits: int = 8, bucket_bits: int = 4) -> str:
+    interleave = " + ".join(
+        f"((x >> {i}) & 1) * {1 << (2 * i)} + ((y >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(bits)
+    )
+    return f"""
+    WITH m AS (SELECT max(user_id) AS mu FROM events),
+    b AS (
+      SELECT (user_id * 256) // (mu + 1) AS x,
+             ((hour(CAST(ts AS TIMESTAMP)) * 60
+               + minute(CAST(ts AS TIMESTAMP))) * 256) // 1440 AS y
+      FROM events, m
+    ), z AS (
+      SELECT x, y, {interleave} AS zv FROM b
+    )
+    SELECT zv >> {2 * bits - bucket_bits} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM z GROUP BY zv >> {2 * bits - bucket_bits}
+    """
+
+
+@query(
+    "events_zorder_layout",
+    oracle=_zorder_oracle(),
+    tags=("events", "storage", "layout", "zorder"),
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit over events (storage.layout.zvalue /
+    zorder_audit): normalize (user_id, minute-of-day) into 8-bit ranges,
+    interleave into a Morton key, split the keyspace into 16 fixed-width
+    Z-ranges — the files a Z-clustered INSERT would produce — and report
+    each range's row count and per-dimension min/max footer spans. The
+    audit shows every bucket bounding BOTH dimensions (~quarter range
+    each at 4 bucket bits), which is the data-skipping property a
+    single-column sort cannot give the second column. Exact bit algebra
+    end-to-end; the normalizing max rides a broadcast one-row cross join,
+    and bucketing shifts the key's top bits, so there is NO global sort —
+    one bounded groupBy shuffle."""
+    from hdp2_5_hive2_spark.storage import layout
+
+    e = load_tables(spark, sf_dir)["events"]
+    mu = e.agg(F.max("user_id").alias("mu"))
+    base = e.crossJoin(F.broadcast(mu)).select(
+        F.expr("(user_id * 256) div (mu + 1)").alias("x"),
+        (
+            (F.hour("ts") * 60 + F.minute("ts")) * 256
+        ).cast("bigint").alias("_yraw"),
+    ).select("x", F.expr("_yraw div 1440").alias("y"))
+    return layout.zorder_audit(base, "x", "y", bits=8, bucket_bits=4)

@@ -297,3 +297,41 @@ print("SEQ_PARITY_OK")
         cwd=str(tmp_path),
     )
     assert "SEQ_PARITY_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_zvalue_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage.layout import zvalue, zorder_audit
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 17).alias("x"), (F.col("id") % 23).alias("y"), "id"
+    )
+    rows = df.select("x", "y", zvalue("x", "y", bits=8).alias("z")).collect()
+
+    def interleave(x: int, y: int, bits: int = 8) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r["z"] == interleave(r["x"], r["y"])
+
+    # Z-range buckets bound BOTH dimensions: fixing the top 2k bits of the
+    # key pins the top k bits of each dimension, so every bucket's span is
+    # at most 2^(bits-k) per dimension.
+    big = spark.range(0, 4096).select(
+        (F.col("id") % 256).alias("x"), ((F.col("id") * 7) % 256).alias("y")
+    )
+    audit = zorder_audit(big, "x", "y", bits=8, bucket_bits=4).collect()
+    assert sum(r["n_rows"] for r in audit) == 4096
+    for r in audit:
+        assert r["max_x"] - r["min_x"] <= 63
+        assert r["max_y"] - r["min_y"] <= 63
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zvalue("x", "y", bits=0)
