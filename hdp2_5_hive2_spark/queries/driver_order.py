@@ -104,6 +104,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_kmeans_clusters",          # distributed exact-int Lloyd k-means (r6)
     "llm_oov_rate",                 # capped-vocab held-out OOV rate (r6)
     "events_zorder_layout",         # Morton-key clustering + skip audit (r6)
+    "llm_posting_lists",            # block-encoded inverted index (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -1349,3 +1349,43 @@ def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(b < 90)
     heldout = d.filter(b >= 90)
     return retrieval.oov_rate(train, heldout, vocab_size=16)
+
+
+@query(
+    "llm_posting_lists",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+      )
+    ), b AS (
+      SELECT term, doc_id,
+             (row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) // 128
+               AS block_id
+      FROM p
+    ), g AS (
+      SELECT term, block_id, list(doc_id ORDER BY doc_id) AS arr
+      FROM b GROUP BY term, block_id
+    )
+    SELECT term, CAST(block_id AS BIGINT) AS block_id,
+           CAST(len(arr) AS BIGINT) AS n_postings,
+           CAST(arr[1] AS BIGINT) AS first_doc,
+           CAST(arr[-1] AS BIGINT) AS last_doc,
+           array_to_string(list_transform(generate_series(1, len(arr)),
+                          i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                                    ELSE CAST(arr[i] - arr[i-1] AS BIGINT) END), ',')
+             AS gaps
+    FROM g
+    """,
+    tags=("llm", "retrieval", "index"),
+)
+def llm_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-encoded inverted index build (llm.retrieval.posting_blocks):
+    per term, the sorted posting list split into 128-entry blocks of
+    delta-encoded doc ids — the block-max/skip-list shape real search
+    indexes persist, chosen over one-list-per-term precisely because the
+    aggregation buffer stays bounded at any document frequency. Integer
+    output end-to-end (ids, block ids, gap arrays)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return retrieval.posting_blocks(d, block_size=128)

@@ -1738,3 +1738,38 @@ def test_oov_rate_bounds(spark):
     capped = {r["source"]: r for r in oov_rate(train, ev, vocab_size=2).collect()}
     # train counts: a=2 b=2 c=1 -> vocab {a,b} (count desc, term asc)
     assert capped["s1"]["n_oov"] == 2  # the two 'c' occurrences
+
+
+def test_posting_blocks_roundtrip_and_bounds(spark):
+    """Gap streams reconstruct the exact posting lists; every block is
+    bounded by block_size; bad block_size raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.retrieval import posting_blocks
+
+    df = spark.range(0, 57).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common "),
+            F.when(F.col("id") % 2 == 0, F.lit("even ")).otherwise(F.lit("odd ")),
+            F.lit("tail"),
+        ).alias("text"),
+    )
+    rows = posting_blocks(df, block_size=10).collect()
+    rebuilt: dict[str, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r["term"], r["block_id"])):
+        gaps = [int(g) for g in r["gaps"].split(",")]
+        assert len(gaps) == r["n_postings"] <= 10
+        assert gaps[0] == 0
+        ids, cur = [], r["first_doc"]
+        for g in gaps:
+            cur += g
+            ids.append(cur)
+        assert ids[-1] == r["last_doc"]
+        rebuilt.setdefault(r["term"], []).extend(ids)
+    assert rebuilt["common"] == list(range(57))
+    assert rebuilt["even"] == [i for i in range(57) if i % 2 == 0]
+    assert rebuilt["tail"] == list(range(57))
+    with _pytest.raises(ValueError):
+        posting_blocks(df, block_size=0)
