@@ -4033,3 +4033,106 @@ def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver sync — the canonical cluster-scale Lloyd loop."""
     e = load_tables(spark, sf_dir)["embeddings"]
     return similarity.kmeans_lloyd(e, k=8, iters=2)
+
+
+@query(
+    "llm_hll_split_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'held' END AS split
+      FROM documents
+    ), g AS (
+      SELECT split, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ng
+      FROM t, unnest(generate_series(1, len(tk) - 2)) AS u(i)
+    ), gg AS (
+      SELECT split, ng FROM g
+      UNION ALL
+      SELECT '__U__' AS split, ng FROM g
+    ), h AS (
+      SELECT split, CAST(('0x' || substring(md5(ng), 1, 15)) AS BIGINT) AS hv
+      FROM gg
+    ), r AS (
+      SELECT split, hv % 32 AS bucket,
+             MAX(LEAST(55 - length(bin(hv // 32)) + 1, 31)) AS rho
+      FROM h GROUP BY split, hv % 32
+    ), f AS (
+      SELECT split,
+             {_HLL_NUM} / CAST(SUM(1::BIGINT << (31 - rho))
+                  + (32 - count(*)) * (1::BIGINT << 31) AS DOUBLE) AS est
+      FROM r GROUP BY split
+    ), x AS (
+      SELECT
+        (SELECT CAST(count(DISTINCT ng) AS BIGINT) FROM g WHERE split = 'train')
+          AS exact_train,
+        (SELECT CAST(count(DISTINCT ng) AS BIGINT) FROM g WHERE split = 'held')
+          AS exact_held,
+        (SELECT CAST(count(*) AS BIGINT) FROM
+           (SELECT DISTINCT ng FROM g WHERE split = 'train') a
+           JOIN (SELECT DISTINCT ng FROM g WHERE split = 'held') b USING (ng))
+          AS exact_inter
+    )
+    SELECT exact_train, exact_held, exact_inter,
+           (SELECT est FROM f WHERE split = 'train') AS est_train,
+           (SELECT est FROM f WHERE split = 'held') AS est_held,
+           (SELECT est FROM f WHERE split = '__U__') AS est_union,
+           (SELECT est FROM f WHERE split = 'train')
+             + (SELECT est FROM f WHERE split = 'held')
+             - (SELECT est FROM f WHERE split = '__U__') AS est_inter
+    FROM x
+    """,
+    tags=("llm", "sketch", "hll", "dedup"),
+)
+def llm_hll_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (stats.hll_*): estimate the distinct-3-gram overlap
+    between the train and held-out splits by inclusion-exclusion —
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is the
+    register-wise max of the two split sketches (no third data pass). This
+    is the 100 TB cross-corpus contamination smell test: two register sets
+    of 32 ints answer "how much does my new crawl overlap the training
+    set" without co-shuffling either corpus. Exact distinct counts ride
+    alongside so the query doubles as the estimator's error report."""
+    d = load_tables(spark, sf_dir)["documents"]
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    docs = d.withColumn(
+        "split", F.when(b < 90, F.lit("train")).otherwise(F.lit("held"))
+    )
+    ngs = curation.word_ngram_rows(docs, n=3).withColumnRenamed("id", "doc_id")
+    g = ngs.join(
+        F.broadcast(docs.select("doc_id", "split")), "doc_id"
+    ).select("split", F.col("ngram").alias("ng"))
+    regs = stats.hll_registers(g, "ng", ["split"], p=5)
+    union_regs = stats.hll_merge(regs, [])
+    est = stats.hll_estimate(regs, ["split"], p=5).select("split", "hll_ndv")
+    est_u = stats.hll_estimate(union_regs, [], p=5).select(
+        F.lit("__U__").alias("split"), "hll_ndv"
+    )
+    pivoted = (
+        est.unionByName(est_u)
+        .groupBy()
+        .pivot("split", ["train", "held", "__U__"])
+        .agg(F.first("hll_ndv"))
+        .select(
+            F.col("train").alias("est_train"),
+            F.col("held").alias("est_held"),
+            F.col("__U__").alias("est_union"),
+        )
+    )
+    tr = g.filter(F.col("split") == "train").select("ng").distinct()
+    hd = g.filter(F.col("split") == "held").select("ng").distinct()
+    exact = (
+        tr.agg(F.count(F.lit(1)).alias("exact_train"))
+        .crossJoin(hd.agg(F.count(F.lit(1)).alias("exact_held")))
+        .crossJoin(tr.join(hd, "ng").agg(F.count(F.lit(1)).alias("exact_inter")))
+    )
+    return exact.crossJoin(F.broadcast(pivoted)).select(
+        "exact_train", "exact_held", "exact_inter",
+        "est_train", "est_held", "est_union",
+        (F.col("est_train") + F.col("est_held") - F.col("est_union")).alias(
+            "est_inter"
+        ),
+    )
