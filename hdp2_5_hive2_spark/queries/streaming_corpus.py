@@ -893,3 +893,40 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("_yraw"),
     ).select("x", F.expr("_yraw div 1440").alias("y"))
     return layout.zorder_audit(base, "x", "y", bits=8, bucket_bits=4)
+
+
+@query(
+    "events_scd2_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS isl
+      FROM events
+    ), i AS (
+      SELECT user_id, event_type, min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM o GROUP BY user_id, event_type, isl
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events
+    FROM i
+    """,
+    tags=("events", "timeseries", "scd2"),
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 state-history build over the event log
+    (timeseries.state_intervals): per user, runs of the same event_type
+    collapse into validity intervals [valid_from, valid_to) closed by the
+    next state change (open interval -> NULL). Gaps-and-islands in one
+    key shuffle (both row_numbers share the Exchange), interval closing on
+    the already-collapsed island table."""
+    from hdp2_5_hive2_spark import timeseries
+
+    e = load_tables(spark, sf_dir)["events"]
+    return timeseries.state_intervals(
+        e, ["user_id"], "event_type", ts_col="ts", tiebreak_col="event_id"
+    )

@@ -182,3 +182,58 @@ def asof_join_nearest(
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())
     return out
+
+
+def state_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    state_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """SCD-Type-2 style interval build: collapse an event stream into
+    per-key state-validity intervals — consecutive rows with the SAME state
+    merge into one interval whose `valid_to` is the next interval's start
+    (NULL for the current/open interval). The batch version of the
+    change-data-capture history table the reference's UPDATE/ACID surface
+    feeds (UpdateDeleteSemanticAnalyzer.java:52); here built from an
+    append-only event log, which is the form that survives at 100 TB.
+
+    Output: key..., state, valid_from, valid_to, n_events.
+
+    Plan: gaps-and-islands via change-flag + running sum — `lag(state)`
+    detects state changes and a running `sum` numbers the islands, both
+    over the SAME (key)-partitioned window, so the whole detection runs in
+    ONE shuffle + one in-partition sort (the row_number-difference trick
+    would partition a second window by (key, state) and pay a second
+    Exchange). One bounded groupBy collapses islands, and `lead` over the
+    per-key interval sequence (interval count << event count) closes the
+    intervals. Per-key ordering is per-entity event volume — naturally
+    bounded."""
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w_all = Window.partitionBy(*keys).orderBy(*order)
+    chg = F.when(
+        F.lag(state_col).over(w_all).isNull()
+        | (F.lag(state_col).over(w_all) != F.col(state_col)),
+        1,
+    ).otherwise(0)
+    w_run = w_all.rowsBetween(Window.unboundedPreceding, 0)
+    islands = (
+        df.withColumn("_isl", F.sum(chg).over(w_run))
+        .groupBy(*keys, state_col, "_isl")
+        .agg(
+            F.min(ts_col).alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_seq = Window.partitionBy(*keys).orderBy(F.col("valid_from").asc())
+    return islands.select(
+        *keys,
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(w_seq).alias("valid_to"),
+        "n_events",
+    )
