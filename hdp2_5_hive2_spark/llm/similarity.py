@@ -1168,3 +1168,98 @@ def kmeans_lloyd(
             F.sum("d2").alias("inertia"),
         )
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring
+    (Jégou/Douze/Schmid 2011): vectors are chopped into ``n_sub``
+    subspaces, each encoded as its nearest codebook centroid id, and a
+    query scores a vector as the SUM of per-subspace lookup-table
+    distances — so the served index stores n_sub bytes per vector instead
+    of the full float array, the property that makes billion-vector
+    serving fit in memory.
+
+    Returns (query_id, neighbor_id, rank, d2) — approx squared-L2 in the
+    quantized integer space, ties broken by neighbor id.
+
+    Determinism: power-of-two quantization (exact), codebooks seeded from
+    the ``n_cent`` lowest-id corpus vectors (refine with
+    `kmeans_lloyd`-style training in production — seeding keeps this
+    oracle-checkable without unrolling Lloyd per subspace), every
+    distance/argmin/sum in int64. Scale shape: codebook and query LUTs are
+    driver-tiny and broadcast into ONE Arrow pass that encodes each corpus
+    batch and emits per-query ADC distances (no shuffle); the only
+    shuffle is the final per-query top-k (WindowGroupLimit heaps)."""
+    import numpy as np
+    import pandas as pd
+
+    if n_sub < 1 or n_cent < 1:
+        raise ValueError(f"pq_adc_topk: n_sub/n_cent must be >= 1, got {n_sub}/{n_cent}")
+    qz = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("bigint"),
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), qz.alias("q"))
+    qdf = queries.select(F.col(id_col).alias("query_id"), qz.alias("q"))
+
+    seeds = c.orderBy("neighbor_id").limit(n_cent).collect()
+    if len(seeds) < n_cent:
+        raise ValueError(f"pq_adc_topk: need >= {n_cent} corpus rows, got {len(seeds)}")
+    cb = np.asarray([r.q for r in seeds], dtype=np.int64)  # n_cent x dims
+    dims = cb.shape[1]
+    if dims % n_sub:
+        raise ValueError(f"pq_adc_topk: {dims} dims not divisible by {n_sub} subspaces")
+    d_sub = dims // n_sub
+    cb_sub = cb.reshape(n_cent, n_sub, d_sub)  # (cent, sub, d)
+
+    qrows = qdf.collect()
+    qids = np.asarray([r.query_id for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r.q for r in qrows], dtype=np.int64).reshape(
+        len(qrows), n_sub, d_sub
+    )
+    # LUT[qi, s, c] = ||query_sub - centroid_sub||^2, exact int64
+    lut = ((qmat[:, None, :, :] - cb_sub[None, :, :, :]) ** 2).sum(axis=3)
+    lut = np.transpose(lut, (0, 2, 1))  # (query, sub, cent)
+
+    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["q"]), dtype=np.int64).reshape(
+                len(pdf), n_sub, d_sub
+            )
+            # encode: nearest centroid per subspace (first min = lowest id)
+            d2 = ((x[:, None, :, :] - cb_sub[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=1)  # (n, sub)
+            # ADC: sum LUT entries along the code path, per query
+            approx = lut[:, np.arange(n_sub)[None, :], codes].sum(axis=2)
+            # approx shape: (n_query, n_rows)
+            n = len(pdf)
+            nq = len(qids)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(pdf["neighbor_id"].to_numpy(), nq),
+                    "d2": approx.reshape(-1),
+                }
+            )
+
+    src = c if c.rdd.getNumPartitions() >= shuffle_n else c.repartition(shuffle_n)
+    scored = src.mapInPandas(gen, "query_id bigint, neighbor_id bigint, d2 bigint")
+    w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2")
+    )

@@ -4136,3 +4136,66 @@ def llm_hll_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_inter"
         ),
     )
+
+
+def _pq_oracle(n_sub: int = 8, d_sub: int = 8, n_cent: int = 16, k: int = 10,
+               scale: int = 1024) -> str:
+    dist = (
+        "list_aggregate(list_transform(generate_series(1, {d}), "
+        "i -> (a.q[{d} * s.s + i] - cb.c[{d} * s.s + i]) "
+        "* (a.q[{d} * s.s + i] - cb.c[{d} * s.s + i])), 'sum')"
+    ).format(d=d_sub)
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+      FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT {n_cent}
+    ), s AS (
+      SELECT s FROM unnest(generate_series(0, {n_sub - 1})) AS t(s)
+    ), encd AS (
+      SELECT a.vec_id, s.s, cb.cid, {dist} AS d2
+      FROM (SELECT * FROM e WHERE vec_id >= 5) a, s, cb
+    ), enc AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+        FROM encd
+      ) WHERE rk = 1
+    ), lutd AS (
+      SELECT a.vec_id AS query_id, s.s, cb.cid, {dist} AS d2
+      FROM (SELECT * FROM e WHERE vec_id < 5) a, s, cb
+    ), adc AS (
+      SELECT l.query_id, enc.vec_id AS neighbor_id, CAST(SUM(l.d2) AS BIGINT) AS d2
+      FROM enc JOIN lutd l ON l.s = enc.s AND l.cid = enc.code
+      GROUP BY l.query_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2 FROM (
+      SELECT query_id, neighbor_id, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id)
+               AS rank
+      FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "llm_pq_topk",
+    oracle=_pq_oracle(),
+    tags=("llm", "similarity", "ann", "pq"),
+)
+def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN serving (llm.similarity.pq_adc_topk):
+    corpus vectors collapse to 8 one-byte subspace codes against a
+    16-centroid codebook, queries score candidates by summed lookup-table
+    distances (ADC) — the memory-bounded index layout for billion-vector
+    serving, complementing the int8 path (llm_quantized_ann_recall) and
+    the cell-probing path (IVF). Exact int64 arithmetic end-to-end, so
+    codes, distances and the final ranking hash-match the oracle."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus, queries = e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
+    out = similarity.pq_adc_topk(corpus, queries, k=10)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "d2")

@@ -1773,3 +1773,51 @@ def test_posting_blocks_roundtrip_and_bounds(spark):
     assert rebuilt["tail"] == list(range(57))
     with _pytest.raises(ValueError):
         posting_blocks(df, block_size=0)
+
+
+def test_pq_adc_degenerate_codebook_is_exact(spark):
+    """When every corpus vector IS a codebook centroid, PQ encoding is
+    lossless: ADC distance equals the exact quantized L2 distance."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.similarity import pq_adc_topk
+
+    # 16 corpus vectors (ids 5..20) = exactly the 16 seeds; dims 16, 4 subs
+    corpus = spark.range(5, 21).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: ((F.col("id") * i % 13)).cast("double").cast("float"),
+        ).alias("embedding"),
+    )
+    queries = spark.range(0, 2).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: ((F.col("id") + i) % 7).cast("double").cast("float"),
+        ).alias("embedding"),
+    )
+    got = pq_adc_topk(corpus, queries, k=16, n_sub=4, n_cent=16)
+    rows = got.collect()
+    assert len(rows) == 32
+    # exact integer L2 in the same quantized space
+    import numpy as np
+
+    cvecs = {
+        r["vec_id"]: np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1024).astype(np.int64)
+        for r in corpus.collect()
+    }
+    qvecs = {
+        r["vec_id"]: np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1024).astype(np.int64)
+        for r in queries.collect()
+    }
+    for r in rows:
+        exact = int(((qvecs[r["query_id"]] - cvecs[r["neighbor_id"]]) ** 2).sum())
+        assert r["d2"] == exact
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_adc_topk(corpus, queries, n_sub=5, n_cent=16)  # 16 % 5 != 0
+    with _pytest.raises(ValueError):
+        pq_adc_topk(corpus, queries, n_sub=4, n_cent=99)  # not enough rows
