@@ -4019,7 +4019,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dims: int = 64, scale: int = 1024
 @query(
     "llm_kmeans_clusters",
     oracle=_kmeans_oracle(),
-    tags=("llm", "similarity", "clustering", "kmeans"),
+    tags=("llm", "similarity", "clustering", "kmeans", "bench"),
 )
 def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table
@@ -4185,7 +4185,7 @@ def _pq_oracle(n_sub: int = 8, d_sub: int = 8, n_cent: int = 16, k: int = 10,
 @query(
     "llm_pq_topk",
     oracle=_pq_oracle(),
-    tags=("llm", "similarity", "ann", "pq"),
+    tags=("llm", "similarity", "ann", "pq", "bench"),
 )
 def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN serving (llm.similarity.pq_adc_topk):
