@@ -772,3 +772,51 @@ def minhash_lsh_pairs_cross(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "ref_id", "jaccard")
     )
+
+
+def deletion_variants(term: Column) -> Column:
+    """FastSS k=1 candidate keys for a term: the term itself plus every
+    single-character-deletion variant, distinct (Bocek et al. 2007 "Fast
+    Similarity Search"). Two terms at Levenshtein distance <= 1 ALWAYS
+    share a key (deletion: b = del_i(a); insertion: symmetric; substitution:
+    del at the differing position of both), so joining on these keys is a
+    complete candidate generator. Column algebra only — meant for
+    VOCAB-sized frames, where the interpreted-HOF cost is bounded by
+    |vocab| x term length, never the corpus."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(term)),
+        lambda i: F.concat(
+            F.substring(term, F.lit(1), i - 1),
+            F.substring(term, i + 1, F.length(term)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(term), dels))
+
+
+def fuzzy_term_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    term_col: str = "term",
+) -> DataFrame:
+    """All (left term, right term) pairs at Levenshtein distance EXACTLY 1 —
+    the typo/variant matcher behind fuzzy vocabulary merging and
+    spell-variant dedup. Returns (term_a, term_b) with term_a from `left`.
+
+    Plan (the reason this scales): instead of the quadratic
+    cross-join-and-levenshtein the semantics describe, both vocabularies
+    explode into their FastSS deletion neighborhoods (|term|+1 keys each)
+    and equi-join on the key — candidates are then verified with ONE
+    `levenshtein()` call per candidate, and the candidate count is bounded
+    by key collisions, not |A| x |B|. Both sides are vocab-sized
+    (post-aggregation), so at 100 TB the corpus contributes only its
+    distinct-term extraction; the neighborhood join never sees documents."""
+    lt = left.select(F.col(term_col).alias("term_a")).distinct()
+    rt = right.select(F.col(term_col).alias("term_b")).distinct()
+    lk = lt.select("term_a", F.explode(deletion_variants(F.col("term_a"))).alias("k"))
+    rk = rt.select("term_b", F.explode(deletion_variants(F.col("term_b"))).alias("k"))
+    return (
+        lk.join(rk, "k")
+        .select("term_a", "term_b")
+        .distinct()
+        .filter(F.levenshtein("term_a", "term_b") == 1)
+    )

@@ -108,6 +108,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_hll_split_overlap",        # HLL inclusion-exclusion overlap (r6)
     "events_scd2_intervals",        # SCD2 state-history intervals (r6)
     "llm_pq_topk",                  # product-quantization ADC serving (r6)
+    "llm_fuzzy_vocab_pairs",        # FastSS deletion-neighborhood match (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

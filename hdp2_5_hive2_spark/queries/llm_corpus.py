@@ -4199,3 +4199,43 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
     out = similarity.pq_adc_topk(corpus, queries, k=10)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "d2")
+
+
+@query(
+    "llm_fuzzy_vocab_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+    ), vocab AS (
+      SELECT DISTINCT unnest(tk) AS term_b FROM t
+    ), variants AS (
+      SELECT DISTINCT
+             CASE WHEN doc_id % 2 = 0 AND length(tk[1]) >= 3
+                  THEN substring(tk[1], 1, length(tk[1]) - 1)
+                  ELSE tk[1] || 'x' END AS term_a
+      FROM t WHERE doc_id % 7 = 0
+    )
+    SELECT term_a, term_b
+    FROM variants CROSS JOIN vocab
+    WHERE levenshtein(term_a, term_b) = 1
+    """,
+    tags=("llm", "dedup", "fuzzy", "vocab"),
+)
+def llm_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching (llm.dedup.fuzzy_term_pairs): planted typo
+    variants (first token of every 7th document, last char dropped or an
+    'x' appended) matched against the corpus vocabulary at Levenshtein
+    distance exactly 1 via the FastSS deletion-neighborhood join — the
+    sub-quadratic spell-variant matcher. The oracle states the semantics
+    as the quadratic cross join + levenshtein filter; the Spark plan joins
+    |term|+1 deletion keys per term and verifies only collisions."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    first = F.element_at(toks, 1)
+    variant = F.when(
+        (F.col("doc_id") % 2 == 0) & (F.length(first) >= 3),
+        F.substring(first, F.lit(1), F.length(first) - 1),
+    ).otherwise(F.concat(first, F.lit("x")))
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(variant.alias("term"))
+    vocab = d.select(F.explode(toks).alias("term"))
+    return dedup.fuzzy_term_pairs(variants, vocab)

@@ -1821,3 +1821,32 @@ def test_pq_adc_degenerate_codebook_is_exact(spark):
         pq_adc_topk(corpus, queries, n_sub=5, n_cent=16)  # 16 % 5 != 0
     with _pytest.raises(ValueError):
         pq_adc_topk(corpus, queries, n_sub=4, n_cent=99)  # not enough rows
+
+
+def test_fuzzy_term_pairs_complete_vs_bruteforce(spark):
+    """The deletion-neighborhood join must find EXACTLY the brute-force
+    distance-1 pairs (completeness is the FastSS guarantee)."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.dedup import fuzzy_term_pairs
+
+    terms = ["cat", "cart", "car", "cut", "dog", "dig", "d", "", "scatter", "catt"]
+    left = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        (r["term_a"], r["term_b"])
+        for r in fuzzy_term_pairs(left, left).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {(x, y) for x in terms for y in terms if lev(x, y) == 1}
+    assert got == want
