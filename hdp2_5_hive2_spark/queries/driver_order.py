@@ -109,6 +109,8 @@ _NEW_THIS_ROUND: list[str] = [
     "events_scd2_intervals",        # SCD2 state-history intervals (r6)
     "llm_pq_topk",                  # product-quantization ADC serving (r6)
     "llm_fuzzy_vocab_pairs",        # FastSS deletion-neighborhood match (r6)
+    "llm_token_lift",               # co-occurrence lift association (r6)
+    "llm_embedding_dim_stats",      # z-score feature stats table (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -4239,3 +4239,140 @@ def llm_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants = d.filter(F.col("doc_id") % 7 == 0).select(variant.alias("term"))
     vocab = d.select(F.explode(toks).alias("term"))
     return dedup.fuzzy_term_pairs(variants, vocab)
+
+
+@query(
+    "llm_token_lift",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+      )
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY tok),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, n_ab, ca.c AS n_a, cb.c AS n_b,
+           CAST(n_ab * n_docs AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS lift,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT tok_a, tok_b, n_ab, n_docs,
+             row_number() OVER (
+               ORDER BY CAST(n_ab * n_docs AS DOUBLE) DESC, tok_a, tok_b
+             ) AS rank
+      FROM pairs, n WHERE n_ab >= 50
+    ) p
+    JOIN ca ON ca.tok = p.tok_a
+    JOIN ca cb ON cb.tok = p.tok_b
+    WHERE rank <= 20
+    """,
+    tags=("llm", "text", "association"),
+)
+def llm_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (market-basket association over documents):
+    for every token pair sharing a document, lift = P(a,b)/(P(a)P(b)) as
+    the exact integer ratio n_ab*N / (n_a*n_b) — log-free PMI, the module's
+    standard monotonic-transform determinism device. Support-filtered
+    (n_ab >= 50), top-20 by unnormalized co-occurrence mass (n_ab*N — a
+    count-times-constant, so the rank ordering is integer-exact), ties by
+    pair. Plan: distinct (doc, token) pairs once, per-doc self-join whose
+    fan-out is bounded by per-doc DISTINCT vocabulary (not doc length),
+    then vocab^2-bounded aggregation; the ranking window runs on the
+    post-agg table. Ranking deliberately orders by the integer numerator
+    n_ab*N rather than the lift quotient, keeping the window key exact
+    (the lift column itself is still emitted per pair)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    dt = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).distinct()
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    ca = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a = dt.alias("a")
+    b_ = dt.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+        .crossJoin(F.broadcast(n))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(
+        F.desc(F.col("n_ab") * F.col("n_docs")), F.asc("tok_a"), F.asc("tok_b")
+    )
+    ranked = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 20
+    )
+    return (
+        ranked.join(F.broadcast(ca.withColumnRenamed("tok", "tok_a").withColumnRenamed("c", "n_a")), "tok_a")
+        .join(F.broadcast(ca.withColumnRenamed("tok", "tok_b").withColumnRenamed("c", "n_b")), "tok_b")
+        .select(
+            "tok_a", "tok_b", "n_ab", "n_a", "n_b",
+            (
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@query(
+    "llm_embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+      FROM embeddings
+    ), d AS (
+      SELECT i AS dim, q[i] AS v FROM e, unnest(generate_series(1, 64)) AS u(i)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS s1,
+           CAST(SUM(v * v) AS BIGINT) AS s2,
+           CAST(SUM(v) AS DOUBLE) / count(*) AS mean_q,
+           CAST(count(*) * SUM(v * v) - SUM(v) * SUM(v) AS DOUBLE)
+             / CAST(count(*) * count(*) AS DOUBLE) AS var_q,
+           sqrt(CAST(count(*) * SUM(v * v) - SUM(v) * SUM(v) AS DOUBLE)
+                / CAST(count(*) * count(*) AS DOUBLE)) AS std_q
+    FROM d GROUP BY dim
+    """,
+    tags=("llm", "similarity", "stats", "features"),
+)
+def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics for embedding standardization (the
+    z-score preprocessing table ANN/clustering pipelines fit once and
+    broadcast): count, exact integer moment sums, mean, population
+    variance and std in quantized units. Moments accumulate as exact
+    int64 (power-of-two quantization), so mean/var are single IEEE
+    divisions of agreed integers and std is IEEE sqrt — correctly rounded
+    by spec — making all 7 columns hash-exact. Plan: posexplode + ONE
+    64-group aggregation with map-side partials; output is
+    dimensionality-sized, never corpus-sized. At far larger corpora the
+    int64 moment sums would move to decimal(38) — same plan shape."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1024.0)).cast("bigint"),
+    )
+    d = e.select(F.posexplode(q).alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"), "v"
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("v")
+    s2 = F.sum(F.col("v") * F.col("v"))
+    var = (n * s2 - s1 * s1).cast("double") / (n * n).cast("double")
+    return d.groupBy("dim").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        (s1.cast("double") / n).alias("mean_q"),
+        var.alias("var_q"),
+        F.sqrt(var).alias("std_q"),
+    )
