@@ -111,6 +111,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_fuzzy_vocab_pairs",        # FastSS deletion-neighborhood match (r6)
     "llm_token_lift",               # co-occurrence lift association (r6)
     "llm_embedding_dim_stats",      # z-score feature stats table (r6)
+    "qa_constraint_report",         # Deequ-style constraint audit (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -741,3 +741,114 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey <= 100
         """
     )
+
+
+@query(
+    "qa_constraint_report",
+    oracle="""
+    SELECT 'orders_pk_unique' AS constraint_name,
+           CAST(COALESCE((SELECT SUM(c - 1) FROM (
+               SELECT o_orderkey, count(*) AS c FROM orders
+               GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
+             AS n_violations,
+           CAST((SELECT MIN(o_orderkey) FROM (
+               SELECT o_orderkey, count(*) AS c FROM orders
+               GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT) AS sample_key
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST(count(*) AS BIGINT),
+           CAST(min(o_custkey) AS BIGINT)
+    FROM orders WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST(count(*) AS BIGINT),
+           CAST(min(l_orderkey) AS BIGINT)
+    FROM lineitem WHERE l_orderkey IS NOT NULL
+      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem_partkey_fk',
+           CAST(count(*) AS BIGINT),
+           CAST(min(l_partkey) AS BIGINT)
+    FROM lineitem WHERE l_partkey IS NOT NULL
+      AND l_partkey NOT IN (SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'lineitem_suppkey_fk',
+           CAST(count(*) AS BIGINT),
+           CAST(min(l_suppkey) AS BIGINT)
+    FROM lineitem WHERE l_suppkey IS NOT NULL
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+    UNION ALL
+    SELECT 'orders_orderdate_not_null',
+           CAST(count(*) AS BIGINT),
+           CAST(min(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderdate IS NULL
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST(count(*) AS BIGINT),
+           CAST(min(l_orderkey) AS BIGINT)
+    FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(count(*) AS BIGINT),
+           CAST(min(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_totalprice <= 0
+    UNION ALL
+    SELECT 'warn_high_value_orders',
+           CAST(count(*) AS BIGINT),
+           CAST(min(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_totalprice > 300000
+    """,
+    tags=("relational", "qa", "constraints"),
+)
+def qa_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality report (hdp2_5_hive2_spark.qa): uniqueness,
+    referential integrity, completeness and row-predicate rules over the
+    TPC-H schema in one constraint -> violation-count table — the
+    scheduled-audit replacement for Hive 2.1's unenforced constraint
+    metadata (constraints landed UNVALIDATED in 2.2, HIVE-13290).
+    Per-table predicate checks are single-scan conditional aggregations;
+    FK orphans are key-pruned LEFT ANTI joins (broadcast or shuffled-hash
+    at AQE's discretion); samples stay aggregates (min key)."""
+    from hdp2_5_hive2_spark import qa
+
+    t = load_tables(spark, sf_dir)
+    orders, customer, lineitem = t["orders"], t["customer"], t["lineitem"]
+    part, supplier = t["part"], t["supplier"]
+    checks = [
+        qa.check_unique(orders, "o_orderkey", "orders_pk_unique"),
+        qa.check_foreign_key(
+            orders, "o_custkey", customer, "c_custkey", "orders_custkey_fk"
+        ),
+        qa.check_foreign_key(
+            lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_fk"
+        ),
+        qa.check_foreign_key(
+            lineitem, "l_partkey", part, "p_partkey", "lineitem_partkey_fk"
+        ),
+        qa.check_foreign_key(
+            lineitem, "l_suppkey", supplier, "s_suppkey", "lineitem_suppkey_fk"
+        ),
+        qa.check_not_null(
+            orders, "o_orderdate", "o_orderkey", "orders_orderdate_not_null"
+        ),
+        qa.check_predicate(
+            lineitem,
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            "l_orderkey",
+            "lineitem_quantity_range",
+        ),
+        qa.check_predicate(
+            orders,
+            F.col("o_totalprice") <= 0,
+            "o_orderkey",
+            "orders_totalprice_positive",
+        ),
+        qa.check_predicate(
+            orders,
+            F.col("o_totalprice") > 300000,
+            "o_orderkey",
+            "warn_high_value_orders",
+        ),
+    ]
+    return qa.constraint_report(checks)

@@ -132,3 +132,40 @@ def test_asof_join_nearest(spark):
     )
     got = asof_join_nearest(tie_left, tie_right, on=["k"], right_cols=["tag"]).collect()[0]
     assert (got.asof_ts, got.r_tag) == (90, "r90")
+
+
+def test_qa_checks_flag_planted_violations(spark):
+    """Each check type must actually catch its violation class."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark import qa
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 99), (3, None)], "k long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+
+    uniq = qa.check_unique(child, "k", "u").first()
+    assert uniq["n_violations"] == 1 and uniq["sample_key"] == 2
+
+    fk = qa.check_foreign_key(child, "fk", parent, "pk", "f").first()
+    assert fk["n_violations"] == 1 and fk["sample_key"] == 99  # NULL fk not counted
+
+    nn = qa.check_not_null(child, "fk", "k", "n").first()
+    assert nn["n_violations"] == 1 and nn["sample_key"] == 3
+
+    pred = qa.check_predicate(child, F.col("k") > 2, "k", "p").first()
+    assert pred["n_violations"] == 1 and pred["sample_key"] == 3
+
+    clean = qa.check_unique(parent, "pk", "c").first()
+    assert clean["n_violations"] == 0 and clean["sample_key"] is None
+
+    rep = qa.constraint_report(
+        [qa.check_unique(child, "k", "a"), qa.check_not_null(child, "fk", "k", "b")]
+    )
+    assert rep.count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        qa.constraint_report([])
