@@ -930,3 +930,54 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.state_intervals(
         e, ["user_id"], "event_type", ts_col="ts", tiebreak_col="event_id"
     )
+
+
+@query(
+    "events_dwell_time",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             lead(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      FROM events
+    ), d AS (
+      SELECT event_type,
+             LEAST(next_us - t_us, 1800000000) AS dwell_us
+      FROM o WHERE next_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(dwell_us) AS BIGINT) AS total_us,
+           CAST(SUM(dwell_us) AS DOUBLE) / count(*) AS avg_us
+    FROM d GROUP BY event_type
+    """,
+    tags=("events", "timeseries", "dwell"),
+)
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time attribution: time spent 'on' each event = gap to the
+    user's next event, capped at 30 minutes (the sessionization timeout —
+    a user's last event before an absence contributes the cap, open tails
+    contribute nothing). The product-analytics staple behind 'avg time on
+    step X'. One key shuffle for the lead() window; microsecond integers
+    end-to-end with a single closing division."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    t_us = F.unix_micros(F.col("ts"))
+    o = e.select(
+        "event_type",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dwell = F.least(F.col("next_us") - F.col("t_us"), F.lit(1800000000).cast("bigint"))
+    return (
+        o.select("event_type", dwell.alias("dwell_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dwell_us").alias("total_us"),
+            (F.sum("dwell_us").cast("double") / F.count(F.lit(1))).alias("avg_us"),
+        )
+    )
