@@ -608,3 +608,43 @@ def test_state_intervals_single_exchange_for_windows(spark):
     assert "hashpartitioning(k#" in plan
     rows = out.collect()
     assert sum(r["n_events"] for r in rows) == 100
+
+
+def test_hll_registers_partial_max_before_exchange(spark):
+    """The register build must partial-aggregate map-side (the sketch, not
+    the data, crosses the shuffle) and shuffle exactly once."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.stats import hll_registers
+
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("string").alias("v"), (F.col("id") % 3).alias("g")
+    )
+    plan = (
+        hll_registers(df, "v", ["g"], p=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert re.search(r"partial_?max", plan, re.IGNORECASE), plan
+
+
+def test_zorder_audit_no_global_sort(spark):
+    """Fixed-width Z-range bucketing must not plan a global sort or range
+    exchange — one hash shuffle for the bucket groupBy only."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage.layout import zorder_audit
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 250).alias("x"), ((F.col("id") * 3) % 250).alias("y")
+    )
+    plan = (
+        zorder_audit(df, "x", "y", bits=8, bucket_bits=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
