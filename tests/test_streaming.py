@@ -480,3 +480,44 @@ def test_streaming_incremental_dedup_foreachbatch(spark):
     q.awaitTermination(120)
     assert got == want
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_hll_registers_merge_across_microbatches(spark):
+    """HLL mergeability IS the streaming contract: registers accumulated
+    batch-by-batch with register-wise max (foreachBatch over any file
+    split) must equal the one-shot registers over all the data — so a
+    streaming distinct-count needs only m integers of state."""
+    from hdp2_5_hive2_spark.stats import hll_estimate, hll_registers
+
+    vals = spark.range(0, 3000).select(
+        F.concat(F.lit("u"), (F.col("id") % 1700).cast("string")).alias("v")
+    )
+    want = {
+        (r["bucket"], r["rho"])
+        for r in hll_registers(vals, "v", [], p=5).collect()
+    }
+
+    tmp = Path(tempfile.mkdtemp(prefix="hll_stream_"))
+    src = str(tmp / "in")
+    vals.repartition(5).write.mode("overwrite").parquet(src)
+    acc: dict[int, int] = {}
+
+    def sink(batch_df, batch_id):
+        for r in hll_registers(batch_df, "v", [], p=5).collect():
+            acc[r["bucket"]] = max(acc.get(r["bucket"], 0), r["rho"])
+
+    stream = (
+        spark.readStream.schema(vals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert set(acc.items()) == want
+
+    regs = spark.createDataFrame(
+        [(b, r) for b, r in acc.items()], "bucket long, rho int"
+    )
+    est = hll_estimate(regs, [], p=5).first()
+    assert abs(est["hll_ndv"] / 1700.0 - 1.0) < 0.9
+    shutil.rmtree(tmp, ignore_errors=True)
