@@ -113,6 +113,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_embedding_dim_stats",      # z-score feature stats table (r6)
     "qa_constraint_report",         # Deequ-style constraint audit (r6)
     "events_dwell_time",            # capped next-event dwell attribution (r6)
+    "qa_k_anonymity",               # equivalence-class privacy audit (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

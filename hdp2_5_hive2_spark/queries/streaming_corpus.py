@@ -981,3 +981,56 @@ def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("dwell_us").cast("double") / F.count(F.lit(1))).alias("avg_us"),
         )
     )
+
+
+@query(
+    "qa_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             hour(CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(floor(value / 10) AS BIGINT) AS val_band,
+             count(*) AS s
+      FROM events GROUP BY 1, 2, 3
+    ), capped AS (
+      SELECT LEAST(s, 21) AS size_capped, s FROM q
+    )
+    SELECT CAST(size_capped AS BIGINT) AS size_capped,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(s) AS BIGINT) AS n_rows,
+           size_capped < 5 AS risky
+    FROM capped GROUP BY size_capped
+    """,
+    tags=("events", "qa", "privacy"),
+)
+def qa_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (privacy QA for training-data release, Sweeney
+    2002): group the event log by its quasi-identifier tuple (event_type,
+    hour-of-day, value band) and report the equivalence-class size
+    histogram — classes smaller than k=5 are re-identification risks the
+    release gate must suppress or generalize. Sizes cap at 21 ('>20') so
+    the output stays bounded at any corpus size; two groupBy passes, the
+    second over the already-collapsed class table. Complements the
+    row-level PII scan (llm_pii_redact) with the aggregate-disclosure
+    view."""
+    e = load_tables(spark, sf_dir)["events"]
+    classes = (
+        e.groupBy(
+            "event_type",
+            F.hour("ts").alias("hr"),
+            F.floor(F.col("value") / 10).cast("bigint").alias("val_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    return (
+        classes.select(F.least(F.col("s"), F.lit(21)).alias("size_capped"), "s")
+        .groupBy("size_capped")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("s").alias("n_rows"),
+        )
+        .select(
+            "size_capped", "n_groups", "n_rows",
+            (F.col("size_capped") < 5).alias("risky"),
+        )
+    )
