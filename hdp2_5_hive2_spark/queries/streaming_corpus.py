@@ -1034,3 +1034,50 @@ def qa_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("size_capped") < 5).alias("risky"),
         )
     )
+
+
+@query(
+    "qa_l_diversity",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             hour(CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(floor(value / 10) AS BIGINT) AS val_band,
+             count(*) AS s,
+             count(DISTINCT user_id) AS l
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(LEAST(l, 11) AS BIGINT) AS l_capped,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(s) AS BIGINT) AS n_rows,
+           LEAST(l, 11) < 3 AS homogeneous
+    FROM q GROUP BY LEAST(l, 11)
+    """,
+    tags=("events", "qa", "privacy"),
+)
+def qa_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion to
+    qa_k_anonymity: per quasi-identifier class, how many DISTINCT
+    sensitive values (user_id) appear — a class can be large (k-anonymous)
+    yet homogeneous (l < 3), which still discloses the sensitive value.
+    Output: histogram of per-class diversity, capped at 11 ('>10').
+    Distinct-per-class is a two-level aggregation (class+user first, then
+    class), both with map-side partials."""
+    e = load_tables(spark, sf_dir)["events"]
+    classes = e.groupBy(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") / 10).cast("bigint").alias("val_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("s"),
+        F.count_distinct("user_id").alias("l"),
+    )
+    return (
+        classes.select(F.least(F.col("l"), F.lit(11)).alias("l_capped"), "s")
+        .groupBy("l_capped")
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("s").alias("n_rows"))
+        .select(
+            "l_capped", "n_groups", "n_rows",
+            (F.col("l_capped") < 3).alias("homogeneous"),
+        )
+    )
