@@ -6,16 +6,19 @@ Modules:
     normalization, PII scrub
   - dedup: exact (+keep-best/prefix/chunk), chunk-removal transform,
     MinHash+LSH (self + incremental cross-corpus), SimHash, n-gram
-    Jaccard, substring containment
+    Jaccard, substring containment, FastSS deletion-neighborhood fuzzy
+    term matching
   - similarity: embedding cosine top-k (brute force, LSH, IVF, int8
-    quantized, two-stage rerank), dup pairs, anchors/centroids/kNN,
-    norm outliers
+    quantized, two-stage rerank, product-quantization ADC), dup pairs,
+    anchors/centroids/kNN, norm outliers, distributed exact-int Lloyd
+    k-means
   - curation: decontamination (broadcast n-grams + Bloom-bitmap variant),
     connected components (label-prop + Kiveris star), sampling
     (stratified/weighted/cap/contrastive), snapshot diff, balanced
     shards, temperature epoch planning + md5-rounded realization
-  - retrieval: TF-IDF, BM25, vocab stats, bigram LM (self + held-out),
-    DSIR importance weights, BPE pair counts + merge-step accounting +
+  - retrieval: TF-IDF, BM25, vocab stats (+capped-vocab OOV rate),
+    block-encoded posting lists, bigram LM (self + held-out), DSIR
+    importance weights, BPE pair counts + merge-step accounting +
     iterated training, feature hashing, reciprocal-rank fusion
   - multimodal: binary-column plumbing with stubbed decoders
 
