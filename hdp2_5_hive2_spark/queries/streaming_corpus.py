@@ -1081,3 +1081,76 @@ def qa_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_capped") < 3).alias("homogeneous"),
         )
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM (
+        SELECT user_id, ts, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id)
+                 AS rk
+        FROM events WHERE event_type IN ('view', 'click', 'signup')
+      ) WHERE rk = 1
+    ), p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'
+    ), attrib AS (
+      SELECT p.user_id, p.ts, t.ts AS touch_ts, t.event_type,
+             CASE WHEN t.ts IS NOT NULL
+                   AND date_diff('microsecond', t.ts, p.ts) <= 1800000000
+                  THEN t.event_type ELSE 'direct' END AS channel,
+             CASE WHEN t.ts IS NOT NULL
+                   AND date_diff('microsecond', t.ts, p.ts) <= 1800000000
+                  THEN date_diff('microsecond', t.ts, p.ts) END AS latency_us
+      FROM p ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(latency_us) AS BIGINT) AS total_latency_us,
+           CAST(SUM(latency_us) AS DOUBLE) / count(latency_us) AS avg_latency_us
+    FROM attrib GROUP BY channel
+    """,
+    tags=("events", "timeseries", "attribution", "asof"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution built on the as-of join
+    (timeseries.asof_join): each purchase credits the user's latest
+    preceding view/click/signup within a 30-minute window, else 'direct'.
+    Touches pre-dedupe to one row per (user, ts) by min event id so the
+    as-of match is unambiguous by construction (not by data luck).
+    Conversion counts and exact microsecond latency sums per channel; the
+    avg divides exact integers once."""
+    from pyspark.sql import Window
+
+    from hdp2_5_hive2_spark.timeseries import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").asc())
+    touches = (
+        e.filter(F.col("event_type").isin("view", "click", "signup"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    j = asof_join(
+        purchases, touches, on=["user_id"], right_cols=["event_type"], how="left"
+    )
+    lat = F.unix_micros("ts") - F.unix_micros("asof_ts")
+    attributed = F.col("asof_ts").isNotNull() & (lat <= 1800000000)
+    a = j.select(
+        F.when(attributed, F.col("r_event_type")).otherwise(F.lit("direct")).alias(
+            "channel"
+        ),
+        F.when(attributed, lat).alias("latency_us"),
+    )
+    return a.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("latency_us").alias("total_latency_us"),
+        (
+            F.sum("latency_us").cast("double") / F.count("latency_us")
+        ).alias("avg_latency_us"),
+    )
