@@ -116,6 +116,7 @@ _NEW_THIS_ROUND: list[str] = [
     "qa_k_anonymity",               # equivalence-class privacy audit (r6)
     "qa_l_diversity",               # sensitive-value diversity audit (r6)
     "events_attribution_last_touch",  # as-of last-touch attribution (r6)
+    "llm_blocklist_filter",         # broadcast domain blocklist gate (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -4376,3 +4376,62 @@ def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_q"),
         F.sqrt(var).alias("std_q"),
     )
+
+
+@query(
+    "llm_blocklist_filter",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM/p/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+               AS host
+      FROM planted
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN host IN ('site1.example.com', 'site3.example.com')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(min(doc_id) AS BIGINT) AS sample_doc
+    FROM h GROUP BY host
+    """,
+    tags=("llm", "curation", "url", "blocklist"),
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate (the crawl-pipeline step before any text
+    processing): extract the host from each planted URL, mark documents
+    whose host is on the blocklist. Per-host kept/blocked accounting.
+    The blocklist is BROADCAST by construction (blocklists are
+    list-sized); the corpus is scanned once map-side — at 100 TB this
+    filter sits directly on the scan so nothing blocked is ever
+    tokenized, deduped, or shuffled."""
+    d = load_tables(spark, sf_dir)["documents"]
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://Site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".Example.COM/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    host = F.lower(
+        F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    blocked = spark.createDataFrame(
+        [("site1.example.com",), ("site3.example.com",)], "host string"
+    ).withColumn("_b", F.lit(1))
+    return (
+        planted.select("doc_id", host.alias("host"))
+        .join(F.broadcast(blocked), "host", "left")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias("n_blocked"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+    )
