@@ -1028,3 +1028,33 @@ def pareto_front(
         F.broadcast(front_xy),
         (x == F.col("_x")) & (y == F.col("_y")),
     ).drop("_x", "_y")
+
+
+def badwords_filter(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style blocklist-term gate (Raffel et al. 2020 §2.2 'bad words'
+    filter): count word-boundary occurrences of any blocklisted term in
+    the lowercased text and keep documents with at most ``max_hits``.
+    Adds ``n_badwords`` (BIGINT, non-overlapping leftmost matches — the
+    shared semantics of Java regex and RE2) and ``kept`` (boolean).
+
+    Plan / 100 TB notes: the term list compiles into ONE alternation
+    regex evaluated by `regexp_count` inside whole-stage codegen — a
+    map-side scan with zero shuffles and no Python. The blocklist ships
+    in the plan itself (a literal pattern), so unlike a broadcast join
+    there is no build side at all; real blocklists (~2k terms) stay well
+    under the JVM's 64 KB pattern limit. Terms are regex-escaped, so the
+    list is data, not pattern syntax."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    import re as _re
+
+    pat = r"\b(" + "|".join(sorted(_re.escape(t.lower()) for t in terms)) + r")\b"
+    hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+    return df.withColumn("n_badwords", hits.cast("bigint")).withColumn(
+        "kept", F.col("n_badwords") <= max_hits
+    )

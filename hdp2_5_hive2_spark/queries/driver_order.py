@@ -117,6 +117,9 @@ _NEW_THIS_ROUND: list[str] = [
     "qa_l_diversity",               # sensitive-value diversity audit (r6)
     "events_attribution_last_touch",  # as-of last-touch attribution (r6)
     "llm_blocklist_filter",         # broadcast domain blocklist gate (r6)
+    "events_ohlc_bars",             # OHLC bar downsampling, min_by/max_by (r6)
+    "events_mad_outliers",          # MAD robust outlier screen (r6)
+    "llm_badwords_filter",          # C4 blocklist-term content gate (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

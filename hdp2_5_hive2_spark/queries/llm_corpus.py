@@ -4435,3 +4435,48 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("sample_doc"),
         )
     )
+
+
+_BADWORDS = [
+    "winner", "prize", "casino", "lottery", "jackpot", "viagra",
+    "crypto", "bitcoin", "forex", "betting", "pills", "loan",
+]
+
+
+@query(
+    "llm_badwords_filter",
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(betting|bitcoin|casino|crypto|forex|jackpot|loan|lottery|pills|prize|viagra|winner)\b'))
+               AS BIGINT) AS n_badwords
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_badwords = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_badwords) AS BIGINT) AS total_hits,
+           CAST(max(n_badwords) AS BIGINT) AS max_hits
+    FROM g GROUP BY source
+    """,
+    tags=("llm", "curation", "filter"),
+)
+def llm_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist-TERM gate (curation.badwords_filter; the content
+    twin of llm_blocklist_filter's domain gate): one alternation regex
+    over lowercased text counts word-boundary hits of any blocklisted
+    term; documents with zero hits survive. Per-source accounting shows
+    what the gate costs each corpus slice. The pattern is a plan literal
+    evaluated by `regexp_count` in whole-stage codegen — a pure map-side
+    scan, zero shuffles before the tiny per-source rollup; Java regex and
+    DuckDB's RE2 agree because escaped literal words + \\b have identical
+    semantics in both."""
+    d = load_tables(spark, sf_dir)["documents"]
+    g = curation.badwords_filter(d.select("doc_id", "source", "text"), _BADWORDS)
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("n_badwords").alias("total_hits"),
+        F.max("n_badwords").alias("max_hits"),
+    )

@@ -1154,3 +1154,143 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("latency_us").cast("double") / F.count("latency_us")
         ).alias("avg_latency_us"),
     )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_hour,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "timeseries", "downsample"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — the canonical timeseries-engine rollup
+    (open/high/low/close per hour per series). Spark-first form: ONE
+    hash aggregate with `min_by`/`max_by` keyed on the (ts, event_id)
+    struct — no window, no sort, map-side partial aggregation combines
+    per-partition candidate bars before the single key shuffle, so the
+    plan is a straight partial+final agg that scales linearly at 100 TB.
+    The (ts, event_id) struct tiebreak makes open/close deterministic
+    even under equal timestamps. No float arithmetic — open/high/low/
+    close are SELECTED values, bit-identical on any engine."""
+    e = load_tables(spark, sf_dir)["events"]
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
+    ).agg(
+        F.min_by("value", ordkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordkey).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             (min(CASE WHEN rn = (n + 1) // 2 THEN value END)
+              + min(CASE WHEN rn = (n + 2) // 2 THEN value END)) / 2.0 AS med,
+             min(n) AS n
+      FROM r GROUP BY event_type
+    ), d AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dev, e.event_id, m.med, m.n
+      FROM events e JOIN m USING (event_type)
+    ), rd AS (
+      SELECT event_type, dev, med, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn
+      FROM d
+    ), md AS (
+      SELECT event_type,
+             (min(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+              + min(CASE WHEN rn = (n + 2) // 2 THEN dev END)) / 2.0 AS mad,
+             min(med) AS med, min(n) AS n
+      FROM rd GROUP BY event_type
+    )
+    SELECT rd.event_type,
+           CAST(min(md.n) AS BIGINT) AS n,
+           min(md.med) AS median,
+           min(md.mad) AS mad,
+           CAST(SUM(CASE WHEN rd.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM rd JOIN md USING (event_type)
+    GROUP BY rd.event_type
+    """,
+    tags=("events", "qa", "robust-stats"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MEDIAN ABSOLUTE DEVIATION per series —
+    the standard telemetry-QA screen that, unlike z-scores, is not itself
+    corrupted by the outliers it hunts. Exact medians by construction:
+    rank rows per group (value, event_id tiebreak), select the one-or-two
+    middle VALUES, median = (lo + hi) / 2 — a picked-value average, the
+    identical IEEE op on any engine, never an interpolating percentile
+    whose ULPs differ. Same discipline for MAD over |v - median|. Plan:
+    two window passes on the same event_type key (ranks reuse one
+    partitioning) + tiny per-group medians broadcast back; at 100 TB a
+    hot series splits fine because ranking is the only per-group sort
+    and Spark spills sorts. Flags dev > 3*MAD."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+
+    def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(F.col(col).asc(), F.col("event_id").asc())
+        wc = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            col,
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wc).alias("_n"),
+        )
+        lo = F.floor((F.col("_n") + 1) / 2)
+        hi = F.floor((F.col("_n") + 2) / 2)
+        return r.groupBy("event_type").agg(
+            (
+                (
+                    F.min(F.when(F.col("_rn") == lo, F.col(col)))
+                    + F.min(F.when(F.col("_rn") == hi, F.col(col)))
+                )
+                / 2.0
+            ).alias(out),
+            F.min("_n").alias("_n"),
+        )
+
+    med = _median_of(e.select("event_type", "value", "event_id"), "value", "med")
+    dev = e.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = _median_of(dev, "dev", "mad")
+    flagged = dev.join(
+        F.broadcast(
+            mad.join(med.select("event_type", "med"), "event_type").select(
+                "event_type", "mad", "med", "_n"
+            )
+        ),
+        "event_type",
+    )
+    return flagged.groupBy("event_type").agg(
+        F.min("_n").cast("bigint").alias("n"),
+        F.min("med").alias("median"),
+        F.min("mad").alias("mad"),
+        F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
