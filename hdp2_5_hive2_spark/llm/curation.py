@@ -1058,3 +1058,84 @@ def badwords_filter(
     return df.withColumn("n_badwords", hits.cast("bigint")).withColumn(
         "kept", F.col("n_badwords") <= max_hits
     )
+
+
+def rank_calibrate(
+    df: DataFrame,
+    score_col: str = "score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    id_block: int = 1 << 20,
+) -> DataFrame:
+    """Quantile normalization of per-group scores onto the GLOBAL score
+    distribution — the calibration step that makes per-source quality
+    classifiers comparable before a corpus-wide threshold (each source's
+    rank-r-of-n document is assigned the global score at the same relative
+    position). Output: (id_col, group_col, score_col, calibrated).
+
+    Entirely rank-based and integer-exact: the target position is
+    ``idx = 1 + (r-1)(N-1) div (n-1)`` (integer division on both engines;
+    a singleton group maps to the global median position), and
+    ``calibrated`` is a SELECTED global score value, never an interpolated
+    quantile — so results are bit-identical on any engine.
+
+    Plan / 100 TB notes: the global rank is the two-phase distributed form
+    (per-(score, id-block) bucket window rank + broadcast cumsum of the
+    bucket-count table), never a single-partition global window — same
+    composition as ``balanced_shards``. The per-group rank is one window
+    on the group key; the final idx->rank lookup is a shuffle join on a
+    bigint. Integer scores assumed. Overflow note: (r-1)(N-1) needs
+    n·N < 2^63; beyond ~3e9 rows per group pre-aggregate scores into
+    coarser rank buckets first."""
+    if id_block <= 0:
+        raise ValueError("id_block must be positive")
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(score_col).alias("_s"),
+        F.floor(F.col(id_col) / id_block).alias("_blk"),
+    )
+    in_bucket = Window.partitionBy("_s", "_blk").orderBy(F.col(id_col).asc())
+    bucket_order = Window.orderBy(
+        F.col("_s").asc(), F.col("_blk").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        base.groupBy("_s", "_blk")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .withColumn("_base", F.coalesce(F.sum("_bn").over(bucket_order), F.lit(0)))
+    )
+    glob = (
+        base.withColumn("_rn", F.row_number().over(in_bucket))
+        .join(F.broadcast(bases.select("_s", "_blk", "_base")), ["_s", "_blk"])
+        .select(
+            (F.col("_base") + F.col("_rn")).cast("bigint").alias("_gr"),
+            F.col("_s").alias("_gscore"),
+        )
+    )
+    wg = Window.partitionBy(group_col).orderBy(F.col("_s").asc(), F.col(id_col).asc())
+    wc = Window.partitionBy(group_col)
+    ranked = base.select(
+        group_col,
+        id_col,
+        "_s",
+        F.row_number().over(wg).alias("_rr"),
+        F.count(F.lit(1)).over(wc).alias("_n"),
+    ).crossJoin(F.broadcast(bases.agg(F.sum("_bn").alias("_tot"))))
+    idx = (
+        F.when(
+            F.col("_n") > 1,
+            1 + F.expr("(_rr - 1) * (_tot - 1) div (_n - 1)"),
+        )
+        .otherwise(F.expr("(_tot + 1) div 2"))
+        .cast("bigint")
+    )
+    return (
+        ranked.withColumn("_idx", idx)
+        .join(glob, F.col("_idx") == F.col("_gr"))
+        .select(
+            id_col,
+            group_col,
+            F.col("_s").alias(score_col),
+            F.col("_gscore").alias("calibrated"),
+        )
+    )

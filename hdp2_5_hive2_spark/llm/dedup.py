@@ -40,7 +40,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.llm.text import tokens
@@ -819,4 +819,96 @@ def fuzzy_term_pairs(
         .select("term_a", "term_b")
         .distinct()
         .filter(F.levenshtein("term_a", "term_b") == 1)
+    )
+
+
+def setsim_join_pairs(
+    df: DataFrame,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity self-join with PREFIX FILTERING (the
+    PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    all document pairs whose whitespace-token-set Jaccard is >= tau,
+    found WITHOUT the all-pairs product. The threshold is the rational
+    ``tau_num/tau_den`` so the final test is pure integer arithmetic
+    (``tau_den * inter >= tau_num * union``) — no float threshold edge,
+    identical decisions on any engine.
+
+    Why it is exact: Jaccard >= t implies the overlap is >= ceil(t*|x|)
+    for BOTH sets of the pair (union >= max(|x|,|y|)), and any two sets
+    with overlap >= a must share a token among the first |x|-a+1 in ANY
+    shared total token order. We order tokens by (document frequency,
+    token) ascending — rarest first — so prefixes carry the most
+    selective tokens and candidate fan-out collapses.
+
+    Output: (da, db, inter, uni, jaccard), da < db.
+
+    Plan / 100 TB notes: candidate generation joins only PREFIX tokens
+    (|x| - ceil(t|x|) + 1 per doc — at t=0.5, half the tokens; at t=0.9,
+    a tenth), keyed by rare-first tokens whose buckets are small by
+    construction. The df table joins token-keyed (shuffle join — vocab
+    scales past broadcast). Verification joins the candidate pairs back
+    to per-doc sorted token arrays and intersects JVM-side
+    (array_intersect); arrays are doc-sized, never group-sized. Three
+    shuffles total: df count, prefix self-join, verify join."""
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("tau must be in (0, 1]")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("_tok"),
+    )
+    dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    wdoc = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_tok").asc())
+    wsz = Window.partitionBy("_id")
+    ranked = (
+        toks.join(dfreq, "_tok")
+        .select(
+            "_id",
+            "_tok",
+            F.row_number().over(wdoc).alias("_pos"),
+            F.count(F.lit(1)).over(wsz).alias("_n"),
+        )
+    )
+    prefix_len = F.col("_n") - F.ceil(F.col("_n") * tau_num / tau_den) + 1
+    pref = ranked.where(F.col("_pos") <= prefix_len).select("_id", "_tok", "_n")
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "_tok")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("da"),
+            F.col("b._id").alias("db"),
+            F.col("a._n").alias("na"),
+            F.col("b._n").alias("nb"),
+        )
+        .where(
+            (F.col("nb") * tau_num <= F.col("na") * tau_den)
+            & (F.col("na") * tau_num <= F.col("nb") * tau_den)
+        )
+        .distinct()
+    )
+    sets = toks.groupBy("_id").agg(F.sort_array(F.collect_list("_tok")).alias("_set"))
+    inter = F.size(F.array_intersect(F.col("sa._set"), F.col("sb._set")))
+    verified = (
+        cand.join(sets.alias("sa"), F.col("da") == F.col("sa._id"))
+        .join(sets.alias("sb"), F.col("db") == F.col("sb._id"))
+        .select(
+            "da",
+            "db",
+            inter.cast("bigint").alias("inter"),
+            (F.col("na") + F.col("nb") - inter).cast("bigint").alias("uni"),
+        )
+        .where(F.col("inter") * tau_den >= F.col("uni") * tau_num)
+    )
+    return verified.select(
+        "da",
+        "db",
+        "inter",
+        "uni",
+        (F.col("inter").cast("double") / F.col("uni")).alias("jaccard"),
     )

@@ -120,6 +120,9 @@ _NEW_THIS_ROUND: list[str] = [
     "events_ohlc_bars",             # OHLC bar downsampling, min_by/max_by (r6)
     "events_mad_outliers",          # MAD robust outlier screen (r6)
     "llm_badwords_filter",          # C4 blocklist-term content gate (r6)
+    "llm_quantile_normalize",       # cross-source rank calibration (r6)
+    "llm_setsim_join",              # exact PPJoin prefix-filter joins (r6)
+    "llm_cluster_safe_split",       # cluster-atomic split assignment (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

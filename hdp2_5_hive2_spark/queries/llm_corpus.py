@@ -4480,3 +4480,138 @@ def llm_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_badwords").alias("total_hits"),
         F.max("n_badwords").alias("max_hits"),
     )
+
+
+@query(
+    "llm_quantile_normalize",
+    oracle="""
+    WITH s AS (SELECT doc_id, source, n_chars AS score FROM documents),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rr,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s
+    ),
+    g AS (SELECT score AS gscore,
+                 row_number() OVER (ORDER BY score, doc_id) AS gr FROM s),
+    t AS (SELECT count(*) AS N FROM s)
+    SELECT r.doc_id, r.source, CAST(r.score AS BIGINT) AS score,
+           CAST(g.gscore AS BIGINT) AS calibrated
+    FROM r CROSS JOIN t JOIN g
+      ON g.gr = CASE WHEN r.n > 1 THEN 1 + (r.rr - 1) * (t.N - 1) // (r.n - 1)
+                     ELSE (t.N + 1) // 2 END
+    """,
+    tags=("llm", "curation", "calibration"),
+)
+def llm_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration (curation.rank_calibrate): each
+    source's rank-r-of-n document takes the GLOBAL score at the same
+    relative position, making per-source quality scores comparable before
+    one corpus-wide cut. Rank-based and integer-exact end-to-end — the
+    calibrated value is a selected global score, the position is integer
+    division on both engines. The Spark global rank is the two-phase
+    distributed form, never a one-partition window."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.rank_calibrate(
+        d.select("doc_id", "source", F.col("n_chars").alias("score")),
+        score_col="score",
+        group_col="source",
+        id_col="doc_id",
+    )
+
+
+@query(
+    "llm_setsim_join",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    ), s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             a.n + b.n - len(list_intersect(a.toks, b.toks)) AS uni
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT da, db, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+           CAST(inter AS DOUBLE) / uni AS jaccard
+    FROM p WHERE 10 * inter >= 9 * uni
+    """,
+    tags=("llm", "dedup", "setsim"),
+)
+def llm_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard>=0.9 set-similarity self-join via PPJoin-style prefix
+    filtering (dedup.setsim_join_pairs) — the deterministic counterpart
+    to MinHash LSH: no false negatives, no probability knob, candidates
+    pruned by rarest-first token prefixes + size bounds instead of the
+    quadratic product the oracle runs. Integer threshold test
+    (10*inter >= 9*union) so both engines decide identically. Runs on the
+    deterministic doc_id%5 slice: this corpus's planted dup CLIQUES make
+    the full qualifying-pair set itself quadratic in clique size (~1M
+    pairs at sf0.1) — the slice keeps the operator exercised end-to-end
+    with a bounded result; real corpora gate pair EMISSION, not the join
+    (or go straight to clusters via connected components)."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("doc_id") % 5 == 0)
+    return dedup.setsim_join_pairs(d, tau_num=9, tau_den=10)
+
+
+@query(
+    "llm_cluster_safe_split",
+    oracle="WITH RECURSIVE " + _ngram_cte(15) + """
+    , rare AS (SELECT ngram FROM ngd GROUP BY ngram HAVING count(*) <= 100),
+    e0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM ngd a JOIN ngd b USING (ngram) JOIN rare USING (ngram)
+           WHERE a.doc_id < b.doc_id),
+    e AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0),
+    v AS (SELECT DISTINCT s AS id FROM e),
+    walk AS (
+      SELECT id, id AS lab FROM v
+      UNION
+      SELECT e.d AS id, w.lab FROM walk w JOIN e ON e.s = w.id
+    ),
+    cl AS (SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+           FROM walk GROUP BY id),
+    a AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_rep, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_rep,
+             CAST(('0x' || substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM a
+    )
+    """,
+    tags=("llm", "curation", "split", "dedup"),
+)
+def llm_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: hash the duplicate-CLUSTER
+    representative, not the document — every member of a near-dup cluster
+    (connected components over shared rare 16-grams, the llm_dedup_clusters
+    graph) lands in the same split by construction, so eval can never see
+    a paraphrase of a training document (the failure mode llm_split_leakage
+    measures; this operator makes its count zero). Singletons are their own
+    representative; the 90/5/5 bucketing reuses llm_split_assign's md5
+    mapping. At 100 TB: CC is the bounded-round min-label propagation, the
+    split itself is one map-side hash — no extra shuffle beyond the join
+    back to docs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    cl = curation.duplicate_clusters(d, n=16, max_df=100)
+    assigned = (
+        d.select("doc_id")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    b = F.conv(
+        F.substring(F.md5(F.col("cluster_rep").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    return assigned.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split"),
+    )

