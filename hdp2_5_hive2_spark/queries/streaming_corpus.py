@@ -1174,10 +1174,13 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bar downsampling — the canonical timeseries-engine rollup
     (open/high/low/close per hour per series). Spark-first form: ONE
-    hash aggregate with `min_by`/`max_by` keyed on the (ts, event_id)
-    struct — no window, no sort, map-side partial aggregation combines
-    per-partition candidate bars before the single key shuffle, so the
-    plan is a straight partial+final agg that scales linearly at 100 TB.
+    aggregate with `min_by`/`max_by` keyed on the (ts, event_id) struct —
+    no window pass; map-side partial aggregation combines per-partition
+    candidate bars before the single key shuffle, so the exchange carries
+    bars, never events, and the plan scales linearly at 100 TB. (Spark
+    plans SortAggregate here — min_by's struct ordering buffer is not
+    hash-aggregable — trading a per-partition sort for the same
+    partial+final shape; tests/test_plans.py pins partial-below-exchange.)
     The (ts, event_id) struct tiebreak makes open/close deterministic
     even under equal timestamps. No float arithmetic — open/high/low/
     close are SELECTED values, bit-identical on any engine."""
@@ -1293,4 +1296,60 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_outliers"),
+    )
+
+
+@query(
+    "events_frequent_sequences",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), t AS (
+      SELECT user_id,
+             event_type || '>' || e2 || '>' || e3 AS pattern
+      FROM o WHERE e3 IS NOT NULL
+    )
+    SELECT pattern,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS support,
+           CAST(count(*) AS BIGINT) AS occurrences
+    FROM t GROUP BY pattern
+    HAVING count(DISTINCT user_id) >= 5
+    """,
+    tags=("events", "sequence-mining"),
+)
+def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining over event streams (the GSP/PrefixSpan
+    support-counting core): every consecutive event-type TRIGRAM per user,
+    with support = distinct users exhibiting it and total occurrence
+    count, kept at min-support 5. Consecutive-trigram enumeration needs
+    ONE window pass (two leads over the same (user, ts) sort — no
+    self-joins, unlike the classic a-priori join formulation), then one
+    tiny pattern-keyed aggregate: the alphabet is event types, so the
+    pattern space is bounded and the distinct-user count shuffles
+    (pattern, user) pairs, not events. Scales linearly at 100 TB."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    o = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    t = o.select(
+        "user_id",
+        F.concat_ws(">", "event_type", "e2", "e3").alias("pattern"),
+    )
+    return (
+        t.groupBy("pattern")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("support"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+        .where(F.col("support") >= 5)
     )

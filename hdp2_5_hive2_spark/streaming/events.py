@@ -401,3 +401,49 @@ def streaming_asof_click_enrich(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def ohlc_bars_batch(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
+    """Batch OHLC downsampling over event-time windows (the shared kernel
+    behind the events_ohlc_bars corpus query): one hash aggregate with
+    min_by/max_by keyed on the (ts, event_id) struct."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return _ohlc_agg(ev.groupBy(F.window("ts", width).alias("w"), "event_type"))
+
+
+def _ohlc_agg(grouped) -> DataFrame:
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return grouped.agg(
+        F.min_by("value", ordkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordkey).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ).select(
+        F.col("w.start").alias("bar_start"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+    )
+
+
+def streaming_ohlc_bars(
+    events_stream: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Streaming twin of ohlc_bars_batch: min_by/max_by are declarative
+    aggregates, so Structured Streaming maintains per-window candidate
+    (open, close) pairs incrementally across micro-batches — each trigger
+    merges its partial bar into state exactly like the batch partial+final
+    aggregation, and the watermark bounds both late data and state size.
+    No custom stateful operator needed: the same one-aggregate shape runs
+    batch and streaming."""
+    return _ohlc_agg(
+        events_stream.withWatermark("ts", watermark).groupBy(
+            F.window("ts", width).alias("w"), "event_type"
+        )
+    )

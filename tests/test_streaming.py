@@ -521,3 +521,32 @@ def test_streaming_hll_registers_merge_across_microbatches(spark):
     est = hll_estimate(regs, [], p=5).first()
     assert abs(est["hll_ndv"] / 1700.0 - 1.0) < 0.9
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_ohlc_equals_batch(spark, event_files):
+    """OHLC bars assembled incrementally across 4 micro-batches must equal
+    the single-pass batch aggregation — min_by/max_by state merges must be
+    order-insensitive (the streaming twin of events_ohlc_bars)."""
+    src, schema = event_files
+    stream = ev.stream_events(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        ev.streaming_ohlc_bars(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ohlc_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.bar_start, r.event_type): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in spark.sql("SELECT * FROM ohlc_test").collect()
+    }
+    batch_df = spark.read.schema(schema).parquet(src)
+    want = {
+        (r.bar_start, r.event_type): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in ev._ohlc_agg(
+            batch_df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
