@@ -123,6 +123,9 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_quantile_normalize",       # cross-source rank calibration (r6)
     "llm_setsim_join",              # exact PPJoin prefix-filter joins (r6)
     "llm_cluster_safe_split",       # cluster-atomic split assignment (r6)
+    "events_frequent_sequences",    # GSP trigram support mining (r6)
+    "llm_phrase_search",            # positional-index phrase match (r6)
+    "llm_kwic_concordance",         # keyword-in-context windows (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

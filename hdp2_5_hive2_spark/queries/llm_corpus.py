@@ -4615,3 +4615,120 @@ def llm_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_rep",
         F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "llm_phrase_search",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), tri AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 2)) AS pos
+      FROM t
+    ), g AS (
+      SELECT tri.doc_id, pos,
+             array_to_string(t.toks[pos:pos+2], ' ') AS phrase
+      FROM tri JOIN t ON tri.doc_id = t.doc_id
+    ), top AS (
+      SELECT phrase FROM g GROUP BY phrase
+      ORDER BY count(*) DESC, phrase ASC LIMIT 1
+    )
+    SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, g.phrase
+    FROM g JOIN top ON g.phrase = top.phrase
+    """,
+    tags=("llm", "retrieval", "phrase"),
+)
+def llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE SEARCH with positional-index semantics: locate every
+    occurrence (doc, 1-based token position) of the corpus's most frequent
+    word trigram (ties broken lexicographically — fully data-driven, no
+    baked-in constant). The positional-index classic is a 3-way self-join
+    on (doc, pos), (doc, pos+1), (doc, pos+2); Spark-first this collapses
+    to ONE window pass — two `lead`s over the (doc, pos) sort enumerate
+    every trigram WITH its position, then the 1-row top phrase broadcasts
+    back as a filter. One shuffle for the phrase count, one window sort
+    per doc partition; at 100 TB the trigram stream never re-shuffles."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos0", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos0").asc())
+    g = (
+        toks.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("phrase"),
+            F.lead("tok", 2).over(w).alias("_t3"),
+        )
+        .where(F.col("_t3").isNotNull())
+        .drop("_t3")
+    )
+    top = g.groupBy("phrase").agg(F.count(F.lit(1)).alias("_n")).orderBy(
+        F.col("_n").desc(), F.col("phrase").asc()
+    ).limit(1)
+    return g.join(F.broadcast(top.select("phrase")), "phrase").select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "phrase"
+    )
+
+
+@query(
+    "llm_kwic_concordance",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS pos, len(toks) AS n
+      FROM t
+    ), top AS (
+      SELECT tok FROM w WHERE length(tok) >= 6 GROUP BY tok
+      ORDER BY count(*) DESC, tok ASC LIMIT 1
+    )
+    SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos,
+           array_to_string(t.toks[greatest(1, w.pos - 2):least(w.n, w.pos + 2)], ' ')
+             AS kwic
+    FROM w JOIN top ON w.tok = top.tok
+    JOIN t ON w.doc_id = t.doc_id
+    """,
+    tags=("llm", "text", "concordance"),
+)
+def llm_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD-IN-CONTEXT concordance (the corpus-linguistics staple):
+    every occurrence of the corpus's most frequent >=6-char token,
+    rendered as a +-2-token context window, boundary-clamped. The keyword
+    is data-driven (top-1 with lexicographic tiebreak, broadcast back);
+    context slicing is JVM-side `slice` on the per-doc token array — the
+    array rides WITH the exploded positions, so no join back to the
+    corpus and no second shuffle. Token positions are 1-based."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    w = base.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.posexplode("toks").alias("pos0", "tok"),
+    ).select("doc_id", "toks", "n", (F.col("pos0") + 1).alias("pos"), "tok")
+    top = (
+        w.where(F.length("tok") >= 6)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("tok").asc())
+        .limit(1)
+    )
+    start = F.greatest(F.lit(1), F.col("pos") - 2)
+    stop = F.least(F.col("n"), F.col("pos") + 2)
+    return w.join(F.broadcast(top.select("tok")), "tok").select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), start, stop - start + 1)
+        ).alias("kwic"),
+    )
