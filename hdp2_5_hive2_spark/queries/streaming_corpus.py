@@ -1169,7 +1169,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM events
     GROUP BY 1, 2
     """,
-    tags=("events", "timeseries", "downsample"),
+    tags=("events", "timeseries", "downsample", "bench"),
 )
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bar downsampling — the canonical timeseries-engine rollup
