@@ -126,6 +126,11 @@ _NEW_THIS_ROUND: list[str] = [
     "events_frequent_sequences",    # GSP trigram support mining (r6)
     "llm_phrase_search",            # positional-index phrase match (r6)
     "llm_kwic_concordance",         # keyword-in-context windows (r6)
+    "qa_benford_audit",             # Benford first-digit forensic QA (r6)
+    "events_temporal_scd2_join",    # point-in-time SCD2 lookup join (r6)
+    "llm_dedup_survivorship",       # winner/loser source dedup matrix (r6)
+    "llm_source_overlap_matrix",    # source-pair 8-gram Jaccard matrix (r6)
+    "qa_schema_profile",            # one-pass Deequ-style column profile (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -4732,3 +4732,211 @@ def llm_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("toks"), start, stop - start + 1)
         ).alias("kwic"),
     )
+
+
+@query(
+    "llm_dedup_survivorship",
+    oracle="""
+    WITH g AS (
+      SELECT md5(substring(text, 1, 200)) AS fp, doc_id, source FROM documents
+    ), w AS (
+      SELECT fp, arg_min(source, doc_id) AS winner_source,
+             min(doc_id) AS winner_id, count(*) AS sz
+      FROM g GROUP BY fp HAVING count(*) > 1
+    )
+    SELECT w.winner_source, g.source AS loser_source,
+           CAST(count(*) AS BIGINT) AS n_absorbed
+    FROM g JOIN w USING (fp)
+    WHERE g.doc_id <> w.winner_id
+    GROUP BY w.winner_source, g.source
+    """,
+    tags=("llm", "dedup", "qa"),
+)
+def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP matrix — the provenance report behind keep-one
+    dedup: for every duplicate group (md5 of the 200-char prefix — the
+    prefix_dup_rate fingerprint; byte-exact dup groups are empty at the
+    small fixture), which source's copy survives (min doc_id rule) and
+    which sources lose theirs. The
+    winner_source x loser_source counts show cross-source content flow
+    (mirrors, scrapes of scrapes) before committing to a dedup order.
+    One 16-byte-fingerprint shuffle for the group table (text itself
+    never shuffles), min_by for the winner, one semi-join back — the
+    same single-exchange discipline as exact_dedup at 100 TB."""
+    d = load_tables(spark, sf_dir)["documents"]
+    g = d.select(
+        F.md5(F.substring("text", 1, 200)).alias("fp"), "doc_id", "source"
+    )
+    w = (
+        g.groupBy("fp")
+        .agg(
+            F.min_by("source", "doc_id").alias("winner_source"),
+            F.min("doc_id").alias("winner_id"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .where(F.col("sz") > 1)
+    )
+    return (
+        g.join(w, "fp")
+        .where(F.col("doc_id") != F.col("winner_id"))
+        .groupBy("winner_source", F.col("source").alias("loser_source"))
+        .agg(F.count(F.lit(1)).alias("n_absorbed"))
+    )
+
+
+@query(
+    "llm_source_overlap_matrix",
+    oracle=r"""
+    WITH sng AS (
+      SELECT DISTINCT source, ngram FROM (
+        SELECT source,
+               unnest(list_transform(generate_series(1, len(t) - 7),
+                                     i -> array_to_string(t[i:i+7], ' '))) AS ngram
+        FROM (SELECT source, string_split_regex(trim(text), '\s+') AS t
+              FROM documents)
+      )
+    ), sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM sng GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sng a JOIN sng b USING (ngram)
+      WHERE a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) AS jaccard
+    FROM inter i JOIN sz sa ON i.source_a = sa.source
+    JOIN sz sb ON i.source_b = sb.source
+    """,
+    tags=("llm", "curation", "qa", "overlap"),
+)
+def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-source CONTENT OVERLAP matrix: Jaccard similarity of
+    distinct word 8-gram sets for every source pair — the corpus-level
+    mirror detector that says which feeds are rebrands of each other
+    before any doc-level dedup. Spark plan: distinct (source, ngram)
+    pass, then pairs form PER NGRAM from its source list (bounded by
+    #sources, never by corpus size) and aggregate map-side; set sizes
+    broadcast back. The n-gram stream shuffles once on the ngram key."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sng = (
+        d.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 8),
+                    lambda i: F.array_join(F.slice(toks, i + 1, 8), " "),
+                )
+            ).alias("ngram"),
+        )
+        .distinct()
+    )
+    sz = sng.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sng.alias("a")
+        .join(sng.alias("b"), "ngram")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(F.broadcast(sz.withColumnRenamed("source", "source_a")
+                   .withColumnRenamed("n", "n_a")), "source_a")
+        .join(F.broadcast(sz.withColumnRenamed("source", "source_b")
+              .withColumnRenamed("n", "n_b")), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared", "n_a", "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+_PROFILE_COLS = [
+    # (name, min/max string-cast SQL template — formatting-safe types only:
+    # bigint/varchar verbatim, double via DECIMAL(18,2), timestamp via DATE)
+    ("o_orderkey", "CAST({c} AS VARCHAR)"),
+    ("o_custkey", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "{c}"),
+    ("o_totalprice", "CAST(CAST({c} AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderdate", "CAST(CAST({c} AS DATE) AS VARCHAR)"),
+    ("o_orderpriority", "{c}"),
+]
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for c, fmt in _PROFILE_COLS:
+        lo, hi = fmt.format(c=f"min({c})"), fmt.format(c=f"max({c})")
+        branches.append(
+            f"SELECT '{c}' AS column_name, 'n_nonnull' AS metric,"
+            f" CAST(count({c}) AS VARCHAR) AS value FROM orders"
+        )
+        branches.append(
+            f"SELECT '{c}', 'n_nulls', CAST(count(*) - count({c}) AS VARCHAR)"
+            f" FROM orders"
+        )
+        branches.append(
+            f"SELECT '{c}', 'n_distinct', CAST(count(DISTINCT {c}) AS VARCHAR)"
+            f" FROM orders"
+        )
+        branches.append(f"SELECT '{c}', 'min', {lo} FROM orders")
+        branches.append(f"SELECT '{c}', 'max', {hi} FROM orders")
+    return " UNION ALL ".join(branches)
+
+
+@query(
+    "qa_schema_profile",
+    oracle=_profile_oracle(),
+    tags=("qa", "profiling"),
+)
+def qa_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style COLUMN PROFILER: one pass over the table computes
+    (n_nonnull, n_nulls, n_distinct, min, max) for every column, emitted
+    long-format (column_name, metric, value) — the schema-drift /
+    data-contract audit that fronts every ingestion pipeline. ONE
+    aggregate job for all columns x metrics (the oracle's 30-branch UNION
+    collapses into a single Spark agg row, then a driver-free explode);
+    min/max stringify via formatting-safe casts only (doubles through
+    DECIMAL, timestamps through DATE) so both engines print identically.
+    Scales as one scan + one 1-row reduce."""
+    o = load_tables(spark, sf_dir)["orders"]
+    aggs, fields = [], []
+    for c, fmt in _PROFILE_COLS:
+        if "DECIMAL" in fmt:
+            lo = F.min(c).cast("decimal(18,2)").cast("string")
+            hi = F.max(c).cast("decimal(18,2)").cast("string")
+        elif "DATE" in fmt:
+            lo = F.min(c).cast("date").cast("string")
+            hi = F.max(c).cast("date").cast("string")
+        else:
+            lo, hi = F.min(c).cast("string"), F.max(c).cast("string")
+        aggs += [
+            F.count(c).cast("string").alias(f"{c}__n_nonnull"),
+            (F.count(F.lit(1)) - F.count(c)).cast("string").alias(f"{c}__n_nulls"),
+            F.count_distinct(F.col(c)).cast("string").alias(f"{c}__n_distinct"),
+            lo.alias(f"{c}__min"),
+            hi.alias(f"{c}__max"),
+        ]
+        fields += [f"{c}__{m}" for m in ("n_nonnull", "n_nulls", "n_distinct", "min", "max")]
+    row = o.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(f.split("__")[0]).alias("column_name"),
+                F.lit(f.split("__")[1]).alias("metric"),
+                F.col(f).alias("value"),
+            )
+            for f in fields
+        ]
+    )
+    return row.select(F.explode(structs).alias("p")).select(
+        "p.column_name", "p.metric", "p.value"
+    )

@@ -1353,3 +1353,100 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("support") >= 5)
     )
+
+
+@query(
+    "qa_benford_audit",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(abs(CAST(value * 100 AS BIGINT)) AS VARCHAR) AS s
+      FROM events WHERE CAST(value * 100 AS BIGINT) <> 0
+    ), d AS (
+      SELECT CAST(substring(s, 1, 1) AS BIGINT) AS digit FROM c
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+    SELECT obs.digit, obs.n,
+           CAST(obs.n AS DOUBLE) / t.total AS observed_p,
+           log10(1.0 + 1.0 / obs.digit) AS benford_p
+    FROM obs CROSS JOIN t
+    """,
+    tags=("events", "qa", "benford"),
+)
+def qa_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over the value column — the
+    forensic-QA screen for fabricated or truncated numeric feeds. The
+    first significant digit comes from the INTEGER cents representation
+    (cast(value*100 as bigint) -> string), never from double formatting,
+    so both engines extract identical digits; expected frequencies are
+    log10(1 + 1/d) computed from integer-literal inputs — the same IEEE
+    double on any engine. One map-side digit projection + a 9-row
+    aggregate; scales as a pure scan."""
+    e = load_tables(spark, sf_dir)["events"]
+    cents = (F.col("value") * 100).cast("bigint")
+    d = e.where(cents != 0).select(
+        F.substring(F.abs(cents).cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = obs.agg(F.sum("n").alias("total"))
+    return obs.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("observed_p"),
+        F.log10(1.0 + 1.0 / F.col("digit")).alias("benford_p"),
+    )
+
+
+@query(
+    "events_temporal_scd2_join",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS isl
+      FROM events WHERE event_type <> 'purchase'
+    ), i AS (
+      SELECT user_id, event_type AS state, min(ts) AS valid_from
+      FROM o GROUP BY user_id, event_type, isl
+    ), p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT p.user_id, p.event_id, s.state
+      FROM p ASOF JOIN i s
+        ON p.user_id = s.user_id AND p.ts >= s.valid_from
+    )
+    SELECT state,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY state
+    """,
+    tags=("events", "timeseries", "scd2", "temporal-join"),
+)
+def events_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (temporal table) join: each purchase joins the SCD2
+    state interval active at its timestamp — 'what state was this user
+    in when they bought' (states = runs of non-purchase activity, so the
+    lookup is never the purchase itself). Composition of
+    timeseries.state_intervals and the as-of join (the idiomatic
+    temporal-table lookup: match on the latest valid_from <= ts, no
+    BETWEEN nested loop). Both sides share the user_id partitioning, so
+    the as-of merge adds no extra corpus shuffle."""
+    from hdp2_5_hive2_spark import timeseries
+
+    e = load_tables(spark, sf_dir)["events"]
+    intervals = timeseries.state_intervals(
+        e.where(F.col("event_type") != "purchase"),
+        ["user_id"], "event_type", ts_col="ts", tiebreak_col="event_id"
+    ).select(
+        "user_id", F.col("event_type").alias("state"), F.col("valid_from").alias("ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = timeseries.asof_join(purchases, intervals, on=["user_id"], right_cols=["state"])
+    return j.groupBy(F.col("r_state").alias("state")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
