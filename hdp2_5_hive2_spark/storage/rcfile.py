@@ -605,17 +605,13 @@ def read_rcfile(
     if use_jvm:
         return _read_rcfile_hive(spark, path, target, fields)
 
-    n_file_cols = len(target.fields)
+    # In-memory sessions route through the Python DataSource (one
+    # InputPartition per sync-aligned split, O(row group) task memory) —
+    # the scalable replacement for the original binaryFiles-per-file path.
+    from hdp2_5_hive2_spark.storage.rcfile_datasource import read_rcfile_ds
 
-    def _parse(kv: tuple[str, bytes]) -> Iterator[tuple[str | None, ...]]:
-        if not kv[1]:  # zero-byte part files (empty Hive writer tasks)
-            return iter(())
-        return parse_rcfile(kv[1], wanted, expect_ncols=n_file_cols)
-
-    rows = spark.sparkContext.binaryFiles(path).flatMap(_parse)
-    raw = spark.createDataFrame(rows, ", ".join(f"`{n}` string" for n in names))
-    return raw.select(
-        *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in fields]
+    return read_rcfile_ds(
+        spark, path, schema, select=list(select) if select else None
     )
 
 

@@ -415,3 +415,100 @@ def test_truncated_range_read_raises(tmp_path):
                 str(cut), 0, len(blob), ncols, compressed, sync, header_end
             )
         )
+
+
+def test_datasource_split_parity_and_partition_count(spark, tmp_path):
+    """spark.read.format('rcfile') must fan a monolithic file out across
+    sync-aligned splits and reproduce the single-task read exactly."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage import rcfile as rc
+    from hdp2_5_hive2_spark.storage.rcfile_datasource import read_rcfile_ds
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("a"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("b"),
+    )
+    rc.write_rcfile(df.coalesce(1), str(tmp_path / "m"))
+    f = [
+        x
+        for x in glob.glob(str(tmp_path / "m" / "*"))
+        if os.path.getsize(x) > 0 and not x.endswith(".crc")
+    ][0]
+    ddl = "a bigint, b string"
+    whole = sorted(tuple(r) for r in read_rcfile_ds(spark, f, ddl).collect())
+    split = read_rcfile_ds(spark, f, ddl, split_size=4096)
+    assert split.rdd.getNumPartitions() > 1
+    assert sorted(tuple(r) for r in split.collect()) == whole
+    assert len(whole) == 4000
+
+
+def test_datasource_format_layer_pruning(spark, tmp_path):
+    """The select option prunes at the format layer and reorders columns."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage import rcfile as rc
+    from hdp2_5_hive2_spark.storage.rcfile_datasource import read_rcfile_ds
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("x"),
+        (F.col("id") * 2).alias("y"),
+        (F.col("id") % 5).cast("string").alias("z"),
+    )
+    rc.write_rcfile(df, str(tmp_path / "t"))
+    got = read_rcfile_ds(
+        spark, str(tmp_path / "t"), "x bigint, y bigint, z string", select=["z", "x"]
+    )
+    assert got.columns == ["z", "x"]
+    rows = {(r["x"], r["z"]) for r in got.collect()}
+    assert rows == {(i, str(i % 5)) for i in range(50)}
+
+
+def test_datasource_rejects_bad_inputs(spark, tmp_path):
+    """Non-string engine schemas and unknown select names fail loudly."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage import rcfile as rc
+    from hdp2_5_hive2_spark.storage.rcfile_datasource import (
+        RCFileDataSource,
+        read_rcfile_ds,
+    )
+
+    df = spark.range(0, 5).select(F.col("id").alias("a"))
+    rc.write_rcfile(df, str(tmp_path / "t"))
+    with _pytest.raises(ValueError, match="select names"):
+        read_rcfile_ds(spark, str(tmp_path / "t"), "a bigint", select=["nope"])
+    spark.dataSource.register(RCFileDataSource)
+    with _pytest.raises(Exception, match="emits strings"):
+        (
+            spark.read.format("rcfile")
+            .schema("a bigint")
+            .option("ddl", "a string")
+            .load(str(tmp_path / "t"))
+            .collect()
+        )
+
+
+def test_datasource_header_derived_default_schema(spark, tmp_path):
+    """Without a ddl option the source derives width from the header and
+    names columns c0..cN (all string)."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage import rcfile as rc
+    from hdp2_5_hive2_spark.storage.rcfile_datasource import RCFileDataSource
+
+    df = spark.range(0, 7).select(
+        F.col("id").alias("p"), (F.col("id") + 1).alias("q")
+    )
+    rc.write_rcfile(df, str(tmp_path / "t"))
+    spark.dataSource.register(RCFileDataSource)
+    got = spark.read.format("rcfile").load(str(tmp_path / "t"))
+    assert got.columns == ["c0", "c1"]
+    assert sorted((r["c0"], r["c1"]) for r in got.collect()) == [
+        (str(i), str(i + 1)) for i in range(7)
+    ]
