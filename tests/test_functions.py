@@ -555,3 +555,44 @@ if _HYP:
         assert len(arr) == 2 + n_words + 1
         assert 0 <= arr[-1] < n_words
         assert size_in_bits == (ps[-1] + 1 if ps else 0)
+
+
+def test_create_temporary_udtf_parity(spark):
+    """Custom GenericUDTF parity (ql/udf/generic/GenericUDTF.java —
+    user-defined TABLE functions registered via CREATE FUNCTION) →
+    spark.udtf.register: a Python UDTF emits multiple rows per input and
+    is callable from the SQL FROM clause (including the LATERAL form,
+    Hive's LATERAL VIEW analogue)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class WordNgrams:
+        def eval(self, text: str, n: int):
+            toks = text.split()
+            for i in range(len(toks) - n + 1):
+                yield i + 1, " ".join(toks[i : i + n])
+
+    spark.udtf.register("word_ngrams", WordNgrams)
+    rows = spark.sql(
+        "SELECT * FROM word_ngrams('the quick brown fox', 2)"
+    ).collect()
+    assert [(r.pos, r.ngram) for r in rows] == [
+        (1, "the quick"),
+        (2, "quick brown"),
+        (3, "brown fox"),
+    ]
+    # LATERAL form over a table — the Hive LATERAL VIEW analogue for
+    # CUSTOM table functions (built-in explode/posexplode are covered by
+    # the lateral_view_* corpus queries)
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "x y")], "id int, t string"
+    ).createOrReplaceTempView("_udtf_src")
+    got = spark.sql(
+        "SELECT s.id, g.pos, g.ngram FROM _udtf_src s, "
+        "LATERAL word_ngrams(s.t, 2) g ORDER BY s.id, g.pos"
+    ).collect()
+    assert [(r.id, r.pos, r.ngram) for r in got] == [
+        (1, 1, "a b"),
+        (1, 2, "b c"),
+        (2, 1, "x y"),
+    ]
