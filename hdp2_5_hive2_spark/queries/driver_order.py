@@ -131,6 +131,10 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_dedup_survivorship",       # winner/loser source dedup matrix (r6)
     "llm_source_overlap_matrix",    # source-pair 8-gram Jaccard matrix (r6)
     "qa_schema_profile",            # one-pass Deequ-style column profile (r6)
+    "llm_maxsim_rerank",            # ColBERT late-interaction MaxSim (r6)
+    "events_gap_histogram",         # pow2 inter-arrival gap histogram (r6)
+    "events_watermark_lag_audit",   # watermark sizing disorder audit (r6)
+    "events_peak_concurrency",      # sweep-line max simultaneous sessions (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

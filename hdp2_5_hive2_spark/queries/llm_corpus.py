@@ -4940,3 +4940,75 @@ def qa_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(F.explode(structs).alias("p")).select(
         "p.column_name", "p.metric", "p.value"
     )
+
+
+_QUANT_BLOCK_CTE = """
+    q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 5
+    ), qq AS (
+      SELECT vec_id,
+             list_transform(v, x -> greatest(-127.0, least(127.0,
+               floor(x * (CASE WHEN m = 0.0 THEN 1.0 ELSE 127.0 / m END))))) AS qv
+      FROM (SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+            FROM q)
+    ), qc AS (
+      SELECT vec_id,
+             list_transform(v, x -> greatest(-127.0, least(127.0,
+               floor(x * (CASE WHEN m = 0.0 THEN 1.0 ELSE 127.0 / m END))))) AS qv
+      FROM (SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+            FROM c)
+    ), qblk AS (
+      SELECT vec_id, b, qv[b * 8 + 1 : b * 8 + 8] AS blk
+      FROM qq CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b)
+    ), cblk AS (
+      SELECT vec_id, b, qv[b * 8 + 1 : b * 8 + 8] AS blk
+      FROM qc CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b)
+    )
+"""
+
+
+@query(
+    "llm_maxsim_rerank",
+    oracle="WITH " + _QUANT_BLOCK_CTE + """
+    , dots AS (
+      SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+             qb.b AS qb, max(list_dot_product(qb.blk, cb.blk)) AS best
+      FROM qblk qb CROSS JOIN cblk cb
+      GROUP BY qb.vec_id, cb.vec_id, qb.b
+    ), scores AS (
+      SELECT query_id, neighbor_id, CAST(SUM(best) AS BIGINT) AS score
+      FROM dots GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+             ) AS INTEGER) AS rank
+      FROM scores
+    ) WHERE rank <= 3
+    """,
+    tags=("llm", "similarity", "maxsim", "late-interaction"),
+)
+def llm_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION (ColBERT MaxSim) retrieval
+    (similarity.maxsim_topk): each 64-dim vector splits into 8 token-like
+    sub-vectors; the pair score is sum over query blocks of the best
+    matching document block dot — richer than single-vector cosine, the
+    standard multi-vector serving model. Both sides int8-quantized with
+    the quantized_topk convention so every block dot is int64-exact and
+    the BIGINT scores are engine-identical; top-3 per query, id
+    tiebreak. The corpus never shuffles: one Arrow einsum pass emits
+    per-batch partial top-k only."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.maxsim_topk(
+        e.where(F.col("vec_id") >= 5),
+        e.where(F.col("vec_id") < 5),
+        n_blocks=8,
+        k=3,
+    )

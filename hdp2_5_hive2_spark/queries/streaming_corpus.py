@@ -1450,3 +1450,193 @@ def events_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "events_gap_histogram",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type, length(bin(gap_us)) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(gap_us) AS BIGINT) AS min_us,
+           CAST(max(gap_us) AS BIGINT) AS max_us
+    FROM o WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY event_type, bucket
+    """,
+    tags=("events", "timeseries", "histogram"),
+)
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-gap histogram per event stream — the distribution a
+    capacity planner or anomaly detector reads (burstiness, dead air).
+    Gaps are exact microsecond integers from one lag() per type; buckets
+    are powers of two via BINARY-STRING LENGTH (⌊log2⌋+1 with no
+    transcendental log — the llm_token_length_histogram discipline).
+    Zero-gap ties are excluded (same-µs arrivals carry no spacing
+    information). One keyed window pass, then a tiny rollup."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    t = F.unix_micros("ts")
+    o = e.select(
+        "event_type", (t - F.lag(t).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    return o.groupBy(
+        "event_type", F.length(F.bin("gap_us")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_us").alias("min_us"),
+        F.max("gap_us").alias("max_us"),
+    )
+
+
+@query(
+    "events_watermark_lag_audit",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             greatest(0,
+               max(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - epoch_us(CAST(ts AS TIMESTAMP))) AS late_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           CAST(SUM(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_beyond_15m
+    FROM o GROUP BY event_type
+    """,
+    tags=("events", "streaming", "qa", "watermark"),
+)
+def events_watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK SIZING audit: how disordered is each stream, really?
+    Lateness of an event = running max event-time over ARRIVAL order
+    (event_id, the ingest sequence) minus its own event-time — exactly the
+    quantity a Structured Streaming watermark must exceed to never drop
+    it. Reports out-of-order counts, the max observed lateness, and how
+    many events a 15-minute watermark (the streaming module's default)
+    would have dropped. One keyed running-max window; integers
+    throughout."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.unix_micros("ts")
+    o = e.select(
+        "event_type",
+        F.greatest(F.lit(0).cast("bigint"), F.max(t).over(w) - t).alias("late_us"),
+    )
+    return o.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_out_of_order"),
+        F.max("late_us").alias("max_late_us"),
+        F.sum(F.when(F.col("late_us") > 900000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_beyond_15m"),
+    )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 300
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    ), s AS (
+      SELECT user_id, session_seq,
+             epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+      FROM numbered GROUP BY user_id, session_seq
+    ), d AS (
+      SELECT start_us AS t, 1 AS delta FROM s
+      UNION ALL SELECT end_us + 1, -1 FROM s
+    ), r AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t, delta DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM d
+    ), m AS (SELECT t, max(run) AS run_t FROM r GROUP BY t),
+    p AS (SELECT max(run_t) AS peak FROM m)
+    SELECT CAST(p.peak AS BIGINT) AS peak_concurrency,
+           CAST(min(m.t) AS BIGINT) AS first_peak_us
+    FROM m CROSS JOIN p WHERE m.run_t = p.peak GROUP BY p.peak
+    """,
+    tags=("events", "timeseries", "sweepline"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY via the sweep-line: how many 5-minute-gap sessions
+    were simultaneously open at the worst moment (the capacity-planning
+    number behind 'max simultaneous users'). Sessions become +-1 deltas at
+    [start, end+1µs); the running delta sum's maximum is the peak, and
+    the answer reports it with its first microsecond. Order ties resolve
+    starts-before-ends, and per-instant maxima are order-invariant (the
+    max at any t lands after all its +1s), so the result is deterministic
+    under any shuffle. The global prefix sum is the two-phase distributed
+    form — per-day partition windows plus a broadcast cumsum of tiny
+    per-day totals — never a single-partition window over the deltas."""
+    from pyspark.sql import Window
+
+    sess = ev.sessionize_batch(spark, sf_dir, gap_minutes=5)
+    s = sess.select(
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+    )
+    d = s.select(F.col("start_us").alias("t"), F.lit(1).alias("delta")).unionAll(
+        s.select((F.col("end_us") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    day = F.floor(F.col("t") / F.lit(86_400_000_000))
+    d = d.withColumn("_day", day)
+    in_day = Window.partitionBy("_day").orderBy(
+        F.col("t").asc(), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    day_order = Window.orderBy(F.col("_day").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        d.groupBy("_day")
+        .agg(F.sum("delta").alias("_dsum"))
+        .withColumn("_base", F.coalesce(F.sum("_dsum").over(day_order), F.lit(0)))
+        .select("_day", "_base")
+    )
+    r = (
+        d.withColumn("_run_in", F.sum("delta").over(in_day))
+        .join(F.broadcast(bases), "_day")
+        .select("t", (F.col("_base") + F.col("_run_in")).alias("run"))
+    )
+    m = r.groupBy("t").agg(F.max("run").alias("run_t"))
+    p = m.agg(F.max("run_t").alias("peak"))
+    return (
+        m.join(F.broadcast(p), F.col("run_t") == F.col("peak"))
+        .groupBy("peak")
+        .agg(F.min("t").alias("first_peak_us"))
+        .select(
+            F.col("peak").cast("bigint").alias("peak_concurrency"),
+            F.col("first_peak_us").cast("bigint").alias("first_peak_us"),
+        )
+    )
