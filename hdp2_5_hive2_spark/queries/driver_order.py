@@ -135,6 +135,8 @@ _NEW_THIS_ROUND: list[str] = [
     "events_gap_histogram",         # pow2 inter-arrival gap histogram (r6)
     "events_watermark_lag_audit",   # watermark sizing disorder audit (r6)
     "events_peak_concurrency",      # sweep-line max simultaneous sessions (r6)
+    "analyze_equiheight_histogram", # CBO equi-depth histogram stat (r6)
+    "events_incremental_rollup",    # monoid-merge aggregate maintenance (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

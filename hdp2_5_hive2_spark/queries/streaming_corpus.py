@@ -1640,3 +1640,90 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_peak_us").cast("bigint").alias("first_peak_us"),
         )
     )
+
+
+@query(
+    "analyze_equiheight_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT l_quantity AS v,
+             row_number() OVER (ORDER BY l_quantity, l_orderkey * 10 + l_linenumber)
+               AS rn,
+             count(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT CAST((rn * 10 + n - 1) // n AS BIGINT) AS bucket,
+           min(v) AS lo, max(v) AS hi,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY 1
+    """,
+    tags=("stats", "analyze", "histogram"),
+)
+def analyze_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style EQUI-HEIGHT histogram on lineitem.l_quantity
+    (stats.equiheight_histogram — the CBO selectivity statistic Hive
+    builds for ANALYZE ... FOR COLUMNS, HiveStatsUtils; Spark's
+    statistics.histogram.enabled equivalent): 10 buckets of ~N/10 rows
+    each with SELECTED boundary values (rank positions, no
+    interpolation). The oracle uses a plain global window to define the
+    semantics; the Spark plan is the two-phase distributed rank — never
+    a one-partition sort of the fact table."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return stats.equiheight_histogram(
+        li.withColumn(
+            "_rid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+        ),
+        "l_quantity",
+        n_buckets=10,
+        id_col="_rid",
+    )
+
+
+@query(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "incremental", "rollup"),
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE — the pattern that makes daily
+    100 TB rollups affordable: the standing state (all days before
+    Jan 25) and the new batch (Jan 25 on) aggregate SEPARATELY, then
+    merge by monoid addition on a full outer join — count and decimal-sum
+    are commutative monoids, so merged state is provably identical to a
+    full recompute, and the ORACLE IS the full recompute (a hash match
+    proves the maintenance algebra, not just the numbers). Each side
+    partial-aggregates map-side before its own small shuffle; the merge
+    joins two already-aggregated key tables — the fact table is never
+    re-scanned across days in production use."""
+    e = load_tables(spark, sf_dir)["events"]
+    cutoff = F.lit("2024-01-25").cast("date")
+    day = F.col("ts").cast("date")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", day.alias("day")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("tot"),
+        )
+
+    state = rollup(e.where(day < cutoff))
+    delta = rollup(e.where(day >= cutoff))
+    merged = state.alias("s").join(
+        delta.alias("d"), ["event_type", "day"], "full_outer"
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        "event_type",
+        "day",
+        (
+            F.coalesce(F.col("s.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+        ).cast("bigint").alias("n"),
+        (
+            F.coalesce(F.col("s.tot"), zero) + F.coalesce(F.col("d.tot"), zero)
+        ).cast("double").alias("total_value"),
+    )

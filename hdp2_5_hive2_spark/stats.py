@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
@@ -529,4 +529,57 @@ def hll_estimate(
         "v_zero",
         "s_num",
         (F.lit(numerator) / F.col("s_num").cast("double")).alias("hll_ndv"),
+    )
+
+
+def equiheight_histogram(
+    df: DataFrame, col: str, n_buckets: int = 10, id_col: str | None = None
+) -> DataFrame:
+    """Equi-height (equi-depth) histogram — the CBO selectivity statistic
+    Hive computes for ANALYZE ... FOR COLUMNS (HiveStatsUtils; Spark's own
+    `spark.sql.statistics.histogram.enabled` builds the same shape):
+    ``n_buckets`` buckets each holding ~N/n rows, with SELECTED boundary
+    values (the row at rank ceil(i*N/n); never interpolated, so any
+    engine produces identical boundaries on identical data).
+
+    Output: (bucket, lo, hi, n_rows) with lo exclusive-of-previous-hi
+    semantics via rank ranges.
+
+    Plan / 100 TB notes: ranks come from a per-(value, id-block) bucketed
+    window plus a broadcast cumsum of the bucket-count table (the
+    two-phase distributed rank used across this repo) — never a global
+    single-partition sort. The final per-bucket reduce is a tiny
+    aggregate over n_buckets groups."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    order_id = id_col or col
+    base = df.select(
+        F.col(col).alias("_v"), F.col(order_id).alias("_id")
+    ).withColumn("_blk", F.floor(F.col("_id") / (1 << 20)))
+    in_bucket = Window.partitionBy("_v", "_blk").orderBy(F.col("_id").asc())
+    bucket_order = Window.orderBy(F.col("_v").asc(), F.col("_blk").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        base.groupBy("_v", "_blk")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .withColumn("_base", F.coalesce(F.sum("_bn").over(bucket_order), F.lit(0)))
+    )
+    ranked = (
+        base.withColumn("_rn", F.row_number().over(in_bucket))
+        .join(F.broadcast(bases.select("_v", "_blk", "_base")), ["_v", "_blk"])
+        .select("_v", (F.col("_base") + F.col("_rn")).cast("bigint").alias("_r"))
+        .crossJoin(F.broadcast(bases.agg(F.sum("_bn").alias("_tot"))))
+    )
+    # bucket of rank r (1-based): ceil(r*n/N), truncation-safe on both
+    # engines as (r*n + N - 1) div N -> buckets 1..n_buckets
+    b = F.expr(f"CAST((_r * {n_buckets} + _tot - 1) div _tot AS BIGINT)")
+    return (
+        ranked.withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
