@@ -756,3 +756,39 @@ def test_setsim_prefix_join_prunes_tokens(spark):
     )
     assert "_pos" in plan, plan  # prefix position filter present
     assert "CartesianProduct" not in plan and "Cross" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """Joining a partitioned fact table with a filtered dim must plan a
+    DYNAMIC partition-pruning subquery on the fact scan (Spark's DPP —
+    the feature that turns a 100 TB star-join into a read of only the
+    dim-selected partitions). The partition filter appears as a
+    dynamicpruning expression; the static plan must NOT scan all
+    partitions unconditionally."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("day"),
+        (F.col("id") % 97).alias("v"),
+    )
+    fact.write.mode("overwrite").partitionBy("day").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("day"), (F.col("id") % 3 == 0).alias("keep")
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    j = f.join(dim.where("keep"), "day").groupBy("day").agg(F.sum("v").alias("s"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is correct
+    got = {(r["day"], r["s"]) for r in j.collect()}
+    want = {
+        (r["day"], r["s"])
+        for r in fact.join(dim.where("keep"), "day")
+        .groupBy("day")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) == 7
