@@ -516,3 +516,46 @@ def storage_rcfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{IO_ROOT}/customer_rcfile"
     write_rcfile(src.repartition(4), path)
     return read_rcfile(spark, path, "c_custkey bigint, seg string, c_nationkey int")
+
+
+@query(
+    "storage_parquet_metadata_audit",
+    oracle="""
+    SELECT CAST(row_group_id AS BIGINT) AS row_group,
+           CAST(row_group_num_rows AS BIGINT) AS n_rows,
+           CAST(stats_min_value AS BIGINT) AS min_doc_id,
+           CAST(stats_max_value AS BIGINT) AS max_doc_id,
+           CAST(stats_null_count AS BIGINT) AS null_count
+    FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
+    WHERE path_in_schema = 'doc_id'
+    """,
+    # every oracle consumer (driver, tests, verify tool) runs at sf0.01,
+    # so the footer path in the oracle is pinned to that fixture
+    tags=("storage", "metadata", "data-skipping"),
+)
+def storage_parquet_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET FOOTER INTROSPECTION — the data-skipping audit: per row
+    group, the doc_id min/max/null statistics the scan planner uses to
+    skip IO (the machinery behind PushedFilters actually eliding reads;
+    Hive's analogue is the ORC stripe stats its SARGs consult). Footer
+    metadata is KB-sized regardless of data volume, so this reads only
+    footers — at 100 TB, one driver-side (or parallelized-over-files)
+    metadata pass, never data pages. The oracle reads the same footers
+    via DuckDB's parquet_metadata(), so a hash match proves both engines
+    see identical physical statistics."""
+    import pyarrow.parquet as pqt
+
+    md = pqt.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    rows = []
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            if c.path_in_schema == "doc_id":
+                st = c.statistics
+                rows.append((i, rg.num_rows, int(st.min), int(st.max), st.null_count))
+    return spark.createDataFrame(
+        rows,
+        "row_group bigint, n_rows bigint, min_doc_id bigint, "
+        "max_doc_id bigint, null_count bigint",
+    )
