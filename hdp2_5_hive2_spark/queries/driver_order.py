@@ -138,6 +138,7 @@ _NEW_THIS_ROUND: list[str] = [
     "analyze_equiheight_histogram", # CBO equi-depth histogram stat (r6)
     "events_incremental_rollup",    # monoid-merge aggregate maintenance (r6)
     "storage_parquet_metadata_audit",  # footer min/max data-skipping audit (r6)
+    "llm_dedup_cost_report",        # exact/prefix/near dedup cost tiers (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

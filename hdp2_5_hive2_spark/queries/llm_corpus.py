@@ -5012,3 +5012,108 @@ def llm_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_blocks=8,
         k=3,
     )
+
+
+@query(
+    "llm_dedup_cost_report",
+    oracle="WITH RECURSIVE " + _ngram_cte(15) + """
+    , rare AS (SELECT ngram FROM ngd GROUP BY ngram HAVING count(*) <= 100),
+    e0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM ngd a JOIN ngd b USING (ngram) JOIN rare USING (ngram)
+           WHERE a.doc_id < b.doc_id),
+    e AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0),
+    v AS (SELECT DISTINCT s AS id FROM e),
+    walk AS (
+      SELECT id, id AS lab FROM v
+      UNION
+      SELECT e.d AS id, w.lab FROM walk w JOIN e ON e.s = w.id
+    ),
+    cc AS (SELECT id AS doc_id, min(lab) AS rep FROM walk GROUP BY id),
+    near AS (
+      SELECT 'near_16gram' AS strategy,
+             CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             CAST(SUM(CASE WHEN doc_id <> rep THEN n_chars ELSE 0 END) AS BIGINT)
+               AS bytes_saved
+      FROM cc JOIN documents USING (doc_id)
+    ),
+    pfx AS (
+      SELECT 'prefix_200' AS strategy,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(SUM(sz - 1) AS BIGINT) AS n_removed,
+             CAST(SUM(bytes_lost) AS BIGINT) AS bytes_saved
+      FROM (
+        SELECT md5(substring(text, 1, 200)) AS fp, count(*) AS sz,
+               SUM(n_chars) - min_by(n_chars, doc_id) AS bytes_lost
+        FROM documents GROUP BY fp HAVING count(*) > 1
+      )
+    ),
+    ex AS (
+      SELECT 'exact' AS strategy,
+             CAST(coalesce(count(*), 0) AS BIGINT) AS n_groups,
+             CAST(coalesce(SUM(sz - 1), 0) AS BIGINT) AS n_removed,
+             CAST(coalesce(SUM(bytes_lost), 0) AS BIGINT) AS bytes_saved
+      FROM (
+        SELECT md5(text) AS fp, count(*) AS sz,
+               SUM(n_chars) - min_by(n_chars, doc_id) AS bytes_lost
+        FROM documents GROUP BY fp HAVING count(*) > 1
+      )
+    )
+    SELECT * FROM ex UNION ALL SELECT * FROM pfx UNION ALL SELECT * FROM near
+    """,
+    tags=("llm", "dedup", "report"),
+)
+def llm_dedup_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP STRATEGY COST REPORT — the planning table a data lead reads
+    before choosing a dedup ladder: for exact (md5 text), prefix-200, and
+    near-dup (rare-16-gram connected components), how many duplicate
+    groups exist, how many documents keep-min-id dedup would remove, and
+    how many bytes that saves. Exact/prefix are single fingerprint-shuffle
+    aggregates (min_by keeps the survivor's size); the near tier reuses
+    duplicate_clusters' bounded-round CC. Keep-rule = min doc_id
+    everywhere so all three tiers are comparable."""
+    d = load_tables(spark, sf_dir)["documents"]
+
+    def tier(fp, name: str) -> DataFrame:
+        g = (
+            d.select(fp.alias("fp"), "doc_id", "n_chars")
+            .groupBy("fp")
+            .agg(
+                F.count(F.lit(1)).alias("sz"),
+                (F.sum("n_chars") - F.min_by("n_chars", "doc_id")).alias("bytes_lost"),
+            )
+            .where(F.col("sz") > 1)
+        )
+        return g.agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("n_groups"),
+            F.coalesce(F.sum(F.col("sz") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.sum("bytes_lost"), F.lit(0))
+            .cast("bigint")
+            .alias("bytes_saved"),
+        ).select(F.lit(name).alias("strategy"), "n_groups", "n_removed", "bytes_saved")
+    cc = curation.duplicate_clusters(d, n=16, max_df=100).withColumnRenamed(
+        "cluster_rep", "rep"
+    )
+    near = (
+        cc.join(d.select("doc_id", "n_chars"), "doc_id")
+        .agg(
+            F.count_distinct("rep").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("doc_id") != F.col("rep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("doc_id") != F.col("rep"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("bytes_saved"),
+        )
+        .select(
+            F.lit("near_16gram").alias("strategy"), "n_groups", "n_removed", "bytes_saved"
+        )
+    )
+    return (
+        tier(F.md5("text"), "exact")
+        .unionAll(tier(F.md5(F.substring("text", 1, 200)), "prefix_200"))
+        .unionAll(near)
+    )

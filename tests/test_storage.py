@@ -335,3 +335,23 @@ def test_zvalue_matches_python_interleave(spark):
 
     with _pytest.raises(ValueError):
         zvalue("x", "y", bits=0)
+
+
+def test_csv_permissive_malformed_rows_become_nulls(spark, tmp_path):
+    """LazySimpleSerDe parity: Hive SerDes never abort on malformed cells —
+    unparsable values read as NULL and short rows pad with NULL. Spark's
+    PERMISSIVE CSV mode (the default) must behave identically for the
+    engine's CSV surface."""
+    p = tmp_path / "bad.csv"
+    p.write_text("1,alpha,2.5\nnot_an_int,beta,3.5\n3,gamma\n4,delta,oops\n")
+    df = spark.read.schema("a bigint, b string, c double").csv(str(p))
+    rows = sorted(
+        ((r["a"], r["b"], r["c"]) for r in df.collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1] or ""),
+    )
+    assert rows == [
+        (1, "alpha", 2.5),
+        (3, "gamma", None),       # short row pads with NULL
+        (4, "delta", None),       # bad double -> NULL, row survives
+        (None, "beta", 3.5),      # bad bigint -> NULL, row survives
+    ]
