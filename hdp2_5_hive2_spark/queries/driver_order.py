@@ -139,6 +139,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_incremental_rollup",    # monoid-merge aggregate maintenance (r6)
     "storage_parquet_metadata_audit",  # footer min/max data-skipping audit (r6)
     "llm_dedup_cost_report",        # exact/prefix/near dedup cost tiers (r6)
+    "storage_xml_roundtrip",        # Spark-4 native XML source roundtrip (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

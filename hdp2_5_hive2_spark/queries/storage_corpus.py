@@ -559,3 +559,33 @@ def storage_parquet_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "row_group bigint, n_rows bigint, min_doc_id bigint, "
         "max_doc_id bigint, null_count bigint",
     )
+
+
+@query(
+    "storage_xml_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("storage", "write", "xml"),
+)
+def storage_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write/read round trip — Spark 4's built-in XML source standing
+    in for Hive's XML SerDe ecosystem (the reference reads XML via xpath
+    UDFs over text tables, FunctionRegistry.java:441-446 — our fn_xpath
+    covers that path; this covers the native-source path). Explicit
+    schema on read: attribute/element inference is off the table for a
+    round trip that must hash-match."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    path = f"{IO_ROOT}/nation_xml"
+    (
+        nation.select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+    )
