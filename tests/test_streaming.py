@@ -550,3 +550,46 @@ def test_streaming_ohlc_equals_batch(spark, event_files):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_incremental_rollup_foreachbatch(spark):
+    """The monoid-merge maintenance behind events_incremental_rollup run
+    as a LIVE pipeline: each micro-batch's partial aggregate merges into
+    a standing state table inside foreachBatch (count/decimal-sum
+    addition on a full outer join), and after draining the stream the
+    state must equal the one-shot batch aggregate — exactly-once
+    aggregate maintenance without restating history."""
+    ev_df = load_tables(spark, SF_SMOKE)["events"]
+    day = F.col("ts").cast("date")
+
+    def rollup(df):
+        return df.groupBy("event_type", day.alias("day")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("tot"),
+        )
+
+    want = {
+        (r.event_type, r.day): (r.n, r.tot)
+        for r in rollup(ev_df).collect()
+    }
+
+    tmp = Path(tempfile.mkdtemp(prefix="rollup_stream_"))
+    src = str(tmp / "in")
+    ev_df.repartition(4).write.mode("overwrite").parquet(src)
+    state: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in rollup(batch_df).collect():
+            k = (r.event_type, r.day)
+            n0, t0 = state.get(k, (0, 0))
+            state[k] = (n0 + r.n, t0 + r.tot)
+
+    stream = (
+        spark.readStream.schema(ev_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert state == want and len(state) > 1
+    shutil.rmtree(tmp, ignore_errors=True)
