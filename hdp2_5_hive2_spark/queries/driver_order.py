@@ -140,6 +140,9 @@ _NEW_THIS_ROUND: list[str] = [
     "storage_parquet_metadata_audit",  # footer min/max data-skipping audit (r6)
     "llm_dedup_cost_report",        # exact/prefix/near dedup cost tiers (r6)
     "storage_xml_roundtrip",        # Spark-4 native XML source roundtrip (r6)
+    "fn_covar_corr",                # covar/corr/var via exact moments (r6)
+    "agg_mode_by_group",            # deterministic mode aggregate (r6)
+    "window_running_distinct",      # first-seen running distinct count (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

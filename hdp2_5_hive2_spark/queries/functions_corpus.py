@@ -1057,3 +1057,106 @@ def fn_ewah_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "fn_covar_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (sxy - sx * sy / n) / n AS covar_pop,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr,
+           (sxx - sx * sx / n) / n AS var_pop_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_samp_qty
+    FROM m
+    """,
+    tags=("functions", "udaf", "statistics"),
+)
+def fn_covar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """covar_pop / covar_samp / corr / var_pop / var_samp parity
+    (FunctionRegistry.java:381-388, GenericUDAFCovariance/Correlation/
+    Variance) — computed from EXACT decimal moment sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) with one shared closing formula, because the built-in
+    aggregates use different internal update algorithms per engine
+    (Welford vs co-moment) whose float results differ in final ULPs.
+    Identical exact moments + identical final expression = bit-identical
+    statistics; tests/test_functions.py proves the builtins agree with
+    this form to 1e-9 relative."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dp).cast("double").alias("sy"),
+        F.sum(dq * dp).cast("double").alias("sxy"),
+        F.sum(dq * dq).cast("double").alias("sxx"),
+        F.sum(dp * dp).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov0 = sxy - sx * sy / n
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        (cov0 / n).alias("covar_pop"),
+        (cov0 / (n - 1)).alias("covar_samp"),
+        (cov0 / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))).alias("corr"),
+        ((sxx - sx * sx / n) / n).alias("var_pop_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_samp_qty"),
+    )
+
+
+@query(
+    "agg_mode_by_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS n_mode
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority ASC) AS rk
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rk = 1
+    """,
+    tags=("functions", "udaf", "mode"),
+)
+def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE aggregate (most frequent value per group, lexicographic
+    tiebreak — deterministic, unlike engines' native mode()): one
+    two-key aggregate then a WindowGroupLimit rank-1 pick. The count
+    table is (groups x distinct values)-sized, so the window never sees
+    the fact table — the scalable mode shape at any volume."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("n_mode"),
+        )
+    )

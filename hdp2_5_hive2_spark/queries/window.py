@@ -286,3 +286,55 @@ def window_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.5)).over(w).alias("med_qty"),
         F.percentile("l_quantity", F.lit(0.25)).over(w).alias("q1_qty"),
     )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM f
+    """,
+    tags=("window", "running-distinct"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT COUNT over a window — the aggregate Spark and
+    Hive both refuse (`COUNT(DISTINCT) OVER (... ROWS ...)` is
+    unsupported) — computed EXACTLY by the first-seen decomposition:
+    flag each row that is the first of its (user, event_type) in time
+    order, then a running SUM of flags gives distinct-types-seen-so-far.
+    Two windows, but both partition on user_id, so the second reuses the
+    first's exchange — one shuffle total, no sketch, no quadratic
+    re-scan."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    first_w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(first_w) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(run_w).cast("bigint").alias("distinct_types_so_far"),
+    )

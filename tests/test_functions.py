@@ -596,3 +596,41 @@ def test_create_temporary_udtf_parity(spark):
         (1, 2, "b c"),
         (2, 1, "x y"),
     ]
+
+
+def test_builtin_covar_corr_agree_with_moment_form(spark):
+    """The built-in covar_pop/covar_samp/corr/var_pop/var_samp must agree
+    with the exact-moment formulation used by fn_covar_corr to 1e-9
+    relative — proving the corpus query computes the same statistics the
+    Hive UDAFs define, just in the cross-engine-exact form."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float(i % 13), float((i * 7) % 31)) for i in range(200)], "x double, y double"
+    )
+    b = df.agg(
+        F.covar_pop("x", "y").alias("cp"),
+        F.covar_samp("x", "y").alias("cs"),
+        F.corr("x", "y").alias("r"),
+        F.var_pop("x").alias("vp"),
+        F.var_samp("x").alias("vs"),
+    ).first()
+    m = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).first()
+    n = m.n
+    cov0 = m.sxy - m.sx * m.sy / n
+    varx = m.sxx - m.sx * m.sx / n
+    vary = m.syy - m.sy * m.sy / n
+    assert math.isclose(b.cp, cov0 / n, rel_tol=1e-9)
+    assert math.isclose(b.cs, cov0 / (n - 1), rel_tol=1e-9)
+    assert math.isclose(b.r, cov0 / (math.sqrt(varx) * math.sqrt(vary)), rel_tol=1e-9)
+    assert math.isclose(b.vp, varx / n, rel_tol=1e-9)
+    assert math.isclose(b.vs, varx / (n - 1), rel_tol=1e-9)
