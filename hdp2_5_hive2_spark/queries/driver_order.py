@@ -143,6 +143,7 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_covar_corr",                # covar/corr/var via exact moments (r6)
     "agg_mode_by_group",            # deterministic mode aggregate (r6)
     "window_running_distinct",      # first-seen running distinct count (r6)
+    "events_gap_fill_locf",         # dense-grid LOCF gap filling (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -1727,3 +1727,86 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("s.tot"), zero) + F.coalesce(F.col("d.tot"), zero)
         ).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m,
+             last(value ORDER BY ts, event_id) AS last_value
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+        AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-01 06:00:00'
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, g.m
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-01 05:59:00',
+                                      INTERVAL 1 MINUTE)) AS m
+      ) g
+    ), joined AS (
+      SELECT grid.event_type, grid.m, obs.last_value,
+             count(obs.last_value) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS grp
+      FROM grid LEFT JOIN obs USING (event_type, m)
+    )
+    SELECT event_type, m AS minute,
+           max(last_value) OVER (PARTITION BY event_type, grp) AS value_locf,
+           CASE WHEN last_value IS NULL THEN 1 ELSE 0 END AS filled
+    FROM joined
+    """,
+    tags=("events", "timeseries", "gap-fill"),
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP FILLING with last-observation-carried-forward — the
+    TimescaleDB `time_bucket_gapfill + locf` staple: a dense per-series
+    minute grid (6 h window) left-joins the observed per-minute closes
+    (max_by on (ts, event_id) — a SELECTED value, deterministic under
+    ties) and empty minutes carry the previous value forward.
+    Spark-first carry: `last(value, ignorenulls=True)` over the grid
+    order — one window on the series key; the grid is
+    series x minutes, generated with `sequence`, never a driver loop.
+    Minutes before a series' first observation stay NULL. `filled`
+    marks synthesized rows."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    lo = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-01 06:00:00").cast("timestamp")
+    obs = (
+        e.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("minute")
+        )
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("last_value"))
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(lo, F.lit("2024-01-01 05:59:00").cast("timestamp"),
+                               F.expr("INTERVAL 1 MINUTE"))
+                ).alias("minute")
+            )
+        )
+    )
+    j = grid.join(obs, ["event_type", "minute"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("minute").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "minute",
+        F.last("last_value", ignorenulls=True).over(w).alias("value_locf"),
+        F.when(F.col("last_value").isNull(), 1).otherwise(0).alias("filled"),
+    )
