@@ -144,6 +144,9 @@ _NEW_THIS_ROUND: list[str] = [
     "agg_mode_by_group",            # deterministic mode aggregate (r6)
     "window_running_distinct",      # first-seen running distinct count (r6)
     "events_gap_fill_locf",         # dense-grid LOCF gap filling (r6)
+    "qa_fanout_histogram",          # FK fan-out / skew-candidate profile (r6)
+    "events_changepoint_cusum",     # integer CUSUM changepoint estimator (r6)
+    "events_item_covisitation",     # item-to-item CF co-occurrence (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -1810,3 +1810,159 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("last_value", ignorenulls=True).over(w).alias("value_locf"),
         F.when(F.col("last_value").isNull(), 1).otherwise(0).alias("filled"),
     )
+
+
+@query(
+    "qa_fanout_histogram",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, count(*) AS fanout FROM orders GROUP BY o_custkey
+    )
+    SELECT length(bin(fanout)) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(fanout) AS BIGINT) AS min_fanout,
+           CAST(max(fanout) AS BIGINT) AS max_fanout,
+           CAST(SUM(fanout) AS BIGINT) AS n_orders
+    FROM f GROUP BY bucket
+    """,
+    tags=("qa", "profiling", "join"),
+)
+def qa_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN FAN-OUT profile: the orders-per-customer distribution,
+    power-of-two bucketed — the number a modeler checks before joining
+    (is this FK 1:few or 1:millions? will the join skew?). Hot-key
+    detection for free: the top bucket IS the skew candidate list the
+    salting planner would feed on. One key aggregate plus a 10-row
+    rollup; binary-string-length bucketing, no logs."""
+    o = load_tables(spark, sf_dir)["orders"]
+    f = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("fanout"))
+    return f.groupBy(F.length(F.bin("fanout")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("fanout").alias("min_fanout"),
+        F.max("fanout").alias("max_fanout"),
+        F.sum("fanout").alias("n_orders"),
+    )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM c GROUP BY event_type
+    ), cu AS (
+      SELECT c.event_type, c.h,
+             SUM(c.cnt * t.n_bins - t.s) OVER (
+               PARTITION BY c.event_type ORDER BY c.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum_scaled
+      FROM c JOIN t USING (event_type)
+    )
+    SELECT cu.event_type,
+           CAST(max(abs(cusum_scaled)) AS BIGINT) AS max_abs_cusum,
+           min(cu.h) FILTER (
+             WHERE abs(cusum_scaled) = (
+               SELECT max(abs(c2.cusum_scaled)) FROM cu c2
+               WHERE c2.event_type = cu.event_type
+             )
+           ) AS changepoint_hour,
+           CAST(min(t.n_bins) AS BIGINT) AS n_bins
+    FROM cu JOIN t USING (event_type)
+    GROUP BY cu.event_type
+    """,
+    tags=("events", "timeseries", "changepoint"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection over hourly event rates — where did
+    the rate regime shift? The cumulative sum of deviations from the
+    series mean peaks (in absolute value) AT the changepoint (Page 1954;
+    the ECP/offline-CUSUM estimator). INTEGER-exact by scaling: deviation
+    = cnt*n_bins - total (the mean times n_bins), so no float ever
+    enters; the argmax hour is the estimated changepoint, min-hour
+    tiebreak. One keyed running-sum window over the (type, hour) count
+    table — bins-sized, not events-sized."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    c = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("event_type").agg(
+        F.sum("cnt").alias("s"), F.count(F.lit(1)).alias("n_bins")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("h").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cu = c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "h",
+        "n_bins",
+        F.sum(F.col("cnt") * F.col("n_bins") - F.col("s")).over(w).alias("cusum"),
+    )
+    peak = cu.groupBy("event_type").agg(
+        F.max(F.abs(F.col("cusum"))).alias("max_abs_cusum")
+    )
+    return (
+        cu.join(F.broadcast(peak), "event_type")
+        .where(F.abs(F.col("cusum")) == F.col("max_abs_cusum"))
+        .groupBy("event_type")
+        .agg(
+            F.min("max_abs_cusum").cast("bigint").alias("max_abs_cusum"),
+            F.min("h").alias("changepoint_hour"),
+            F.min("n_bins").cast("bigint").alias("n_bins"),
+        )
+    )
+
+
+@query(
+    "events_item_covisitation",
+    oracle="""
+    WITH si AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+      FROM events
+    )
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM si a JOIN si b
+      ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING count(*) >= 5
+    """,
+    tags=("events", "recsys", "covisitation"),
+)
+def events_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM CO-VISITATION matrix — the collaborative-filtering building
+    block (Amazon's item-to-item CF; the candidate generator behind
+    'users who viewed X also viewed Y'): item pairs sharing a user,
+    deduped to once per user, kept at support >= 5 distinct users. Items
+    come from the props JSON (json k; sessions at this fixture are
+    near-singleton, so the co-occurrence unit is the user history). The
+    pair join is per user — fan-out bounded by items-per-user squared,
+    never corpus-sized; distinct pass and join share the user
+    partitioning. Real deployments cap items-per-user (power users
+    otherwise contribute quadratic pairs) — the same hot-bucket cap
+    discipline as llm_fingerprint_overlap."""
+    e = load_tables(spark, sf_dir)["events"]
+    si = e.select(
+        "user_id", F.get_json_object("props", "$.k").cast("bigint").alias("item")
+    ).distinct()
+    a = si.alias("a")
+    b = si.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .where(F.col("n_users") >= 5)
+    )
