@@ -147,6 +147,7 @@ _NEW_THIS_ROUND: list[str] = [
     "qa_fanout_histogram",          # FK fan-out / skew-candidate profile (r6)
     "events_changepoint_cusum",     # integer CUSUM changepoint estimator (r6)
     "events_item_covisitation",     # item-to-item CF co-occurrence (r6)
+    "storage_cdc_column_diff",      # CDC diff with column attribution (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

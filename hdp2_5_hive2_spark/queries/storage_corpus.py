@@ -589,3 +589,113 @@ def storage_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "nation")
         .load(path)
     )
+
+
+@query(
+    "storage_cdc_column_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 53 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            + CAST(10.00 AS DECIMAL(18,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT -1, 'O', 0.0, '1-URGENT'
+    ), j AS (
+      SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS pk,
+             v1.o_orderkey IS NULL AS ins, v2.o_orderkey IS NULL AS del,
+             CASE WHEN v1.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+                   AND v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                  THEN 1 ELSE 0 END AS c_status,
+             CASE WHEN v1.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+                   AND v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                  THEN 1 ELSE 0 END AS c_price,
+             CASE WHEN v1.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+                   AND v1.o_orderpriority IS DISTINCT FROM v2.o_orderpriority
+                  THEN 1 ELSE 0 END AS c_prio
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+                WHEN c_status + c_price + c_prio > 0 THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_status) AS BIGINT) AS n_status_changes,
+           CAST(SUM(c_price) AS BIGINT) AS n_price_changes,
+           CAST(SUM(c_prio) AS BIGINT) AS n_priority_changes
+    FROM j GROUP BY 1
+    """,
+    tags=("storage", "cdc", "diff"),
+)
+def storage_cdc_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA CAPTURE diff with COLUMN-LEVEL attribution — the audit
+    behind every MERGE/upsert pipeline: full-outer-join two table
+    versions on the key and classify each row insert / delete / update /
+    unchanged, counting exactly WHICH columns changed (the null-safe
+    IS DISTINCT FROM comparison, so NULL transitions count). v2 is
+    synthesized deterministically from v1 (status flips, decimal-exact
+    price bumps, deletes, one insert), so both engines derive identical
+    versions. One key-partitioned full outer join — the same single
+    shuffle a production MERGE costs; change flags aggregate map-side."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v1 = o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    bump = (
+        F.col("o_totalprice").cast("decimal(18,2)")
+        + F.lit("10.00").cast("decimal(18,2)")
+    ).cast("double")
+    v2 = (
+        v1.where(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, "F")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(F.col("o_orderkey") % 53 == 0, bump)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionAll(
+            spark.createDataFrame(
+                [(-1, "O", 0.0, "1-URGENT")],
+                "o_orderkey long, o_orderstatus string, o_totalprice double, "
+                "o_orderpriority string",
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    both = F.col("a.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull()
+
+    def chg(c: str):
+        return F.when(
+            both & ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), 1
+        ).otherwise(0)
+
+    j = j.select(
+        F.col("a.o_orderkey").isNull().alias("ins"),
+        F.col("b.o_orderkey").isNull().alias("del"),
+        chg("o_orderstatus").alias("c_status"),
+        chg("o_totalprice").alias("c_price"),
+        chg("o_orderpriority").alias("c_prio"),
+    )
+    ctype = (
+        F.when(F.col("ins"), "insert")
+        .when(F.col("del"), "delete")
+        .when(F.col("c_status") + F.col("c_price") + F.col("c_prio") > 0, "update")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(ctype.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_status").cast("bigint").alias("n_status_changes"),
+        F.sum("c_price").cast("bigint").alias("n_price_changes"),
+        F.sum("c_prio").cast("bigint").alias("n_priority_changes"),
+    )
