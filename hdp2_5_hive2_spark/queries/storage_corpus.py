@@ -699,3 +699,38 @@ def storage_cdc_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_price").cast("bigint").alias("n_price_changes"),
         F.sum("c_prio").cast("bigint").alias("n_priority_changes"),
     )
+
+
+@query(
+    "storage_merge_schema_read",
+    oracle="""
+    SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS r_generation
+    FROM region WHERE r_regionkey % 2 = 0
+    UNION ALL
+    SELECT r_regionkey, r_name, CAST(2 AS BIGINT) AS r_generation
+    FROM region WHERE r_regionkey % 2 = 1
+    """,
+    tags=("storage", "schema-evolution", "write"),
+)
+def storage_merge_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION ON WRITE: two parquet generations of the same
+    table — v1 lacking a column that v2 added — read together with
+    `mergeSchema=true`, Spark's footer-union (the counterpart to
+    storage_schema_evolution's fixed-DDL read contract, and to Hive's
+    ALTER TABLE ADD COLUMNS over old partitions). v1 rows surface the
+    new column as NULL; no rewrite of old files, the 100 TB way to add
+    a column."""
+    region = load_tables(spark, sf_dir)["region"]
+    path = f"{IO_ROOT}/region_generations"
+    v1 = region.where(F.col("r_regionkey") % 2 == 0).select("r_regionkey", "r_name")
+    v2 = region.where(F.col("r_regionkey") % 2 == 1).select(
+        "r_regionkey", "r_name", F.lit(2).cast("bigint").alias("r_generation")
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+        .select("r_regionkey", "r_name", "r_generation")
+    )
