@@ -447,3 +447,111 @@ def streaming_ohlc_bars(
             F.window("ts", width).alias("w"), "event_type"
         )
     )
+
+
+def streaming_gap_fill_locf(
+    events_stream: DataFrame,
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Watermark-correct STREAMING gap filling with LOCF — the streaming
+    twin of events_gap_fill_locf (TimescaleDB's gapfill+locf done with
+    Structured Streaming state): per series, emit one row for EVERY whole
+    minute from the series' first observation onward — observed minutes
+    carry their last value (ts, event_id tiebreak), empty minutes carry
+    the previous value forward with filled=1 — even when no event arrives
+    in a minute (the case plain windowed aggregation cannot emit).
+
+    A minute m is final once the event-time watermark passes its end: no
+    on-time event inside m can still arrive, so its fill decision is
+    permanent — the row emits exactly once (append mode). State per
+    series: the observation buffer (pruned to the newest at-or-below the
+    emit frontier plus everything newer) and the next minute to emit; an
+    event-time timeout re-invokes idle series so minutes keep emitting as
+    the watermark advances through quiet periods (Spark's no-data
+    micro-batches drive this). At scale state is O(disorder window) per
+    series, the same bound the watermark already imposes."""
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    MIN_US = 60_000_000
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("minute_us", LongType()),
+            StructField("value_locf", DoubleType()),
+            StructField("filled", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("obs_ts", ArrayType(LongType())),
+            StructField("obs_eid", ArrayType(LongType())),
+            StructField("obs_val", ArrayType(DoubleType())),
+            StructField("next_minute", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            o_ts, o_eid, o_val, next_min = state.get
+            o_ts, o_eid, o_val = list(o_ts), list(o_eid), list(o_val)
+        else:
+            o_ts, o_eid, o_val, next_min = [], [], [], None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64").tolist()
+            for t, eid, v in zip(ts_us, pdf["event_id"], pdf["value"]):
+                i = bisect.bisect_left(o_ts, t)
+                # keep (ts, eid) sorted; equal-ts entries order by eid
+                while i < len(o_ts) and o_ts[i] == t and o_eid[i] < int(eid):
+                    i += 1
+                o_ts.insert(i, t)
+                o_eid.insert(i, int(eid))
+                o_val.insert(i, float(v))
+        if next_min is None and o_ts:
+            next_min = (o_ts[0] // MIN_US) * MIN_US
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows = []
+        while next_min is not None and next_min + MIN_US <= wm_us:
+            # last observation strictly before the minute's end
+            j = bisect.bisect_left(o_ts, next_min + MIN_US) - 1
+            if j >= 0:
+                in_minute = o_ts[j] >= next_min
+                rows.append(
+                    (key[0], next_min, o_val[j], 0 if in_minute else 1)
+                )
+            next_min += MIN_US
+        # prune: the newest obs at-or-below the emit frontier still carries
+        if next_min is not None:
+            keep_from = max(bisect.bisect_left(o_ts, next_min) - 1, 0)
+            o_ts, o_eid, o_val = o_ts[keep_from:], o_eid[keep_from:], o_val[keep_from:]
+        state.update((o_ts, o_eid, o_val, next_min))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["event_type", "minute_us", "value_locf", "filled"]
+            )
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -593,3 +593,88 @@ def test_streaming_incremental_rollup_foreachbatch(spark):
     q.awaitTermination(120)
     assert state == want and len(state) > 1
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_gap_fill_locf_matches_reference(spark):
+    """The stateful streaming gap-fill must emit, exactly once, every
+    finalized minute of every series with the same LOCF value and fill
+    flag a reference computation produces from the raw events — including
+    minutes with NO events (unaided windowed aggregation cannot emit
+    those). Files are TIME-RANGE partitioned (mostly-ordered ingest, the
+    watermark contract): the random-split fixture's month-scale disorder
+    would violate any finite watermark, for this operator and for real
+    windowed aggregation alike."""
+    tmp = Path(tempfile.mkdtemp(prefix="locf_stream_"))
+    src = str(tmp / "in")
+    df = load_tables(spark, SF_SMOKE)["events"]
+    schema = df.schema
+    df.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    stream = ev.stream_events(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        ev.streaming_gap_fill_locf(stream, watermark="15 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("locf_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.minute_us): (r.value_locf, r.filled)
+        for r in spark.sql("SELECT * FROM locf_test").collect()
+    }
+    assert len(got) == len(spark.sql("SELECT * FROM locf_test").collect()), (
+        "duplicate emission"
+    )
+
+    # reference from the raw files
+    rows = spark.read.schema(schema).parquet(src).collect()
+    MIN_US = 60_000_000
+    import collections
+
+    by_key = collections.defaultdict(list)
+    wm_candidates = []
+    for r in rows:
+        t = int(r.ts.timestamp() * 1_000_000)
+        wm_candidates.append(t)
+        by_key[r.event_type].append((t, r.event_id, r.value))
+    # Reference over ALL minutes; the stream emits the finalized PREFIX
+    # (how far the final watermark advanced depends on availableNow's
+    # no-data batch scheduling, which is Spark's business, not the
+    # operator contract).
+    wm = max(wm_candidates) - 15 * MIN_US
+    want = {}
+    for k, obs in by_key.items():
+        obs.sort()
+        first_min = (obs[0][0] // MIN_US) * MIN_US
+        m = first_min
+        while m + MIN_US <= wm:
+            before_end = [o for o in obs if o[0] < m + MIN_US]
+            last = before_end[-1]
+            in_minute = last[0] >= m
+            want[(k, m)] = (last[2], 0 if in_minute else 1)
+            m += MIN_US
+    # 1. every emitted row is exactly right
+    for key, val in got.items():
+        assert key in want and want[key] == val, (key, val, want.get(key))
+    # 2. per key the emitted minutes are a contiguous prefix of the grid
+    #    (exactly-once, no holes)
+    import itertools
+
+    for k, obs in by_key.items():
+        minutes = sorted(m for (kk, m) in got if kk == k)
+        assert minutes, f"no emission for {k}"
+        first_min = (min(o[0] for o in obs) // MIN_US) * MIN_US
+        assert minutes[0] == first_min
+        for a, b in itertools.pairwise(minutes):
+            assert b - a == MIN_US, (k, a, b)
+    # 3. coverage reached at least the watermark as of the 2nd-to-last
+    #    file (a floor on how much MUST have finalized), and filled
+    #    minutes were actually exercised
+    file_maxes = sorted(wm_candidates)
+    conservative_wm = file_maxes[len(file_maxes) // 2] - 15 * MIN_US
+    for k in by_key:
+        top = max(m for (kk, m) in got if kk == k)
+        assert top + MIN_US >= conservative_wm, (k, top, conservative_wm)
+    assert any(f == 1 for _, f in got.values()), "no filled minutes exercised"
+    shutil.rmtree(tmp, ignore_errors=True)
