@@ -792,3 +792,50 @@ def test_dynamic_partition_pruning_on_partitioned_table(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 7
+
+
+def test_cusum_window_runs_over_bins_not_events(spark):
+    """The CUSUM running sum must consume the (type, hour) COUNT table:
+    the window input is post-aggregation, so the sort under the Window
+    node sees bins, never raw events (no Window directly above the
+    scan-side exchange)."""
+    plan = _executed(REGISTRY["events_changepoint_cusum"].fn(spark, SF_CORRECT))
+    # the aggregate producing hourly counts must appear below the Window
+    w_idx = plan.index("Window")
+    assert "HashAggregate" in plan[w_idx:] or "SortAggregate" in plan[w_idx:], plan
+    assert "BroadcastHashJoin" in plan, plan  # totals join broadcast
+
+
+def test_covisitation_join_is_keyed_not_cartesian(spark):
+    """The item-pair self-join must be an equi-join on user_id (pair
+    fan-out bounded per user), never a cartesian/broadcast-nested-loop
+    over items."""
+    plan = _executed(REGISTRY["events_item_covisitation"].fn(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_source_overlap_sizes_broadcast_not_ngrams(spark):
+    """Only the per-source SIZE table (sources-count rows) broadcasts;
+    the ngram stream must meet itself via a shuffle join on the ngram
+    key (broadcasting distinct n-grams would ship the corpus)."""
+    plan = _executed(REGISTRY["llm_source_overlap_matrix"].fn(spark, SF_CORRECT))
+    for seg in plan.split("BroadcastExchange")[1:]:
+        build = seg.split("BroadcastHashJoin")[0]
+        assert "ngram" not in build.split("\n")[0].lower() or "source" in build, plan
+
+
+def test_quantile_normalize_lookup_join_on_rank_key(spark):
+    """The idx->global-rank lookup must be a real equi-join; the only
+    nested-loop join allowed is the 1-ROW totals crossJoin (its build
+    side is an aggregate, bounded by construction)."""
+    plan = _executed(REGISTRY["llm_quantile_normalize"].fn(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), plan
+    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+        # nested-loop build sides must be aggregates (the 1-row total),
+        # never a scan
+        build = seg.split("BroadcastExchange", 1)[-1]
+        assert "Aggregate" in build.split("Join")[0], plan
