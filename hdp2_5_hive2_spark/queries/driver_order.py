@@ -149,6 +149,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_item_covisitation",     # item-to-item CF co-occurrence (r6)
     "storage_cdc_column_diff",      # CDC diff with column attribution (r6)
     "storage_merge_schema_read",    # mergeSchema footer-union evolution (r6)
+    "hive_char_semantics",          # CHAR/VARCHAR padding drift guard (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -675,3 +675,46 @@ def lateral_view_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey <= 50
         """
     )
+
+
+@query(
+    "hive_char_semantics",
+    oracle="""
+    WITH x(s) AS (VALUES ('ab'), ('abcde'), ('a b'))
+    SELECT rpad(s, 5, ' ') AS c,
+           CAST(5 AS INTEGER) AS len_char,
+           s AS v,
+           CAST(length(s) AS INTEGER) AS len_varchar,
+           rtrim(rpad(s, 5, ' ')) = 'ab' AS eq_ab,
+           rpad(s, 5, ' ') = 'ab   ' AS eq_ab_padded
+    FROM x
+    """,
+    tags=("hive-surface", "types", "char"),
+)
+def hive_char_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAR(n)/VARCHAR(n) SEMANTIC DRIFT GUARD (TypeInfoFactory.java:50-51;
+    HiveChar/HiveVarchar): a parquet TABLE with CHAR(5)/VARCHAR(5) columns
+    read back must show Hive's contract — CHAR blank-pads to n on read
+    (length 5 even for 'ab'), comparisons are trailing-space-insensitive
+    ('ab   ' = 'ab' is TRUE because the shorter side pads), VARCHAR keeps
+    the actual length. The oracle hand-builds the same contract with
+    rpad/rtrim since DuckDB's CHAR is a plain VARCHAR alias. Known
+    divergence, documented here: on OVERLONG insert Hive 2.1 silently
+    truncates, Spark raises EXCEED_LIMIT_LENGTH — the strict behavior is
+    kept deliberately (silent truncation loses data; tests pin the
+    error)."""
+    spark.sql("DROP TABLE IF EXISTS _hive_char_semantics")
+    spark.sql(
+        "CREATE TABLE _hive_char_semantics (c CHAR(5), v VARCHAR(5)) USING parquet"
+    )
+    spark.sql(
+        "INSERT INTO _hive_char_semantics VALUES "
+        "('ab', 'ab'), ('abcde', 'abcde'), ('a b', 'a b')"
+    )
+    return spark.sql(
+        """
+        SELECT c, length(c) AS len_char, v, length(v) AS len_varchar,
+               c = 'ab' AS eq_ab, c = 'ab   ' AS eq_ab_padded
+        FROM _hive_char_semantics
+        """
+    )

@@ -159,3 +159,19 @@ def test_matchpath_null_partition_key_is_one_group(spark):
     got = sorted(((r.pid, r.seq) for r in out), key=repr)
     # null group: seq 1,2 match; int group: seq 1,2 match
     assert got == [(1, 1), (1, 2), (None, 1), (None, 2)]
+
+
+def test_char_overlong_insert_raises(spark):
+    """Hive 2.1 silently truncates overlong CHAR/VARCHAR inserts; this
+    engine deliberately keeps Spark's strict EXCEED_LIMIT_LENGTH error
+    (documented divergence in hive_char_semantics) — pin it so the choice
+    stays deliberate."""
+    import pytest as _pytest
+
+    spark.sql("DROP TABLE IF EXISTS _char_strict")
+    spark.sql("CREATE TABLE _char_strict (v VARCHAR(3)) USING parquet")
+    try:
+        with _pytest.raises(Exception, match="EXCEED_LIMIT_LENGTH"):
+            spark.sql("INSERT INTO _char_strict VALUES ('toolong')")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _char_strict")
