@@ -4536,7 +4536,7 @@ def llm_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(inter AS DOUBLE) / uni AS jaccard
     FROM p WHERE 10 * inter >= 9 * uni
     """,
-    tags=("llm", "dedup", "setsim"),
+    tags=("llm", "dedup", "setsim", "bench"),
 )
 def llm_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard>=0.9 set-similarity self-join via PPJoin-style prefix
@@ -4993,7 +4993,7 @@ _QUANT_BLOCK_CTE = """
       FROM scores
     ) WHERE rank <= 3
     """,
-    tags=("llm", "similarity", "maxsim", "late-interaction"),
+    tags=("llm", "similarity", "maxsim", "late-interaction", "bench"),
 )
 def llm_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATE-INTERACTION (ColBERT MaxSim) retrieval
