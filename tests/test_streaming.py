@@ -608,7 +608,24 @@ def test_streaming_gap_fill_locf_matches_reference(spark):
     src = str(tmp / "in")
     df = load_tables(spark, SF_SMOKE)["events"]
     schema = df.schema
-    df.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    # The file source delivers by MODIFICATION TIME, so write the four
+    # time-slices sequentially — one bulk repartitionByRange write gives
+    # all files the same mtime and arrival order becomes luck (a real
+    # flake: batch 4 arriving first fast-forwards the watermark a month).
+    import time as _time
+
+    qs = df.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS q"
+    ).first().q
+    lo = None
+    for i, hi in enumerate(list(qs) + [None]):
+        part = df.where(
+            (F.unix_micros("ts") >= (lo if lo is not None else -1 << 62))
+            & (F.unix_micros("ts") < (hi if hi is not None else 1 << 62))
+        )
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+        lo = hi
     stream = ev.stream_events(spark, src, schema, max_files_per_trigger=1)
     q = (
         ev.streaming_gap_fill_locf(stream, watermark="15 minutes")
