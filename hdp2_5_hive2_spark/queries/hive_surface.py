@@ -703,7 +703,12 @@ def hive_char_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates, Spark raises EXCEED_LIMIT_LENGTH — the strict behavior is
     kept deliberately (silent truncation loses data; tests pin the
     error)."""
-    spark.sql("DROP TABLE IF EXISTS _hive_char_semantics")
+    # drop_table also clears an orphaned managed location left by a crashed
+    # earlier session (a fresh in-memory catalog can't see it, and CREATE
+    # refuses to reuse the directory).
+    from hdp2_5_hive2_spark.storage.writer import drop_table
+
+    drop_table(spark, "_hive_char_semantics")
     spark.sql(
         "CREATE TABLE _hive_char_semantics (c CHAR(5), v VARCHAR(5)) USING parquet"
     )
