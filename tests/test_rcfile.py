@@ -512,3 +512,89 @@ def test_datasource_header_derived_default_schema(spark, tmp_path):
     assert sorted((r["c0"], r["c1"]) for r in got.collect()) == [
         (str(i), str(i + 1)) for i in range(7)
     ]
+
+
+def test_datasource_filter_pushdown_semantics(spark, tmp_path):
+    """pushFilters evaluates string conjuncts during the Python decode with
+    SQL three-valued semantics: every supported kind must match the
+    engine's own answer (conf off = pushFilters never called) on data with
+    NULLs, and the consumed conjuncts must vanish from the engine plan."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage import rcfile as rc
+    from hdp2_5_hive2_spark.storage.rcfile_datasource import read_rcfile_ds
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.concat(F.lit("name"), (F.col("id") % 7).cast("string")))
+        .alias("name"),
+        (F.col("id") % 13).cast("string").alias("tag"),
+    )
+    rc.write_rcfile(df.coalesce(1), str(tmp_path / "t"))
+    ddl = "k bigint, name string, tag string"
+    preds = [
+        "name = 'name3'",
+        "name <> 'name3'",
+        "name in ('name0', 'name6')",
+        "name is null",
+        "name is not null",
+        "name > 'name4'",
+        "name <= 'name2'",
+        "name like 'name1%'",
+        "name like '%5'",
+        "name like '%ame3%'",
+        "name = 'name3' and tag = '7'",  # two pushed conjuncts
+        "name = 'name2' and k % 2 = 0",  # pushed + engine-side residual
+    ]
+    for p in preds:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        want = sorted(
+            tuple(r) for r in read_rcfile_ds(spark, str(tmp_path / "t"), ddl)
+            .where(p).collect()
+        )
+        got_df = read_rcfile_ds(spark, str(tmp_path / "t"), ddl).where(p)
+        got = sorted(tuple(r) for r in got_df.collect())
+        assert got == want, f"pushdown changed results for {p!r}"
+        assert want, f"degenerate fixture: {p!r} selects nothing"
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    plan = (
+        read_rcfile_ds(spark, str(tmp_path / "t"), ddl)
+        .where("name = 'name3'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    assert not _re.search(r"\bFilter \(", plan), (
+        f"conjunct not consumed by the source:\n{plan}"
+    )
+
+
+def test_datasource_pushdown_with_pruning_and_splits(spark, tmp_path):
+    """Pushed specs index the engine-facing (pruned, reordered) schema —
+    combining select-pruning, multi-split reads, and pushdown must agree
+    with the unfiltered read filtered engine-side."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.storage import rcfile as rc
+    from hdp2_5_hive2_spark.storage.rcfile_datasource import read_rcfile_ds
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("a"),
+        F.concat(F.lit("v"), (F.col("id") % 9).cast("string")).alias("b"),
+        (F.col("id") % 3).cast("string").alias("c"),
+    )
+    rc.write_rcfile(df.coalesce(1), str(tmp_path / "t"))
+    ddl = "a bigint, b string, c string"
+    got = read_rcfile_ds(
+        spark, str(tmp_path / "t"), ddl, select=["c", "b"], split_size=4096
+    ).where("b = 'v5' and c = '2'")
+    assert got.rdd.getNumPartitions() > 1
+    want = sorted(
+        (str(i % 3), f"v{i % 9}")
+        for i in range(4000)
+        if i % 9 == 5 and i % 3 == 2
+    )
+    assert sorted(tuple(r) for r in got.collect()) == want and want
