@@ -1,3 +1,7 @@
+from hdp2_5_hive2_spark.streaming.corpus import (
+    resolve_dup_verdicts,
+    streaming_minhash_dedup,
+)
 from hdp2_5_hive2_spark.streaming.events import (
     sessionize_batch,
     sliding_counts_batch,
@@ -12,4 +16,6 @@ __all__ = [
     "tumbling_counts_batch",
     "sliding_counts_batch",
     "sessionize_batch",
+    "streaming_minhash_dedup",
+    "resolve_dup_verdicts",
 ]

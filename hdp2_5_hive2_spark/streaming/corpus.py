@@ -1,0 +1,248 @@
+"""Streaming corpus-curation operators: the ingestion-time twins of the
+batch LLM-pipeline gates in ``hdp2_5_hive2_spark.llm``.
+
+A training-data pipeline at 100 TB is not rebuilt from scratch per crawl —
+new documents ARRIVE, and the dedup/quality gates must decide keep/drop
+against everything already ingested without re-scanning the corpus. That is
+exactly Structured Streaming's arbitrary-stateful-processing surface
+(SURVEY.md §2.11): keeper summaries live in the state store, each
+micro-batch is compared against them, and verdicts append exactly once.
+
+Reference scope: the reference engine has no streaming dedup; this extends
+its batch semantics (the same MinHash/LSH family as ``llm/dedup.py``) to
+incremental ingestion, the gap SURVEY §2.11 assigns to Structured
+Streaming.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.llm.dedup import _MIX, _MIX2, _shingle_list
+
+__all__ = ["streaming_minhash_dedup", "resolve_dup_verdicts"]
+
+
+def _banded_sig_stream(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    n_shingle: int,
+) -> DataFrame:
+    """(id, band_id, band_hash, sig) rows for a STREAMING document frame:
+    the same shingle → multiply-shift-minhash → per-band mix kernel as
+    ``llm.dedup._minhash_banded``, but carrying the full signature on every
+    banded row (bucket state needs it to estimate Jaccard) and without the
+    ``_arrow_fence`` repartition probe (``df.rdd`` is illegal on streams —
+    parallelism here comes from the source's file splits and the stateful
+    shuffle right after)."""
+    a = (
+        _MIX * (np.arange(num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1))
+    ) | np.uint64(1)
+    b = _MIX2 * np.arange(num_hashes, dtype=np.uint64)
+
+    def gen(batches):
+        empty = pd.DataFrame(
+            {"id": [], "band_id": [], "band_hash": [], "sig": []}
+        ).astype({"id": "int64", "band_id": "int32", "band_hash": "int64"})
+        for pdf in batches:
+            ids: list[int] = []
+            offsets: list[int] = []
+            flat: list[str] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                shs = _shingle_list(t, n_shingle)
+                if not shs:
+                    continue
+                ids.append(int(i))
+                offsets.append(len(flat))
+                flat.extend(shs)
+            if not ids:
+                yield empty
+                continue
+            h = pd.util.hash_array(np.asarray(flat, dtype=object))
+            off = np.asarray(offsets)
+            mins = np.empty((num_hashes, len(ids)), dtype=np.uint64)
+            for s in range(num_hashes):
+                mins[s] = np.minimum.reduceat(a[s] * h + b[s], off)
+            rows_per_band = num_hashes // bands
+            bm = mins.reshape(bands, rows_per_band, len(ids))
+            bh = bm[:, 0, :].copy()
+            for r in range(1, rows_per_band):
+                bh = bh * _MIX + bm[:, r, :]
+            sigs = [mins[:, j].view(np.int64).tolist() for j in range(len(ids))]
+            ids_arr = np.asarray(ids, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": np.tile(ids_arr, bands),
+                    "band_id": np.repeat(np.arange(bands, dtype=np.int32), len(ids_arr)),
+                    "band_hash": bh.reshape(-1).view(np.int64),
+                    "sig": sigs * bands,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, "id bigint, band_id int, band_hash bigint, sig array<bigint>"
+    )
+
+
+def streaming_minhash_dedup(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """STREAMING MinHash/LSH near-duplicate ingestion gate — the streaming
+    twin of ``llm.dedup.minhash_dedup``: documents arrive over micro-batches
+    and each is judged against every KEEPER ingested so far, without ever
+    re-reading the corpus.
+
+    Composition (all engine-native):
+      signature kernel (Arrow, map-side) → groupBy(band_id, band_hash) →
+      ``applyInPandasWithState``: bucket state holds the keeper signatures
+      that have landed in that bucket; a new document whose estimated
+      Jaccard (matching-minhash fraction, the unbiased MinHash estimator)
+      against some keeper reaches ``threshold`` is flagged with the
+      smallest matching keeper id; novel documents join the bucket state.
+      Same-batch arrivals are processed in ``id`` order, so verdicts are
+      deterministic and a duplicate pair arriving together resolves to the
+      smaller id — matching the batch operator's min-id-keeper convention
+      when ingestion order follows id order.
+
+    Returns the PER-BUCKET verdict stream ``(doc_id, dup_of, est_jaccard)``
+    — one row per (document, band). The cross-band reduce (dup if ANY
+    bucket matched) is one ``groupBy(doc_id)`` away, but a second stateful
+    aggregation cannot chain after arbitrary stateful processing without
+    event time, so the reduce belongs in the sink's ``foreachBatch`` (a
+    document's band rows always share a micro-batch — the reduce is exact
+    per batch): pass each batch through :func:`resolve_dup_verdicts`.
+
+    Verification semantics vs the batch operator: the batch gate verifies
+    candidates with EXACT Jaccard on shingle sets; re-shingling here would
+    mean holding every keeper's shingle set in state (unbounded per doc),
+    so the streaming gate uses the signature estimate instead — with 32
+    hashes the estimator's σ is ≤0.09, and `tests/test_streaming_corpus.py`
+    pins agreement with the batch clusters on planted near-dups.
+
+    100 TB notes: state per keeper per band is one (id, 32×8-byte
+    signature) entry ≈ 2 KB/doc across 8 bands — RocksDB state store
+    territory at billions of docs (set
+    ``spark.sql.streaming.stateStore.providerClass`` accordingly), and the
+    per-bucket linear scan is vectorized (one numpy equality over the
+    bucket's signature matrix). Hot boilerplate buckets concentrate
+    near-identical docs, which is precisely when the FIRST keeper matches
+    and the scan exits at one row. Keyspace (band_hash) is uniform, so the
+    stateful shuffle is skew-free by construction.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("dup_of", LongType()),
+            StructField("est_jaccard", DoubleType()),
+        ]
+    )
+    # keeper ids + row-major flattened signatures (stride = num_hashes):
+    # flat arrays keep the state codec trivial and the numpy reshape free.
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("sigs", ArrayType(LongType())),
+        ]
+    )
+    H = num_hashes
+    thr = threshold
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            kept_ids, kept_flat = state.get
+            kept_ids, kept_flat = list(kept_ids), list(kept_flat)
+        else:
+            kept_ids, kept_flat = [], []
+        arrivals: list[tuple[int, np.ndarray]] = []
+        for pdf in pdfs:
+            for did, sig in zip(pdf["id"], pdf["sig"]):
+                arrivals.append((int(did), np.asarray(sig, dtype=np.int64)))
+        arrivals.sort(key=lambda x: x[0])
+        out_id, out_dup, out_est = [], [], []
+        mat = (
+            np.asarray(kept_flat, dtype=np.int64).reshape(-1, H)
+            if kept_flat
+            else np.empty((0, H), dtype=np.int64)
+        )
+        for did, sig in arrivals:
+            dup_of, est = None, None
+            if len(mat):
+                frac = (mat == sig).mean(axis=1)
+                hits = np.flatnonzero(frac >= thr)
+                if len(hits):
+                    j = hits[np.argmin(np.asarray(kept_ids)[hits])]
+                    dup_of, est = int(kept_ids[j]), float(frac[j])
+            if dup_of is None:
+                kept_ids.append(did)
+                # .tolist() -> plain Python ints: the state row is pickled
+                # to the JVM codec, which rejects numpy scalars.
+                kept_flat.extend(sig.tolist())
+                mat = np.vstack([mat, sig[None, :]])
+            out_id.append(did)
+            out_dup.append(dup_of)
+            out_est.append(est)
+        state.update((kept_ids, kept_flat))
+        if out_id:
+            yield pd.DataFrame(
+                {"doc_id": out_id, "dup_of": out_dup, "est_jaccard": out_est}
+            )
+
+    banded = _banded_sig_stream(
+        doc_stream, text_col, id_col, num_hashes, bands, n_shingle
+    )
+    return banded.groupBy("band_id", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def resolve_dup_verdicts(band_verdicts: DataFrame) -> DataFrame:
+    """Per-document reduce over the gate's per-band verdict rows (run it
+    inside ``foreachBatch`` — see :func:`streaming_minhash_dedup`): a
+    document is a duplicate if ANY band matched a keeper; ``dup_of`` is the
+    smallest matching keeper (min over bands of per-band smallest) and
+    ``est_jaccard`` the estimate against that keeper."""
+    best = F.min(F.struct("dup_of", "est_jaccard")).alias("best")
+    return (
+        band_verdicts.where(F.col("dup_of").isNotNull())
+        .groupBy("doc_id")
+        .agg(best)
+        .select("doc_id", "best.dup_of", "best.est_jaccard")
+        .join(
+            band_verdicts.select("doc_id").distinct(),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "est_jaccard",
+        )
+    )

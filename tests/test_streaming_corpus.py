@@ -1,0 +1,153 @@
+"""The streaming MinHash ingestion gate must agree with its batch twin:
+originals stream in first and become keepers in the band-bucket state;
+planted near-dups arriving in a LATER micro-batch must be flagged against
+those round-1 keepers (i.e. the verdict depends on cross-trigger state, not
+just the current batch), with the min-id keeper convention the batch
+operator uses."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.llm.dedup import _shingle_list
+from hdp2_5_hive2_spark.streaming import (
+    resolve_dup_verdicts,
+    streaming_minhash_dedup,
+)
+from tests.conftest import SF_CORRECT
+
+OFFSET = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """(originals_pdf, near_pdf): docs with ≥20 tokens (so a dropped last
+    token keeps true jaccard ≥ 17/18 ≈ 0.94 — comfortably above the 0.8
+    gate even through 32-hash estimator noise) and their last-token-dropped
+    near-duplicates at doc_id + OFFSET."""
+    d = load_tables(spark, SF_CORRECT)["documents"].filter(F.col("doc_id") < 200)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = d.filter(F.size(toks) >= 20)
+    near = d.select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    return (
+        d.select("doc_id", "text").toPandas(),
+        near.toPandas(),
+    )
+
+
+def _run_gate(spark, files, **gate_kw):
+    """Write each pandas frame in ``files`` as one mtime-ordered parquet
+    file, stream them one file per trigger through the gate, and return the
+    per-batch resolved verdicts [(batch_id, pandas_frame), ...]."""
+    tmp = Path(tempfile.mkdtemp(prefix="stream_dedup_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        for i, pdf in enumerate(files):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        gate = streaming_minhash_dedup(stream, **gate_kw)
+        out: list[tuple[int, object]] = []
+
+        def sink(bdf, bid):
+            pdf = resolve_dup_verdicts(bdf).toPandas()
+            if len(pdf):
+                out.append((int(bid), pdf))
+
+        q = gate.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = set(_shingle_list(a, n)), set(_shingle_list(b, n))
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_streaming_gate_flags_planted_dups_across_triggers(spark, planted):
+    originals, near = planted
+    batches = _run_gate(spark, [originals, near])
+
+    # keepers and dups arrived in different files → different micro-batches
+    assert len(batches) >= 2, "file source must deliver multiple triggers"
+    by_doc = {}
+    for bid, pdf in batches:
+        for row in pdf.itertuples():
+            by_doc[int(row.doc_id)] = (
+                bid,
+                bool(row.is_dup),
+                None if row.dup_of is None or row.dup_of != row.dup_of else int(row.dup_of),
+            )
+    assert set(by_doc) == set(originals["doc_id"]) | set(near["doc_id"])
+
+    # cross-trigger state: planted dups must be flagged against the keeper
+    # ingested in an EARLIER batch, with the exact original as dup_of
+    orig_batch = max(by_doc[int(i)][0] for i in originals["doc_id"])
+    hits = 0
+    for i in near["doc_id"]:
+        bid, is_dup, dup_of = by_doc[int(i)]
+        assert bid > orig_batch or not is_dup
+        if is_dup and dup_of == int(i) - OFFSET:
+            hits += 1
+    recall = hits / len(near)
+    assert recall >= 0.9, f"planted recall {recall}"
+
+    # keeper convention + soundness: every flag points at a smaller id, and
+    # any non-planted flag is a genuine near-dup (exact jaccard on shingle
+    # sets — the same verification the batch operator applies)
+    text_of = {
+        int(r.doc_id): r.text
+        for pdf in (originals, near)
+        for r in pdf.itertuples()
+    }
+    for did, (_, is_dup, dup_of) in by_doc.items():
+        if not is_dup:
+            continue
+        assert dup_of is not None and dup_of < did
+        if dup_of != did - OFFSET:
+            j = _jaccard(text_of[did], text_of[dup_of])
+            assert j >= 0.5, f"false flag {did}->{dup_of} (jaccard {j:.2f})"
+
+
+def test_streaming_gate_same_batch_pair_resolves_to_min_id(spark, planted):
+    """A duplicate pair arriving in the SAME micro-batch must resolve
+    deterministically: the smaller id becomes the keeper, the larger the
+    duplicate — matching the batch operator's min-id convention."""
+    import pandas as pd
+
+    originals, near = planted
+    both = pd.concat([originals, near], ignore_index=True)
+    batches = _run_gate(spark, [both])
+    flags = {}
+    for _, pdf in batches:
+        for row in pdf.itertuples():
+            if bool(row.is_dup):
+                flags[int(row.doc_id)] = int(row.dup_of)
+    # keepers (small ids) never flagged; dups resolve to the original
+    assert not (set(flags) & set(int(i) for i in originals["doc_id"]) & {
+        k for k, v in flags.items() if v == k - OFFSET
+    })
+    hits = sum(
+        1 for i in near["doc_id"] if flags.get(int(i)) == int(i) - OFFSET
+    )
+    assert hits / len(near) >= 0.9
+    for did, dup_of in flags.items():
+        assert dup_of < did
