@@ -127,6 +127,104 @@ def test_streaming_gate_flags_planted_dups_across_triggers(spark, planted):
             assert j >= 0.5, f"false flag {did}->{dup_of} (jaccard {j:.2f})"
 
 
+def test_streaming_gate_rocksdb_state_store(spark, planted):
+    """The 100 TB path: keeper state in the RocksDB state store (the
+    provider the docstring prescribes for billions of docs) must produce
+    exactly the verdicts the default HDFS-backed store produces. This
+    converts the docstring's scale note into a tested contract — the state
+    codec round-trips through RocksDB, not just the in-memory map."""
+    originals, near = planted
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batches = _run_gate(spark, [originals, near])
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+    flags = {
+        int(r.doc_id): int(r.dup_of)
+        for _, pdf in batches
+        for r in pdf.itertuples()
+        if bool(r.is_dup)
+    }
+    hits = sum(1 for i in near["doc_id"] if flags.get(int(i)) == int(i) - OFFSET)
+    assert hits / len(near) >= 0.9
+
+
+def test_streaming_gate_state_survives_restart(spark, planted):
+    """Fault tolerance: keepers ingested before a query stop must still
+    gate documents that arrive after a restart from the same checkpoint —
+    the state store recovery the reference gets from ACID tables, done the
+    Structured Streaming way (checkpointed state + file-source offsets)."""
+    originals, near = planted
+    tmp = Path(tempfile.mkdtemp(prefix="stream_dedup_ckpt_"))
+    src = tmp / "in"
+    src.mkdir()
+    ckpt = str(tmp / "ckpt")
+    try:
+        def start(sink):
+            stream = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            gate = streaming_minhash_dedup(stream)
+            return (
+                gate.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        # run 1: only the originals exist; they become checkpointed keepers
+        p1 = str(src / "b1.parquet")
+        originals.to_parquet(p1, index=False)
+        os.utime(p1, (1_700_000_000,) * 2)
+        # the sink must consume every partition or the state stores never
+        # commit (Spark validates per-partition commits for the batch)
+        q = start(lambda bdf, bid: bdf.count())
+        q.awaitTermination(300)
+
+        # run 2 (fresh query, same checkpoint): only the near-dups are new
+        p2 = str(src / "b2.parquet")
+        near.to_parquet(p2, index=False)
+        os.utime(p2, (1_700_000_100,) * 2)
+        out: list = []
+
+        def sink(bdf, bid):
+            pdf = resolve_dup_verdicts(bdf).toPandas()
+            if len(pdf):
+                out.append(pdf)
+
+        q = start(sink)
+        q.awaitTermination(300)
+
+        seen = {int(r.doc_id) for pdf in out for r in pdf.itertuples()}
+        assert seen and seen <= set(int(i) for i in near["doc_id"]), (
+            "restart must process ONLY the new file (offsets recovered)"
+        )
+        flags = {
+            int(r.doc_id): int(r.dup_of)
+            for pdf in out
+            for r in pdf.itertuples()
+            if bool(r.is_dup)
+        }
+        hits = sum(
+            1 for i in near["doc_id"] if flags.get(int(i)) == int(i) - OFFSET
+        )
+        assert hits / len(near) >= 0.9, (
+            "pre-restart keepers must gate post-restart arrivals"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_gate_same_batch_pair_resolves_to_min_id(spark, planted):
     """A duplicate pair arriving in the SAME micro-batch must resolve
     deterministically: the smaller id becomes the keeper, the larger the
