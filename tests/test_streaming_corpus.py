@@ -127,6 +127,31 @@ def test_streaming_gate_flags_planted_dups_across_triggers(spark, planted):
             assert j >= 0.5, f"false flag {did}->{dup_of} (jaccard {j:.2f})"
 
 
+def test_streaming_kernel_matches_batch_kernel(spark, planted):
+    """The streaming signature kernel must live in the SAME hash space as
+    the batch kernel (identical (id, band_id, band_hash) rows on identical
+    input): a corpus deduped in batch and then continued incrementally by
+    the streaming gate must agree on every bucket assignment, or the
+    incremental path would silently re-admit known duplicates."""
+    from hdp2_5_hive2_spark.llm.dedup import _minhash_banded
+    from hdp2_5_hive2_spark.streaming.corpus import _banded_sig_stream
+
+    originals, _ = planted
+    df = spark.createDataFrame(originals)
+    batch_rows = {
+        (r.id, r.band_id, r.band_hash)
+        for r in _minhash_banded(df, "text", "doc_id", 32, 8, 3).collect()
+    }
+    # the streaming kernel is plan-compatible with batch frames too — run it
+    # on the same static frame to compare outputs exactly
+    stream_df = _banded_sig_stream(df, "text", "doc_id", 32, 8, 3)
+    stream_rows = {(r.id, r.band_id, r.band_hash) for r in stream_df.collect()}
+    assert batch_rows == stream_rows
+    # and the carried signature is the full minhash vector, band-invariant
+    sig_len = {len(r.sig) for r in stream_df.limit(50).collect()}
+    assert sig_len == {32}
+
+
 def test_streaming_gate_rocksdb_state_store(spark, planted):
     """The 100 TB path: keeper state in the RocksDB state store (the
     provider the docstring prescribes for billions of docs) must produce
