@@ -254,6 +254,53 @@ def storage_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "storage_avro_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           CAST(o_orderdate AS DATE) AS odate,
+           o_orderdate AS ots
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("storage", "write", "avro"),
+)
+def storage_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED AS AVRO round trip (ql/io/avro/AvroContainerInputFormat.java,
+    serde2/avro/AvroSerDe.java): write a typed orders slice — bigint,
+    string, decimal(18,2), date, timestamp — through storage.write_avro
+    (the from-spec container codec; Hive-JVM cross-parity pinned in
+    tests/test_avro.py), read it back, values must round-trip exactly
+    through Avro's zigzag-varint/logical-type encodings. The decimal is
+    cast to DOUBLE only at the end (driver-safe result dtype); the
+    roundtrip itself carries the bytes-decimal logical type."""
+    from hdp2_5_hive2_spark.storage import read_avro, write_avro
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    staged = orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.col("o_orderdate").alias("ots"),
+    )
+    path = f"{IO_ROOT}/orders_avro"
+    write_avro(staged, path)
+    back = read_avro(
+        spark,
+        path,
+        "o_orderkey bigint, o_orderstatus string, price_dec decimal(18,2), "
+        "odate date, ots timestamp",
+    )
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("price_dec").cast("double").alias("price"),
+        "odate",
+        "ots",
+    )
+
+
+@query(
     "storage_upsert_delete",
     oracle="""
     SELECT o_orderstatus,

@@ -8,6 +8,7 @@ bucketing, compression), the merge-files operators
 (ql/optimizer/StatsOptimizer.java:97 consumes them).
 """
 
+from hdp2_5_hive2_spark.storage.avro import read_avro, write_avro
 from hdp2_5_hive2_spark.storage.rcfile import read_rcfile, write_rcfile
 from hdp2_5_hive2_spark.storage.writer import (
     analyze_table,
@@ -43,4 +44,6 @@ __all__ = [
     "drop_partition",
     "read_rcfile",
     "write_rcfile",
+    "read_avro",
+    "write_avro",
 ]
