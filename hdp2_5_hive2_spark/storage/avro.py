@@ -614,8 +614,8 @@ def serialize_avro(
     object-container file: magic, metadata map (avro.schema, avro.codec),
     16-byte sync, then blocks of ≤ _BLOCK_ROWS records each framed as
     (count, byte-size, data, sync). deflate = raw RFC-1951 (wbits=-15)."""
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"Avro codec {codec!r} not supported (null|deflate)")
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError(f"Avro codec {codec!r} not supported (null|deflate|snappy)")
     root = _parse_schema(json.loads(schema_json))
     sync = hashlib.md5(seed.encode("utf-8")).digest()
     out = bytearray(_MAGIC)
@@ -638,6 +638,13 @@ def serialize_avro(
         if codec == "deflate":
             co = zlib.compressobj(wbits=-15)
             payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":
+            # avro spec: raw snappy block + CRC32 of the UNCOMPRESSED bytes
+            from hdp2_5_hive2_spark.storage.snappy_codec import snappy_compress
+
+            payload = snappy_compress(payload) + struct.pack(
+                ">I", zlib.crc32(payload)
+            )
         _write_long(out, count)
         _write_long(out, len(payload))
         out.extend(payload)
@@ -681,8 +688,8 @@ def parse_avro(
     pos, meta, sync = _parse_header(data)
     writer = _parse_schema(json.loads(meta["avro.schema"].decode("utf-8")))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"Avro codec {codec!r} not supported (null|deflate)")
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError(f"Avro codec {codec!r} not supported (null|deflate|snappy)")
     reader = (
         _parse_schema(json.loads(reader_schema_json))
         if reader_schema_json
@@ -702,6 +709,13 @@ def parse_avro(
         pos += 16
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)
+        elif codec == "snappy":
+            from hdp2_5_hive2_spark.storage.snappy_codec import snappy_decompress
+
+            (crc,) = struct.unpack(">I", payload[-4:])
+            payload = snappy_decompress(payload[:-4])
+            if zlib.crc32(payload) != crc:
+                raise ValueError("Avro corrupt: snappy block CRC mismatch")
         p = 0
         for _ in range(count):
             decoded, p = _read_value(writer, payload, p)

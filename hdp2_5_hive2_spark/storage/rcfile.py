@@ -44,7 +44,8 @@ Two write paths (same dispatch contract as storage.writer.write_sequencefile):
 The READER is pure Python over ``sc.binaryFiles`` — one task per file, no
 JVM serde involved, so it works in any session (including in-memory
 catalogs where Hive DDL is unavailable). Supported codecs: uncompressed,
-DefaultCodec (zlib) and GzipCodec — one stream per column segment and one
+DefaultCodec (zlib), GzipCodec and SnappyCodec (from-spec Python kernel,
+storage/snappy_codec.py) — one stream per column segment and one
 for the key (RCFile.java:1154-1250 resets the codec stream per column, so
 each segment is independently decompressable; wbits=47 inflate auto-detects
 the two zlib-family headers). Both header generations parse: RCF v1 and the
@@ -74,11 +75,19 @@ _KEY_CLASS = "org.apache.hadoop.hive.ql.io.RCFile$KeyBuffer"
 _VALUE_CLASS = "org.apache.hadoop.hive.ql.io.RCFile$ValueBuffer"
 _DEFLATE_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
 _GZIP_CODEC = "org.apache.hadoop.io.compress.GzipCodec"
-# both are zlib-family; inflate with wbits=47 auto-detects zlib vs gzip headers
-_SUPPORTED_CODECS = (_DEFLATE_CODEC, _GZIP_CODEC)
+_SNAPPY_CODEC = "org.apache.hadoop.io.compress.SnappyCodec"
+# Default/Gzip are zlib-family (wbits=47 auto-detects the two headers);
+# Snappy decodes via the from-spec kernel in storage/snappy_codec.py with
+# Hadoop's BlockCompressorStream framing (what codec.createOutputStream
+# wraps around each RCFile segment).
+_SUPPORTED_CODECS = (_DEFLATE_CODEC, _GZIP_CODEC, _SNAPPY_CODEC)
 
 
 def _deflate(data: bytes, codec: str) -> bytes:
+    if codec == _SNAPPY_CODEC:
+        from hdp2_5_hive2_spark.storage.snappy_codec import hadoop_snappy_compress
+
+        return hadoop_snappy_compress(data)
     if codec == _GZIP_CODEC:
         import gzip
 
@@ -86,7 +95,11 @@ def _deflate(data: bytes, codec: str) -> bytes:
     return zlib.compress(data)
 
 
-def _inflate(data: bytes) -> bytes:
+def _inflate(data: bytes, codec: str) -> bytes:
+    if codec == _SNAPPY_CODEC:
+        from hdp2_5_hive2_spark.storage.snappy_codec import hadoop_snappy_decompress
+
+        return hadoop_snappy_decompress(data)
     return zlib.decompress(data, 47)  # MAX_WBITS|32: zlib or gzip header
 _COLUMN_NUMBER_KEY = "hive.io.rcfile.column.number"
 _EMPTY_STRING_MARKER = b"\xbf"  # LazyBinaryColumnarSerDe.java:86
@@ -329,7 +342,9 @@ def serialize_rcfile(
 
 def _parse_header(data: bytes):
     """Parse the file header (either magic generation). Returns
-    (pos_after_header, ncols, compressed, sync_bytes)."""
+    (pos_after_header, ncols, codec, sync_bytes) — ``codec`` is the codec
+    class name when compressed, None otherwise (truthiness preserves the
+    old boolean contract for every consumer)."""
     if data[:3] == b"SEQ":
         # pre-0.11 header (RCFile.java:1464-1505): SEQ + version byte 6,
         # then the KeyBuffer/ValueBuffer class names as Text strings
@@ -355,6 +370,7 @@ def _parse_header(data: bytes):
         if data[pos] != 0:  # blockCompressed must be false (RCFile.java:1501)
             raise ValueError("not an RCFile (block-compressed SequenceFile)")
         pos += 1
+    codec = None
     if compressed:
         codec, pos = _read_text(data, pos)
         if codec not in _SUPPORTED_CODECS:
@@ -369,7 +385,7 @@ def _parse_header(data: bytes):
     ncols = int(meta[_COLUMN_NUMBER_KEY])
     sync = data[pos : pos + 16]
     pos += 16
-    return pos, ncols, compressed, sync
+    return pos, ncols, codec, sync
 
 
 def _parse_group(
@@ -378,7 +394,7 @@ def _parse_group(
     key_on_disk_len: int,
     plain_key_len: int,
     ncols: int,
-    compressed: bool,
+    compressed: str | None,
     wanted: Sequence[int] | None,
 ) -> tuple[list[tuple[str | None, ...]], int]:
     """Parse one row group whose 12-byte length prefix was already consumed;
@@ -386,7 +402,7 @@ def _parse_group(
     key = data[pos : pos + key_on_disk_len]
     pos += key_on_disk_len
     if compressed:
-        key = _inflate(key)
+        key = _inflate(key, compressed)
 
     kpos = 0
     num_rows, kpos = _read_vlong(key, kpos)
@@ -416,7 +432,7 @@ def _parse_group(
         seg = data[pos : pos + col_disk_lens[ci]]
         pos += col_disk_lens[ci]
         if compressed:
-            seg = _inflate(seg)
+            seg = _inflate(seg, compressed)
         cells: list[str | None] = []
         off = 0
         for ln in col_cell_lens[ci]:
@@ -678,7 +694,7 @@ def parse_rcfile_range(
     start: int,
     end: int,
     ncols: int,
-    compressed: bool,
+    compressed: str | None,
     sync: bytes,
     header_end: int,
     wanted: Sequence[int] | None = None,
