@@ -1,0 +1,373 @@
+"""Real media codecs from public specs: PNG, BMP, WAV (PCM).
+
+The multimodal pipeline (`llm/multimodal.py`) was designed around a Codec
+seam because this container ships no PIL/ffmpeg. These three formats need
+nothing beyond zlib + numpy, and their wire formats are published (PNG:
+RFC 2083 / W3C spec; BMP: Windows BITMAPINFOHEADER layout; WAV: RIFF/PCM),
+so the seam can be REAL for them — decode to pixel/sample arrays, extract
+features from actual content, resize actual pixels, re-encode. JPEG and
+video remain honestly stubbed (DCT/Huffman and containers genuinely need a
+library).
+
+Independent-verification strategy (tests/test_media_codecs.py): the JVM
+ships ``javax.imageio`` — a from-scratch PNG implementation we don't
+control. Our encoder's files must decode to identical pixels through
+ImageIO, and ImageIO-written PNGs (which use adaptive per-row filters, so
+they exercise Sub/Up/Average/Paeth paths our encoder never emits) must
+decode identically through ours.
+
+Scale: codecs run inside Arrow-batched ``mapInPandas`` via
+``PixelCodec`` — map-side, no shuffle, same plan shape as the stubbed
+pipeline. Python-side pixel work is fixture/feature-extraction scale; a
+100 TB image corpus would plug a native codec into the same seam.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from hdp2_5_hive2_spark.llm.multimodal import Codec
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+__all__ = [
+    "PixelCodec",
+    "bmp_decode",
+    "bmp_encode",
+    "png_decode",
+    "png_encode",
+    "resize_nearest",
+    "wav_decode",
+    "wav_encode",
+]
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG → uint8 array (H, W, C). Supports bit depth 8, color types
+    gray/RGB/palette/gray+alpha/RGBA, all five scanline filters,
+    non-interlaced (interlace 0)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("PNG corrupt: bad signature")
+    pos, n = 8, len(data)
+    width = height = None
+    color_type = bit_depth = None
+    palette = None
+    idat = bytearray()
+    while pos < n:
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        expect_crc = struct.unpack_from(">I", data, pos + 8 + clen)[0]
+        if zlib.crc32(ctype + body) != expect_crc:
+            raise ValueError(f"PNG corrupt: {ctype!r} chunk CRC mismatch")
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"PNG: bit depth {bit_depth} not supported (8 only)")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"PNG: color type {color_type} not supported")
+            if comp or filt:
+                raise ValueError("PNG corrupt: unknown compression/filter method")
+            if interlace:
+                raise ValueError("PNG: Adam7 interlace not supported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG corrupt: no IHDR")
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG corrupt: decompressed size mismatch")
+    # unfilter over plain bytearrays (explicit mod-256 ints; the serial
+    # dependency in Sub/Average/Paeth rules out full vectorization anyway)
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    bpp = ch  # bytes per pixel at depth 8
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG corrupt: filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(height, width, ch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("PNG corrupt: palette image without PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def png_encode(px: np.ndarray) -> bytes:
+    """uint8 array (H, W) or (H, W, C in {1,2,3,4}) → PNG (filter 0 rows,
+    one zlib stream — byte-exact deterministic)."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"PNG encode: {ch} channels unsupported")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    stride = w * ch
+    flat = px.reshape(h, stride)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type None
+        raw += flat[y].tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------------------
+# BMP (24-bit BITMAPINFOHEADER, bottom-up BGR, 4-byte row padding)
+# --------------------------------------------------------------------------
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("BMP corrupt: bad magic")
+    (off,) = struct.unpack_from("<I", data, 10)
+    hsize, w, h, planes, bpp = struct.unpack_from("<IiihH", data, 14)
+    if bpp != 24:
+        raise ValueError(f"BMP: {bpp}-bit not supported (24 only)")
+    bottom_up = h > 0
+    h = abs(h)
+    pad = (-(w * 3)) % 4
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    pos = off
+    for y in range(h):
+        row = np.frombuffer(data, dtype=np.uint8, count=w * 3, offset=pos)
+        px[h - 1 - y if bottom_up else y] = row.reshape(w, 3)[:, ::-1]  # BGR→RGB
+        pos += w * 3 + pad
+    return px
+
+
+def bmp_encode(px: np.ndarray) -> bytes:
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("BMP encode: need 3 channels")
+    pad = (-(w * 3)) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += px[y, :, ::-1].tobytes()  # RGB→BGR
+        body += b"\x00" * pad
+    data_off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack("<IiihHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF, PCM 16-bit)
+# --------------------------------------------------------------------------
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV → (samples int16 array (N,) or (N, channels), sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("WAV corrupt: bad RIFF/WAVE header")
+    pos, n = 12, len(data)
+    rate = channels = None
+    samples = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt != 1 or bits != 16:
+                raise ValueError("WAV: only PCM-16 supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+    if rate is None or samples is None:
+        raise ValueError("WAV corrupt: missing fmt/data chunk")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)
+    return samples, rate
+
+
+def wav_encode(samples: np.ndarray, rate: int) -> bytes:
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    channels = 1 if s.ndim == 1 else s.shape[1]
+    body = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+# --------------------------------------------------------------------------
+# Transforms + the Codec-seam implementation
+# --------------------------------------------------------------------------
+
+
+def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (the deterministic integer choice — no
+    float filter kernels, so results are engine-exact everywhere)."""
+    h, w = px.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return px[ys][:, xs]
+
+
+def _sniff(payload: bytes) -> str:
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def resize_png_images(df, id_col: str, payload_col: str, width: int, height: int):
+    """REAL image resize over PNG payloads: decode → nearest-neighbor
+    resample → re-encode, Arrow-batched and map-side (the pixel-true
+    counterpart of ``multimodal.resize_images``' plumbing stub). Output
+    payloads are valid PNGs of the target geometry."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads = [
+                png_encode(resize_nearest(png_decode(bytes(p)), width, height))
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+class PixelCodec(Codec):
+    """Codec-seam implementation over the real decoders: features come from
+    actual pixel / sample content (not byte statistics). Image feature:
+    [width, height, channels, mean, std, min, max, edge-energy]; audio:
+    [n_samples, rate, rms, zero-crossings, mean, std, min, max]. Unknown
+    containers (JPEG, video, ...) still raise — the honest stub."""
+
+    def decode(self, payload: bytes, modality: str) -> list[float]:
+        kind = _sniff(payload)
+        if kind in ("png", "bmp"):
+            px = (png_decode if kind == "png" else bmp_decode)(payload)
+            f = px.astype(np.float64)
+            edge = float(np.abs(np.diff(f, axis=1)).mean()) if px.shape[1] > 1 else 0.0
+            return [
+                float(px.shape[1]),
+                float(px.shape[0]),
+                float(px.shape[2] if px.ndim == 3 else 1),
+                float(f.mean()),
+                float(f.std()),
+                float(f.min()),
+                float(f.max()),
+                edge,
+            ]
+        if kind == "wav":
+            s, rate = wav_decode(payload)
+            flat = s.astype(np.float64).reshape(-1)
+            zc = int(np.count_nonzero(np.diff(np.signbit(flat)))) if len(flat) > 1 else 0
+            return [
+                float(flat.size),
+                float(rate),
+                float(np.sqrt((flat**2).mean())) if flat.size else 0.0,
+                float(zc),
+                float(flat.mean()) if flat.size else 0.0,
+                float(flat.std()) if flat.size else 0.0,
+                float(flat.min()) if flat.size else 0.0,
+                float(flat.max()) if flat.size else 0.0,
+            ]
+        raise NotImplementedError(
+            f"no from-spec decoder for this payload (sniffed {kind!r}); "
+            "JPEG/video need a real codec library"
+        )

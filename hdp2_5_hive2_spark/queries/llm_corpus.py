@@ -451,6 +451,75 @@ def fn_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_decode_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 5 AS h, 8 + doc_id % 7 AS w
+      FROM documents WHERE doc_id < 64
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (d.doc_id * 7 + y.y * 31 + x.x * 17) % 256 AS v
+      FROM dims d, generate_series(0, 11) y(y), generate_series(0, 13) x(x)
+      WHERE y.y < d.h AND x.x < d.w
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM px GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "media"),
+)
+def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the from-spec PNG codec
+    (llm/media_codecs.py): each document gets a deterministic grayscale
+    image (pixel(y,x) = (doc_id*7 + y*31 + x*17) mod 256, geometry keyed
+    by doc_id), which is ENCODED to actual PNG bytes (zlib stream, CRC'd
+    chunks) and DECODED back inside one Arrow pass; the emitted exact-int
+    pixel stats must equal the oracle's direct arithmetic — so any codec
+    bug (filtering, striding, chunk framing) breaks the hash. Map-side
+    only; payload bytes never shuffle. Replaces the FakeCodec stand-in for
+    PNG/BMP/WAV (JPEG/video remain honestly stubbed)."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 64)
+
+    def run(batches):
+        import numpy as np
+
+        from hdp2_5_hive2_spark.llm.media_codecs import png_decode, png_encode
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "n_pixels", "sum_px", "min_px", "max_px")}
+            for k in pdf["doc_id"]:
+                k = int(k)
+                h, w = 8 + k % 5, 8 + k % 7
+                px = (
+                    (k * 7 + np.arange(h)[:, None] * 31 + np.arange(w)[None, :] * 17)
+                    % 256
+                ).astype(np.uint8)
+                back = png_decode(png_encode(px))[:, :, 0].astype(np.int64)
+                out["doc_id"].append(k)
+                out["width"].append(back.shape[1])
+                out["height"].append(back.shape[0])
+                out["n_pixels"].append(back.size)
+                out["sum_px"].append(int(back.sum()))
+                out["min_px"].append(int(back.min()))
+                out["max_px"].append(int(back.max()))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        run,
+        "doc_id bigint, width int, height int, n_pixels bigint, "
+        "sum_px bigint, min_px bigint, max_px bigint",
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes

@@ -1,0 +1,160 @@
+"""From-spec PNG/BMP/WAV codecs: property roundtrips, independent
+cross-parity against javax.imageio (a PNG implementation we don't control,
+whose adaptive per-row filters exercise the Sub/Up/Average/Paeth decode
+paths our filter-0 encoder never emits), and the Codec-seam integration
+with the multimodal pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hdp2_5_hive2_spark.llm import multimodal
+from hdp2_5_hive2_spark.llm.media_codecs import (
+    PixelCodec,
+    bmp_decode,
+    bmp_encode,
+    png_decode,
+    png_encode,
+    resize_nearest,
+    resize_png_images,
+    wav_decode,
+    wav_encode,
+)
+
+_dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@settings(max_examples=30, deadline=None)
+@given(dims=_dims, ch=st.sampled_from([1, 2, 3, 4]), seed=st.integers(0, 2**31))
+def test_png_property_roundtrip(dims, ch, seed):
+    h, w = dims
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    back = png_decode(png_encode(px))
+    assert back.shape == (h, w, ch) and (back == px).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims=_dims, seed=st.integers(0, 2**31))
+def test_bmp_property_roundtrip(dims, seed):
+    h, w = dims
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (bmp_decode(bmp_encode(px)) == px).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    channels=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31),
+)
+def test_wav_property_roundtrip(n, channels, rate, seed):
+    rng = np.random.default_rng(seed)
+    shape = (n,) if channels == 1 else (n, channels)
+    s = rng.integers(-32768, 32768, shape, dtype=np.int16)
+    back, r = wav_decode(wav_encode(s, rate))
+    assert r == rate and back.shape == s.shape and (back == s).all()
+
+
+def test_png_corrupt_raises():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = png_encode(px)
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"JUNK" + good[4:])
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # inside IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(bad))
+
+
+def _jvm_codec(spark):
+    jvm = spark._jvm
+
+    def j_decode(png_bytes: bytes) -> np.ndarray:
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(png_bytes)
+        )
+        w, h = img.getWidth(), img.getHeight()
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = img.getRGB(x, y)
+                out[y, x] = [(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF]
+        return out
+
+    def j_encode(px: np.ndarray) -> bytes:
+        h, w, _ = px.shape
+        BI = jvm.java.awt.image.BufferedImage
+        img = BI(w, h, BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.imageio.ImageIO.write(img, "png", baos)
+        return bytes(baos.toByteArray())
+
+    return j_decode, j_encode
+
+
+def test_imageio_cross_parity(spark):
+    """Independent-implementation check both directions, including a smooth
+    gradient (ImageIO's encoder picks content-adaptive filters there)."""
+    j_decode, j_encode = _jvm_codec(spark)
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    grad = (np.add.outer(np.arange(40), np.arange(40)) % 256).astype(np.uint8)
+    smooth = np.stack([grad, grad.T, 255 - grad], axis=2)
+    for px in (noisy, smooth):
+        assert (j_decode(png_encode(px)) == px).all(), "py->imageio"
+        assert (png_decode(j_encode(px)) == px).all(), "imageio->py"
+
+
+def test_pixel_codec_through_multimodal_pipeline(spark):
+    """The Codec seam with REAL content: features computed from decoded
+    pixels must match numpy ground truth exactly, through the same
+    mapInPandas plan the stub pipeline uses."""
+    rng = np.random.default_rng(3)
+    rows = []
+    truth = {}
+    for i in range(6):
+        px = rng.integers(0, 256, (5 + i, 7 + i, 3), dtype=np.uint8)
+        rows.append((i, bytearray(png_encode(px))))
+        truth[i] = (float(px.shape[1]), float(px.shape[0]), 3.0, float(px.mean()))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = multimodal.extract_features(
+        df, "doc_id", "payload", modality="image", codec=PixelCodec()
+    ).collect()
+    assert len(feats) == 6
+    for r in feats:
+        w, h, c, mean = truth[r.asset_id]
+        assert r.feature[0] == w and r.feature[1] == h and r.feature[2] == c
+        assert abs(r.feature[3] - mean) < 1e-4  # float32 column
+
+
+def test_pixel_codec_wav_and_unknown(spark):
+    s = np.array([0, 100, -100, 200], dtype=np.int16)
+    feat = PixelCodec().decode(wav_encode(s, 8000), "audio")
+    assert feat[0] == 4.0 and feat[1] == 8000.0
+    with pytest.raises(NotImplementedError):
+        PixelCodec().decode(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
+
+
+def test_resize_png_images_real_pixels(spark):
+    """Resize transform: output payloads are valid PNGs whose pixels equal
+    the numpy nearest-neighbor ground truth."""
+    rng = np.random.default_rng(11)
+    originals = {i: rng.integers(0, 256, (16, 12, 3), dtype=np.uint8) for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(png_encode(px))) for i, px in originals.items()],
+        "doc_id long, payload binary",
+    )
+    out = resize_png_images(df, "doc_id", "payload", width=6, height=8).collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r.width, r.height) == (6, 8)
+        back = png_decode(bytes(r.payload))
+        assert (back == resize_nearest(originals[r.asset_id], 6, 8)).all()
