@@ -289,6 +289,8 @@ def _sniff(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return "unknown"
 
 
@@ -334,13 +336,19 @@ class PixelCodec(Codec):
     """Codec-seam implementation over the real decoders: features come from
     actual pixel / sample content (not byte statistics). Image feature:
     [width, height, channels, mean, std, min, max, edge-energy]; audio:
-    [n_samples, rate, rms, zero-crossings, mean, std, min, max]. Unknown
-    containers (JPEG, video, ...) still raise — the honest stub."""
+    [n_samples, rate, rms, zero-crossings, mean, std, min, max]. JPEG
+    decodes through the baseline T.81 decoder (`llm.jpeg`); unknown
+    containers (video, ...) still raise — the honest stub."""
 
     def decode(self, payload: bytes, modality: str) -> list[float]:
         kind = _sniff(payload)
-        if kind in ("png", "bmp"):
-            px = (png_decode if kind == "png" else bmp_decode)(payload)
+        if kind in ("png", "bmp", "jpeg"):
+            if kind == "jpeg":
+                from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode as _jd
+
+                px = _jd(payload)
+            else:
+                px = (png_decode if kind == "png" else bmp_decode)(payload)
             f = px.astype(np.float64)
             edge = float(np.abs(np.diff(f, axis=1)).mean()) if px.shape[1] > 1 else 0.0
             return [
@@ -369,5 +377,5 @@ class PixelCodec(Codec):
             ]
         raise NotImplementedError(
             f"no from-spec decoder for this payload (sniffed {kind!r}); "
-            "JPEG/video need a real codec library"
+            "video containers need a real codec library"
         )

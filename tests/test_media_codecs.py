@@ -140,7 +140,123 @@ def test_pixel_codec_wav_and_unknown(spark):
     feat = PixelCodec().decode(wav_encode(s, 8000), "audio")
     assert feat[0] == 4.0 and feat[1] == 8000.0
     with pytest.raises(NotImplementedError):
-        PixelCodec().decode(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
+        PixelCodec().decode(b"\x00\x00\x00\x18ftypmp42 video-ish", "video")
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG decoder (llm/jpeg.py) vs javax.imageio's encoder+decoder
+# --------------------------------------------------------------------------
+
+
+def _jpeg_tools(spark):
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+
+    def encode(px: np.ndarray, gray: bool = False) -> bytes:
+        h, w = px.shape[:2]
+        img = BI(w, h, BI.TYPE_BYTE_GRAY if gray else BI.TYPE_INT_RGB)
+        if gray:
+            raster = img.getRaster()  # raw samples: no Java gray colorspace
+            for y in range(h):
+                for x in range(w):
+                    raster.setSample(x, y, 0, int(px[y, x]))
+        else:
+            for y in range(h):
+                for x in range(w):
+                    r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+                    img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.imageio.ImageIO.write(img, "jpeg", baos)
+        return bytes(baos.toByteArray())
+
+    def decode_gray(jb: bytes) -> np.ndarray:
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(jb))
+        w, h = img.getWidth(), img.getHeight()
+        raster = img.getRaster()
+        out = np.zeros((h, w), dtype=np.int32)
+        for y in range(h):
+            for x in range(w):
+                out[y, x] = raster.getSample(x, y, 0)
+        return out
+
+    return encode, decode_gray
+
+
+def test_jpeg_constant_images_decode_exactly(spark):
+    """A constant image quantizes losslessly (single DC coefficient), so
+    decode must return the exact original — any DC/dequant/IDCT/level-shift
+    bug shows up here with zero tolerance."""
+    from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
+
+    encode, _ = _jpeg_tools(spark)
+    const = np.full((24, 40, 3), 130, dtype=np.uint8)
+    assert (jpeg_decode(encode(const)) == 130).all()
+    cg = np.full((17, 23), 77, dtype=np.uint8)
+    out = jpeg_decode(encode(cg, gray=True))
+    assert out.shape == (17, 23, 1) and (out == 77).all()
+
+
+def test_jpeg_gray_decoder_vs_imageio_decoder(spark):
+    """Decoder-vs-decoder on single-component files (no chroma upsampling,
+    no color management): the two independent IDCT implementations must
+    agree within one code value (T.81 Annex A conformance territory)."""
+    from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
+
+    encode, decode_gray = _jpeg_tools(spark)
+    yy, xx = np.mgrid[0:40, 0:56]
+    rng = np.random.default_rng(9)
+    for g in (
+        ((yy * 2 + xx) % 256).astype(np.uint8),
+        rng.integers(0, 256, (33, 29), dtype=np.uint8),  # odd dims: MCU crop
+    ):
+        jb = encode(g, gray=True)
+        d = np.abs(jpeg_decode(jb)[:, :, 0].astype(int) - decode_gray(jb))
+        assert d.max() <= 1, d.max()
+
+
+def test_jpeg_rgb_within_lossy_tolerance_of_original(spark):
+    """Full color path (4:2:0 subsampled by ImageIO's encoder): smooth
+    content must come back within normal JPEG loss of the original."""
+    from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
+
+    encode, _ = _jpeg_tools(spark)
+    yy, xx = np.mgrid[0:120, 0:200]
+    # continuously smooth (sinusoids — no wrap discontinuities, so error is
+    # quantization/subsampling, not edge ringing)
+    smooth = np.stack(
+        [
+            127.5 + 120 * np.sin(yy / 19 + xx / 23),
+            127.5 + 120 * np.cos(yy / 31),
+            127.5 + 120 * np.sin(xx / 17),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    out = jpeg_decode(encode(smooth))
+    assert out.shape == smooth.shape
+    d = np.abs(out.astype(int) - smooth.astype(int))
+    assert d.mean() < 3.0 and d.max() <= 32, (d.mean(), d.max())
+
+
+def test_jpeg_progressive_rejected(spark):
+    from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
+
+    encode, _ = _jpeg_tools(spark)
+    jb = bytearray(encode(np.full((8, 8), 50, dtype=np.uint8), gray=True))
+    idx = bytes(jb).find(b"\xff\xc0")
+    assert idx > 0
+    jb[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(jb))
+
+
+def test_pixel_codec_decodes_jpeg(spark):
+    from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
+
+    encode, _ = _jpeg_tools(spark)
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    feat = PixelCodec().decode(encode(px), "image")
+    assert feat[0] == 16.0 and feat[1] == 16.0 and feat[2] == 3.0
+    assert abs(feat[3] - 200.0) < 1.0
 
 
 def test_resize_png_images_real_pixels(spark):
