@@ -152,6 +152,7 @@ _NEW_THIS_ROUND: list[str] = [
     "hive_char_semantics",          # CHAR/VARCHAR padding drift guard (r6)
     "storage_avro_roundtrip",       # from-spec Avro container codec (r6)
     "multimodal_image_decode_stats",  # real PNG codec decode stats (r6)
+    "multimodal_audio_decode_stats",  # real WAV codec decode stats (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

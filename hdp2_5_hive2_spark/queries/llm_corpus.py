@@ -520,6 +520,64 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "multimodal_audio_decode_stats",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 64 + doc_id % 32 AS n FROM documents WHERE doc_id < 48
+    ), s AS (
+      SELECT d.doc_id, d.n, (d.doc_id * 13 + t.t * 97) % 2001 - 1000 AS v
+      FROM docs d, generate_series(0, 95) t(t)
+      WHERE t.t < d.n
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(16000 AS INTEGER) AS rate,
+           CAST(SUM(v) AS BIGINT) AS sum_s,
+           CAST(MIN(v) AS BIGINT) AS min_s,
+           CAST(MAX(v) AS BIGINT) AS max_s
+    FROM s GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "media"),
+)
+def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the from-spec WAV codec: a deterministic
+    PCM-16 signal per document (sample(t) = (doc_id*13 + t*97) mod 2001
+    − 1000) is encoded to actual RIFF/WAVE bytes and decoded back inside
+    one Arrow pass; exact-int sample stats must match the oracle's direct
+    arithmetic — the audio sibling of multimodal_image_decode_stats."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 48)
+
+    def run(batches):
+        import numpy as np
+
+        from hdp2_5_hive2_spark.llm.media_codecs import wav_decode, wav_encode
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_samples", "rate", "sum_s", "min_s", "max_s")}
+            for k in pdf["doc_id"]:
+                k = int(k)
+                n = 64 + k % 32
+                s = ((k * 13 + np.arange(n) * 97) % 2001 - 1000).astype(np.int16)
+                back, rate = wav_decode(wav_encode(s, 16000))
+                back = back.astype(np.int64)
+                out["doc_id"].append(k)
+                out["n_samples"].append(back.size)
+                out["rate"].append(rate)
+                out["sum_s"].append(int(back.sum()))
+                out["min_s"].append(int(back.min()))
+                out["max_s"].append(int(back.max()))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        run,
+        "doc_id bigint, n_samples bigint, rate int, sum_s bigint, "
+        "min_s bigint, max_s bigint",
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
