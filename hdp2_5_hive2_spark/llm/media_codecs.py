@@ -37,9 +37,11 @@ __all__ = [
     "PixelCodec",
     "bmp_decode",
     "bmp_encode",
+    "gif_decode",
     "png_decode",
     "png_encode",
     "resize_nearest",
+    "resize_png_images",
     "wav_decode",
     "wav_encode",
 ]
@@ -218,6 +220,126 @@ def bmp_encode(px: np.ndarray) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# GIF (87a/89a, LZW) — decode only; web corpora contain GIFs, pipelines
+# read them. First frame only (animation = video territory).
+# --------------------------------------------------------------------------
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF → uint8 RGB array (H, W, 3) of the FIRST image. Supports 87a/89a,
+    global/local color tables, LZW decompression, interlacing; extension
+    blocks are skipped (transparency is ignored — output is opaque RGB)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF corrupt: bad signature")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"GIF corrupt: unexpected block 0x{b:02x}")
+        x0, y0, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            table = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF corrupt: no color table")
+        interlaced = bool(ipacked & 0x40)
+        min_code_size = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            stream += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(stream), min_code_size, w * h)
+        px = np.asarray(idx, dtype=np.uint16).reshape(h, w)
+        if interlaced:
+            de = np.zeros_like(px)
+            rows = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            for src, dst in enumerate(rows):
+                de[dst] = px[src]
+            px = de
+        return table[np.minimum(px, len(table) - 1)]
+    raise ValueError("GIF corrupt: no image block")
+
+
+def _lzw_decode(stream: bytes, min_code_size: int, expect: int) -> list[int]:
+    """GIF-variant LZW: variable code width, CLEAR/EOI codes, 12-bit max."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader, LSB-first
+    acc = nbits = 0
+    sp = 0
+
+    def read_code(width: int) -> int:
+        nonlocal acc, nbits, sp
+        while nbits < width:
+            if sp >= len(stream):
+                return eoi  # truncated stream: treat as end
+            acc |= stream[sp] << nbits
+            nbits += 8
+            sp += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    def reset():
+        return {i: [i] for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    prev: list[int] | None = None
+    next_code = eoi + 1
+    while len(out) < expect:
+        code = read_code(width)
+        if code == clear:
+            table, width = reset()
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("GIF corrupt: LZW code out of range")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:expect]
+
+
+# --------------------------------------------------------------------------
 # WAV (RIFF, PCM 16-bit)
 # --------------------------------------------------------------------------
 
@@ -291,6 +413,8 @@ def _sniff(payload: bytes) -> str:
         return "wav"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
@@ -342,13 +466,15 @@ class PixelCodec(Codec):
 
     def decode(self, payload: bytes, modality: str) -> list[float]:
         kind = _sniff(payload)
-        if kind in ("png", "bmp", "jpeg"):
+        if kind in ("png", "bmp", "jpeg", "gif"):
             if kind == "jpeg":
                 from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode as _jd
 
                 px = _jd(payload)
             else:
-                px = (png_decode if kind == "png" else bmp_decode)(payload)
+                px = {"png": png_decode, "bmp": bmp_decode, "gif": gif_decode}[
+                    kind
+                ](payload)
             f = px.astype(np.float64)
             edge = float(np.abs(np.diff(f, axis=1)).mean()) if px.shape[1] > 1 else 0.0
             return [

@@ -144,6 +144,66 @@ def test_pixel_codec_wav_and_unknown(spark):
 
 
 # --------------------------------------------------------------------------
+# GIF decoder (LZW) — lossless for <=256-color images, so decode of
+# imageio-encoded files must be bit-exact
+# --------------------------------------------------------------------------
+
+
+def test_gif_decode_exact_vs_imageio_encoder(spark):
+    from hdp2_5_hive2_spark.llm.media_codecs import gif_decode
+
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+
+    def j_encode_gif(px: np.ndarray) -> bytes:
+        h, w, _ = px.shape
+        img = BI(w, h, BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.imageio.ImageIO.write(img, "gif", baos)
+        return bytes(baos.toByteArray())
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    cases = [
+        pal[rng.integers(0, 64, (37, 51))],  # random indexed
+        np.where(  # 2-color checkerboard: minimal code width
+            (np.add.outer(np.arange(100), np.arange(80)) % 2)[:, :, None] == 0,
+            np.array([255, 0, 0], dtype=np.uint8),
+            np.array([0, 0, 255], dtype=np.uint8),
+        ),
+        pal[(np.add.outer(np.arange(200) // 4, np.arange(300) // 5)) % 64],  # 12-bit codes
+    ]
+    for px in cases:
+        out = gif_decode(j_encode_gif(px))
+        assert out.shape == px.shape and (out == px).all()
+    with pytest.raises(ValueError, match="signature"):
+        gif_decode(b"NOTAGIF")
+
+
+def test_pixel_codec_decodes_gif(spark):
+    from hdp2_5_hive2_spark.llm.media_codecs import gif_decode  # noqa: F401
+
+    # hand-rolled 2x2 GIF87a, 2-color table, uncompressed-ish LZW
+    # (easier: go through our own png for truth, imageio for gif — covered
+    # above; here just check the sniff path dispatches)
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(4, 4, BI.TYPE_INT_RGB)
+    for y in range(4):
+        for x in range(4):
+            img.setRGB(x, y, 0x00FF00)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(img, "gif", baos)
+    feat = PixelCodec().decode(bytes(baos.toByteArray()), "image")
+    assert feat[:3] == [4.0, 4.0, 3.0]
+    assert feat[3] == pytest.approx((0 + 255 + 0) / 3, abs=0.01)
+
+
+# --------------------------------------------------------------------------
 # Baseline JPEG decoder (llm/jpeg.py) vs javax.imageio's encoder+decoder
 # --------------------------------------------------------------------------
 
