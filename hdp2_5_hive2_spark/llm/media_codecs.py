@@ -38,7 +38,9 @@ __all__ = [
     "bmp_decode",
     "bmp_encode",
     "gif_decode",
+    "gif_decode_frames",
     "png_decode",
+    "sample_gif_frames",
     "png_encode",
     "resize_nearest",
     "resize_png_images",
@@ -226,25 +228,46 @@ def bmp_encode(px: np.ndarray) -> bytes:
 
 
 def gif_decode(data: bytes) -> np.ndarray:
-    """GIF → uint8 RGB array (H, W, 3) of the FIRST image. Supports 87a/89a,
-    global/local color tables, LZW decompression, interlacing; extension
-    blocks are skipped (transparency is ignored — output is opaque RGB)."""
+    """GIF → uint8 RGB array (H, W, 3) of the FIRST frame (composited onto
+    the logical screen). See :func:`gif_decode_frames` for animations."""
+    return gif_decode_frames(data)[0][1]
+
+
+def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """Animated GIF → [(delay_ms, full-canvas RGB frame)], frames composited
+    per the 89a graphic-control semantics: per-frame region placement,
+    transparency masking, disposal none/keep (0/1), restore-to-background
+    (2) and restore-to-previous (3). Supports 87a/89a, global/local color
+    tables, LZW, interlacing. Frames without a GCE get delay 0."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF corrupt: bad signature")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    sw, sh, packed, bg_idx, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 7)
         gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    bg_rgb = gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms = 0
+    transparent: int | None = None
+    disposal = 0
     while pos < len(data):
         b = data[pos]
         pos += 1
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: label + sub-blocks
+        if b == 0x21:  # extension
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # Graphic Control Extension
+                gpacked = data[pos + 1]
+                delay_ms = struct.unpack_from("<H", data, pos + 2)[0] * 10
+                transparent = data[pos + 4] if gpacked & 1 else None
+                disposal = (gpacked >> 2) & 0x7
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
@@ -282,8 +305,23 @@ def gif_decode(data: bytes) -> np.ndarray:
             for src, dst in enumerate(rows):
                 de[dst] = px[src]
             px = de
-        return table[np.minimum(px, len(table) - 1)]
-    raise ValueError("GIF corrupt: no image block")
+        rgb = table[np.minimum(px, len(table) - 1)]
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[y0 : y0 + h, x0 : x0 + w]
+        if transparent is not None:
+            mask = px != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:  # restore region to background
+            canvas[y0 : y0 + h, x0 : x0 + w] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        delay_ms, transparent, disposal = 0, None, 0
+    if not frames:
+        raise ValueError("GIF corrupt: no image block")
+    return frames
 
 
 def _lzw_decode(stream: bytes, min_code_size: int, expect: int) -> list[int]:
@@ -451,6 +489,71 @@ def resize_png_images(df, id_col: str, payload_col: str, width: int, height: int
                     "height": height,
                     "n_bytes": [len(p) for p in payloads],
                 }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def sample_gif_frames(df, id_col: str, payload_col: str, every_ms: int = 100):
+    """REAL frame sampling over animated GIF payloads — the pixel-true
+    counterpart of ``multimodal.frame_sample``'s stub: decode every frame
+    with its graphic-control delay, then sample the frame DISPLAYED at
+    t = 0, every_ms, 2·every_ms, … (last-frame-carried within its display
+    interval). Frames without delays (delay 0 throughout) are treated as
+    lasting ``every_ms`` each, so undelayed files emit one row per frame.
+    Features are the PixelCodec image features over the composited canvas.
+    Map-side only (same plan shape as the stub)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = gif_decode_frames(bytes(payload))
+                delays = [d if d > 0 else every_ms for d, _ in frames]
+                starts = np.concatenate([[0], np.cumsum(delays)])
+                total = int(starts[-1])
+                fi = 0
+                for t in range(0, total, every_ms):
+                    while fi + 1 < len(frames) and starts[fi + 1] <= t:
+                        fi += 1
+                    px = frames[fi][1]
+                    f = px.astype(np.float64)
+                    edge = (
+                        float(np.abs(np.diff(f, axis=1)).mean())
+                        if px.shape[1] > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        (
+                            int(aid),
+                            fi,
+                            t,
+                            [
+                                float(px.shape[1]),
+                                float(px.shape[0]),
+                                float(px.shape[2]),
+                                float(f.mean()),
+                                float(f.std()),
+                                float(f.min()),
+                                float(f.max()),
+                                edge,
+                            ],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "ts_ms", "feature"]
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -203,6 +203,102 @@ def test_pixel_codec_decodes_gif(spark):
     assert feat[3] == pytest.approx((0 + 255 + 0) / 3, abs=0.01)
 
 
+def _j_encode_animated_gif(spark, colors, size=(8, 6)) -> bytes:
+    """ImageIO GIF sequence writer: one constant-color frame per color."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(None)
+    w, h = size
+    for color in colors:
+        img = BI(w, h, BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                img.setRGB(x, y, color)
+        writer.writeToSequence(jvm.javax.imageio.IIOImage(img, None, None), None)
+    writer.endWriteSequence()
+    ios.close()
+    return bytes(baos.toByteArray())
+
+
+def _gif_with_delays(data: bytes, delay_cs: int) -> bytes:
+    """Insert a Graphic Control Extension (delay in centiseconds) before
+    every image descriptor, walking the real block structure (an 0x2C byte
+    inside LZW data must not be mistaken for a separator)."""
+    out = bytearray(data[:13])
+    pos = 13
+    packed = data[10]
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 7))
+        out += data[pos : pos + n]
+        pos += n
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, delay_cs & 0xFF, delay_cs >> 8, 0x00, 0x00])
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:
+            out.append(b)
+            break
+        if b == 0x21:
+            start = pos
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            out += data[start:pos]
+            continue
+        assert b == 0x2C
+        out += gce
+        start = pos
+        pos += 10
+        ipacked = data[start + 9]
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 7))
+        pos += 1  # min code size
+        while data[pos]:
+            pos += 1 + data[pos]
+        pos += 1
+        out += data[start:pos]
+    return bytes(out)
+
+
+def test_gif_animated_frames_and_delays(spark):
+    from hdp2_5_hive2_spark.llm.media_codecs import gif_decode_frames
+
+    raw = _j_encode_animated_gif(spark, [0xFF0000, 0x00FF00, 0x0000FF])
+    anim = _gif_with_delays(raw, delay_cs=20)  # 200 ms per frame
+    frames = gif_decode_frames(anim)
+    assert [d for d, _ in frames] == [200, 200, 200]
+    want = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    for (_, px), rgb in zip(frames, want):
+        assert px.shape == (6, 8, 3)
+        assert (px == np.array(rgb, dtype=np.uint8)).all()
+
+
+def test_sample_gif_frames_real_pixels(spark):
+    """The video-ish seam with REAL decode: sampling at 100 ms over 200 ms
+    frames must emit two ticks per frame, with features from the actual
+    composited pixels."""
+    from hdp2_5_hive2_spark.llm.media_codecs import sample_gif_frames
+
+    raw = _j_encode_animated_gif(spark, [0xFF0000, 0x00FF00, 0x0000FF])
+    anim = _gif_with_delays(raw, delay_cs=20)
+    df = spark.createDataFrame([(1, bytearray(anim))], "doc_id long, payload binary")
+    rows = sorted(
+        sample_gif_frames(df, "doc_id", "payload", every_ms=100).collect(),
+        key=lambda r: r.ts_ms,
+    )
+    assert [(r.frame_idx, r.ts_ms) for r in rows] == [
+        (0, 0), (0, 100), (1, 200), (1, 300), (2, 400), (2, 500),
+    ]
+    # constant frames: mean == 255/3, std over channels
+    for r in rows:
+        assert r.feature[0] == 8.0 and r.feature[1] == 6.0
+        assert abs(r.feature[3] - 255.0 / 3) < 1e-3
+
+
 # --------------------------------------------------------------------------
 # Baseline JPEG decoder (llm/jpeg.py) vs javax.imageio's encoder+decoder
 # --------------------------------------------------------------------------
