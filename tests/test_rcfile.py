@@ -320,7 +320,14 @@ def test_column_pruning_skips_decode(spark, tmp_path):
         read_rcfile(spark, path, "a int, b string, c double", select=["zz"])
 
 
-@pytest.mark.parametrize("codec", [None, "org.apache.hadoop.io.compress.DefaultCodec"])
+@pytest.mark.parametrize(
+    "codec",
+    [
+        None,
+        "org.apache.hadoop.io.compress.DefaultCodec",
+        "org.apache.hadoop.io.compress.SnappyCodec",
+    ],
+)
 def test_ranged_parse_partitions_rows_exactly(tmp_path, codec):
     """Sync-aligned ranged parsing must PARTITION the file's rows across
     any split count — no duplicates, no gaps — matching the whole-file
