@@ -727,6 +727,119 @@ def parse_avro(
 
 
 # --------------------------------------------------------------------------
+# Sync-aligned ranged reading (split semantics of Avro's DataFileReader)
+# --------------------------------------------------------------------------
+
+
+def _read_file_long(fh) -> int:
+    """Zigzag varint straight off a file handle (≤10 bytes)."""
+    shift, acc = 0, 0
+    while True:
+        b = fh.read(1)
+        if not b:
+            raise ValueError("Avro corrupt: EOF inside varint")
+        v = b[0]
+        acc |= (v & 0x7F) << shift
+        if not (v & 0x80):
+            return (acc >> 1) ^ -(acc & 1)
+        shift += 7
+
+
+def _scan_sync(fh, sync: bytes, start: int, limit: int) -> int:
+    """First occurrence of ``sync`` starting at a position in [start, limit);
+    -1 if none. Chunked scan with a 15-byte overlap carry — O(chunk) memory."""
+    fh.seek(start)
+    base = start
+    buf = b""
+    while True:
+        i = buf.find(sync)
+        while i >= 0:
+            if base + i >= limit:
+                return -1
+            return base + i
+        keep = buf[-15:]
+        base += len(buf) - len(keep)
+        buf = keep
+        if base >= limit:
+            return -1
+        chunk = fh.read(1 << 20)
+        if not chunk:
+            return -1
+        buf += chunk
+
+
+def iter_avro_range(
+    path: str,
+    start: int,
+    end: int,
+    writer_schema_json: str,
+    codec: str,
+    sync: bytes,
+    reader_schema_json: str | None = None,
+) -> Iterator[tuple]:
+    """Yield rows from the blocks whose PRECEDING sync marker starts in
+    [start, end) — Avro ``DataFileReader.sync()`` split semantics, so
+    splits covering [header_end − 16, file_size) partition every block
+    exactly once. Needs worker-local ``open()`` (like RCFile's ranged
+    reader); task memory is O(block). A spurious sync-pattern match inside
+    a block payload is detected by the trailing-sync check and scanning
+    resumes one byte later."""
+    import os
+
+    writer = _parse_schema(json.loads(writer_schema_json))
+    reader = (
+        _parse_schema(json.loads(reader_schema_json))
+        if reader_schema_json
+        else writer
+    )
+    names = [n for n, _, _, _ in reader.fields]
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        pos = start
+        while True:
+            q = _scan_sync(fh, sync, pos, end)
+            if q < 0:
+                return
+            # block begins right after the sync at q
+            fh.seek(q + 16)
+            try:
+                count = _read_file_long(fh)
+                bsize = _read_file_long(fh)
+            except ValueError:
+                return  # trailing sync at EOF
+            blk_start = fh.tell()
+            if count < 0 or bsize < 0 or blk_start + bsize + 16 > size:
+                pos = q + 1  # payload coincidence, not a real block boundary
+                continue
+            payload = fh.read(bsize)
+            trailing = fh.read(16)
+            if trailing != sync:
+                pos = q + 1
+                continue
+            if codec == "deflate":
+                payload = zlib.decompress(payload, wbits=-15)
+            elif codec == "snappy":
+                from hdp2_5_hive2_spark.storage.snappy_codec import (
+                    snappy_decompress,
+                )
+
+                (crc,) = struct.unpack(">I", payload[-4:])
+                payload = snappy_decompress(payload[:-4])
+                if zlib.crc32(payload) != crc:
+                    raise ValueError("Avro corrupt: snappy block CRC mismatch")
+            p = 0
+            for _ in range(count):
+                decoded, p = _read_value(writer, payload, p)
+                if reader is not writer:
+                    decoded = _resolve_record(decoded, writer, reader)
+                yield tuple(decoded[n] for n in names)
+            # next block's preceding sync is this block's trailing one
+            pos = blk_start + bsize
+            if pos >= end:
+                return
+
+
+# --------------------------------------------------------------------------
 # DataFrame-level API (dual-path, same shape as storage/rcfile.py)
 # --------------------------------------------------------------------------
 
@@ -804,9 +917,12 @@ def read_avro(
       ``spark.table`` (AvroContainerInputFormat / AvroDeserializer,
       JVM-side, split-parallel). ``schema`` (Spark DDL) is the reader
       schema — AvroSerDe applies the same resolution rules on its side.
-    - **In-memory session**: pure-Python container parser, one task per
-      file; ``schema`` (DDL) activates reader-schema resolution, None
-      infers the schema from the first file's header.
+    - **In-memory session**: the registered Python data source
+      (``format("avro_py")``) — one InputPartition per sync-aligned split
+      (Avro's own DataFileReader.sync() semantics), O(block) task memory,
+      per-file writer schemas resolved to the reader schema. ``schema``
+      (DDL) activates reader-schema resolution, None infers the schema
+      from the first file's header.
     """
     if use_jvm is None:
         use_jvm = (
@@ -828,33 +944,6 @@ def read_avro(
         spark.sql(f"REFRESH TABLE {table}")
         return spark.table(table)
 
-    import glob as _glob
-    import os
+    from hdp2_5_hive2_spark.storage.avro_datasource import read_avro_ds
 
-    files = sorted(
-        p
-        for p in _glob.glob(os.path.join(path, "*"))
-        if os.path.isfile(p) and os.path.getsize(p) > 4
-    )
-    if not files:
-        raise ValueError(f"read_avro: no files under {path}")
-    if schema is not None:
-        target = T.StructType.fromDDL(schema)
-        reader_json = avro_schema_of(target)
-    else:
-        with open(files[0], "rb") as fh:
-            _, meta, _ = _parse_header(fh.read())
-        writer_json = meta["avro.schema"].decode("utf-8")
-        target = spark_schema_of(writer_json)
-        reader_json = None
-
-    sc = spark.sparkContext
-    n = len(files)
-
-    def _read_one(fpath: str):
-        with open(fpath, "rb") as fh:  # worker-local read, like RCFile's
-            data = fh.read()
-        yield from parse_avro(data, reader_json)
-
-    rdd = sc.parallelize(files, n).flatMap(_read_one)
-    return spark.createDataFrame(rdd, target)
+    return read_avro_ds(spark, path, schema=schema)

@@ -202,6 +202,57 @@ def test_schema_inference_matches_writer(spark):
     assert spark_schema_of(avro_schema_of(target)) == target
 
 
+def test_datasource_split_partition_exactness(spark, tmp_path):
+    """Sync-aligned splits must PARTITION a monolithic container's rows —
+    no duplicates, no gaps — across any split size, including splits
+    landing mid-block, exactly on a sync, or past EOF."""
+    import os
+
+    from hdp2_5_hive2_spark.storage.avro_datasource import read_avro_ds
+
+    rows = [(i, f"s{i % 7}", None if i % 11 == 0 else float(i)) for i in range(20000)]
+    sj = avro_schema_of(
+        __import__("pyspark").sql.types.StructType.fromDDL(
+            "k bigint, s string, v double"
+        )
+    )
+    d = tmp_path / "mono"
+    d.mkdir()
+    (d / "part-0.avro").write_bytes(serialize_avro(rows, sj))
+    size = os.path.getsize(d / "part-0.avro")
+    want_sum = sum(r[0] for r in rows)
+    for split in (size * 2, size // 3, 10_000, 4_096, 777):
+        df = read_avro_ds(
+            spark, str(d), "k bigint, s string, v double", split_size=split
+        )
+        assert df.count() == len(rows), split
+        assert df.agg({"k": "sum"}).collect()[0][0] == want_sum, split
+
+
+def test_datasource_mixed_writer_schemas(spark, tmp_path):
+    """A directory whose files were written under DIFFERENT (evolved)
+    writer schemas reads uniformly under one reader schema — per-file
+    resolution, the avro_evolved_schemas.q contract split-parallel."""
+    from hdp2_5_hive2_spark.storage.avro_datasource import read_avro_ds
+    from pyspark.sql.types import StructType
+
+    old = avro_schema_of(StructType.fromDDL("k int, s string"))
+    new = avro_schema_of(StructType.fromDDL("k int, s string, score double"))
+    d = tmp_path / "evolved"
+    d.mkdir()
+    (d / "a.avro").write_bytes(serialize_avro([(1, "a"), (2, "b")], old, seed="a"))
+    (d / "b.avro").write_bytes(
+        serialize_avro([(3, "c", 0.5), (4, None, None)], new, seed="b")
+    )
+    got = read_avro_ds(spark, str(d), "k bigint, s string, score double")
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (1, "a", None),
+        (2, "b", None),
+        (3, "c", 0.5),
+        (4, None, None),
+    ]
+
+
 def test_hive_jvm_cross_parity(tmp_path):
     """Hive's own AvroContainerOutputFormat output must parse with the
     pure-Python reader (typed: decimal/date/timestamp-millis/array/map),
