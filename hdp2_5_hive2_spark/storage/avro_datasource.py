@@ -18,6 +18,13 @@ avro_evolved_schemas.q contract, now split-parallel).
 The name is ``avro_py`` because Spark reserves ``avro`` for its built-in
 (absent) module and refuses to shadow it.
 
+Filter pushdown is deliberately NOT implemented: Spark 4.1's Python-source
+``pushFilters`` (off by default) reuses the MOST RECENT scan — with its
+consumed filters — for later filterless plans over the same loaded
+relation, silently dropping rows (verified empirically; see
+tests/test_avro.py::test_filterless_reuse_returns_all_rows). Predicates
+evaluate engine-side above the scan, which is always correct.
+
 Reference parity: ql/io/avro/AvroContainerInputFormat.java (which wraps
 org.apache.avro.mapred.AvroRecordReader — the same sync-seek split
 semantics re-implemented here).

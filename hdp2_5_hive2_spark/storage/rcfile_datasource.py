@@ -20,11 +20,15 @@ Contract (mirrors ``read_rcfile``'s two layers):
   analogue), since the Python DataSource API has no engine-side column
   pushdown hook.
 - ``split_size`` option (bytes, default 64 MiB) bounds per-task work.
-- string-typed filter conjuncts PUSH into the decode loop (``pushFilters``,
-  Spark 4.1's Python-source pushdown; ``read_rcfile_ds`` self-enables
-  ``spark.sql.python.filterPushdown.enabled``) — filtered rows never cross
-  the Arrow boundary into the JVM. Typed predicates stay above the
-  ``try_cast`` projection and are evaluated by the engine as before.
+- filter pushdown is deliberately NOT implemented. Spark 4.1's
+  Python-source ``pushFilters`` (off by default behind
+  ``spark.sql.python.filterPushdown.enabled``) reuses the MOST RECENT
+  scan — including its consumed filters — for any later filterless plan
+  over the same loaded relation, silently dropping rows (verified
+  empirically in this container; see
+  tests/test_rcfile.py::test_filterless_reuse_returns_all_rows). All
+  predicates are therefore engine-evaluated above the scan, which is
+  always correct.
 
 Reference parity: ql/io/RCFile.java:346-496 (format),
 RCFileRecordReader sync-alignment split semantics.
@@ -35,24 +39,7 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    EqualTo,
-    Filter,
-    GreaterThan,
-    GreaterThanOrEqual,
-    In,
-    InputPartition,
-    IsNotNull,
-    IsNull,
-    LessThan,
-    LessThanOrEqual,
-    Not,
-    StringContains,
-    StringEndsWith,
-    StringStartsWith,
-)
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from hdp2_5_hive2_spark.storage.rcfile import (
     _check_schema_width,
@@ -123,53 +110,6 @@ class RCFileDataSource(DataSource):
         return RCFileReader(schema, self.options)
 
 
-# (kind, column-index, value) specs — plain tuples so the pickled reader
-# stays trivially serializable; compiled to predicates executor-side.
-_CMP_KINDS = {
-    GreaterThan: "gt",
-    GreaterThanOrEqual: "ge",
-    LessThan: "lt",
-    LessThanOrEqual: "le",
-    StringStartsWith: "sw",
-    StringEndsWith: "ew",
-    StringContains: "ct",
-}
-
-
-def _eval_pushed(spec: tuple, cell: str | None) -> bool:
-    """SQL three-valued semantics collapsed to keep/drop: a comparison with
-    a NULL cell is unknown, and WHERE drops unknown — so every kind except
-    isnull is null-rejecting. All cells are strings; Python's code-point
-    ordering equals Spark's UTF8_BINARY byte ordering (UTF-8 preserves
-    code-point order), so <,> agree with the engine."""
-    kind, _, v = spec
-    if kind == "isnull":
-        return cell is None
-    if kind == "notnull":
-        return cell is not None
-    if cell is None:
-        return False
-    if kind == "eq":
-        return cell == v
-    if kind == "ne":
-        return cell != v
-    if kind == "in":
-        return cell in v
-    if kind == "gt":
-        return cell > v
-    if kind == "ge":
-        return cell >= v
-    if kind == "lt":
-        return cell < v
-    if kind == "le":
-        return cell <= v
-    if kind == "sw":
-        return cell.startswith(v)
-    if kind == "ew":
-        return cell.endswith(v)
-    return v in cell  # "ct"
-
-
 class RCFileReader(DataSourceReader):
     def __init__(self, schema, options) -> None:
         for f in schema.fields:
@@ -181,60 +121,6 @@ class RCFileReader(DataSourceReader):
                 )
         self._names = [f.name for f in schema.fields]
         self._options = options
-        self._pushed: list[tuple] = []
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Evaluate supported conjuncts during the Python decode, so
-        filtered rows never cross the Arrow boundary into the JVM (the
-        Python-source analogue of PushedFilters on a parquet scan; enabled
-        by spark.sql.python.filterPushdown.enabled). The engine-facing
-        schema is all-string, so every pushable value is a string — typed
-        predicates stay above read_rcfile_ds's try_cast projection and
-        never reach here. Fully-handled filters are consumed; anything
-        else is yielded back for Spark to evaluate."""
-        by_name = {n: i for i, n in enumerate(self._names)}
-
-        def compile_one(f: Filter) -> tuple | None:
-            if isinstance(f, Not):
-                c = f.child
-                if (
-                    isinstance(c, EqualTo)
-                    and len(c.attribute) == 1
-                    and c.attribute[0] in by_name
-                    and isinstance(c.value, str)
-                ):
-                    return ("ne", by_name[c.attribute[0]], c.value)
-                return None
-            if isinstance(f, (IsNull, IsNotNull)):
-                if len(f.attribute) == 1 and f.attribute[0] in by_name:
-                    kind = "isnull" if isinstance(f, IsNull) else "notnull"
-                    return (kind, by_name[f.attribute[0]], None)
-                return None
-            if isinstance(f, In):
-                if (
-                    len(f.attribute) == 1
-                    and f.attribute[0] in by_name
-                    and all(isinstance(v, str) for v in f.value)
-                ):
-                    return ("in", by_name[f.attribute[0]], frozenset(f.value))
-                return None
-            if isinstance(f, EqualTo) or type(f) in _CMP_KINDS:
-                if (
-                    len(f.attribute) == 1
-                    and f.attribute[0] in by_name
-                    and isinstance(f.value, str)
-                ):
-                    kind = "eq" if isinstance(f, EqualTo) else _CMP_KINDS[type(f)]
-                    return (kind, by_name[f.attribute[0]], f.value)
-                return None
-            return None
-
-        for f in filters:
-            spec = compile_one(f)
-            if spec is None:
-                yield f
-            else:
-                self._pushed.append(spec)
 
     def partitions(self) -> Sequence[RCFileSplit]:
         path = self._options["path"]
@@ -305,15 +191,7 @@ class RCFileReader(DataSourceReader):
             partition.header_end,
             wanted=list(partition.wanted) if partition.wanted else None,
         )
-        if not self._pushed:
-            yield from rows
-            return
-        # Pushed specs index the engine-facing schema, which is exactly the
-        # yielded tuple order (select order when pruned, ddl order when not).
-        pushed = self._pushed
-        for row in rows:
-            if all(_eval_pushed(s, row[s[1]]) for s in pushed):
-                yield row
+        yield from rows
 
 
 def read_rcfile_ds(
@@ -335,9 +213,6 @@ def read_rcfile_ds(
         spark.dataSource.register(RCFileDataSource)
     except Exception:
         pass  # already registered in this session
-    # Off by default in Spark 4.1; the source's pushFilters is a straight
-    # win (fewer rows cross the Arrow boundary), so self-configure it on.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     target = StructType.fromDDL(schema)
     names = [f.name for f in target.fields]
     fields = list(target.fields)

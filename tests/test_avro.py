@@ -253,6 +253,58 @@ def test_datasource_mixed_writer_schemas(spark, tmp_path):
     ]
 
 
+def test_datasource_typed_predicates_and_filterless_reuse(spark, tmp_path):
+    """Typed predicates (int range, string prefix, null tests, IN, NaN)
+    evaluate engine-side above the scan and must match the same rows
+    through createDataFrame; and the filtered-then-filterless access
+    pattern over ONE loaded relation must stay exact — the pattern Spark
+    4.1's Python-source filter pushdown silently corrupts (it reuses the
+    most recent scan, consumed filters included), which is WHY this source
+    implements no pushFilters."""
+    import math
+
+    from hdp2_5_hive2_spark.storage.avro_datasource import read_avro_ds
+    from pyspark.sql.types import StructType
+
+    rows = [
+        (
+            i,
+            None if i % 13 == 0 else f"v{i % 9}",
+            math.nan if i % 17 == 0 else float(i % 5),
+        )
+        for i in range(8000)
+    ]
+    sj = avro_schema_of(StructType.fromDDL("k bigint, s string, x double"))
+    d = tmp_path / "push"
+    d.mkdir()
+    (d / "p0.avro").write_bytes(serialize_avro(rows, sj))
+    ddl = "k bigint, s string, x double"
+    truth = spark.createDataFrame(rows, ddl)
+
+    def norm(rs):
+        return sorted(
+            tuple("NaN" if isinstance(v, float) and v != v else v for v in r)
+            for r in rs
+        )
+
+    base = read_avro_ds(spark, str(d), ddl, split_size=10_000)
+    assert base.rdd.getNumPartitions() > 1
+    for pred in (
+        "k >= 100 and k < 1000 and s = 'v5'",
+        "s is null and k % 2 = 0",
+        "s in ('v1','v2') and k > 7000",
+        "s like 'v%' and k <= 50",
+        "x = 2.0 and k < 500",
+        "isnan(x)",
+    ):
+        got = norm(base.where(pred).collect())
+        want = norm(truth.where(pred).collect())
+        assert got == want and want, pred
+        # the engine-bug access pattern: a filterless action right after a
+        # filtered one on the same relation must still see every row
+        assert base.count() == len(rows), pred
+
+
 def test_hive_jvm_cross_parity(tmp_path):
     """Hive's own AvroContainerOutputFormat output must parse with the
     pure-Python reader (typed: decimal/date/timestamp-millis/array/map),
