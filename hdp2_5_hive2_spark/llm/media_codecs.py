@@ -449,11 +449,30 @@ def _sniff(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     return "unknown"
+
+
+def _image_feature(px: np.ndarray) -> list[float]:
+    """The 8-float image feature every pixel path emits: [width, height,
+    channels, mean, std, min, max, horizontal edge-energy]."""
+    f = px.astype(np.float64)
+    edge = float(np.abs(np.diff(f, axis=1)).mean()) if px.shape[1] > 1 else 0.0
+    return [
+        float(px.shape[1]),
+        float(px.shape[0]),
+        float(px.shape[2] if px.ndim == 3 else 1),
+        float(f.mean()),
+        float(f.std()),
+        float(f.min()),
+        float(f.max()),
+        edge,
+    ]
 
 
 def resize_png_images(df, id_col: str, payload_col: str, width: int, height: int):
@@ -528,30 +547,7 @@ def sample_gif_frames(df, id_col: str, payload_col: str, every_ms: int = 100):
                 for t in range(0, total, every_ms):
                     while fi + 1 < len(frames) and starts[fi + 1] <= t:
                         fi += 1
-                    px = frames[fi][1]
-                    f = px.astype(np.float64)
-                    edge = (
-                        float(np.abs(np.diff(f, axis=1)).mean())
-                        if px.shape[1] > 1
-                        else 0.0
-                    )
-                    rows.append(
-                        (
-                            int(aid),
-                            fi,
-                            t,
-                            [
-                                float(px.shape[1]),
-                                float(px.shape[0]),
-                                float(px.shape[2]),
-                                float(f.mean()),
-                                float(f.std()),
-                                float(f.min()),
-                                float(f.max()),
-                                edge,
-                            ],
-                        )
-                    )
+                    rows.append((int(aid), fi, t, _image_feature(frames[fi][1])))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "frame_idx", "ts_ms", "feature"]
             )
@@ -563,9 +559,11 @@ class PixelCodec(Codec):
     """Codec-seam implementation over the real decoders: features come from
     actual pixel / sample content (not byte statistics). Image feature:
     [width, height, channels, mean, std, min, max, edge-energy]; audio:
-    [n_samples, rate, rms, zero-crossings, mean, std, min, max]. JPEG
-    decodes through the baseline T.81 decoder (`llm.jpeg`); unknown
-    containers (video, ...) still raise — the honest stub."""
+    [n_samples, rate, rms, zero-crossings, mean, std, min, max]; video
+    (AVI containers, DIB or MJPG streams — `llm.avi`): the image feature
+    over all decoded frames stacked, with channels slot = frame count.
+    JPEG decodes through the baseline T.81 decoder (`llm.jpeg`); unknown
+    containers still raise — the honest stub."""
 
     def decode(self, payload: bytes, modality: str) -> list[float]:
         kind = _sniff(payload)
@@ -578,18 +576,17 @@ class PixelCodec(Codec):
                 px = {"png": png_decode, "bmp": bmp_decode, "gif": gif_decode}[
                     kind
                 ](payload)
-            f = px.astype(np.float64)
-            edge = float(np.abs(np.diff(f, axis=1)).mean()) if px.shape[1] > 1 else 0.0
-            return [
-                float(px.shape[1]),
-                float(px.shape[0]),
-                float(px.shape[2] if px.ndim == 3 else 1),
-                float(f.mean()),
-                float(f.std()),
-                float(f.min()),
-                float(f.max()),
-                edge,
-            ]
+            return _image_feature(px)
+        if kind == "avi":
+            from hdp2_5_hive2_spark.llm.avi import avi_decode_frames
+
+            frames = avi_decode_frames(payload)
+            stack = np.concatenate([p for _, p in frames], axis=0)
+            feat = _image_feature(stack)
+            feat[0] = float(frames[0][1].shape[1])  # width of one frame
+            feat[1] = float(frames[0][1].shape[0])  # height of one frame
+            feat[2] = float(len(frames))            # frame count
+            return feat
         if kind == "wav":
             s, rate = wav_decode(payload)
             flat = s.astype(np.float64).reshape(-1)

@@ -153,6 +153,7 @@ _NEW_THIS_ROUND: list[str] = [
     "storage_avro_roundtrip",       # from-spec Avro container codec (r6)
     "multimodal_image_decode_stats",  # real PNG codec decode stats (r6)
     "multimodal_audio_decode_stats",  # real WAV codec decode stats (r6)
+    "multimodal_video_frame_stats",   # real AVI container frame stats (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

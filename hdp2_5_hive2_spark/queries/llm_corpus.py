@@ -578,6 +578,87 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "multimodal_video_frame_stats",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 2 + doc_id % 4 AS n, 7 + doc_id % 5 AS w, 5 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 32
+    ), px AS (
+      SELECT d.doc_id, d.n, d.w, d.h,
+             (d.doc_id * 11 + f.f * 53 + y.y * 31 + x.x * 17) % 256 AS v
+      FROM docs d, generate_series(0, 5) f(f),
+           generate_series(0, 7) y(y), generate_series(0, 11) x(x)
+      WHERE f.f < d.n AND y.y < d.h AND x.x < d.w
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_frames,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST((MAX(n) - 1) * 40 AS BIGINT) AS last_ts_ms,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM px GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "media"),
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode through the from-spec AVI container (llm/avi.py):
+    each document gets a deterministic grayscale frame stack
+    (pixel(f,y,x) = (doc_id*11 + f*53 + y*31 + x*17) mod 256, frame count
+    and geometry keyed by doc_id, 25 fps timing), ENCODED to actual
+    RIFF/AVI bytes (avih/strh/strf headers, movi '00db' DIB chunks, idx1
+    index) and container-parsed + decoded back inside one Arrow pass; the
+    exact-int pixel stats AND the strh-derived last-frame timestamp must
+    equal the oracle's direct arithmetic — so any container bug (chunk
+    framing, index offsets, DIB row padding/bottom-up order, dwRate/
+    dwScale timing) breaks the hash. Map-side only; payload bytes never
+    shuffle. Completes the media family: PNG/WAV decode stats + this —
+    video is no longer the stubbed modality."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 32)
+
+    def run(batches):
+        import numpy as np
+
+        from hdp2_5_hive2_spark.llm.avi import avi_decode_frames, avi_encode_dib
+
+        cols = ("doc_id", "n_frames", "width", "height",
+                "last_ts_ms", "sum_px", "min_px", "max_px")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for k in pdf["doc_id"]:
+                k = int(k)
+                n, w, h = 2 + k % 4, 7 + k % 5, 5 + k % 3
+                frames = [
+                    (
+                        (k * 11 + f * 53
+                         + np.arange(h)[:, None] * 31
+                         + np.arange(w)[None, :] * 17) % 256
+                    ).astype(np.uint8)
+                    for f in range(n)
+                ]
+                decoded = avi_decode_frames(avi_encode_dib(frames, rate=1000, scale=40))
+                stack = np.stack([px[:, :, 0] for _, px in decoded]).astype(np.int64)
+                out["doc_id"].append(k)
+                out["n_frames"].append(len(decoded))
+                out["width"].append(stack.shape[2])
+                out["height"].append(stack.shape[1])
+                out["last_ts_ms"].append(decoded[-1][0])
+                out["sum_px"].append(int(stack.sum()))
+                out["min_px"].append(int(stack.min()))
+                out["max_px"].append(int(stack.max()))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        run,
+        "doc_id bigint, n_frames bigint, width int, height int, "
+        "last_ts_ms bigint, sum_px bigint, min_px bigint, max_px bigint",
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
