@@ -154,6 +154,7 @@ _NEW_THIS_ROUND: list[str] = [
     "multimodal_image_decode_stats",  # real PNG codec decode stats (r6)
     "multimodal_audio_decode_stats",  # real WAV codec decode stats (r6)
     "multimodal_video_frame_stats",   # real AVI container frame stats (r6)
+    "multimodal_video_container_audit",  # ISO BMFF sample-table audit (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

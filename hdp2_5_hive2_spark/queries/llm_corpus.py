@@ -659,6 +659,78 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_container_audit",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 2 + doc_id % 5 AS n,
+             16 * (1 + doc_id % 3) AS w, 16 * (1 + doc_id % 2) AS h
+      FROM documents WHERE doc_id < 40
+    ), sz AS (
+      SELECT d.doc_id, d.n, d.w, d.h,
+             50 + (d.doc_id * 7 + f.f * 13) % 100 AS nb
+      FROM docs d, generate_series(0, 6) f(f) WHERE f.f < d.n
+    )
+    SELECT doc_id,
+           'jpeg' AS codec,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(n) * 40 AS BIGINT) AS duration_ms,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           CAST(MAX(nb) AS BIGINT) AS max_frame_bytes
+    FROM sz GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "media"),
+)
+def multimodal_video_container_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-agnostic video CONTAINER AUDIT through the from-spec ISO
+    BMFF parser (llm/mp4.py): each document gets a deterministic MP4
+    (frame count/geometry/per-frame byte sizes keyed by doc_id, 25 fps)
+    muxed with full sample tables, then audited by resolving
+    stsd/stts/stsz/stsc/stco back out of the moov box — codec fourcc,
+    geometry, sample count, mdhd duration, per-sample byte totals must
+    equal the oracle's direct arithmetic. This is the 100 TB triage shape
+    for crawled video: the parser touches ONLY box headers and sample
+    tables (moov is a metadata-sized read; mdat is never scanned), so
+    auditing an exabyte of video reads gigabytes. Map-side only."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 40)
+
+    def run(batches):
+        from hdp2_5_hive2_spark.llm.mp4 import mp4_mux, mp4_parse
+
+        cols = ("doc_id", "codec", "width", "height",
+                "n_samples", "duration_ms", "total_bytes", "max_frame_bytes")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for k in pdf["doc_id"]:
+                k = int(k)
+                n = 2 + k % 5
+                w, h = 16 * (1 + k % 3), 16 * (1 + k % 2)
+                frames = [
+                    bytes([(k + i) % 256]) * (50 + (k * 7 + i * 13) % 100)
+                    for i in range(n)
+                ]
+                (t,) = mp4_parse(mp4_mux(frames, w, h, codec="jpeg", sample_delta=40))
+                out["doc_id"].append(k)
+                out["codec"].append(t.codec)
+                out["width"].append(t.width)
+                out["height"].append(t.height)
+                out["n_samples"].append(t.n_samples)
+                out["duration_ms"].append(t.duration_ms)
+                out["total_bytes"].append(sum(t.sample_sizes))
+                out["max_frame_bytes"].append(max(t.sample_sizes))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        run,
+        "doc_id bigint, codec string, width int, height int, n_samples bigint, "
+        "duration_ms bigint, total_bytes bigint, max_frame_bytes bigint",
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
