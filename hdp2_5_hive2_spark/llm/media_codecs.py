@@ -5,9 +5,11 @@ seam because this container ships no PIL/ffmpeg. These three formats need
 nothing beyond zlib + numpy, and their wire formats are published (PNG:
 RFC 2083 / W3C spec; BMP: Windows BITMAPINFOHEADER layout; WAV: RIFF/PCM),
 so the seam can be REAL for them — decode to pixel/sample arrays, extract
-features from actual content, resize actual pixels, re-encode. JPEG and
-video remain honestly stubbed (DCT/Huffman and containers genuinely need a
-library).
+features from actual content, resize actual pixels, re-encode. JPEG
+decodes via the from-spec baseline T.81 decoder (`llm.jpeg`); video
+containers parse via `llm.avi` (RIFF/AVI, DIB + MJPEG decode) and
+`llm.mp4` (ISO BMFF sample tables) — only non-MJPEG video BITSTREAMS
+(H.264/HEVC) stay out of scope, a real codec library's job.
 
 Independent-verification strategy (tests/test_media_codecs.py): the JVM
 ships ``javax.imageio`` — a from-scratch PNG implementation we don't
@@ -603,5 +605,5 @@ class PixelCodec(Codec):
             ]
         raise NotImplementedError(
             f"no from-spec decoder for this payload (sniffed {kind!r}); "
-            "video containers need a real codec library"
+            "compressed video bitstreams (H.264/HEVC) need a real codec library"
         )

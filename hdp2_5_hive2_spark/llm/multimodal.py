@@ -4,12 +4,13 @@ Model: a multimodal asset is `binary` payload + a metadata struct
 (modality, mime, width/height/duration, checksum). Decode / feature-extract
 / resize / frame-sample run as Arrow-batched `mapInPandas` transforms —
 the Spark-side plumbing (schemas, batch shapes, partitioning) is real and
-tested. The codec behind the `Codec` seam is REAL for PNG/BMP/WAV/JPEG
-(`llm.media_codecs.PixelCodec` — from-spec decoders incl. a baseline
-T.81 JPEG decoder, javax.imageio cross-parity) and stubbed only for
-video (containers genuinely need a library this container lacks);
-`FakeCodec` remains the deterministic stand-in for pipeline-shape
-tests.
+tested. The codec behind the `Codec` seam is REAL for
+PNG/BMP/WAV/JPEG/GIF (`llm.media_codecs.PixelCodec` — from-spec decoders
+incl. a baseline T.81 JPEG decoder, javax.imageio cross-parity) and for
+video containers (`llm.avi` RIFF/AVI with DIB + MJPEG streams, `llm.mp4`
+ISO BMFF sample tables); only compressed video bitstreams (H.264/HEVC)
+stay behind the seam. `FakeCodec` remains the deterministic stand-in for
+pipeline-shape tests.
 
 Scale: payloads never enter a shuffle — all transforms are map-side; the
 metadata struct is the only thing aggregations touch. Partition sizing comes

@@ -482,7 +482,8 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     pixel stats must equal the oracle's direct arithmetic — so any codec
     bug (filtering, striding, chunk framing) breaks the hash. Map-side
     only; payload bytes never shuffle. Replaces the FakeCodec stand-in for
-    PNG/BMP/WAV (JPEG/video remain honestly stubbed)."""
+    PNG/BMP/WAV (JPEG decodes via llm/jpeg.py, video containers via
+    llm/avi.py and llm/mp4.py)."""
     import pandas as pd
 
     d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 64)
