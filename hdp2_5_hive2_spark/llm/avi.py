@@ -39,6 +39,7 @@ __all__ = [
     "AviStream",
     "avi_mux",
     "avi_demux",
+    "avi_probe",
     "avi_frame_ranges",
     "avi_encode_dib",
     "avi_decode_frames",
@@ -230,6 +231,75 @@ def avi_frame_ranges(data: bytes) -> list[tuple[int, int]]:
         if cid[2:4] in (b"dc", b"db"):
             out.append((b, ln))
     return out
+
+
+def avi_probe(fh) -> tuple["AviStream", list[tuple[int, int, int]]]:
+    """Seek-based probe over an open binary file: reads the 12-byte RIFF
+    header, the hdrl list and the idx1 index — movi (the frame payloads)
+    is skipped with a seek, so probing a multi-GB file reads kilobytes.
+    Returns (stream-with-EMPTY-frames, [(abs_offset, length, ts_ms)…]);
+    payloads are then one ranged read each. Files without idx1 fall back
+    to walking movi CHUNK HEADERS (8 bytes per frame, payloads seeked
+    over). The object-store translation is 2-3 ranged GETs plus one per
+    sampled frame."""
+    hdr = fh.read(12)
+    if hdr[:4] != b"RIFF" or hdr[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF/AVI header)")
+    meta = None
+    movi_start = movi_len = None
+    idx1 = None
+    pos = 12
+    while True:
+        fh.seek(pos)
+        head = fh.read(8)
+        if len(head) < 8:
+            break
+        (clen,) = struct.unpack_from("<I", head, 4)
+        if head[:4] == b"LIST":
+            ltype = fh.read(4)
+            if ltype == b"hdrl":
+                body = fh.read(clen - 4)
+                meta = _parse_headers(body, 0, len(body))
+            elif ltype == b"movi":
+                movi_start, movi_len = pos + 12, clen - 4
+        elif head[:4] == b"idx1":
+            idx1 = fh.read(clen)
+        pos += 8 + clen + (clen & 1)
+    if meta is None or movi_start is None:
+        raise ValueError("AVI corrupt: missing hdrl/movi list")
+    width, height, rate, scale, compression = meta
+    st = AviStream(width, height, rate, scale, compression, [])
+
+    ranges: list[tuple[int, int]] = []
+    if idx1 is not None:
+        base = None
+        for off in range(0, len(idx1) - 15, 16):
+            cid = idx1[off : off + 4]
+            _, coff, clen = struct.unpack_from("<III", idx1, off + 4)
+            if cid[2:4] not in (b"dc", b"db"):
+                continue
+            if base is None:
+                # relative-vs-absolute detection, once: check where the
+                # chunk fourcc actually lands
+                for cand in (movi_start - 4 + coff, coff):
+                    fh.seek(cand)
+                    if fh.read(4) == cid:
+                        base = cand - coff
+                        break
+                if base is None:
+                    raise ValueError("AVI corrupt: idx1 offset mismatch")
+            ranges.append((base + coff + 8, clen))
+    else:
+        p = movi_start
+        end = movi_start + movi_len
+        while p + 8 <= end:
+            fh.seek(p)
+            head = fh.read(8)
+            (clen,) = struct.unpack_from("<I", head, 4)
+            if head[2:4] in (b"dc", b"db"):
+                ranges.append((p + 8, clen))
+            p += 8 + clen + (clen & 1)
+    return st, [(o, ln, st.ts_ms(i)) for i, (o, ln) in enumerate(ranges)]
 
 
 def avi_demux(data: bytes) -> AviStream:

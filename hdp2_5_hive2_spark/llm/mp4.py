@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 __all__ = [
     "Mp4Track",
     "mp4_parse",
+    "mp4_probe",
     "mp4_sample_ranges",
     "mp4_mux",
     "mp4_decode_frames",
@@ -183,8 +184,14 @@ def mp4_parse(data: bytes) -> list[Mp4Track]:
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("MP4 corrupt: missing moov")
+    return _parse_moov(data, *moov)
+
+
+def _parse_moov(data: bytes, start: int, end: int) -> list[Mp4Track]:
+    """Track extraction over a moov BODY — shared by the whole-buffer
+    parser and the seek-based file probe (which reads only the moov box)."""
     tracks: list[Mp4Track] = []
-    for fc, b, e in _walk(data, *moov):
+    for fc, b, e in _walk(data, start, end):
         if fc != b"trak":
             continue
         mdia = _find(data, b, e, b"mdia")
@@ -213,6 +220,38 @@ def mp4_parse(data: bytes) -> list[Mp4Track]:
             )
         )
     return tracks
+
+
+def mp4_probe(fh) -> list[Mp4Track]:
+    """Seek-based probe over an open binary file: walks top-level box
+    HEADERS (8-16 bytes each), loads only the moov box into memory, and
+    resolves the sample tables — mdat is skipped with a seek, so probing
+    a multi-GB file reads kilobytes. The object-store translation is two
+    ranged GETs (header walk + moov); sample offsets in the returned
+    tracks are absolute file offsets, ready for ranged payload reads."""
+    hdr = fh.read(12)
+    if len(hdr) < 12 or hdr[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+    (size,) = struct.unpack_from(">I", hdr, 0)
+    fh.seek(size)
+    while True:
+        head = fh.read(8)
+        if len(head) < 8:
+            raise ValueError("MP4 corrupt: missing moov")
+        (size,) = struct.unpack_from(">I", head, 0)
+        fourcc = head[4:8]
+        body = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", fh.read(8))
+            body = 16
+        if size < body:
+            raise ValueError("MP4 corrupt: bad box size")
+        if fourcc == b"moov":
+            moov = fh.read(size - body)
+            if len(moov) < size - body:
+                raise ValueError("MP4 corrupt: truncated moov")
+            return _parse_moov(moov, 0, len(moov))
+        fh.seek(size - body, 1)
 
 
 def mp4_sample_ranges(data: bytes) -> list[tuple[int, int, int]]:
