@@ -732,6 +732,96 @@ def multimodal_video_container_audit(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "multimodal_image_neardup_pairs",
+    oracle="""
+    WITH cells AS (
+      SELECT d.doc_id, y.y, x.x,
+             CASE WHEN (x.x * 8 + y.y) % 11 = d.doc_id % 11
+                  THEN (d.doc_id * 91) % 251
+                  ELSE ((d.doc_id % 8) * 37 + x.x * 101 + y.y * 59) % 251
+             END AS v
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 64) d,
+           generate_series(0, 7) y(y), generate_series(0, 8) x(x)
+    ), bits AS (
+      SELECT c1.doc_id, c1.y, c1.x,
+             CASE WHEN c1.v < c2.v THEN 1 ELSE 0 END AS bit
+      FROM cells c1 JOIN cells c2
+        ON c1.doc_id = c2.doc_id AND c1.y = c2.y AND c2.x = c1.x + 1
+      WHERE c1.x < 8
+    ), bands AS (
+      SELECT doc_id, y // 2 AS band,
+             SUM(bit * (1 << ((y % 2) * 8 + x))) AS val
+      FROM bits GROUP BY doc_id, y // 2
+    ), h AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN val END) AS b0,
+             MAX(CASE WHEN band = 1 THEN val END) AS b1,
+             MAX(CASE WHEN band = 2 THEN val END) AS b2,
+             MAX(CASE WHEN band = 3 THEN val END) AS b3
+      FROM bands GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS INTEGER) AS hamming
+    FROM h a JOIN h b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 6
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dedup END TO END (llm/image_dedup.py): each
+    document gets a deterministic 9×8 grayscale image (8 base patterns
+    with per-doc pixel perturbations, so planted near-duplicates exist at
+    small Hamming distance), encoded to REAL PNG bytes, decoded back,
+    dHashed into four 16-bit bands, and paired via the pigeonhole bucket
+    join (any shared band) with the exact Hamming filter running
+    JVM-side (bit_count(xor)). The oracle replicates the dHash bit
+    arithmetic and the same band-share candidate rule in SQL — so codec,
+    hash packing, banding and Hamming all must agree. Scale: decode+hash
+    is one Arrow map pass; the only shuffle is the 16-bit band-key join —
+    never an all-pairs product."""
+    import pandas as pd
+
+    from hdp2_5_hive2_spark.llm.image_dedup import dhash_near_dup_pairs, image_dhash
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 64)
+
+    def make_png(batches):
+        import numpy as np
+
+        from hdp2_5_hive2_spark.llm.media_codecs import png_encode
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["doc_id"]:
+                k = int(k)
+                y = np.arange(8)[:, None]
+                x = np.arange(9)[None, :]
+                base = ((k % 8) * 37 + x * 101 + y * 59) % 251
+                v = np.where(
+                    (x * 8 + y) % 11 == k % 11, (k * 91) % 251, base
+                ).astype(np.uint8)
+                ids.append(k)
+                payloads.append(png_encode(v))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    imgs = d.select("doc_id").mapInPandas(make_png, "doc_id long, payload binary")
+    hashes = image_dhash(imgs, "doc_id", "payload")
+    return (
+        dhash_near_dup_pairs(hashes, "doc_id", max_hamming=6)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("hamming").alias("hamming"),
+        )
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
