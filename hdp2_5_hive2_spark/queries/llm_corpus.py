@@ -822,6 +822,84 @@ def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "multimodal_audio_activity_segments",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 64 + doc_id % 32 AS n FROM documents WHERE doc_id < 48
+    ), s AS (
+      SELECT d.doc_id, t.t, t.t // 16 AS w,
+             (d.doc_id * 13 + t.t * t.t * 53 + t.t * 97) % 2001 - 1000 AS v
+      FROM docs d, generate_series(0, 95) t(t)
+      WHERE t.t < (d.n // 16) * 16
+    ), wins AS (
+      SELECT doc_id, w, SUM(v * v) AS energy
+      FROM s GROUP BY doc_id, w
+    ), act AS (
+      SELECT doc_id, w, energy,
+             w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+      FROM wins WHERE energy > 5400000
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS INTEGER) AS seg_start_win,
+           CAST(MAX(w) AS INTEGER) AS seg_end_win,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS energy_sum
+    FROM act GROUP BY doc_id, grp
+    """,
+    tags=("llm", "multimodal", "media"),
+)
+def multimodal_audio_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity (VAD-style) segmentation over REAL WAV payloads:
+    a deterministic PCM-16 signal per document (sample(t) = (doc_id*13 +
+    t²*53 + t*97) mod 2001 − 1000) goes through an actual RIFF/WAVE
+    encode→decode cycle, per-16-sample-window energies (Σ s²) are emitted
+    from the Arrow pass, then windows above the energy threshold merge
+    into maximal contiguous segments with the gaps-and-islands idiom
+    (win − row_number per doc) — segmentation is DataFrame ops, NOT
+    Python, so at 100 TB the only shuffle is the per-doc window partition
+    and the codec pass stays map-side. Exact integer energies must match
+    the oracle's direct arithmetic through the same island construction."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 48)
+
+    def run(batches):
+        import numpy as np
+
+        from hdp2_5_hive2_spark.llm.media_codecs import wav_decode, wav_encode
+
+        for pdf in batches:
+            out = {"doc_id": [], "w": [], "energy": []}
+            for k in pdf["doc_id"]:
+                k = int(k)
+                n = 64 + k % 32
+                t = np.arange(n)
+                s = ((k * 13 + t * t * 53 + t * 97) % 2001 - 1000).astype(np.int16)
+                back, _ = wav_decode(wav_encode(s, 16000))
+                e = back.astype(np.int64) ** 2
+                for w in range(n // 16):
+                    out["doc_id"].append(k)
+                    out["w"].append(w)
+                    out["energy"].append(int(e[16 * w : 16 * w + 16].sum()))
+            yield pd.DataFrame(out)
+
+    wins = d.select("doc_id").mapInPandas(run, "doc_id bigint, w int, energy bigint")
+    act = wins.filter(F.col("energy") > 5_400_000).withColumn(
+        "grp",
+        F.col("w")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("w")),
+    )
+    return act.groupBy("doc_id", "grp").agg(
+        F.min("w").cast("int").alias("seg_start_win"),
+        F.max("w").cast("int").alias("seg_end_win"),
+        F.count("*").alias("n_windows"),
+        F.sum("energy").alias("energy_sum"),
+    ).drop("grp")
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
