@@ -93,7 +93,8 @@ def image_dhash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 
 def dhash_near_dup_pairs(
-    hashes: DataFrame, id_col: str, max_hamming: int = 6
+    hashes: DataFrame, id_col: str, max_hamming: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming) from a (id, b0..b3) frame.
 
@@ -102,9 +103,11 @@ def dhash_near_dup_pairs(
     JVM-side via bit_count(xor). Recall note: pigeonhole guarantees every
     pair with hamming ≤ 3 shares a band; beyond that this is the same
     recall trade SimHash blocking makes (documented, mirrored in
-    oracles). Scale: one shuffle on the 16-bit band keys; skewed buckets
-    (e.g. flat images all hashing to 0) can be capped upstream the same
-    way llm_fingerprint_overlap caps hot buckets."""
+    oracles). Scale: one shuffle on the 16-bit band keys; ``max_bucket``
+    drops band buckets holding more than that many images (flat/boilerplate
+    imagery all hashing alike — the llm_fingerprint_overlap hot-bucket
+    discipline: bounds the self-join fan-out at max_bucket² per bucket,
+    trading away only pairs whose EVERY shared band is degenerate)."""
     bands = hashes.select(
         F.col(id_col).alias("_id"), "b0", "b1", "b2", "b3",
         F.explode(
@@ -114,6 +117,16 @@ def dhash_near_dup_pairs(
             ])
         ).alias("bv"),
     ).select("_id", "b0", "b1", "b2", "b3", "bv.band", "bv.val")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bands = (
+            bands.withColumn(
+                "_bn", F.count("*").over(Window.partitionBy("band", "val"))
+            )
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

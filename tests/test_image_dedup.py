@@ -87,3 +87,25 @@ def test_pigeonhole_recall_and_band_join(spark):
     assert rows[(0, 1)] == 0
     assert rows[(0, 2)] == rows[(1, 2)] and 1 <= rows[(0, 2)] <= 2
     assert not any(3 in pair for pair in rows)
+
+
+def test_hot_bucket_cap(spark):
+    """max_bucket drops degenerate buckets: 10 identical flat images all
+    share every band, so a cap below 10 suppresses the flat cluster while
+    a distinctive duplicate pair (in buckets of size 2) survives."""
+    rng = np.random.default_rng(4)
+    flat = np.zeros((8, 9), dtype=np.uint8)
+    textured = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    imgs = [(i, png_encode(flat)) for i in range(10)]
+    imgs += [(10, png_encode(textured)), (11, png_encode(textured))]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in imgs], "id long, payload binary"
+    )
+    hashes = image_dhash(df, "id", "payload")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dhash_near_dup_pairs(hashes, "id", max_bucket=8).collect()
+    }
+    assert capped == {(10, 11)}
+    uncapped = dhash_near_dup_pairs(hashes, "id").count()
+    assert uncapped == 45 + 1  # all flat pairs + the textured pair
