@@ -248,7 +248,13 @@ def duplicate_clusters(
 
 
 def corpus_filter(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_pairs: DataFrame | None = None,
+    eval_df: DataFrame | None = None,
+    decon_n: int = 8,
+    decon_min_hits: int = 1,
 ) -> DataFrame:
     """End-to-end keep/drop decision per document — the composed curation
     pipeline a pretraining corpus actually runs, one row per input doc:
@@ -257,12 +263,21 @@ def corpus_filter(
       lang_keep      predicted language agrees with the tagged one (the
                      input must carry a ``lang`` column)
       is_canonical   minimum-id representative of its exact-dup group
-      keep           conjunction of the three
+      near_keep      (when ``near_pairs`` is given — any (id_a, id_b)
+                     pair frame with id_a < id_b: MinHash/SimHash/dHash
+                     output all qualify) — not a greedy near-dup loser,
+                     i.e. never appears as id_b
+      decon_keep     (when ``eval_df`` is given) — shares fewer than
+                     ``decon_min_hits`` distinct ``decon_n``-grams with
+                     the eval suite (broadcast join, corpus never
+                     shuffles for this stage)
+      keep           conjunction of every stage present
 
-    Plan: quality and language are pure map-side codegen'd expressions; the
-    only shuffle is the 16-byte fingerprint window that elects exact-dup
-    representatives (min id per md5 of normalized text). Flags are emitted
-    per stage so downstream loss accounting can attribute every drop.
+    Plan: quality and language are pure map-side codegen'd expressions;
+    exact-dup election is one 16-byte fingerprint window; the optional
+    stages add one id-keyed left join each (losers / hit ids — both
+    duplicate-sized, far smaller than the corpus). Flags are emitted per
+    stage so downstream loss accounting can attribute every drop.
     """
     from hdp2_5_hive2_spark.llm import text as text_ops
 
@@ -272,19 +287,37 @@ def corpus_filter(
         .withColumn("fp", F.md5(normalized))
     )
     min_id = F.min(id_col).over(Window.partitionBy("fp"))
-    return staged.select(
+    out = staged.select(
         id_col,
         F.col("quality_score"),
         F.col("lang_pred"),
         (F.col("quality_score") >= 2).alias("quality_keep"),
         (F.col("lang_pred") == F.col("lang")).alias("lang_keep"),
         (F.col(id_col) == min_id).alias("is_canonical"),
-        (
-            (F.col("quality_score") >= 2)
-            & (F.col("lang_pred") == F.col("lang"))
-            & (F.col(id_col) == min_id)
-        ).alias("keep"),
     )
+    keep = F.col("quality_keep") & F.col("lang_keep") & F.col("is_canonical")
+    if near_pairs is not None:
+        losers = (
+            near_pairs.select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("_near_loser", F.lit(True))
+        )
+        out = out.join(losers, id_col, "left").withColumn(
+            "near_keep", F.col("_near_loser").isNull()
+        ).drop("_near_loser")
+        keep = keep & F.col("near_keep")
+    if eval_df is not None:
+        hits = (
+            decontaminate(df, eval_df, text_col, id_col, n=decon_n)
+            .filter(F.col("n_hit_ngrams") >= decon_min_hits)
+            .select(id_col)
+            .withColumn("_contaminated", F.lit(True))
+        )
+        out = out.join(hits, id_col, "left").withColumn(
+            "decon_keep", F.col("_contaminated").isNull()
+        ).drop("_contaminated")
+        keep = keep & F.col("decon_keep")
+    return out.withColumn("keep", keep)
 
 
 def stratified_sample(

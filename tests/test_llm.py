@@ -2089,3 +2089,53 @@ def test_peak_concurrency_bruteforce(spark):
         sum(1 for a, b in sessions if a <= t <= b) for t in points
     )
     assert peak == brute == 3
+
+
+def test_corpus_filter_full_funnel(spark):
+    """corpus_filter with all five stages: planted quality-fail, lang-fail,
+    exact dup, near-dup loser (external pair frame) and contaminated docs
+    each trip exactly their own flag, and `keep` is the conjunction."""
+    from hdp2_5_hive2_spark.llm import curation
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, good + " zero", "en"),          # survivor
+            (1, "the 12345 67890 11111", "en"),  # quality fail (short, non-alpha)
+            (2, good + " dos tres", "de"),       # lang fail (en-pred vs de tag)
+            (3, good + " zero", "en"),           # exact dup of 0 (higher id)
+            (4, good + " four", "en"),           # near-dup loser via pairs
+            (5, good + " with the secret eval phrase inside it today", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = spark.createDataFrame([(0, 4)], "id_a long, id_b long")
+    eval_df = spark.createDataFrame(
+        [(100, "with the secret eval phrase inside it today")],
+        "doc_id long, text string",
+    )
+    v = {
+        r.doc_id: r
+        for r in curation.corpus_filter(
+            docs, near_pairs=pairs, eval_df=eval_df, decon_n=8
+        ).collect()
+    }
+    assert v[0].keep
+    assert not v[1].quality_keep and v[1].lang_keep
+    assert not v[2].lang_keep and v[2].quality_keep
+    assert not v[3].is_canonical and v[3].quality_keep
+    assert not v[4].near_keep and v[4].is_canonical
+    assert not v[5].decon_keep and v[5].near_keep
+    for d in (1, 2, 3, 4, 5):
+        assert not v[d].keep
+    # funnel accounting: one aggregation over the flags
+    funnel = (
+        curation.corpus_filter(docs, near_pairs=pairs, eval_df=eval_df)
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.col("quality_keep").cast("int")).alias("q"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+        )
+        .first()
+    )
+    assert (funnel.total, funnel.q, funnel.kept) == (6, 5, 1)
