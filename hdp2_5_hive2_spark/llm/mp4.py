@@ -189,7 +189,17 @@ def mp4_parse(data: bytes) -> list[Mp4Track]:
 
 def _parse_moov(data: bytes, start: int, end: int) -> list[Mp4Track]:
     """Track extraction over a moov BODY — shared by the whole-buffer
-    parser and the seek-based file probe (which reads only the moov box)."""
+    parser and the seek-based file probe (which reads only the moov box).
+    Corrupt sample tables (truncated arrays, missing required boxes)
+    raise ValueError, never struct.error/IndexError — crawl data is
+    hostile and callers filter on a single exception type."""
+    try:
+        return _parse_moov_inner(data, start, end)
+    except struct.error as exc:
+        raise ValueError(f"MP4 corrupt: truncated table ({exc})") from None
+
+
+def _parse_moov_inner(data: bytes, start: int, end: int) -> list[Mp4Track]:
     tracks: list[Mp4Track] = []
     for fc, b, e in _walk(data, start, end):
         if fc != b"trak":
@@ -198,17 +208,21 @@ def _parse_moov(data: bytes, start: int, end: int) -> list[Mp4Track]:
         if mdia is None:
             continue
         mdhd = _find(data, *mdia, b"mdhd")
+        hdlr = _find(data, *mdia, b"hdlr")
+        if mdhd is None or hdlr is None:
+            raise ValueError("MP4 corrupt: trak missing mdhd/hdlr")
         version = data[mdhd[0]]
         if version == 1:
             timescale, duration = struct.unpack_from(">IQ", data, mdhd[0] + 20)
         else:
             timescale, duration = struct.unpack_from(">II", data, mdhd[0] + 12)
-        hdlr = _find(data, *mdia, b"hdlr")
         handler = data[hdlr[0] + 8 : hdlr[0] + 12]
         if handler != b"vide":
             continue
         minf = _find(data, *mdia, b"minf")
-        stbl = _find(data, *minf, b"stbl")
+        stbl = _find(data, *minf, b"stbl") if minf is not None else None
+        if stbl is None:
+            raise ValueError("MP4 corrupt: video trak missing minf/stbl")
         codec, width, height, sizes, chunks, stsc, deltas = _parse_stbl(data, *stbl)
         offsets, ts = _sample_layout(sizes, chunks, stsc, deltas)
         if len(offsets) != len(sizes) or len(ts) < len(sizes):

@@ -82,6 +82,29 @@ def test_absolute_offset_idx1_variant():
     assert all((px == f).all() for (_, px), f in zip(out, frames))
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    n_mut=st.integers(1, 8),
+    cut=st.floats(0.05, 1.0),
+)
+def test_fuzz_only_valueerror(seed, n_mut, cut):
+    """Byte-mutated / truncated AVIs either parse or raise ValueError —
+    never an unguarded struct/index error or a hang."""
+    import random as _random
+
+    rnd = _random.Random(seed)
+    base = np.zeros((4, 6, 3), dtype=np.uint8)
+    data = bytearray(avi_encode_dib([base, base + 1, base + 2]))
+    for _ in range(n_mut):
+        data[rnd.randrange(len(data))] = rnd.randrange(256)
+    blob = bytes(data)[: max(12, int(len(data) * cut))]
+    try:
+        avi_demux(blob)
+    except ValueError:
+        pass
+
+
 def test_corrupt_and_unsupported_raise():
     with pytest.raises(ValueError, match="bad RIFF/AVI"):
         avi_demux(b"RIFF\x04\x00\x00\x00WAVE")

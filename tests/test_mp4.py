@@ -101,6 +101,28 @@ def test_co64_and_v1_mdhd_variants():
     assert t.ts_ms(1) == 512 * 1000 // 90000
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    n_mut=st.integers(1, 8),
+    cut=st.floats(0.05, 1.0),
+)
+def test_fuzz_only_valueerror(seed, n_mut, cut):
+    """Byte-mutated / truncated files either parse or raise ValueError —
+    never struct.error / IndexError / a hang (crawl data is hostile)."""
+    import random as _random
+
+    rnd = _random.Random(seed)
+    data = bytearray(mp4_mux([b"x" * 50, b"y" * 60, b"z" * 70], 8, 8))
+    for _ in range(n_mut):
+        data[rnd.randrange(len(data))] = rnd.randrange(256)
+    blob = bytes(data)[: max(8, int(len(data) * cut))]
+    try:
+        mp4_parse(blob)
+    except ValueError:
+        pass
+
+
 def test_corrupt_raises():
     with pytest.raises(ValueError, match="missing ftyp"):
         mp4_parse(b"\x00\x00\x00\x08free")
