@@ -30,7 +30,19 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dhash_bands", "image_dhash", "dhash_near_dup_pairs"]
+__all__ = ["dhash_bands", "image_dhash", "dhash_near_dup_pairs", "hamming_matrix"]
+
+_POP16 = None
+
+
+def hamming_matrix(kept: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Hamming distances between one 4-band hash ``h`` (shape (4,)) and a
+    keeper matrix (K, 4) — vectorized via a 16-bit popcount LUT (64 KB,
+    built once per process), the streaming gate's per-bucket scan."""
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+    return _POP16[(kept ^ h).astype(np.int64)].sum(axis=1)
 
 
 def dhash_bands(gray: np.ndarray) -> tuple[int, int, int, int]:

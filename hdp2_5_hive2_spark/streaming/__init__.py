@@ -1,5 +1,7 @@
 from hdp2_5_hive2_spark.streaming.corpus import (
     resolve_dup_verdicts,
+    resolve_image_verdicts,
+    streaming_image_dedup,
     streaming_minhash_dedup,
 )
 from hdp2_5_hive2_spark.streaming.events import (
@@ -18,4 +20,6 @@ __all__ = [
     "sessionize_batch",
     "streaming_minhash_dedup",
     "resolve_dup_verdicts",
+    "streaming_image_dedup",
+    "resolve_image_verdicts",
 ]

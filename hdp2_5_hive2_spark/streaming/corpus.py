@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.llm.dedup import _MIX, _MIX2, _shingle_list
 
-__all__ = ["streaming_minhash_dedup", "resolve_dup_verdicts"]
+__all__ = [
+    "streaming_minhash_dedup",
+    "resolve_dup_verdicts",
+    "streaming_image_dedup",
+    "resolve_image_verdicts",
+]
 
 
 def _banded_sig_stream(
@@ -244,5 +249,154 @@ def resolve_dup_verdicts(band_verdicts: DataFrame) -> DataFrame:
             F.col("dup_of").isNotNull().alias("is_dup"),
             "dup_of",
             "est_jaccard",
+        )
+    )
+
+
+def streaming_image_dedup(
+    img_stream: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """STREAMING perceptual image-dedup ingestion gate — the image twin of
+    :func:`streaming_minhash_dedup`, built on the dHash family
+    (``llm.image_dedup``): image payloads arrive over micro-batches, each
+    is decoded + dHashed map-side, and judged against every KEEPER image
+    ingested so far via the same band-bucket state-store discipline.
+
+    Composition: Arrow decode/hash pass (payload bytes never shuffle —
+    only the four 16-bit bands leave the map side) →
+    groupBy(band_id, band_val) → ``applyInPandasWithState``: bucket state
+    holds keeper (id, 4-band hash) entries; a new image whose Hamming
+    distance to some keeper is ≤ ``max_hamming`` is flagged with the
+    closest (then smallest-id) keeper; novel images join the state.
+    Same-batch arrivals process in id order → deterministic min-id
+    convention, exactly like the text gate.
+
+    Returns per-bucket verdicts ``(asset_id, dup_of, hamming)``; reduce
+    per document in the sink's ``foreachBatch`` via
+    :func:`resolve_image_verdicts` (same rationale as the text gate: a
+    second stateful aggregation cannot chain after arbitrary stateful
+    processing without event time).
+
+    100 TB notes: state per keeper per band is (id, 4×8-byte bands) ≈
+    40 B — an order of magnitude lighter than the MinHash gate's
+    signatures, so billions of images fit a RocksDB state store easily;
+    the per-bucket scan is one LUT-popcount over the bucket's hash matrix
+    (``llm.image_dedup.hamming_matrix``). Degenerate flat-image buckets
+    concentrate identical hashes, which is exactly when the first keeper
+    matches and the scan exits at one row.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from hdp2_5_hive2_spark.llm.image_dedup import _to_gray_9x8, dhash_bands, hamming_matrix
+
+    def gen(batches):
+        empty = pd.DataFrame(
+            {"id": [], "band_id": [], "band_val": [], "h": []}
+        ).astype({"id": "int64", "band_id": "int32", "band_val": "int32"})
+        for pdf in batches:
+            rows = {"id": [], "band_id": [], "band_val": [], "h": []}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                bands = dhash_bands(_to_gray_9x8(bytes(payload)))
+                for bi in range(4):
+                    rows["id"].append(int(i))
+                    rows["band_id"].append(bi)
+                    rows["band_val"].append(bands[bi])
+                    rows["h"].append(list(bands))
+            yield pd.DataFrame(rows) if rows["id"] else empty
+
+    banded = img_stream.select(id_col, payload_col).mapInPandas(
+        gen, "id bigint, band_id int, band_val int, h array<bigint>"
+    )
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("dup_of", LongType()),
+            StructField("hamming", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("hashes", ArrayType(LongType())),
+        ]
+    )
+    thr = max_hamming
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            kept_ids, kept_flat = state.get
+            kept_ids, kept_flat = list(kept_ids), list(kept_flat)
+        else:
+            kept_ids, kept_flat = [], []
+        arrivals = []
+        for pdf in pdfs:
+            for aid, h in zip(pdf["id"], pdf["h"]):
+                arrivals.append((int(aid), np.asarray(h, dtype=np.int64)))
+        arrivals.sort(key=lambda x: x[0])
+        mat = (
+            np.asarray(kept_flat, dtype=np.int64).reshape(-1, 4)
+            if kept_flat
+            else np.empty((0, 4), dtype=np.int64)
+        )
+        out_id, out_dup, out_d = [], [], []
+        for aid, h in arrivals:
+            dup_of, dist = None, None
+            if len(mat):
+                d = hamming_matrix(mat, h)
+                hits = np.flatnonzero(d <= thr)
+                if len(hits):
+                    ids_h = np.asarray(kept_ids)[hits]
+                    order = np.lexsort((ids_h, d[hits]))
+                    j = hits[order[0]]
+                    dup_of, dist = int(kept_ids[j]), int(d[j])
+            if dup_of is None:
+                kept_ids.append(aid)
+                kept_flat.extend(int(x) for x in h)
+                mat = np.vstack([mat, h[None, :]])
+            out_id.append(aid)
+            out_dup.append(dup_of)
+            out_d.append(dist)
+        state.update((kept_ids, kept_flat))
+        if out_id:
+            yield pd.DataFrame(
+                {"asset_id": out_id, "dup_of": out_dup, "hamming": out_d}
+            )
+
+    return banded.groupBy("band_id", "band_val").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def resolve_image_verdicts(band_verdicts: DataFrame) -> DataFrame:
+    """Per-image reduce over the gate's per-band verdicts (run inside
+    ``foreachBatch``): duplicate if ANY band matched; ``dup_of`` is the
+    closest keeper (ties → smallest id)."""
+    best = F.min(F.struct("hamming", "dup_of")).alias("best")
+    return (
+        band_verdicts.where(F.col("dup_of").isNotNull())
+        .groupBy("asset_id")
+        .agg(best)
+        .select("asset_id", "best.dup_of", "best.hamming")
+        .join(band_verdicts.select("asset_id").distinct(), "asset_id", "right")
+        .select(
+            "asset_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "hamming",
         )
     )

@@ -274,3 +274,92 @@ def test_streaming_gate_same_batch_pair_resolves_to_min_id(spark, planted):
     assert hits / len(near) >= 0.9
     for did, dup_of in flags.items():
         assert dup_of < did
+
+
+# ---------------------------------------------------------------------------
+# Streaming perceptual image gate (dHash twin)
+# ---------------------------------------------------------------------------
+
+
+def _png_corpus():
+    """(originals_pdf, variants_pdf): 20 textured originals; variants are
+    the same pixels with a two-pixel swap (≤ 2 flipped dHash comparisons)
+    at asset_id + OFFSET — must flag against the round-1 keeper."""
+    import numpy as np
+    import pandas as pd
+
+    from hdp2_5_hive2_spark.llm.media_codecs import png_encode
+
+    rng = np.random.default_rng(42)
+    orig_rows, var_rows = [], []
+    for k in range(20):
+        px = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+        orig_rows.append((k, png_encode(px)))
+        tw = px.copy()
+        tw[3, 0], tw[3, 1] = tw[3, 1], tw[3, 0]
+        var_rows.append((k + OFFSET, png_encode(tw)))
+    mk = lambda rows: pd.DataFrame(
+        {"asset_id": [r[0] for r in rows], "payload": [r[1] for r in rows]}
+    )
+    return mk(orig_rows), mk(var_rows)
+
+
+def test_streaming_image_gate_flags_variants_across_triggers(spark):
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hdp2_5_hive2_spark.streaming import (
+        resolve_image_verdicts,
+        streaming_image_dedup,
+    )
+
+    originals, variants = _png_corpus()
+    tmp = Path(tempfile.mkdtemp(prefix="stream_imgdedup_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        for i, pdf in enumerate([originals, variants]):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema("asset_id bigint, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        gate = streaming_image_dedup(stream, max_hamming=6)
+        out = []
+
+        def sink(bdf, bid):
+            pdf = resolve_image_verdicts(bdf).toPandas()
+            if len(pdf):
+                out.append((int(bid), pdf))
+
+        q = gate.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert len(out) >= 2, "file source must deliver multiple triggers"
+    by_asset = {}
+    for bid, pdf in out:
+        for r in pdf.itertuples():
+            by_asset[int(r.asset_id)] = (
+                bid,
+                bool(r.is_dup),
+                None if r.dup_of is None or r.dup_of != r.dup_of else int(r.dup_of),
+            )
+    assert set(by_asset) == set(range(20)) | {k + OFFSET for k in range(20)}
+    # originals (batch 0) are keepers; textured randoms must not cross-flag
+    orig_batch = max(by_asset[k][0] for k in range(20))
+    hits = 0
+    for k in range(20):
+        bid, is_dup, dup_of = by_asset[k + OFFSET]
+        assert bid > orig_batch
+        if is_dup and dup_of == k:
+            hits += 1
+    assert hits >= 18, f"variant recall {hits}/20"
+    false_orig = [k for k in range(20) if by_asset[k][1]]
+    assert len(false_orig) <= 1, f"textured originals cross-flagged: {false_orig}"
