@@ -20,7 +20,13 @@ Modules:
     block-encoded posting lists, bigram LM (self + held-out), DSIR
     importance weights, BPE pair counts + merge-step accounting +
     iterated training, feature hashing, reciprocal-rank fusion
-  - multimodal: binary-column plumbing with stubbed decoders
+  - multimodal: binary-column plumbing (Codec seam, metadata structs)
+  - media_codecs / jpeg: REAL from-spec still-image + audio codecs
+    (PNG/BMP/WAV/GIF incl. animated, baseline T.81 JPEG decode)
+  - avi / mp4: video containers (RIFF-AVI and ISO BMFF) — mux/demux,
+    DIB+MJPEG frame decode, seek-based metadata probes
+  - video_source: distributed frame indexing + ranged-read extraction
+  - image_dedup: dHash perceptual near-dedup (banded pigeonhole join)
 
 All operators are DataFrame→DataFrame transforms built from JVM-side
 expressions (no Python row loops); where Python is unavoidable the batch path

@@ -157,6 +157,7 @@ _NEW_THIS_ROUND: list[str] = [
     "multimodal_video_container_audit",  # ISO BMFF sample-table audit (r6)
     "multimodal_image_neardup_pairs",  # dHash perceptual near-dedup (r6)
     "multimodal_audio_activity_segments",  # VAD-style energy islands (r6)
+    "multimodal_video_scene_cuts",     # frame-diff energy cut detection (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

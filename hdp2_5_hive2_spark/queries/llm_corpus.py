@@ -900,6 +900,91 @@ def multimodal_audio_activity_segments(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "multimodal_video_scene_cuts",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 5 + doc_id % 4 AS n, 2 + doc_id % 3 AS cut
+      FROM documents WHERE doc_id < 32
+    ), px AS (
+      SELECT d.doc_id, f.f, y.y, x.x,
+             (d.doc_id * 29
+              + CASE WHEN f.f < d.cut THEN 0 ELSE 71 END
+              + x.x * 13 + y.y * 7) % 200 + (f.f * 3) % 5 AS v
+      FROM docs d, generate_series(0, 7) f(f),
+           generate_series(0, 5) y(y), generate_series(0, 7) x(x)
+      WHERE f.f < d.n
+    ), diffs AS (
+      SELECT a.doc_id, a.f AS frame_idx, SUM(ABS(a.v - b.v)) AS diff_energy
+      FROM px a JOIN px b
+        ON a.doc_id = b.doc_id AND b.f = a.f - 1 AND a.y = b.y AND a.x = b.x
+      GROUP BY a.doc_id, a.f
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+           CAST(diff_energy AS BIGINT) AS diff_energy,
+           diff_energy > 500 AS is_cut
+    FROM diffs
+    """,
+    tags=("llm", "multimodal", "media"),
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL AVI payloads: each document gets a
+    deterministic two-scene DIB video (scene switches at frame 2+doc_id%3
+    with small within-scene jitter), muxed to actual RIFF/AVI bytes and
+    decoded back; successive-frame absolute-difference energy is computed
+    per frame inside the Arrow pass (frames of one asset are already
+    co-located — no shuffle carries pixels) and thresholded into cut
+    flags. Exact integer energies and timestamps must match the oracle's
+    direct arithmetic. The 100 TB shape: per-asset temporal work rides
+    the same map-side seam as frame sampling; only (asset, frame,
+    energy) rows ever shuffle."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 32)
+
+    def run(batches):
+        import numpy as np
+
+        from hdp2_5_hive2_spark.llm.avi import avi_decode_frames, avi_encode_dib
+
+        cols = ("doc_id", "frame_idx", "ts_ms", "diff_energy", "is_cut")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for k in pdf["doc_id"]:
+                k = int(k)
+                n, cut = 5 + k % 4, 2 + k % 3
+                y = np.arange(6)[:, None]
+                x = np.arange(8)[None, :]
+                frames = [
+                    (
+                        (k * 29 + (0 if f < cut else 71) + x * 13 + y * 7) % 200
+                        + (f * 3) % 5
+                    ).astype(np.uint8)
+                    for f in range(n)
+                ]
+                decoded = avi_decode_frames(avi_encode_dib(frames, rate=1000, scale=40))
+                prev = None
+                for f, (ts, px) in enumerate(decoded):
+                    cur = px[:, :, 0].astype(np.int64)
+                    if prev is not None:
+                        e = int(np.abs(cur - prev).sum())
+                        out["doc_id"].append(k)
+                        out["frame_idx"].append(f)
+                        out["ts_ms"].append(ts)
+                        out["diff_energy"].append(e)
+                        out["is_cut"].append(e > 500)
+                    prev = cur
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        run,
+        "doc_id bigint, frame_idx int, ts_ms bigint, diff_energy bigint, "
+        "is_cut boolean",
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
