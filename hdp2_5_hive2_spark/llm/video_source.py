@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["video_frame_index", "read_video_frames"]
+__all__ = [
+    "video_frame_index",
+    "read_video_frames",
+    "VideoFramesDataSource",
+    "read_video_frames_ds",
+]
 
 _INDEX_SCHEMA = (
     "path string, container string, codec string, width int, height int, "
@@ -151,3 +156,137 @@ def read_video_frames(
 
     cols = ["path", "codec", "width", "height", "frame_idx", "offset", "length", "ts_ms"]
     return index.select(*cols).mapInPandas(run, out_cols)
+
+
+# ---------------------------------------------------------------------------
+# videoframes as a registered Spark data source (PySpark 4 Python
+# DataSource API, same pattern as storage/rcfile_datasource.py)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _VideoFile(InputPartition):
+    """One asset file (pickled to executors; probing happens there)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+
+class VideoFramesDataSource(DataSource):
+    """``spark.read.format("videoframes").load(path)`` — one row per video
+    frame across a file or directory of AVI/MP4 assets.
+
+    Options:
+      ``every_n``  keep frames with frame_idx % every_n == 0, applied at
+                   the FORMAT layer: skipped frames are never pread —
+                   with the seek-based probes this is the ranged-access
+                   sampling path, not a post-filter
+      ``decode``   "none" (default: raw ``payload`` binary column — any
+                   codec) or "feature" (8-float image feature; DIB/MJPEG
+                   tracks only)
+
+    Planning emits one InputPartition per FILE; container probing happens
+    on the EXECUTOR inside read(), so a million-file corpus plans without
+    the driver touching any file (intra-file frame parallelism, when one
+    asset dominates, is `video_frame_index`'s job). Deliberately no
+    pushFilters: see rcfile_datasource.py's scan-reuse note.
+    """
+
+    @classmethod
+    def name(cls):
+        return "videoframes"
+
+    def schema(self):
+        tail = (
+            "feature array<float>"
+            if self.options.get("decode", "none") == "feature"
+            else "payload binary"
+        )
+        return (
+            "path string, container string, codec string, width int, "
+            "height int, frame_idx int, ts_ms bigint, " + tail
+        )
+
+    def reader(self, schema):
+        return _VideoFramesReader(schema, self.options)
+
+
+class _VideoFramesReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self._options = options
+
+    def partitions(self):
+        path = self._options["path"]
+        if _os.path.isdir(path):
+            files = sorted(
+                p
+                for f in _os.listdir(path)
+                if not f.startswith((".", "_"))
+                and _os.path.isfile(p := _os.path.join(path, f))
+            )
+        else:
+            files = [path]
+        return [_VideoFile(f) for f in files] or [_VideoFile("")]
+
+    def read(self, partition):
+        if not partition.path:
+            return
+        every_n = int(self._options.get("every_n", 1))
+        decode = self._options.get("decode", "none") == "feature"
+        yield from _frame_rows(partition.path, every_n, decode)
+
+
+def _frame_rows(path: str, every_n: int, decode: bool):
+    """Executor-side: probe one file, pread every_n-th frame, optionally
+    decode into the shared image feature."""
+    rows = _probe_one(path)
+    with open(path, "rb") as fh:
+        for (cont, cdc, w, h, _n, i, off, ln, ts) in rows:
+            if i % every_n:
+                continue
+            fh.seek(off)
+            payload = fh.read(ln)
+            if len(payload) < ln:
+                raise ValueError(f"truncated frame read: {path}@{off}")
+            if not decode:
+                yield (path, cont, cdc, w, h, i, ts, payload)
+                continue
+            import numpy as np
+
+            from hdp2_5_hive2_spark.llm.media_codecs import _image_feature
+
+            cu = cdc.upper()
+            if cu == "DIB":
+                from hdp2_5_hive2_spark.llm.avi import _dib_decode
+
+                px = _dib_decode(payload, w, h)
+            elif cu in ("MJPG", "JPEG", "MJPA"):
+                from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
+
+                px = jpeg_decode(payload)
+                if px.ndim == 2:
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+            else:
+                raise ValueError(
+                    f"no from-spec decoder for codec {cdc!r}; use decode=none"
+                )
+            yield (path, cont, cdc, w, h, i, ts, _image_feature(px))
+
+
+def read_video_frames_ds(
+    spark: SparkSession, path: str, every_n: int = 1, decode: bool = False
+) -> DataFrame:
+    """Register (idempotent) + load the videoframes source."""
+    try:
+        spark.dataSource.register(VideoFramesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("videoframes")
+        .option("every_n", str(every_n))
+        .option("decode", "feature" if decode else "none")
+        .load(path)
+    )

@@ -107,3 +107,43 @@ def test_distributed_index_filter_extract(spark, tmp_path):
     # decode=True on an avc1 track must raise (no from-spec bitstream decoder)
     with pytest.raises(Exception, match="no from-spec decoder"):
         read_video_frames(idx.filter(idx.container == "mp4")).collect()
+
+
+def test_videoframes_datasource(spark, tmp_path):
+    """spark.read.format('videoframes'): per-file partitions, format-layer
+    every_n sampling (skipped frames never read), decode=feature parity
+    with the index+extract path, and raw extraction for AVC tracks."""
+    from hdp2_5_hive2_spark.llm.video_source import read_video_frames_ds
+
+    paths = {}
+    for k in range(3):
+        frames = [
+            np.full((6, 8, 3), (k * 30 + i * 11) % 256, dtype=np.uint8)
+            for i in range(6)
+        ]
+        p = str(tmp_path / f"c{k}.avi")
+        with open(p, "wb") as f:
+            f.write(avi_encode_dib(frames, rate=1000, scale=40))
+        paths[p] = frames
+    (tmp_path / "raw").mkdir()
+    pm = str(tmp_path / "raw" / "x.mp4")
+    with open(pm, "wb") as f:
+        f.write(mp4_mux([b"a" * 64, b"b" * 64], 4, 4, codec="avc1"))
+
+    df = read_video_frames_ds(spark, str(tmp_path), every_n=3, decode=True)
+    rows = [r for r in df.collect() if r.container == "avi"]
+    # 6 frames, every 3rd → idx 0 and 3 per file
+    assert sorted((r.path, r.frame_idx) for r in rows) == sorted(
+        (p, i) for p in paths for i in (0, 3)
+    )
+    for r in rows:
+        k = int(r.path[-5])
+        assert r.feature[3] == pytest.approx((k * 30 + r.frame_idx * 11) % 256)
+        assert r.ts_ms == r.frame_idx * 40 and (r.width, r.height) == (8, 6)
+    # raw path covers any codec
+    raw = read_video_frames_ds(spark, pm).collect()
+    assert [bytes(r.payload) for r in raw] == [b"a" * 64, b"b" * 64]
+    assert raw[0].codec == "avc1"
+    # feature decode on avc1 must fail loudly
+    with pytest.raises(Exception, match="no from-spec decoder"):
+        read_video_frames_ds(spark, pm, decode=True).collect()
