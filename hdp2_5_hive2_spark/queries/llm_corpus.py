@@ -770,7 +770,7 @@ def multimodal_video_container_audit(spark: SparkSession, sf_dir: str) -> DataFr
     WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
         + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 6
     """,
-    tags=("llm", "multimodal", "dedup"),
+    tags=("llm", "multimodal", "dedup", "bench"),
 )
 def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dedup END TO END (llm/image_dedup.py): each
