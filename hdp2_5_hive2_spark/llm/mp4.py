@@ -38,6 +38,7 @@ __all__ = [
     "mp4_probe",
     "mp4_sample_ranges",
     "mp4_mux",
+    "mp4_mux_fragmented",
     "mp4_decode_frames",
 ]
 
@@ -91,6 +92,7 @@ class Mp4Track:
     sample_sizes: list[int] = field(repr=False)
     sample_offsets: list[int] = field(repr=False)
     sample_ts: list[int] = field(repr=False)  # decode times, mdhd units
+    track_id: int = 1
 
     @property
     def duration_ms(self) -> int:
@@ -184,7 +186,16 @@ def mp4_parse(data: bytes) -> list[Mp4Track]:
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("MP4 corrupt: missing moov")
-    return _parse_moov(data, *moov)
+    tracks = _parse_moov(data, *moov)
+    if any(t.n_samples == 0 for t in tracks):
+        frags = [
+            (b - 8, bytes(data[b - 8 : e]))
+            for fc, b, e in _walk(data, 0, len(data))
+            if fc == b"moof"
+        ]
+        if frags:
+            _apply_fragments(tracks, frags)
+    return tracks
 
 
 def _parse_moov(data: bytes, start: int, end: int) -> list[Mp4Track]:
@@ -227,31 +238,162 @@ def _parse_moov_inner(data: bytes, start: int, end: int) -> list[Mp4Track]:
         offsets, ts = _sample_layout(sizes, chunks, stsc, deltas)
         if len(offsets) != len(sizes) or len(ts) < len(sizes):
             raise ValueError("MP4 corrupt: sample tables disagree on count")
+        tkhd = _find(data, b, e, b"tkhd")
+        track_id = 1
+        if tkhd is not None:
+            tv = data[tkhd[0]]
+            (track_id,) = struct.unpack_from(">I", data, tkhd[0] + (20 if tv else 12))
         tracks.append(
             Mp4Track(
                 codec or "????", width or 0, height or 0, timescale, duration,
-                len(sizes), sizes, offsets, ts[: len(sizes)],
+                len(sizes), sizes, offsets, ts[: len(sizes)], track_id,
             )
         )
     return tracks
 
 
+def _parse_moof_box(box: bytes):
+    """One moof BOX (header included) → {track_id: (sizes, offsets, durs)}
+    with offsets relative to the moof box start (or absolute when tfhd
+    carried an explicit base_data_offset — flagged by the bool).
+
+    Covers the ISO 14496-12 movie-fragment layout DASH/CMAF emit: tfhd
+    defaults (base-data-offset 0x1, sample-description 0x2, default
+    duration 0x8 / size 0x10 / flags 0x20, default-base-is-moof 0x20000),
+    tfdt v0/v1 decode times, trun data-offset 0x1 / first-sample-flags
+    0x4 and per-sample duration/size/flags/cto 0x100/0x200/0x400/0x800."""
+    try:
+        return _parse_moof_inner(box)
+    except struct.error as exc:
+        raise ValueError(f"MP4 corrupt: truncated fragment ({exc})") from None
+
+
+def _parse_moof_inner(box: bytes):
+    out: dict[int, tuple[list[int], list[tuple[bool, int]], list[int], int | None]] = {}
+    for fc, b, e in _walk(box, 8, len(box)):
+        if fc != b"traf":
+            continue
+        tf_flags = track_id = None
+        base: tuple[bool, int] | None = None
+        def_dur = def_size = None
+        tfdt_time = None
+        sizes: list[int] = []
+        offs: list[tuple[bool, int]] = []
+        durs: list[int] = []
+        cursor: tuple[bool, int] | None = None
+        for sc, sb, se in _walk(box, b, e):
+            if sc == b"tfhd":
+                (vf,) = struct.unpack_from(">I", box, sb)
+                tf_flags = vf & 0xFFFFFF
+                (track_id,) = struct.unpack_from(">I", box, sb + 4)
+                p = sb + 8
+                if tf_flags & 0x1:
+                    (bdo,) = struct.unpack_from(">Q", box, p)
+                    base, p = (True, bdo), p + 8
+                if tf_flags & 0x2:
+                    p += 4
+                if tf_flags & 0x8:
+                    (def_dur,) = struct.unpack_from(">I", box, p)
+                    p += 4
+                if tf_flags & 0x10:
+                    (def_size,) = struct.unpack_from(">I", box, p)
+                    p += 4
+                if base is None:
+                    # default-base-is-moof (0x20000) or the spec's implicit
+                    # first-traf default: the moof box start
+                    base = (False, 0)
+            elif sc == b"tfdt":
+                ver = box[sb]
+                tfdt_time = (
+                    struct.unpack_from(">Q", box, sb + 4)[0]
+                    if ver
+                    else struct.unpack_from(">I", box, sb + 4)[0]
+                )
+            elif sc == b"trun":
+                if tf_flags is None:
+                    raise ValueError("MP4 corrupt: trun before tfhd")
+                (vf,) = struct.unpack_from(">I", box, sb)
+                tr_flags = vf & 0xFFFFFF
+                (count,) = struct.unpack_from(">I", box, sb + 4)
+                p = sb + 8
+                if tr_flags & 0x1:
+                    (doff,) = struct.unpack_from(">i", box, p)
+                    p += 4
+                    cursor = (base[0], base[1] + doff)
+                elif cursor is None:
+                    cursor = base
+                if tr_flags & 0x4:
+                    p += 4
+                for _ in range(count):
+                    dur, size = def_dur, def_size
+                    if tr_flags & 0x100:
+                        (dur,) = struct.unpack_from(">I", box, p)
+                        p += 4
+                    if tr_flags & 0x200:
+                        (size,) = struct.unpack_from(">I", box, p)
+                        p += 4
+                    if tr_flags & 0x400:
+                        p += 4
+                    if tr_flags & 0x800:
+                        p += 4
+                    if size is None or dur is None:
+                        raise ValueError(
+                            "MP4 corrupt: fragment sample lacks size/duration"
+                        )
+                    sizes.append(size)
+                    offs.append(cursor)
+                    durs.append(dur)
+                    cursor = (cursor[0], cursor[1] + size)
+        if track_id is not None and sizes:
+            out[track_id] = (sizes, offs, durs, tfdt_time)
+    return out
+
+
+def _apply_fragments(tracks: list[Mp4Track], frags: list[tuple[int, bytes]]) -> None:
+    """Extend empty (fragmented-init) tracks with moof sample runs.
+    ``frags`` = [(absolute_moof_box_offset, moof_box_bytes), …] in file
+    order. Durations accumulate into decode timestamps per track (tfdt
+    re-anchors when present); mdhd duration 0 is replaced by the total."""
+    by_id = {t.track_id: t for t in tracks}
+    clock: dict[int, int] = {tid: 0 for tid in by_id}
+    for moof_pos, box in frags:
+        for tid, (sizes, offs, durs, tfdt_time) in _parse_moof_box(box).items():
+            t = by_id.get(tid)
+            if t is None:
+                continue
+            if tfdt_time is not None:
+                clock[tid] = tfdt_time
+            for size, (absolute, off), dur in zip(sizes, offs, durs):
+                t.sample_sizes.append(size)
+                t.sample_offsets.append(off if absolute else moof_pos + off)
+                t.sample_ts.append(clock[tid])
+                clock[tid] += dur
+            t.n_samples = len(t.sample_sizes)
+    for t in tracks:
+        if t.duration == 0:
+            t.duration = clock.get(t.track_id, 0)
+
+
 def mp4_probe(fh) -> list[Mp4Track]:
     """Seek-based probe over an open binary file: walks top-level box
-    HEADERS (8-16 bytes each), loads only the moov box into memory, and
-    resolves the sample tables — mdat is skipped with a seek, so probing
-    a multi-GB file reads kilobytes. The object-store translation is two
-    ranged GETs (header walk + moov); sample offsets in the returned
-    tracks are absolute file offsets, ready for ranged payload reads."""
+    HEADERS (8-16 bytes each), loads only the moov box — and, for
+    fragmented files, each (small) moof box — into memory; mdat is
+    skipped with a seek, so probing a multi-GB file reads kilobytes. The
+    object-store translation is one ranged GET per metadata box; sample
+    offsets in the returned tracks are absolute file offsets, ready for
+    ranged payload reads."""
     hdr = fh.read(12)
     if len(hdr) < 12 or hdr[4:8] != b"ftyp":
         raise ValueError("not an MP4 (missing ftyp)")
     (size,) = struct.unpack_from(">I", hdr, 0)
     fh.seek(size)
+    pos = size
+    moov_body = None
+    frags: list[tuple[int, bytes]] = []
     while True:
         head = fh.read(8)
         if len(head) < 8:
-            raise ValueError("MP4 corrupt: missing moov")
+            break
         (size,) = struct.unpack_from(">I", head, 0)
         fourcc = head[4:8]
         body = 8
@@ -261,11 +403,23 @@ def mp4_probe(fh) -> list[Mp4Track]:
         if size < body:
             raise ValueError("MP4 corrupt: bad box size")
         if fourcc == b"moov":
-            moov = fh.read(size - body)
-            if len(moov) < size - body:
+            moov_body = fh.read(size - body)
+            if len(moov_body) < size - body:
                 raise ValueError("MP4 corrupt: truncated moov")
-            return _parse_moov(moov, 0, len(moov))
-        fh.seek(size - body, 1)
+        elif fourcc == b"moof":
+            frag = head + fh.read(size - body)
+            if len(frag) < size:
+                raise ValueError("MP4 corrupt: truncated moof")
+            frags.append((pos, frag))
+        else:
+            fh.seek(size - body, 1)
+        pos += size
+    if moov_body is None:
+        raise ValueError("MP4 corrupt: missing moov")
+    tracks = _parse_moov(moov_body, 0, len(moov_body))
+    if frags and any(t.n_samples == 0 for t in tracks):
+        _apply_fragments(tracks, frags)
+    return tracks
 
 
 def mp4_sample_ranges(data: bytes) -> list[tuple[int, int, int]]:
@@ -346,6 +500,85 @@ def mp4_mux(
     )
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def mp4_mux_fragmented(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    codec: str = "jpeg",
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    frames_per_fragment: int = 2,
+) -> bytes:
+    """Fragmented MP4 (the CMAF/DASH shape streaming corpora crawl):
+    ftyp + moov init segment (empty stbl, mvex/trex defaults) followed by
+    [moof + mdat] pairs — tfhd uses default-base-is-moof with a default
+    sample duration, tfdt carries each fragment's decode time, trun
+    carries data-offset + per-sample sizes. The fixed-layout counterpart
+    the parser's fragment walk is verified against."""
+    if not frames:
+        raise ValueError("MP4: need at least one frame")
+    # init segment: the flat muxer's moov with EMPTIED sample tables,
+    # zeroed durations (fragments define timing) and an mvex/trex
+    flat = mp4_mux(frames[:1], width, height, codec, timescale, sample_delta)
+    ftyp_end = next(e for fc, b, e in _walk(flat, 0, len(flat)) if fc == b"ftyp")
+    ftyp = flat[:ftyp_end]
+    mb, me = _find(flat, 0, len(flat), b"moov")
+
+    def _rebuild(buf: bytes, start: int, end: int) -> bytes:
+        out = b""
+        for fc, b, e in _walk(buf, start, end):
+            if fc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                out += _box(fc, _rebuild(buf, b, e))
+            elif fc == b"stts":
+                out += _full(b"stts", _u32(0))
+            elif fc == b"stsc":
+                out += _full(b"stsc", _u32(0))
+            elif fc == b"stsz":
+                out += _full(b"stsz", _u32(0) + _u32(0))
+            elif fc == b"stco":
+                out += _full(b"stco", _u32(0))
+            elif fc in (b"mvhd", b"mdhd"):
+                body = bytearray(buf[b:e])
+                struct.pack_into(">I", body, 16, 0)  # duration ← 0
+                out += _box(fc, bytes(body))
+            elif fc == b"tkhd":
+                body = bytearray(buf[b:e])
+                struct.pack_into(">I", body, 20, 0)  # duration ← 0
+                out += _box(fc, bytes(body))
+            else:
+                out += buf[b - 8 : e]
+        return out
+
+    trex = _full(b"trex", struct.pack(">IIIII", 1, 1, 0, 0, 0))
+    moov = _box(b"moov", _rebuild(flat, mb, me) + _box(b"mvex", trex))
+
+    out = bytearray(ftyp + moov)
+    seq = 1
+    t = 0
+    for i in range(0, len(frames), frames_per_fragment):
+        chunk = frames[i : i + frames_per_fragment]
+        mfhd = _full(b"mfhd", _u32(seq))
+        tfhd = _full(
+            b"tfhd", _u32(1) + _u32(sample_delta), flags=0x20008
+        )  # default-base-is-moof | default-sample-duration
+        tfdt = _full(b"tfdt", _u32(t))
+        trun_body = (
+            _u32(len(chunk))
+            + struct.pack(">i", 0)  # data_offset patched below
+            + b"".join(_u32(len(f)) for f in chunk)
+        )
+        trun = _full(b"trun", trun_body, flags=0x201)  # data-offset | sizes
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = bytearray(_box(b"moof", mfhd + traf))
+        # patch trun data_offset: payloads start right after moof + mdat hdr
+        doff_at = 8 + len(mfhd) + 8 + len(tfhd) + len(tfdt) + 16
+        struct.pack_into(">i", moof, doff_at, len(moof) + 8)
+        out += bytes(moof) + _box(b"mdat", b"".join(chunk))
+        seq += 1
+        t += len(chunk) * sample_delta
+    return bytes(out)
 
 
 def mp4_decode_frames(data: bytes):

@@ -147,3 +147,80 @@ def test_mjpeg_track_decode_via_imageio(spark):
     assert [ts for ts, _ in out] == [0, 33, 66]
     for (_, px), v in zip(out, levels):
         assert px.shape == (8, 16, 3) and (px == v).all()
+
+
+def test_fragmented_equals_flat():
+    """CMAF/DASH-shaped fragmented files resolve to the same samples and
+    timing as the flat layout: moof/tfhd(default-base-is-moof +
+    default-duration)/tfdt/trun walks reproduce stbl's answers."""
+    from hdp2_5_hive2_spark.llm.mp4 import mp4_mux_fragmented
+
+    frames = [bytes([i]) * (40 + i * 3) for i in range(7)]
+    frag = mp4_mux_fragmented(frames, 12, 10, sample_delta=33, frames_per_fragment=3)
+    flat = mp4_mux(frames, 12, 10, sample_delta=33)
+    (tf,) = mp4_parse(frag)
+    (tl,) = mp4_parse(flat)
+    assert tf.sample_ts == tl.sample_ts and tf.sample_sizes == tl.sample_sizes
+    assert tf.duration == tl.duration == 7 * 33
+    for (o, ln, ts), (fo, fl, fts) in zip(
+        mp4_sample_ranges(frag), mp4_sample_ranges(flat)
+    ):
+        assert frag[o : o + ln] == flat[fo : fo + fl] and ts == fts
+
+
+def test_fragmented_probe_budget_and_decode(spark):
+    """Probe stays metadata-sized across many fragments, and a jpeg-coded
+    fragmented track decodes exactly."""
+    import io
+
+    from tests.test_media_codecs import _jpeg_tools
+
+    from hdp2_5_hive2_spark.llm.mp4 import mp4_mux_fragmented, mp4_probe
+
+    class CF(io.BytesIO):
+        def __init__(self, b):
+            super().__init__(b)
+            self.n = 0
+
+        def read(self, k=-1):
+            r = super().read(k)
+            self.n += len(r)
+            return r
+
+    big = mp4_mux_fragmented(
+        [bytes([i % 256]) * 5000 for i in range(60)], 32, 32, frames_per_fragment=5
+    )
+    fh = CF(big)
+    (t,) = mp4_probe(fh)
+    assert t.n_samples == 60 and fh.n < len(big) // 50
+
+    encode, _ = _jpeg_tools(spark)
+    levels = [30, 140, 250]
+    jpegs = [encode(np.full((8, 16, 3), v, dtype=np.uint8)) for v in levels]
+    frag = mp4_mux_fragmented(jpegs, 16, 8, codec="jpeg", sample_delta=50,
+                              frames_per_fragment=2)
+    out = mp4_decode_frames(frag)
+    assert [ts for ts, _ in out] == [0, 50, 100]
+    for (_, px), v in zip(out, levels):
+        assert (px == v).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(seed=st.integers(0, 2**31), n_mut=st.integers(1, 8), cut=st.floats(0.05, 1.0))
+def test_fragmented_fuzz_only_valueerror(seed, n_mut, cut):
+    import random as _random
+
+    from hdp2_5_hive2_spark.llm.mp4 import mp4_mux_fragmented
+
+    rnd = _random.Random(seed)
+    data = bytearray(
+        mp4_mux_fragmented([b"x" * 50, b"y" * 60, b"z" * 70], 8, 8,
+                           frames_per_fragment=2)
+    )
+    for _ in range(n_mut):
+        data[rnd.randrange(len(data))] = rnd.randrange(256)
+    blob = bytes(data)[: max(8, int(len(data) * cut))]
+    try:
+        mp4_parse(blob)
+    except ValueError:
+        pass
