@@ -38,6 +38,7 @@ import numpy as np
 __all__ = [
     "AviStream",
     "avi_mux",
+    "avi_mux_opendml",
     "avi_demux",
     "avi_probe",
     "avi_frame_ranges",
@@ -147,6 +148,112 @@ def avi_mux(
     return b"RIFF" + _u32(len(riff_body)) + riff_body
 
 
+def avi_mux_opendml(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    rate: int = 1000,
+    scale: int = 40,
+    compression: str = "MJPG",
+    bit_count: int = 24,
+    frames_per_segment: int = 4,
+) -> bytes:
+    """OpenDML (AVI 2.0) layout — how real AVI files exceed RIFF's 1 GB
+    (practically 2/4 GB) limit: the first RIFF('AVI ') carries hdrl with
+    an 'indx' AVISUPERINDEX in the video strl plus the first movi
+    segment; the remaining frames ride RIFF('AVIX') extension segments.
+    Every movi segment ends with an 'ix00' AVISTDINDEX whose absolute
+    position the super-index records, so a reader resolves all frames
+    with one ranged read per segment index and never walks AVIX bodies.
+    Per-segment frame count is a test knob — real writers cut at ~1 GB.
+    """
+    dib = compression.upper() == "DIB"
+    comp_field = 0 if dib else struct.unpack("<I", compression.encode("ascii"))[0]
+    ckid = b"00db" if dib else b"00dc"
+    if not frames:
+        raise ValueError("AVI: need at least one frame")
+    segs = [
+        frames[i : i + frames_per_segment]
+        for i in range(0, len(frames), frames_per_segment)
+    ]
+    max_frame = max(len(f) for f in frames)
+
+    def chunks_size(seg):
+        return sum(8 + len(f) + (len(f) & 1) for f in seg)
+
+    def ix_size(seg):
+        return 8 + 24 + 8 * len(seg)  # chunk hdr + AVISTDINDEX fields + entries
+
+    # fixed-size headers → every absolute offset is computable up front
+    hdrl_size = 12 + (8 + 56) + (
+        12 + (8 + 56) + (8 + 40) + (8 + 24 + 16 * len(segs))
+    ) + (12 + (8 + 4))  # + LIST odml { dmlh }
+    movi_sizes = [12 + chunks_size(s) + ix_size(s) for s in segs]
+    seg_starts = [0] * len(segs)   # file offset of each movi LIST
+    ix_offsets = [0] * len(segs)   # file offset of each ix00 chunk
+    seg_starts[0] = 12 + hdrl_size
+    for i in range(1, len(segs)):
+        prev_end = seg_starts[i - 1] + movi_sizes[i - 1]
+        seg_starts[i] = prev_end + 12  # RIFF AVIX header
+    for i, s in enumerate(segs):
+        ix_offsets[i] = seg_starts[i] + 12 + chunks_size(s)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 * scale // rate, max_frame * rate // max(scale, 1), 0,
+        0, len(frames), 0, 1, max_frame, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"\x00\x00\x00\x00" if dib else compression.encode("ascii"),
+        0, 0, 0, 0, scale, rate, 0, len(frames), max_frame, -1, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, bit_count, comp_field,
+        max_frame if not dib else _dib_row_bytes(width, bit_count) * height,
+        0, 0, 0, 0,
+    )
+    indx = struct.pack("<HBBI4s12x", 4, 0, 0, len(segs), bytes(ckid)) + b"".join(
+        struct.pack("<QII", ix_offsets[i], ix_size(segs[i]), len(segs[i]))
+        for i in range(len(segs))
+    )
+    odml = _list(b"odml", _chunk(b"dmlh", _u32(len(frames))))
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(
+            b"strl",
+            _chunk(b"strh", strh) + _chunk(b"strf", strf) + _chunk(b"indx", indx),
+        )
+        + odml,
+    )
+    assert len(hdrl) == hdrl_size, (len(hdrl), hdrl_size)
+
+    out = bytearray()
+    for i, seg in enumerate(segs):
+        body = b""
+        base = seg_starts[i]  # qwBaseOffset = the movi LIST start
+        data_off = 12 + 8     # first chunk's DATA relative to list start
+        entries = []
+        for f in seg:
+            entries.append((data_off, len(f)))
+            body += _chunk(ckid, f)
+            data_off += 8 + len(f) + (len(f) & 1)
+        ix = struct.pack("<HBBI4sQI", 2, 0, 1, len(seg), bytes(ckid), base, 0) + b"".join(
+            struct.pack("<II", off, sz) for off, sz in entries
+        )
+        movi = _list(b"movi", body + _chunk(b"ix00", ix))
+        assert len(movi) == movi_sizes[i]
+        if i == 0:
+            riff_body = b"AVI " + hdrl + movi
+            out += b"RIFF" + _u32(len(riff_body)) + riff_body
+        else:
+            out += b"RIFF" + _u32(4 + len(movi)) + b"AVIX" + movi
+    return bytes(out)
+
+
 def _walk_chunks(data: bytes, pos: int, end: int):
     """Yield (fourcc, body_start, body_len) over a chunk sequence; a LIST
     chunk yields its type as fourcc with body_start past the type word."""
@@ -204,13 +311,76 @@ def _locate_lists(data: bytes):
     return hdrl, movi, idx1, end
 
 
+def _parse_superindex(data: bytes, hstart: int, hlen: int):
+    """OpenDML AVISUPERINDEX ('indx' in the video strl): list of
+    (qwOffset, dwSize) pointing at the ix## standard-index chunks —
+    absolute file offsets, so AVIX segments need no walking. None when
+    the file carries no OpenDML index. Corrupt tables raise ValueError,
+    never struct.error (hostile-crawl contract)."""
+    try:
+        return _parse_superindex_inner(data, hstart, hlen)
+    except struct.error as exc:
+        raise ValueError(f"AVI corrupt: truncated super-index ({exc})") from None
+
+
+def _parse_superindex_inner(data: bytes, hstart: int, hlen: int):
+    for cid, b, ln in _walk_chunks(data, hstart, hstart + hlen):
+        if cid != b"strl":
+            continue
+        is_vids = False
+        for sid, sb, sln in _walk_chunks(data, b, b + ln):
+            if sid == b"strh":
+                is_vids = data[sb : sb + 4] == b"vids"
+            elif sid == b"indx" and is_vids:
+                lpe, sub, typ, n_use = struct.unpack_from("<HBBI", data, sb)
+                if typ != 0x0 or lpe != 4:  # AVI_INDEX_OF_INDEXES
+                    raise ValueError("AVI corrupt: unsupported indx layout")
+                entries = []
+                p = sb + 24
+                for _ in range(n_use):
+                    qw_off, sz, _dur = struct.unpack_from("<QII", data, p)
+                    entries.append((qw_off, sz))
+                    p += 16
+                return entries
+    return None
+
+
+def _parse_stdindex(buf: bytes) -> list[tuple[int, int]]:
+    """One OpenDML AVISTDINDEX ('ix##') chunk (header included) →
+    [(absolute_data_offset, length)] via qwBaseOffset + per-entry
+    dwOffset (bit 31 of dwSize is the keyframe flag, masked off)."""
+    try:
+        if buf[:2] != b"ix":
+            raise ValueError("AVI corrupt: bad standard-index chunk id")
+        lpe, sub, typ, n_use = struct.unpack_from("<HBBI", buf, 8)
+        if typ != 0x1 or lpe != 2:  # AVI_INDEX_OF_CHUNKS
+            raise ValueError("AVI corrupt: unsupported ix chunk layout")
+        (base,) = struct.unpack_from("<Q", buf, 20)
+        out = []
+        p = 32  # 8 chunk hdr + 24 AVISTDINDEX fields
+        for _ in range(n_use):
+            off, sz = struct.unpack_from("<II", buf, p)
+            out.append((base + off, sz & 0x7FFFFFFF))
+            p += 8
+        return out
+    except struct.error as exc:
+        raise ValueError(f"AVI corrupt: truncated ix chunk ({exc})") from None
+
+
 def avi_frame_ranges(data: bytes) -> list[tuple[int, int]]:
-    """(absolute_payload_offset, length) per video frame, FROM idx1 — the
-    random-access path: sampling frame k reads only its range. Falls back
-    to a movi walk when the file carries no index."""
+    """(absolute_payload_offset, length) per video frame — OpenDML
+    super-index first (covers AVIX extension segments), then idx1, then
+    a movi chunk walk as the last resort."""
     hdrl, movi, idx1, _ = _locate_lists(data)
     mstart = movi[0]
     out: list[tuple[int, int]] = []
+    super_entries = _parse_superindex(data, *hdrl)
+    if super_entries is not None:
+        for qw_off, sz in super_entries:
+            if qw_off + sz > len(data):
+                raise ValueError("AVI corrupt: super-index points past EOF")
+            out.extend(_parse_stdindex(data[qw_off : qw_off + sz]))
+        return out
     if idx1 is not None:
         b, ln = idx1
         for off in range(b, b + ln - 15, 16):
@@ -248,6 +418,7 @@ def avi_probe(fh) -> tuple["AviStream", list[tuple[int, int, int]]]:
     meta = None
     movi_start = movi_len = None
     idx1 = None
+    super_entries = None
     pos = 12
     while True:
         fh.seek(pos)
@@ -260,6 +431,7 @@ def avi_probe(fh) -> tuple["AviStream", list[tuple[int, int, int]]]:
             if ltype == b"hdrl":
                 body = fh.read(clen - 4)
                 meta = _parse_headers(body, 0, len(body))
+                super_entries = _parse_superindex(body, 0, len(body))
             elif ltype == b"movi":
                 movi_start, movi_len = pos + 12, clen - 4
         elif head[:4] == b"idx1":
@@ -271,7 +443,15 @@ def avi_probe(fh) -> tuple["AviStream", list[tuple[int, int, int]]]:
     st = AviStream(width, height, rate, scale, compression, [])
 
     ranges: list[tuple[int, int]] = []
-    if idx1 is not None:
+    if super_entries is not None:
+        # OpenDML: one ranged read per ix chunk; AVIX segments never walked
+        for qw_off, sz in super_entries:
+            fh.seek(qw_off)
+            buf = fh.read(sz)
+            if len(buf) < sz:
+                raise ValueError("AVI corrupt: super-index points past EOF")
+            ranges.extend(_parse_stdindex(buf))
+    elif idx1 is not None:
         base = None
         for off in range(0, len(idx1) - 15, 16):
             cid = idx1[off : off + 4]

@@ -173,3 +173,67 @@ def test_pixel_codec_video_feature():
     stack = np.concatenate(frames, axis=0).astype(np.float64)
     assert feat[3] == pytest.approx(stack.mean())
     assert feat[6] == float(stack.max())
+
+
+def test_opendml_segments_roundtrip_and_probe():
+    """AVI 2.0: frames spread over RIFF-AVIX extension segments resolve
+    through the indx super-index → ix00 standard indexes, bit-exact and
+    metadata-only (AVIX bodies never walked by the probe)."""
+    import io
+
+    from hdp2_5_hive2_spark.llm.avi import (
+        _dib_encode,
+        avi_frame_ranges,
+        avi_mux_opendml,
+        avi_probe,
+    )
+
+    rng = np.random.default_rng(6)
+    frames = [rng.integers(0, 256, (6, 9, 3), dtype=np.uint8) for _ in range(11)]
+    data = avi_mux_opendml(
+        [_dib_encode(f) for f in frames], 9, 6,
+        compression="DIB", frames_per_segment=4,
+    )
+    out = avi_decode_frames(data)
+    assert len(out) == 11
+    for i, (ts, px) in enumerate(out):
+        assert ts == i * 40 and (px == frames[i]).all()
+
+    class CF(io.BytesIO):
+        def __init__(self, b):
+            super().__init__(b)
+            self.n = 0
+
+        def read(self, k=-1):
+            r = super().read(k)
+            self.n += len(r)
+            return r
+
+    payloads = [bytes([i % 256]) * 20000 for i in range(40)]
+    big = avi_mux_opendml(payloads, 100, 100, frames_per_segment=8)
+    fh = CF(big)
+    st_, ranges = avi_probe(fh)
+    assert [big[o : o + ln] for o, ln, _ in ranges] == payloads
+    assert fh.n < len(big) // 100
+    assert [(o, ln) for o, ln, _ in ranges] == avi_frame_ranges(big)
+
+
+@settings(max_examples=150, deadline=None)
+@given(seed=st.integers(0, 2**31), n_mut=st.integers(1, 8), cut=st.floats(0.05, 1.0))
+def test_opendml_fuzz_only_valueerror(seed, n_mut, cut):
+    import random as _random
+
+    from hdp2_5_hive2_spark.llm.avi import avi_mux_opendml
+
+    rnd = _random.Random(seed)
+    data = bytearray(
+        avi_mux_opendml([bytes([i]) * 30 for i in range(5)], 4, 4,
+                        frames_per_segment=2)
+    )
+    for _ in range(n_mut):
+        data[rnd.randrange(len(data))] = rnd.randrange(256)
+    blob = bytes(data)[: max(12, int(len(data) * cut))]
+    try:
+        avi_demux(blob)
+    except ValueError:
+        pass
