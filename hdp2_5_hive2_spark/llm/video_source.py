@@ -1,4 +1,4 @@
-"""Distributed video-frame indexing and extraction over AVI/MP4 files.
+"""Distributed video-frame indexing and extraction over AVI/MP4/WebM files.
 
 The 100 TB shape for video ingest is a two-stage plan, both stages
 map-side:
@@ -66,7 +66,17 @@ def _probe_one(path: str):
                  i, t.sample_offsets[i], t.sample_sizes[i], t.ts_ms(i))
                 for i in range(t.n_samples)
             ]
-        raise ValueError(f"not an AVI/MP4 container: {path}")
+        if magic[:4] == b"\x1aE\xdf\xa3":
+            from hdp2_5_hive2_spark.llm.webm import webm_probe
+
+            fh.seek(0)
+            t = webm_probe(fh)
+            return [
+                ("webm", t.codec, t.width, t.height, len(t.frames),
+                 i, off, ln, t.ts_ms(i))
+                for i, (off, ln, _) in enumerate(t.frames)
+            ]
+        raise ValueError(f"not an AVI/MP4/WebM container: {path}")
 
 
 def video_frame_index(
@@ -136,7 +146,7 @@ def read_video_frames(
                         codec = r.codec.upper()
                         if codec == "DIB":
                             px = _dib_decode(payload, int(r.width), int(r.height))
-                        elif codec in ("MJPG", "JPEG", "MJPA"):
+                        elif codec in ("MJPG", "JPEG", "MJPA", "V_MJPEG"):
                             from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
 
                             px = jpeg_decode(payload)
@@ -177,7 +187,7 @@ class _VideoFile(InputPartition):
 
 class VideoFramesDataSource(DataSource):
     """``spark.read.format("videoframes").load(path)`` — one row per video
-    frame across a file or directory of AVI/MP4 assets.
+    frame across a file or directory of AVI/MP4/WebM assets.
 
     Options:
       ``every_n``  keep frames with frame_idx % every_n == 0, applied at
@@ -263,7 +273,7 @@ def _frame_rows(path: str, every_n: int, decode: bool):
                 from hdp2_5_hive2_spark.llm.avi import _dib_decode
 
                 px = _dib_decode(payload, w, h)
-            elif cu in ("MJPG", "JPEG", "MJPA"):
+            elif cu in ("MJPG", "JPEG", "MJPA", "V_MJPEG"):
                 from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
 
                 px = jpeg_decode(payload)
