@@ -40,6 +40,7 @@ __all__ = [
     "mp4_mux",
     "mp4_mux_fragmented",
     "mp4_decode_frames",
+    "mp4_extract_audio",
 ]
 
 
@@ -93,6 +94,9 @@ class Mp4Track:
     sample_offsets: list[int] = field(repr=False)
     sample_ts: list[int] = field(repr=False)  # decode times, mdhd units
     track_id: int = 1
+    handler: str = "vide"      # mdia hdlr: "vide" | "soun"
+    channels: int = 0          # audio tracks only
+    sample_rate: int = 0       # audio tracks only (Hz)
 
     @property
     def duration_ms(self) -> int:
@@ -103,7 +107,7 @@ class Mp4Track:
 
 
 def _parse_stbl(data: bytes, b: int, e: int):
-    codec = width = height = None
+    codec = entry = None
     sizes: list[int] = []
     chunk_offsets: list[int] = []
     stsc_runs: list[tuple[int, int]] = []
@@ -114,9 +118,6 @@ def _parse_stbl(data: bytes, b: int, e: int):
             if n:
                 entry = bb + 8
                 codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
-                # VisualSampleEntry: 8 size/fourcc + 6 reserved + 2 dri +
-                # 16 predefined/reserved → width/height u16 at entry+32
-                width, height = struct.unpack_from(">HH", data, entry + 32)
         elif fc == b"stsz":
             const, n = struct.unpack_from(">II", data, bb + 4)
             sizes = (
@@ -140,7 +141,7 @@ def _parse_stbl(data: bytes, b: int, e: int):
             for i in range(n):
                 cnt, delta = struct.unpack_from(">II", data, bb + 8 + 8 * i)
                 deltas.append((cnt, delta))
-    return codec, width, height, sizes, chunk_offsets, stsc_runs, deltas
+    return codec, entry, sizes, chunk_offsets, stsc_runs, deltas
 
 
 def _sample_layout(
@@ -228,13 +229,23 @@ def _parse_moov_inner(data: bytes, start: int, end: int) -> list[Mp4Track]:
         else:
             timescale, duration = struct.unpack_from(">II", data, mdhd[0] + 12)
         handler = data[hdlr[0] + 8 : hdlr[0] + 12]
-        if handler != b"vide":
+        if handler not in (b"vide", b"soun"):
             continue
         minf = _find(data, *mdia, b"minf")
         stbl = _find(data, *minf, b"stbl") if minf is not None else None
         if stbl is None:
-            raise ValueError("MP4 corrupt: video trak missing minf/stbl")
-        codec, width, height, sizes, chunks, stsc, deltas = _parse_stbl(data, *stbl)
+            raise ValueError("MP4 corrupt: media trak missing minf/stbl")
+        codec, entry, sizes, chunks, stsc, deltas = _parse_stbl(data, *stbl)
+        width = height = channels = rate = 0
+        if entry is not None:
+            if handler == b"vide":
+                # VisualSampleEntry: 16 SampleEntry + 16 predefined/reserved
+                width, height = struct.unpack_from(">HH", data, entry + 32)
+            else:
+                # AudioSampleEntry: 16 SampleEntry + 8 reserved, then
+                # channelcount/samplesize u16, 4 reserved, samplerate 16.16
+                channels, _ss = struct.unpack_from(">HH", data, entry + 24)
+                rate = struct.unpack_from(">I", data, entry + 32)[0] >> 16
         offsets, ts = _sample_layout(sizes, chunks, stsc, deltas)
         if len(offsets) != len(sizes) or len(ts) < len(sizes):
             raise ValueError("MP4 corrupt: sample tables disagree on count")
@@ -245,8 +256,9 @@ def _parse_moov_inner(data: bytes, start: int, end: int) -> list[Mp4Track]:
             (track_id,) = struct.unpack_from(">I", data, tkhd[0] + (20 if tv else 12))
         tracks.append(
             Mp4Track(
-                codec or "????", width or 0, height or 0, timescale, duration,
+                codec or "????", width, height, timescale, duration,
                 len(sizes), sizes, offsets, ts[: len(sizes)], track_id,
+                handler.decode("ascii"), channels, rate,
             )
         )
     return tracks
@@ -422,17 +434,64 @@ def mp4_probe(fh) -> list[Mp4Track]:
     return tracks
 
 
+def _first(tracks: list[Mp4Track], handler: str) -> Mp4Track:
+    for t in tracks:
+        if t.handler == handler:
+            return t
+    raise ValueError(f"MP4: no {handler!r} track")
+
+
 def mp4_sample_ranges(data: bytes) -> list[tuple[int, int, int]]:
     """(file_offset, length, ts_ms) per video sample of the first video
     track — the ranged-GET access path: frame k is one bounded read."""
-    tracks = mp4_parse(data)
-    if not tracks:
-        raise ValueError("MP4: no video track")
-    t = tracks[0]
+    t = _first(mp4_parse(data), "vide")
     return [
         (t.sample_offsets[i], t.sample_sizes[i], t.ts_ms(i))
         for i in range(t.n_samples)
     ]
+
+
+def _audio_trak(
+    chunks: list[bytes],
+    codec: str,
+    channels: int,
+    rate: int,
+    delta: int,
+    data_start: int,
+    track_id: int,
+) -> bytes:
+    """One 'soun' trak: AudioSampleEntry + full sample tables, all
+    chunks back to back at ``data_start``; mdhd timescale = sample rate
+    so stts deltas are sample counts."""
+    n = len(chunks)
+    duration = n * delta
+    entry = _box(
+        codec.encode("ascii"),
+        b"\x00" * 6 + struct.pack(">H", 1)        # SampleEntry tail
+        + b"\x00" * 8                               # reserved
+        + struct.pack(">HHHH", channels, 16, 0, 0)  # chans/bits/predef/res
+        + _u32(rate << 16),                         # 16.16 sample rate
+    )
+    stsd = _full(b"stsd", _u32(1) + entry)
+    stts = _full(b"stts", _u32(1) + struct.pack(">II", n, delta))
+    stsc = _full(b"stsc", _u32(1) + struct.pack(">III", 1, n, 1))
+    stsz = _full(b"stsz", _u32(0) + _u32(n) + b"".join(_u32(len(c)) for c in chunks))
+    stco = _full(b"stco", _u32(1) + _u32(data_start))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    smhd = _full(b"smhd", struct.pack(">HH", 0, 0))
+    dref = _full(b"dref", _u32(1) + _full(b"url ", b"", flags=1))
+    minf = _box(b"minf", smhd + _box(b"dinf", dref) + stbl)
+    mdhd = _full(b"mdhd", struct.pack(">IIIIHH", 0, 0, rate, duration, 0x55C4, 0))
+    hdlr = _full(b"hdlr", _u32(0) + b"soun" + _u32(0) * 3 + b"SoundHandler\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, track_id, 0, duration) + b"\x00" * 16
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),
+        flags=3,
+    )
+    return _box(b"trak", tkhd + mdia)
 
 
 def mp4_mux(
@@ -442,15 +501,22 @@ def mp4_mux(
     codec: str = "jpeg",
     timescale: int = 1000,
     sample_delta: int = 40,
+    audio: tuple[list[bytes], str, int, int, int] | None = None,
 ) -> bytes:
     """Minimal conformant single-video-track MP4: ftyp, mdat (frame
     payloads back to back), moov with full sample tables. Chunk layout:
     one chunk holding all samples (stsc run (1, n)), stco pointing into
-    mdat — enough to exercise every table the parser resolves."""
+    mdat — enough to exercise every table the parser resolves.
+
+    ``audio`` adds a second ('soun') track:
+    (chunks, codec — e.g. "sowt"/"twos"/"lpcm"/"mp4a", channels,
+    sample_rate_hz, samples_per_chunk); chunk payloads land in mdat
+    after the video frames."""
     if not frames:
         raise ValueError("MP4: need at least one frame")
     ftyp = _box(b"ftyp", b"isom" + _u32(512) + b"isomiso2mp41")
-    mdat_body = b"".join(frames)
+    audio_chunks = audio[0] if audio else []
+    mdat_body = b"".join(frames) + b"".join(audio_chunks)
     mdat = _box(b"mdat", mdat_body)
     data_start = len(ftyp) + 8  # offset of first sample in the file
 
@@ -492,11 +558,17 @@ def mp4_mux(
         flags=3,
     )
     trak = _box(b"trak", tkhd + mdia)
+    if audio:
+        chunks, acodec, channels, rate, adelta = audio
+        trak += _audio_trak(
+            chunks, acodec, channels, rate, adelta,
+            data_start + sum(len(f) for f in frames), track_id=2,
+        )
     mvhd = _full(
         b"mvhd",
         struct.pack(">IIII", 0, 0, timescale, duration)
         + struct.pack(">iH", 0x10000, 0x0100) + b"\x00" * 10 + matrix
-        + b"\x00" * 24 + _u32(2),
+        + b"\x00" * 24 + _u32(3 if audio else 2),
     )
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
@@ -587,10 +659,7 @@ def mp4_decode_frames(data: bytes):
     use mp4_sample_ranges for codec-agnostic extraction."""
     import numpy as np
 
-    tracks = mp4_parse(data)
-    if not tracks:
-        raise ValueError("MP4: no video track")
-    t = tracks[0]
+    t = _first(mp4_parse(data), "vide")
     if t.codec not in ("jpeg", "mjpa"):
         raise ValueError(f"MP4: unsupported sample codec {t.codec!r}")
     from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
@@ -603,3 +672,24 @@ def mp4_decode_frames(data: bytes):
             px = np.repeat(px[:, :, None], 3, axis=2)
         out.append((t.ts_ms(i), px))
     return out
+
+
+def mp4_extract_audio(data: bytes):
+    """(samples int16 array, rate, channels) for the first uncompressed
+    PCM-16 audio track — 'sowt' (little-endian) and 'twos' (big-endian)
+    sample entries, the QuickTime/ISO names for raw PCM. Compressed
+    audio (mp4a/AAC, opus) raises: use the track's sample ranges for
+    codec-agnostic extraction instead."""
+    import numpy as np
+
+    t = _first(mp4_parse(data), "soun")
+    if t.codec not in ("sowt", "twos"):
+        raise ValueError(f"MP4: unsupported audio codec {t.codec!r}")
+    raw = b"".join(
+        data[t.sample_offsets[i] : t.sample_offsets[i] + t.sample_sizes[i]]
+        for i in range(t.n_samples)
+    )
+    samples = np.frombuffer(raw, dtype="<i2" if t.codec == "sowt" else ">i2")
+    if t.channels > 1:
+        samples = samples.reshape(-1, t.channels)
+    return samples, t.sample_rate, t.channels

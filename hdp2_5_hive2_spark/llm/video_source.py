@@ -57,7 +57,7 @@ def _probe_one(path: str):
         if magic[4:8] == b"ftyp":
             from hdp2_5_hive2_spark.llm.mp4 import mp4_probe
 
-            tracks = mp4_probe(fh)
+            tracks = [t for t in mp4_probe(fh) if t.handler == "vide"]
             if not tracks:
                 raise ValueError(f"no video track: {path}")
             t = tracks[0]

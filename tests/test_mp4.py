@@ -224,3 +224,35 @@ def test_fragmented_fuzz_only_valueerror(seed, n_mut, cut):
         mp4_parse(blob)
     except ValueError:
         pass
+
+
+def test_audio_track_pcm_roundtrip():
+    """'soun' tracks: AudioSampleEntry resolution (channels, 16.16
+    sample rate), per-chunk sample ranges, and PCM reassembly — both
+    byte orders ('sowt' LE, 'twos' BE)."""
+    from hdp2_5_hive2_spark.llm.mp4 import _first, mp4_extract_audio
+
+    rng = np.random.default_rng(4)
+    sig = rng.integers(-30000, 30000, 480, dtype=np.int16)
+    for codec, dt in (("sowt", "<i2"), ("twos", ">i2")):
+        chunks = [sig[i * 160 : (i + 1) * 160].astype(dt).tobytes() for i in range(3)]
+        data = mp4_mux(
+            [b"V" * 50], 8, 8, codec="avc1",
+            audio=(chunks, codec, 1, 16000, 160),
+        )
+        tracks = mp4_parse(data)
+        a = _first(tracks, "soun")
+        assert (a.codec, a.channels, a.sample_rate, a.timescale) == (
+            codec, 1, 16000, 16000,
+        )
+        assert a.n_samples == 3 and a.ts_ms(1) == 10 and a.duration == 480
+        back, rate, ch = mp4_extract_audio(data)
+        assert rate == 16000 and ch == 1 and np.array_equal(back, sig)
+    # video helpers must still target the video track with audio present
+    d2 = mp4_mux([b"F" * 30, b"G" * 40], 8, 8,
+                 audio=([b"\x00\x01" * 80], "sowt", 1, 8000, 80))
+    assert [ln for _, ln, _ in mp4_sample_ranges(d2)] == [30, 40]
+    with pytest.raises(ValueError, match="unsupported audio codec"):
+        mp4_extract_audio(
+            mp4_mux([b"F"], 8, 8, audio=([b"\x00" * 10], "mp4a", 2, 44100, 1024))
+        )
