@@ -985,6 +985,89 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_container_audit",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             8 + doc_id % 7 AS n,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+             CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 112 WHEN 2 THEN 128 ELSE 160 END AS kbps,
+             CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS ch
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           'mp3' AS codec,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(ch AS INTEGER) AS channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(kbps AS INTEGER) AS bitrate_kbps,
+           FALSE AS vbr
+    FROM docs
+    """,
+    tags=("llm", "multimodal", "media"),
+)
+def multimodal_audio_container_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-bitstream triage through the from-spec MP3 frame-header walk
+    (llm/audio_containers.py): each document gets a deterministic CBR
+    MPEG-1 Layer III stream (rate/bitrate/channel mode/frame count keyed
+    by doc_id, alternating padding bits, spec frame-length arithmetic)
+    BUILT from the public header layout and AUDITED back by walking every
+    frame header — rate/channel tables, padding-aware frame lengths,
+    exact frame counts and durations must equal the oracle's direct
+    arithmetic. The 100 TB shape: the walk reads 4 bytes per frame and
+    seeks payloads, so auditing a petabyte of crawled speech reads
+    gigabytes; map-side only, payloads never shuffle."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
+
+    def run(batches):
+        import struct as _s
+
+        from hdp2_5_hive2_spark.llm.audio_containers import mp3_audit
+
+        br_idx = {96: 7, 112: 8, 128: 9, 160: 10}
+        sr_idx = {44100: 0, 48000: 1, 32000: 2}
+        cols = ("doc_id", "codec", "sample_rate", "channels",
+                "n_frames", "duration_ms", "bitrate_kbps", "vbr")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for k in pdf["doc_id"]:
+                k = int(k)
+                n = 8 + k % 7
+                rate = [44100, 48000, 32000][k % 3]
+                kbps = [96, 112, 128, 160][k % 4]
+                mode = 3 if k % 2 else 0
+                blob = b""
+                for i in range(n):
+                    pad = i % 2
+                    h = (
+                        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                        | (br_idx[kbps] << 12) | (sr_idx[rate] << 10)
+                        | (pad << 9) | (mode << 6)
+                    )
+                    flen = 1152 // 8 * kbps * 1000 // rate + pad
+                    blob += _s.pack(">I", h) + b"\x00" * (flen - 4)
+                a = mp3_audit(blob)
+                out["doc_id"].append(k)
+                out["codec"].append(a.codec)
+                out["sample_rate"].append(a.sample_rate)
+                out["channels"].append(a.channels)
+                out["n_frames"].append(a.n_frames)
+                out["duration_ms"].append(a.duration_ms)
+                out["bitrate_kbps"].append(a.bitrate_kbps)
+                out["vbr"].append(a.vbr)
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        run,
+        "doc_id bigint, codec string, sample_rate int, channels int, "
+        "n_frames bigint, duration_ms bigint, bitrate_kbps int, vbr boolean",
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
