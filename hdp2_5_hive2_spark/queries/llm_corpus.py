@@ -1068,6 +1068,88 @@ def multimodal_audio_container_audit(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "llm_warc_html_extract",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 80
+    )
+    SELECT doc_id,
+           CAST(200 AS INTEGER) AS status,
+           sha256('doc ' || CAST(doc_id AS VARCHAR)
+                  || CASE WHEN t = '' THEN '' ELSE chr(10) || t END) AS sha,
+           CAST(octet_length(CAST(t AS BLOB)) AS BIGINT) AS n_chars
+    FROM docs
+    """,
+    tags=("llm", "warc", "multimodal"),
+)
+def llm_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC → HTTP → HTML → text, END TO END (llm/warc.py): each
+    document's text is entity-escaped into a deterministic HTML page
+    (with script/style boilerplate that must be dropped), wrapped in a
+    spec-shaped WARC response record, and pushed through the full
+    ingestion chain — record grammar parse, HTTP status/header/body
+    split, stdlib-parser text extraction with entity decoding and
+    whitespace collapse. The sha256 of the extracted text must equal the
+    oracle's direct reconstruction from the raw text, so any drift in
+    the record framing, HTTP split, tag handling or collapse semantics
+    breaks the hash. Map-side only — the archive bytes exist solely
+    inside the Arrow pass; at corpus scale this is exactly the
+    crawl-ingestion path (read_warc + warc_text_extract) that feeds the
+    curation pipeline."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 80)
+
+    def run(batches):
+        import hashlib
+        import html as _html
+
+        from hdp2_5_hive2_spark.llm.warc import (
+            build_warc,
+            html_to_text,
+            http_response_payload,
+            parse_warc,
+            split_http_response,
+        )
+
+        cols = ("doc_id", "status", "sha", "n_chars")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for k, text in zip(pdf["doc_id"], pdf["text"]):
+                k = int(k)
+                page = (
+                    f"<html><head><title>doc {k}</title>"
+                    "<script>window.junk=1;</script>"
+                    "<style>p{margin:0}</style></head>"
+                    f"<body><p>{_html.escape(text)}</p></body></html>"
+                ).encode()
+                archive = build_warc([
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"http://corpus.test/{k}",
+                        "payload": http_response_payload(page),
+                        "content_type": "application/http;msgtype=response",
+                    }
+                ])
+                (rec,) = parse_warc(archive)
+                status, _hdrs, body = split_http_response(rec.payload)
+                extracted = html_to_text(body.decode("utf-8"))
+                collapsed = extracted.split("\n", 1)
+                out["doc_id"].append(k)
+                out["status"].append(status)
+                out["sha"].append(hashlib.sha256(extracted.encode()).hexdigest())
+                out["n_chars"].append(
+                    len(collapsed[1].encode()) if len(collapsed) > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        run, "doc_id bigint, status int, sha string, n_chars bigint"
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
