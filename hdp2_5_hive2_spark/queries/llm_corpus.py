@@ -1150,6 +1150,72 @@ def llm_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_flac_decode_stats",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 256 + doc_id % 128 AS n FROM documents WHERE doc_id < 40
+    ), s AS (
+      SELECT d.doc_id, d.n, (d.doc_id * 17 + t.t * t.t * 11 + t.t * 131) % 4001 - 2000 AS v
+      FROM docs d, generate_series(0, 383) t(t)
+      WHERE t.t < d.n
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(16000 AS INTEGER) AS rate,
+           CAST(SUM(v) AS BIGINT) AS sum_s,
+           CAST(MIN(v) AS BIGINT) AS min_s,
+           CAST(MAX(v) AS BIGINT) AS max_s
+    FROM s GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "media"),
+)
+def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-audio decode through the from-spec FLAC codec
+    (llm/flac.py): a deterministic PCM-16 signal per document
+    (sample(t) = (doc_id*17 + t²*11 + t*131) mod 4001 − 2000) is encoded
+    to actual FLAC frames (FIXED predictors, Rice residuals, CRC-8/16,
+    STREAMINFO MD5) and decoded back — the decoder re-verifies the
+    encoder-written MD5 over the decoded samples, so the exact-int stats
+    here are doubly checked (checksum + oracle arithmetic). FLAC is how
+    speech corpora actually ship; this is the audio sibling of the JPEG
+    decode path. Map-side Arrow pass; payloads never shuffle."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 40)
+
+    def run(batches):
+        import numpy as np
+
+        from hdp2_5_hive2_spark.llm.flac import flac_decode, flac_encode
+
+        cols = ("doc_id", "n_samples", "rate", "sum_s", "min_s", "max_s")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for k in pdf["doc_id"]:
+                k = int(k)
+                n = 256 + k % 128
+                t = np.arange(n)
+                s = ((k * 17 + t * t * 11 + t * 131) % 4001 - 2000).astype(np.int16)
+                back, rate = flac_decode(
+                    flac_encode(s, rate=16000, fixed_order=2, blocksize=192)
+                )
+                back = back.astype(np.int64)
+                out["doc_id"].append(k)
+                out["n_samples"].append(back.size)
+                out["rate"].append(rate)
+                out["sum_s"].append(int(back.sum()))
+                out["min_s"].append(int(back.min()))
+                out["max_s"].append(int(back.max()))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        run,
+        "doc_id bigint, n_samples bigint, rate int, sum_s bigint, "
+        "min_s bigint, max_s bigint",
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
