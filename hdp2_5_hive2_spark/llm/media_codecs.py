@@ -453,6 +453,8 @@ def _sniff(payload: bytes) -> str:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -589,8 +591,13 @@ class PixelCodec(Codec):
             feat[1] = float(frames[0][1].shape[0])  # height of one frame
             feat[2] = float(len(frames))            # frame count
             return feat
-        if kind == "wav":
-            s, rate = wav_decode(payload)
+        if kind in ("wav", "flac"):
+            if kind == "flac":
+                from hdp2_5_hive2_spark.llm.flac import flac_decode
+
+                s, rate = flac_decode(payload)
+            else:
+                s, rate = wav_decode(payload)
             flat = s.astype(np.float64).reshape(-1)
             zc = int(np.count_nonzero(np.diff(np.signbit(flat)))) if len(flat) > 1 else 0
             return [
