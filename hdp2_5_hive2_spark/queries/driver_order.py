@@ -161,6 +161,7 @@ _NEW_THIS_ROUND: list[str] = [
     "multimodal_audio_container_audit",  # MP3 frame-header walk audit (r6)
     "llm_warc_html_extract",           # WARC→HTTP→HTML→text chain (r6)
     "multimodal_flac_decode_stats",    # from-spec FLAC codec roundtrip (r6)
+    "llm_document_text_extract",       # DOCX/EPUB/PDF extraction chain (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -1216,6 +1216,72 @@ def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_document_text_extract",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 90
+    )
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'docx' WHEN 1 THEN 'epub' ELSE 'pdf' END
+             AS format,
+           sha256(t) AS sha,
+           CAST(octet_length(CAST(t AS BLOB)) AS BIGINT) AS n_chars
+    FROM docs
+    """,
+    tags=("llm", "multimodal", "documents"),
+)
+def llm_document_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-format extraction END TO END (llm/documents.py): each
+    document's text is packaged into a real DOCX (OOXML zip), EPUB
+    (OPF-manifested XHTML zip) or PDF (Flate content stream with
+    text-showing operators) by doc_id mod 3, then recovered through the
+    magic-byte dispatch + per-format extractors — so the ZIP/XML paths,
+    the HTML chapter path and the PDF operator parser all get
+    hash-checked against a direct reconstruction of the collapsed text.
+    Map-side Arrow pass; document payloads never shuffle — the office/
+    ebook/PDF side of the crawl-ingestion story (WARC covers the web
+    side)."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 90)
+
+    def run(batches):
+        import hashlib
+
+        from hdp2_5_hive2_spark.llm.documents import (
+            build_docx,
+            build_epub,
+            build_pdf,
+            extract_document_text,  # noqa: F401  (dispatch tested via kinds)
+            docx_text,
+            epub_text,
+            pdf_text,
+            sniff_document,
+        )
+
+        builders = [build_docx, build_epub, build_pdf]
+        extractors = {"docx": docx_text, "epub": epub_text, "pdf": pdf_text}
+        cols = ("doc_id", "format", "sha", "n_chars")
+        for pdf_ in batches:
+            out = {c: [] for c in cols}
+            for k, text in zip(pdf_["doc_id"], pdf_["text"]):
+                k = int(k)
+                payload = builders[k % 3]([text])
+                kind = sniff_document(payload)
+                extracted = extractors[kind](payload)
+                out["doc_id"].append(k)
+                out["format"].append(kind)
+                out["sha"].append(hashlib.sha256(extracted.encode()).hexdigest())
+                out["n_chars"].append(len(extracted.encode()))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        run, "doc_id bigint, format string, sha string, n_chars bigint"
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
