@@ -455,6 +455,8 @@ def _sniff(payload: bytes) -> str:
         return "avi"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -571,11 +573,15 @@ class PixelCodec(Codec):
 
     def decode(self, payload: bytes, modality: str) -> list[float]:
         kind = _sniff(payload)
-        if kind in ("png", "bmp", "jpeg", "gif"):
+        if kind in ("png", "bmp", "jpeg", "gif", "tiff"):
             if kind == "jpeg":
                 from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode as _jd
 
                 px = _jd(payload)
+            elif kind == "tiff":
+                from hdp2_5_hive2_spark.llm.tiff import tiff_decode as _td
+
+                px = _td(payload)
             else:
                 px = {"png": png_decode, "bmp": bmp_decode, "gif": gif_decode}[
                     kind
