@@ -27,6 +27,11 @@ Modules:
     DIB+MJPEG frame decode, seek-based metadata probes
   - video_source: distributed frame indexing + ranged-read extraction
   - image_dedup: dHash perceptual near-dedup (banded pigeonhole join)
+  - flac / audio_containers: full FLAC decode (MD5-verified) + MP3/OGG
+    audits
+  - tiff: baseline TIFF (PackBits/LZW-decode, ImageIO cross-parity)
+  - warc / documents: WARC + HTML→text, DOCX/EPUB/PDF extraction
+  - webdataset: tar-shard read + deterministic sharded export
 
 All operators are DataFrame→DataFrame transforms built from JVM-side
 expressions (no Python row loops); where Python is unavoidable the batch path
