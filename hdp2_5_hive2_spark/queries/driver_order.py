@@ -162,6 +162,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_warc_html_extract",           # WARC→HTTP→HTML→text chain (r6)
     "multimodal_flac_decode_stats",    # from-spec FLAC codec roundtrip (r6)
     "llm_document_text_extract",       # DOCX/EPUB/PDF extraction chain (r6)
+    "llm_tfrecord_roundtrip",          # TFRecord+Example wire formats (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

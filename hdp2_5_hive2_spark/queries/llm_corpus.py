@@ -1282,6 +1282,62 @@ def llm_document_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_tfrecord_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS text_sha,
+           CAST(doc_id AS BIGINT) AS id_back,
+           CAST(doc_id AS DOUBLE) / 4 AS w_back,
+           CAST(3 AS INTEGER) AS n_features
+    FROM documents WHERE doc_id < 70
+    """,
+    tags=("llm", "multimodal", "formats"),
+)
+def llm_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord + tf.train.Example END TO END (llm/tfrecord.py): each
+    document becomes an Example (bytes text, packed-int64 id, packed-
+    float32 weight), framed with the u64-length + masked-CRC-32C record
+    layout, then read back with BOTH checksums verified and the protobuf
+    wire format decoded — text hash, int64 identity and the exactly-
+    representable float (doc_id/4) must survive the full cycle against
+    direct SQL. The CRC-32C kernel itself is pinned to the RFC 3720
+    public test vectors in tests/test_tfrecord.py, so the framing is
+    checked against ground truth we didn't write. Map-side Arrow pass."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 70)
+
+    def run(batches):
+        import hashlib
+
+        from hdp2_5_hive2_spark.llm.tfrecord import tfrecord_read, tfrecord_write
+
+        cols = ("doc_id", "text_sha", "id_back", "w_back", "n_features")
+        for pdf_ in batches:
+            out = {c: [] for c in cols}
+            for k, text in zip(pdf_["doc_id"], pdf_["text"]):
+                k = int(k)
+                blob = tfrecord_write(
+                    [{"text": [text.encode()], "id": [k], "w": [k / 4.0]}]
+                )
+                (ex,) = tfrecord_read(blob)
+                out["doc_id"].append(k)
+                out["text_sha"].append(
+                    hashlib.sha256(ex["text"][0]).hexdigest()
+                )
+                out["id_back"].append(ex["id"][0])
+                out["w_back"].append(float(ex["w"][0]))
+                out["n_features"].append(len(ex))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        run,
+        "doc_id bigint, text_sha string, id_back bigint, w_back double, "
+        "n_features int",
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
