@@ -163,6 +163,7 @@ _NEW_THIS_ROUND: list[str] = [
     "multimodal_flac_decode_stats",    # from-spec FLAC codec roundtrip (r6)
     "llm_document_text_extract",       # DOCX/EPUB/PDF extraction chain (r6)
     "llm_tfrecord_roundtrip",          # TFRecord+Example wire formats (r6)
+    "multimodal_subtitle_alignment",   # SRT parse + interval pairing (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -1338,6 +1338,93 @@ def llm_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_subtitle_alignment",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 3 + doc_id % 3 AS n, 2 + doc_id % 2 AS m,
+             (doc_id % 5) * 100 AS jit
+      FROM documents WHERE doc_id < 40
+    ), cues AS (
+      SELECT d.doc_id, i.i AS cue_idx,
+             i.i * 2000 + d.jit AS start_ms,
+             i.i * 2000 + d.jit + 1200 AS end_ms
+      FROM docs d, generate_series(0, 5) i(i) WHERE i.i < d.n
+    ), segs AS (
+      SELECT d.doc_id, j.j * 1500 AS s, j.j * 1500 + 1000 AS e
+      FROM docs d, generate_series(0, 3) j(j) WHERE j.j < d.m
+    )
+    SELECT c.doc_id,
+           CAST(c.cue_idx AS INTEGER) AS cue_idx,
+           CAST(g.s AS BIGINT) AS seg_start_ms,
+           CAST(LEAST(c.end_ms, g.e) - GREATEST(c.start_ms, g.s) AS BIGINT)
+             AS overlap_ms
+    FROM cues c JOIN segs g
+      ON c.doc_id = g.doc_id AND c.start_ms < g.e AND g.s < c.end_ms
+    """,
+    tags=("llm", "multimodal", "media"),
+)
+def multimodal_subtitle_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle-to-audio alignment END TO END (llm/subtitles.py): each
+    document gets a deterministic SubRip transcript (cue count and
+    timing jitter keyed by doc_id) built as REAL SRT text, parsed back
+    through the grammar (timestamp fields, tag stripping, block
+    framing), then overlap-joined against deterministic activity
+    segments with `align_cues` — the asset-keyed interval join whose
+    only shuffle key is the asset id. Pair rows and exact overlap
+    lengths must match the oracle's direct interval arithmetic. This is
+    the (audio, transcript) pairing step every speech pipeline runs."""
+    import pandas as pd
+
+    from hdp2_5_hive2_spark.llm.subtitles import align_cues, parse_subtitles
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 40)
+
+    def make_cues(batches):
+        for pdf_ in batches:
+            rows = []
+            for k in pdf_["doc_id"]:
+                k = int(k)
+                n, jit = 3 + k % 3, (k % 5) * 100
+                blocks = []
+                for i in range(n):
+                    a, b = i * 2000 + jit, i * 2000 + jit + 1200
+                    def fmt(ms):
+                        h, rem = divmod(ms, 3600000)
+                        mi, rem = divmod(rem, 60000)
+                        s, milli = divmod(rem, 1000)
+                        return f"{h:02d}:{mi:02d}:{s:02d},{milli:03d}"
+                    blocks.append(
+                        f"{i + 1}\n{fmt(a)} --> {fmt(b)}\ncue {i} of {k}\n"
+                    )
+                srt = "\n".join(blocks)
+                for i, (a, b, _t) in enumerate(parse_subtitles(srt.encode())):
+                    rows.append((k, i, a, b, _t))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "cue_idx", "start_ms", "end_ms", "text"]
+            )
+
+    cues = d.select("doc_id").mapInPandas(
+        make_cues,
+        "asset_id long, cue_idx int, start_ms long, end_ms long, text string",
+    )
+    segs = (
+        d.select("doc_id")
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(1) + F.col("doc_id") % 2)))
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.col("j") * 1500).alias("seg_start_ms"),
+            (F.col("j") * 1500 + 1000).alias("seg_end_ms"),
+        )
+    )
+    return align_cues(cues, segs, asset_col="asset_id").select(
+        F.col("asset_id").alias("doc_id"),
+        "cue_idx",
+        F.col("seg_start_ms").cast("long").alias("seg_start_ms"),
+        F.col("overlap_ms").cast("long").alias("overlap_ms"),
+    )
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes
