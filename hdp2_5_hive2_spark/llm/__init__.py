@@ -31,7 +31,10 @@ Modules:
     audits
   - tiff: baseline TIFF (PackBits/LZW-decode, ImageIO cross-parity)
   - warc / documents: WARC + HTML→text, DOCX/EPUB/PDF extraction
-  - webdataset: tar-shard read + deterministic sharded export
+  - webdataset / tfrecord: tar-shard + TFRecord/Example exchange formats
+  - subtitles: SRT/WebVTT parsing + time-overlap cue alignment
+  - exif: JPEG EXIF audit (GPS = PII flag) + transcoding-free strip
+  - crawl_governance: charset chain, page policy audit, RFC 9309 robots
 
 All operators are DataFrame→DataFrame transforms built from JVM-side
 expressions (no Python row loops); where Python is unavoidable the batch path
