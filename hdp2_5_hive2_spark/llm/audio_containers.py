@@ -31,7 +31,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 
-__all__ = ["AudioAudit", "mp3_audit", "flac_audit", "ogg_audit", "sniff_audio"]
+__all__ = ["AudioAudit", "mp3_audit", "flac_audit", "ogg_audit", "sniff_audio", "id3v2_tags", "build_id3v2"]
 
 
 @dataclass
@@ -252,3 +252,83 @@ def sniff_audio(data: bytes) -> str:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 text frames (the metadata block mp3_audit skips)
+# ---------------------------------------------------------------------------
+
+
+def id3v2_tags(data: bytes) -> dict[str, str]:
+    """Text frames from a leading ID3v2.3/2.4 tag: {frame_id: text} for
+    T*** frames (TIT2 title, TPE1 artist, TALB album, …), decoding the
+    four spec text encodings (latin-1, UTF-16 w/BOM, UTF-16BE, UTF-8).
+    v2.4 uses syncsafe frame sizes, v2.3 plain big-endian — both per the
+    published informal standards. Returns {} when no tag is present;
+    corrupt tags raise ValueError (hostile-crawl contract)."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return {}
+    ver = data[3]
+    total = _id3v2_size(data)
+    if total > len(data):
+        raise ValueError("MP3 corrupt: ID3v2 size past EOF")
+    pos = 10
+    if data[5] & 0x40:  # extended header present
+        if ver >= 4:
+            (ext,) = struct.unpack_from(">I", data, pos)
+            ext = ((ext >> 24) & 0x7F) << 21 | ((ext >> 16) & 0x7F) << 14 \
+                | ((ext >> 8) & 0x7F) << 7 | (ext & 0x7F)
+        else:
+            (ext,) = struct.unpack_from(">I", data, pos)
+            ext += 4
+        pos += ext
+    out: dict[str, str] = {}
+    enc_map = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+    while pos + 10 <= total:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not fid.isalnum():
+            raise ValueError(f"MP3 corrupt: bad ID3 frame id {fid!r}")
+        (raw_size,) = struct.unpack_from(">I", data, pos + 4)
+        if ver >= 4:
+            if raw_size & 0x80808080:
+                raise ValueError("MP3 corrupt: non-syncsafe v2.4 frame size")
+            size = ((raw_size >> 24) & 0x7F) << 21 | ((raw_size >> 16) & 0x7F) << 14 \
+                | ((raw_size >> 8) & 0x7F) << 7 | (raw_size & 0x7F)
+        else:
+            size = raw_size
+        body_at = pos + 10
+        if body_at + size > total:
+            raise ValueError("MP3 corrupt: ID3 frame overruns tag")
+        if fid[:1] == b"T" and size >= 1:
+            enc = data[body_at]
+            codec = enc_map.get(enc)
+            if codec is None:
+                raise ValueError(f"MP3 corrupt: ID3 text encoding {enc}")
+            text = data[body_at + 1 : body_at + size].decode(codec, "replace")
+            out[fid.decode("ascii")] = text.rstrip("\x00")
+        pos = body_at + size
+    return out
+
+
+def build_id3v2(tags: dict[str, str], version: int = 4) -> bytes:
+    """Fixture builder: v2.3 or v2.4 tag with UTF-8 (v2.4) or UTF-16
+    (v2.3) text frames."""
+    frames = b""
+    for fid, text in sorted(tags.items()):
+        if version >= 4:
+            body = b"\x03" + text.encode("utf-8")
+        else:
+            body = b"\x01" + text.encode("utf-16")
+        size = len(body)
+        if version >= 4:
+            raw = ((size >> 21) & 0x7F) << 24 | ((size >> 14) & 0x7F) << 16 \
+                | ((size >> 7) & 0x7F) << 8 | (size & 0x7F)
+        else:
+            raw = size
+        frames += fid.encode("ascii") + struct.pack(">I", raw) + b"\x00\x00" + body
+    total = len(frames)
+    ss = bytes([(total >> 21) & 0x7F, (total >> 14) & 0x7F,
+                (total >> 7) & 0x7F, total & 0x7F])
+    return b"ID3" + bytes([version, 0, 0]) + ss + frames

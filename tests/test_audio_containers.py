@@ -18,7 +18,6 @@ from hdp2_5_hive2_spark.llm.audio_containers import (
     sniff_audio,
 )
 
-_BR_IDX = {96: 12, 112: 13, 128: 14, 160: 10}  # wrong on purpose? see below
 _BR_IDX = {32: 1, 96: 7, 112: 8, 128: 9, 160: 10, 192: 11}
 _SR_IDX = {44100: 0, 48000: 1, 32000: 2}
 
@@ -136,3 +135,37 @@ def test_fuzz_only_valueerror(seed, n_mut, cut):
             fn(blob)
         except ValueError:
             pass
+
+
+def test_id3v2_text_frames_both_versions():
+    from hdp2_5_hive2_spark.llm.audio_containers import build_id3v2, id3v2_tags
+
+    tags = {"TIT2": "Söme Title", "TPE1": "Ärtist", "TALB": "Album"}
+    for ver in (3, 4):
+        blob = build_id3v2(tags, version=ver) + _mp3_frame_bytes()
+        assert id3v2_tags(blob) == tags, ver
+    assert id3v2_tags(_mp3_frame_bytes()) == {}
+    # audit composes: tag skipped, frames still counted
+    a = mp3_audit(build_id3v2(tags) + b"".join(_mp3_frame_bytes() for _ in range(4)))
+    assert a.n_frames == 4
+    with pytest.raises(ValueError, match="frame id|overruns|encoding|syncsafe"):
+        bad = bytearray(build_id3v2(tags))
+        bad[10] = 0x01  # corrupt the first frame id
+        id3v2_tags(bytes(bad))
+
+
+@settings(max_examples=150, deadline=None)
+@given(seed=st.integers(0, 2**31), n_mut=st.integers(1, 8))
+def test_id3v2_fuzz_only_valueerror(seed, n_mut):
+    import random as _random
+
+    from hdp2_5_hive2_spark.llm.audio_containers import build_id3v2, id3v2_tags
+
+    rnd = _random.Random(seed)
+    data = bytearray(build_id3v2({"TIT2": "abc", "TPE1": "def"}))
+    for _ in range(n_mut):
+        data[rnd.randrange(len(data))] = rnd.randrange(256)
+    try:
+        id3v2_tags(bytes(data))
+    except ValueError:
+        pass
