@@ -839,3 +839,25 @@ def test_quantile_normalize_lookup_join_on_rank_key(spark):
         # never a scan
         build = seg.split("BroadcastExchange", 1)[-1]
         assert "Aggregate" in build.split("Join")[0], plan
+
+
+def test_dhash_pair_join_plan(spark):
+    """dHash near-dup pair generation must be a hash join on the band
+    keys — never a cartesian/nested-loop product — and the Hamming
+    filter must run JVM-side (bit_count/xor in the plan, no Python eval
+    after the join)."""
+    import numpy as np
+
+    from hdp2_5_hive2_spark.llm.image_dedup import dhash_near_dup_pairs
+
+    rng = np.random.default_rng(0)
+    hashes = spark.createDataFrame(
+        [(i, *[int(x) for x in rng.integers(0, 1 << 16, 4)]) for i in range(64)],
+        "id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    plan = _executed(dhash_near_dup_pairs(hashes, "id"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "bit_count" in plan, plan
+    # decode/hash is upstream; candidate filtering has no Python stage
+    post_join = plan.split("Join")[-1]
+    assert "BatchEvalPython" not in post_join and "ArrowEvalPython" not in post_join
