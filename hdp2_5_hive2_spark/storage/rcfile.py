@@ -44,8 +44,8 @@ Two write paths (same dispatch contract as storage.writer.write_sequencefile):
 The READER is pure Python over ``sc.binaryFiles`` — one task per file, no
 JVM serde involved, so it works in any session (including in-memory
 catalogs where Hive DDL is unavailable). Supported codecs: uncompressed,
-DefaultCodec (zlib), GzipCodec and SnappyCodec (from-spec Python kernel,
-storage/snappy_codec.py) — one stream per column segment and one
+DefaultCodec (zlib), GzipCodec, SnappyCodec and Lz4Codec (from-spec Python
+kernels, storage/snappy_codec.py + storage/lz4_codec.py) — one stream per column segment and one
 for the key (RCFile.java:1154-1250 resets the codec stream per column, so
 each segment is independently decompressable; wbits=47 inflate auto-detects
 the two zlib-family headers). Both header generations parse: RCF v1 and the
@@ -76,11 +76,12 @@ _VALUE_CLASS = "org.apache.hadoop.hive.ql.io.RCFile$ValueBuffer"
 _DEFLATE_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
 _GZIP_CODEC = "org.apache.hadoop.io.compress.GzipCodec"
 _SNAPPY_CODEC = "org.apache.hadoop.io.compress.SnappyCodec"
+_LZ4_CODEC = "org.apache.hadoop.io.compress.Lz4Codec"
 # Default/Gzip are zlib-family (wbits=47 auto-detects the two headers);
 # Snappy decodes via the from-spec kernel in storage/snappy_codec.py with
 # Hadoop's BlockCompressorStream framing (what codec.createOutputStream
 # wraps around each RCFile segment).
-_SUPPORTED_CODECS = (_DEFLATE_CODEC, _GZIP_CODEC, _SNAPPY_CODEC)
+_SUPPORTED_CODECS = (_DEFLATE_CODEC, _GZIP_CODEC, _SNAPPY_CODEC, _LZ4_CODEC)
 
 
 def _deflate(data: bytes, codec: str) -> bytes:
@@ -88,6 +89,10 @@ def _deflate(data: bytes, codec: str) -> bytes:
         from hdp2_5_hive2_spark.storage.snappy_codec import hadoop_snappy_compress
 
         return hadoop_snappy_compress(data)
+    if codec == _LZ4_CODEC:
+        from hdp2_5_hive2_spark.storage.lz4_codec import hadoop_lz4_compress
+
+        return hadoop_lz4_compress(data)
     if codec == _GZIP_CODEC:
         import gzip
 
@@ -100,6 +105,10 @@ def _inflate(data: bytes, codec: str) -> bytes:
         from hdp2_5_hive2_spark.storage.snappy_codec import hadoop_snappy_decompress
 
         return hadoop_snappy_decompress(data)
+    if codec == _LZ4_CODEC:
+        from hdp2_5_hive2_spark.storage.lz4_codec import hadoop_lz4_decompress
+
+        return hadoop_lz4_decompress(data)
     return zlib.decompress(data, 47)  # MAX_WBITS|32: zlib or gzip header
 _COLUMN_NUMBER_KEY = "hive.io.rcfile.column.number"
 _EMPTY_STRING_MARKER = b"\xbf"  # LazyBinaryColumnarSerDe.java:86
