@@ -925,3 +925,38 @@ def posting_blocks(
         F.element_at("arr", -1).alias("last_doc"),
         F.array_join(gaps, ",").alias("gaps"),
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table (the artifact ``bpe_train`` emits,
+    or any fixed table) to count TOKENS UNDER THE TOKENIZER — the number
+    that actually prices a document for training, as opposed to the
+    whitespace/regex proxies in ``llm.text``.
+
+    Encoding follows the training convention exactly: merge i rewrites
+    its pair to the private-use placeholder U+E000+i, applied in merge
+    order via chained ``replace`` (greedy left-to-right non-overlapping —
+    the BPE merge order — and identical in Spark, DuckDB and Java, so
+    the operator is oracle-checkable). After all merges, every remaining
+    CHARACTER is one token; the per-document token count is
+    Σ_words length(encoded word).
+
+    Plan: one explode + the replace chain + one sum — all codegen'd
+    JVM expressions, zero Python, one shuffle (the per-doc sum)."""
+    from hdp2_5_hive2_spark.llm.text import tokens
+
+    word = F.explode(tokens(text_col)).alias("word")
+    base = df.select(F.col(id_col), word).filter(F.col("word") != "")
+    enc = F.col("word")
+    for i, pair in enumerate(merges):
+        enc = F.replace(enc, F.lit(pair), F.lit(chr(0xE000 + i)))
+    return (
+        base.select(id_col, F.length(enc).alias("_n"))
+        .groupBy(id_col)
+        .agg(F.sum("_n").alias("n_bpe_tokens"), F.count("*").alias("n_words"))
+    )

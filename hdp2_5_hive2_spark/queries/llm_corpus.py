@@ -1425,6 +1425,42 @@ def multimodal_subtitle_alignment(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "llm_bpe_apply_count",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents WHERE doc_id < 150
+    ), enc AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(
+               w, 'th', chr(57344)), 'he', chr(57345)),
+               'an', chr(57346)), 'in', chr(57347)) AS e
+      FROM words WHERE w <> ''
+    )
+    SELECT doc_id,
+           CAST(SUM(length(e)) AS BIGINT) AS n_bpe_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("llm", "tokenizer"),
+)
+def llm_bpe_apply_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting UNDER A BPE MERGE TABLE (llm.retrieval.bpe_apply):
+    a fixed four-merge table ('th','he','an','in' → private-use
+    placeholders U+E000..E003, the exact convention bpe_train emits) is
+    applied to every document via the chained-replace encoder — greedy
+    left-to-right non-overlapping, identical semantics in Spark and
+    DuckDB, so the oracle replays the same replace chain directly. This
+    is the number that prices a document for training (vs the
+    whitespace/regex proxies). Plan: explode + codegen'd replace chain +
+    one per-doc sum; zero Python."""
+    from hdp2_5_hive2_spark.llm.retrieval import bpe_apply
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 150)
+    return bpe_apply(d, ["th", "he", "an", "in"])
+
+
+@query(
     "multimodal_meta_sha",
     oracle="""
     SELECT doc_id, sha256(text) AS sha, octet_length(CAST(text AS BLOB)) AS n_bytes

@@ -2139,3 +2139,29 @@ def test_corpus_filter_full_funnel(spark):
         .first()
     )
     assert (funnel.total, funnel.q, funnel.kept) == (6, 5, 1)
+
+
+def test_bpe_apply_tokenizer_counts(spark):
+    """bpe_apply: merge-order chained replace with placeholder symbols —
+    hand-computed token counts, incl. a merged-symbol merge (E000+'e')."""
+    from hdp2_5_hive2_spark.llm.retrieval import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "the thin thread there"), (1, "he she the")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.n_bpe_tokens, r.n_words)
+            for r in bpe_apply(df, ["th", "he", "e"]).collect()}
+    # the→[th][e]→2, thin→3, thread→5, there→[th][e]r[e]→4
+    assert rows[0] == (14, 4)
+    # he→1, she→2, the→[th][e]→2
+    assert rows[1] == (5, 3)
+    # a merge table containing a placeholder pair (real trained shape):
+    # merge0 'th'→E000, merge1 E000+'e' → single token for 'the'
+    rows2 = {r.doc_id: r.n_bpe_tokens
+             for r in bpe_apply(df, ["th", chr(0xE000) + "e"]).collect()}
+    assert rows2[0] == 1 + 3 + 5 + 3 and rows2[1] == 2 + 3 + 1
+    # and the trained table round-trips through the encoder
+    merges = [r.pair for r in bpe_train(df, n_merges=2).orderBy("merge_idx").collect()]
+    out = bpe_apply(df, merges)
+    assert out.count() == 2 and out.filter("n_bpe_tokens <= 0").count() == 0
