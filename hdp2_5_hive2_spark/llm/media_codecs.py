@@ -58,59 +58,21 @@ __all__ = [
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """PNG → uint8 array (H, W, C). Supports bit depth 8, color types
-    gray/RGB/palette/gray+alpha/RGBA, all five scanline filters,
-    non-interlaced (interlace 0)."""
-    if data[:8] != _PNG_SIG:
-        raise ValueError("PNG corrupt: bad signature")
-    pos, n = 8, len(data)
-    width = height = None
-    color_type = bit_depth = None
-    palette = None
-    idat = bytearray()
-    while pos < n:
-        (clen,) = struct.unpack_from(">I", data, pos)
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + clen]
-        expect_crc = struct.unpack_from(">I", data, pos + 8 + clen)[0]
-        if zlib.crc32(ctype + body) != expect_crc:
-            raise ValueError(f"PNG corrupt: {ctype!r} chunk CRC mismatch")
-        pos += 12 + clen
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", body)
-            )
-            if bit_depth != 8:
-                raise ValueError(f"PNG: bit depth {bit_depth} not supported (8 only)")
-            if color_type not in _CHANNELS:
-                raise ValueError(f"PNG: color type {color_type} not supported")
-            if comp or filt:
-                raise ValueError("PNG corrupt: unknown compression/filter method")
-            if interlace:
-                raise ValueError("PNG: Adam7 interlace not supported")
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG corrupt: no IHDR")
-    ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+def _unfilter(raw: bytes, base: int, width: int, height: int, ch: int) -> bytes:
+    """Unfilter one scanline group (a whole image, or one Adam7 pass)
+    starting at ``base``; returns ``height*width*ch`` raw sample bytes.
+    Plain bytearrays with explicit mod-256 ints — the serial dependency
+    in Sub/Average/Paeth rules out full vectorization anyway."""
     stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG corrupt: decompressed size mismatch")
-    # unfilter over plain bytearrays (explicit mod-256 ints; the serial
-    # dependency in Sub/Average/Paeth rules out full vectorization anyway)
     out = bytearray(height * stride)
     prev = bytes(stride)
     bpp = ch  # bytes per pixel at depth 8
     for y in range(height):
-        base = y * (stride + 1)
-        ftype = raw[base]
-        row = bytearray(raw[base + 1 : base + 1 + stride])
+        at = base + y * (stride + 1)
+        if at + 1 + stride > len(raw):
+            raise ValueError("PNG corrupt: decompressed size mismatch")
+        ftype = raw[at]
+        row = bytearray(raw[at + 1 : at + 1 + stride])
         if ftype == 0:
             pass
         elif ftype == 2:  # Up
@@ -136,7 +98,78 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG corrupt: filter type {ftype}")
         out[y * stride : (y + 1) * stride] = row
         prev = bytes(row)
-    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(height, width, ch)
+    return bytes(out)
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per the PNG spec
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG → uint8 array (H, W, C). Supports bit depth 8, color types
+    gray/RGB/palette/gray+alpha/RGBA, all five scanline filters, and
+    both interlace methods (none + Adam7 — each pass is its own
+    filtered scanline group scattered onto the 8×8 grid)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("PNG corrupt: bad signature")
+    pos, n = 8, len(data)
+    width = height = None
+    color_type = bit_depth = None
+    palette = None
+    idat = bytearray()
+    while pos < n:
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        expect_crc = struct.unpack_from(">I", data, pos + 8 + clen)[0]
+        if zlib.crc32(ctype + body) != expect_crc:
+            raise ValueError(f"PNG corrupt: {ctype!r} chunk CRC mismatch")
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"PNG: bit depth {bit_depth} not supported (8 only)")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"PNG: color type {color_type} not supported")
+            if comp or filt:
+                raise ValueError("PNG corrupt: unknown compression/filter method")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG corrupt: interlace method {interlace}")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG corrupt: no IHDR")
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG corrupt: decompressed size mismatch")
+        flat = _unfilter(raw, 0, width, height, ch)
+        px = np.frombuffer(flat, dtype=np.uint8).reshape(height, width, ch)
+    else:
+        px = np.zeros((height, width, ch), dtype=np.uint8)
+        base = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            flat = _unfilter(raw, base, pw, ph, ch)
+            base += ph * (pw * ch + 1)
+            sub = np.frombuffer(flat, dtype=np.uint8).reshape(ph, pw, ch)
+            px[y0::dy, x0::dx] = sub
+        if base != len(raw):
+            raise ValueError("PNG corrupt: decompressed size mismatch")
     if color_type == 3:
         if palette is None:
             raise ValueError("PNG corrupt: palette image without PLTE")

@@ -430,3 +430,39 @@ def test_resize_png_images_real_pixels(spark):
         assert (r.width, r.height) == (6, 8)
         back = png_decode(bytes(r.payload))
         assert (back == resize_nearest(originals[r.asset_id], 6, 8)).all()
+
+
+def test_png_adam7_interlace_vs_imageio(spark):
+    """ImageIO-written PROGRESSIVE (Adam7) PNGs — pass structure and
+    per-pass adaptive filters from an encoder we don't control — must
+    decode to the exact pixels, across sizes that exercise empty and
+    partial passes."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+
+    def j_encode_progressive(px: np.ndarray) -> bytes:
+        h, w = px.shape[:2]
+        img = BI(w, h, BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (int(v) for v in px[y, x])
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.flush()
+        return bytes(baos.toByteArray())
+
+    rng = np.random.default_rng(6)
+    for h, w in ((1, 1), (3, 5), (8, 8), (13, 21)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = j_encode_progressive(px)
+        # confirm the file really is interlaced (IHDR byte 12)
+        ihdr_at = blob.index(b"IHDR") + 4
+        assert blob[ihdr_at + 12] == 1, "writer did not interlace"
+        back = png_decode(blob)
+        assert back.shape == (h, w, 3) and (back == px).all(), (h, w)
