@@ -393,16 +393,20 @@ def test_jpeg_rgb_within_lossy_tolerance_of_original(spark):
     assert d.mean() < 3.0 and d.max() <= 32, (d.mean(), d.max())
 
 
-def test_jpeg_progressive_rejected(spark):
+def test_jpeg_unsupported_modes_rejected(spark):
+    """Arithmetic-coded (SOF9) and lossless (SOF3) frames raise cleanly
+    (progressive SOF2 is now decoded — see the progressive test)."""
     from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
 
     encode, _ = _jpeg_tools(spark)
-    jb = bytearray(encode(np.full((8, 8), 50, dtype=np.uint8), gray=True))
-    idx = bytes(jb).find(b"\xff\xc0")
+    base = bytes(encode(np.full((8, 8), 50, dtype=np.uint8), gray=True))
+    idx = base.find(b"\xff\xc0")
     assert idx > 0
-    jb[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
-        jpeg_decode(bytes(jb))
+    for sof in (0xC9, 0xC3):
+        jb = bytearray(base)
+        jb[idx + 1] = sof
+        with pytest.raises(ValueError, match="DCT supported"):
+            jpeg_decode(bytes(jb))
 
 
 def test_pixel_codec_decodes_jpeg(spark):
@@ -466,3 +470,51 @@ def test_png_adam7_interlace_vs_imageio(spark):
         assert blob[ihdr_at + 12] == 1, "writer did not interlace"
         back = png_decode(blob)
         assert back.shape == (h, w, 3) and (back == px).all(), (h, w)
+
+
+def test_jpeg_progressive_vs_baseline(spark):
+    """SOF2 progressive files (ImageIO's scan script: spectral selection
+    + successive approximation with EOB runs and AC refinement) must
+    reconstruct the SAME coefficients as the baseline encoding of the
+    same pixels — decoded outputs identical, and constants exact."""
+    from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode
+
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+
+    def enc(px, progressive, gray=False):
+        h, w = px.shape[:2]
+        img = BI(w, h, BI.TYPE_BYTE_GRAY if gray else BI.TYPE_INT_RGB)
+        if gray:
+            raster = img.getRaster()
+            for y in range(h):
+                for x in range(w):
+                    raster.setSample(x, y, 0, int(px[y, x]))
+        else:
+            for y in range(h):
+                for x in range(w):
+                    r, g, b = (int(v) for v in px[y, x])
+                    img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        p = writer.getDefaultWriteParam()
+        if progressive:
+            p.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), p)
+        ios.flush()
+        return bytes(baos.toByteArray())
+
+    const = np.full((24, 40, 3), 130, dtype=np.uint8)
+    blob = enc(const, True)
+    assert b"\xff\xc2" in blob  # really SOF2
+    assert (jpeg_decode(blob) == 130).all()
+
+    rng = np.random.default_rng(0)
+    g = (np.add.outer(np.arange(33) * 3, np.arange(47) * 2) % 256).astype(np.uint8)
+    assert (
+        jpeg_decode(enc(g, True, gray=True)) == jpeg_decode(enc(g, False, gray=True))
+    ).all()
+    c = rng.integers(0, 256, (21, 37, 3), dtype=np.uint8)
+    assert (jpeg_decode(enc(c, True)) == jpeg_decode(enc(c, False))).all()
