@@ -486,6 +486,8 @@ def _sniff(payload: bytes) -> str:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:4] == b"fLaC":
         return "flac"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
@@ -606,7 +608,7 @@ class PixelCodec(Codec):
 
     def decode(self, payload: bytes, modality: str) -> list[float]:
         kind = _sniff(payload)
-        if kind in ("png", "bmp", "jpeg", "gif", "tiff"):
+        if kind in ("png", "bmp", "jpeg", "gif", "tiff", "webp"):
             if kind == "jpeg":
                 from hdp2_5_hive2_spark.llm.jpeg import jpeg_decode as _jd
 
@@ -615,6 +617,10 @@ class PixelCodec(Codec):
                 from hdp2_5_hive2_spark.llm.tiff import tiff_decode as _td
 
                 px = _td(payload)
+            elif kind == "webp":
+                from hdp2_5_hive2_spark.llm.webp import webp_decode as _wd
+
+                px = _wd(payload)  # VP8L; lossy VP8 raises its own error
             else:
                 px = {"png": png_decode, "bmp": bmp_decode, "gif": gif_decode}[
                     kind

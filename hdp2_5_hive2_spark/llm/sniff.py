@@ -37,6 +37,10 @@ def sniff_any(payload: bytes) -> tuple[str, str]:
     img = sniff_image(payload)
     if img == "avi":
         return ("video", "avi")
+    if img == "webp":
+        from hdp2_5_hive2_spark.llm.webp import sniff_webp
+
+        return ("image", sniff_webp(payload))
     if img != "unknown":
         return ("image" if img not in ("wav", "flac") else "audio", img)
     if payload[4:8] == b"ftyp":

@@ -31,6 +31,9 @@ def _cases(spark=None):
         ("image", "png"): png_encode(px),
         ("image", "bmp"): bmp_encode(rgb),
         ("image", "tiff"): tiff_encode(px),
+        ("image", "webp-lossless"): __import__(
+            "hdp2_5_hive2_spark.llm.webp", fromlist=["vp8l_encode_lossless"]
+        ).vp8l_encode_lossless(rgb),
         ("audio", "wav"): wav_encode(sig, 16000),
         ("audio", "flac"): flac_encode(sig),
         ("audio", "mp3"): build_id3v2({"TIT2": "x"}) + b"\xff\xfb\x90\x00",
