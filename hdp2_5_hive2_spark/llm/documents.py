@@ -49,9 +49,11 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+# RuntimeError: zipfile raises it for password-protected members, which a
+# bit-flipped flag byte can fake — hostile input, not a programming error.
 _ZIP_ERRORS = (
     zipfile.BadZipFile, KeyError, NotImplementedError, OSError, EOFError,
-    zlib.error,
+    zlib.error, RuntimeError,
 )
 
 

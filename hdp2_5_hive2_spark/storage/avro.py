@@ -19,8 +19,8 @@ exist anyway, the same dual shape as RCFile (storage/rcfile.py):
   (verified working in this container: hive-exec 2.3.10 + avro 1.12 jars).
 - **In-memory session**: this module's pure-Python codec, written from the
   published Avro 1.x specification (container layout, zigzag-varint binary
-  encoding, deflate codec, reader/writer schema resolution). Fixture and
-  migration scale.
+  encoding, deflate/snappy/zstandard codecs, reader/writer schema
+  resolution). Fixture and migration scale.
 
 The Hive schema mapping is matched exactly (pinned by the cross-parity
 test): one top-level record whose fields are ``["null", T]`` unions with
@@ -614,8 +614,10 @@ def serialize_avro(
     object-container file: magic, metadata map (avro.schema, avro.codec),
     16-byte sync, then blocks of ≤ _BLOCK_ROWS records each framed as
     (count, byte-size, data, sync). deflate = raw RFC-1951 (wbits=-15)."""
-    if codec not in ("null", "deflate", "snappy"):
-        raise ValueError(f"Avro codec {codec!r} not supported (null|deflate|snappy)")
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
+        raise ValueError(
+            f"Avro codec {codec!r} not supported (null|deflate|snappy|zstandard)"
+        )
     root = _parse_schema(json.loads(schema_json))
     sync = hashlib.md5(seed.encode("utf-8")).digest()
     out = bytearray(_MAGIC)
@@ -645,6 +647,12 @@ def serialize_avro(
             payload = snappy_compress(payload) + struct.pack(
                 ">I", zlib.crc32(payload)
             )
+        elif codec == "zstandard":
+            # avro spec: one zstd frame per block, no extra CRC (the frame
+            # carries its own XXH64 content checksum)
+            from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress_store
+
+            payload = zstd_compress_store(payload)
         _write_long(out, count)
         _write_long(out, len(payload))
         out.extend(payload)
@@ -688,8 +696,10 @@ def parse_avro(
     pos, meta, sync = _parse_header(data)
     writer = _parse_schema(json.loads(meta["avro.schema"].decode("utf-8")))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate", "snappy"):
-        raise ValueError(f"Avro codec {codec!r} not supported (null|deflate|snappy)")
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
+        raise ValueError(
+            f"Avro codec {codec!r} not supported (null|deflate|snappy|zstandard)"
+        )
     reader = (
         _parse_schema(json.loads(reader_schema_json))
         if reader_schema_json
@@ -716,6 +726,10 @@ def parse_avro(
             payload = snappy_decompress(payload[:-4])
             if zlib.crc32(payload) != crc:
                 raise ValueError("Avro corrupt: snappy block CRC mismatch")
+        elif codec == "zstandard":
+            from hdp2_5_hive2_spark.storage.zstd_codec import zstd_decompress
+
+            payload = zstd_decompress(payload)
         p = 0
         for _ in range(count):
             decoded, p = _read_value(writer, payload, p)
@@ -827,6 +841,12 @@ def iter_avro_range(
                 payload = snappy_decompress(payload[:-4])
                 if zlib.crc32(payload) != crc:
                     raise ValueError("Avro corrupt: snappy block CRC mismatch")
+            elif codec == "zstandard":
+                from hdp2_5_hive2_spark.storage.zstd_codec import (
+                    zstd_decompress,
+                )
+
+                payload = zstd_decompress(payload)
             p = 0
             for _ in range(count):
                 decoded, p = _read_value(writer, payload, p)

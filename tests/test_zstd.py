@@ -1,0 +1,194 @@
+"""Zstandard codec (storage/zstd_codec.py): cross-parity against the
+reference implementation that ships JVM-side (zstd-jni) in BOTH
+directions and at multiple levels (levels flip between predefined and
+FSE-described sequence tables, 1- vs 4-stream Huffman literals, treeless
+repeats, multi-block history), XXH64 pinned against Spark's xxhash64 SQL
+function, frame-grammar edges (skippable frames, multi-frame concat,
+dictionary rejection), and the hostile-input fuzz contract."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hdp2_5_hive2_spark.storage.zstd_codec import (
+    xxh64,
+    zstd_compress_store,
+    zstd_decompress,
+)
+
+
+def _payloads():
+    rng = random.Random(7)
+    yield b""
+    yield b"A"
+    yield b"hello"
+    yield b"abcabcabc" * 200
+    yield ("the quick brown fox jumps over the lazy dog. " * 300).encode()
+    yield bytes(rng.randrange(256) for _ in range(1000))
+    yield b"\x00" * 300_000  # > one 128 KiB block: cross-block history
+    yield b"".join(bytes([i % 7, i % 11, 65 + i % 26]) for i in range(60000))
+    semi = bytearray()
+    for i in range(150_000):
+        semi.append((i * 31 + (i >> 5)) % 200 if i % 17 else rng.randrange(256))
+    yield bytes(semi)
+    yield b"".join(
+        (f"doc {i}: lorem ipsum dolor sit amet {i * i}\n").encode()
+        for i in range(8000)
+    )
+
+
+def test_zstd_jni_cross_parity_decode(spark):
+    """Decode reference-encoder output at levels spanning fast (predefined
+    tables) through max (FSE-described, treeless, long matches)."""
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    for data in _payloads():
+        for lvl in (1, 3, 9, 19, 22):
+            assert zstd_decompress(bytes(Z.compress(data, lvl))) == data
+
+
+def test_zstd_jni_cross_parity_encode(spark):
+    """The reference decoder reads our store-encoder frames."""
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    for data in _payloads():
+        if not data:
+            continue
+        assert bytes(Z.decompress(zstd_compress_store(data), len(data))) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    n=st.integers(0, 5000),
+    mode=st.sampled_from(["random", "runs", "textish"]),
+)
+def test_store_roundtrip_property(seed, n, mode):
+    rng = random.Random(seed)
+    if mode == "random":
+        data = bytes(rng.randrange(256) for _ in range(n))
+    elif mode == "runs":
+        data = b"".join(
+            bytes([rng.randrange(256)]) * rng.randrange(1, 400)
+            for _ in range(n // 100 + 1)
+        )[:n]
+    else:
+        data = (b"lorem ipsum %d " % seed) * (n // 10 + 1)
+    assert zstd_decompress(zstd_compress_store(data)) == data
+
+
+def test_multi_frame_and_skippable():
+    a, b = b"first frame ", b"second frame"
+    skippable = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"xyz"
+    buf = zstd_compress_store(a) + skippable + zstd_compress_store(b)
+    assert zstd_decompress(buf) == a + b
+
+
+def test_dictionary_frames_rejected(spark):
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    data = b"dictionary test payload " * 40
+    # zstd-jni's simple API writes no dictionary ID; craft one by setting
+    # the Dictionary_ID_flag on a real frame and splicing in a nonzero ID.
+    frame = bytearray(bytes(Z.compress(data, 3)))
+    fhd = frame[4]
+    assert fhd & 3 == 0  # no dict id in the original
+    frame[4] = fhd | 1  # 1-byte dictionary ID follows
+    frame.insert(5 + (0 if fhd & 0x20 else 1), 42)
+    with pytest.raises(ValueError, match="dictionary"):
+        zstd_decompress(bytes(frame))
+
+
+def test_checksum_detects_corruption():
+    data = b"checksummed payload " * 64
+    frame = bytearray(zstd_compress_store(data, checksum=True))
+    frame[len(frame) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(frame))
+
+
+def test_content_size_enforced(spark):
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    comp = bytearray(bytes(Z.compress(b"size pinned content " * 30, 3)))
+    # truncating the last block trips either block framing or size check
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(comp[:-5]))
+
+
+@settings(max_examples=80, deadline=None)
+@given(seed=st.integers(0, 2**31), n_mut=st.integers(1, 6))
+def test_fuzz_only_valueerror(seed, n_mut):
+    """Hostile-input contract: mutated frames either still decode or raise
+    ValueError — never another exception, never a hang."""
+    rng = random.Random(seed)
+    base = bytearray(
+        zstd_compress_store(bytes(rng.randrange(256) for _ in range(400)))
+    )
+    for _ in range(n_mut):
+        base[rng.randrange(len(base))] = rng.randrange(256)
+    try:
+        zstd_decompress(bytes(base))
+    except ValueError:
+        pass
+
+
+def test_xxh64_spark_parity(spark):
+    """Spark's xxhash64(binary) is XXH64 with seed 42 over the raw bytes —
+    an independent implementation of the same public algorithm."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        b"",
+        b"a",
+        b"abcd",
+        b"0123456789abcdef",  # 16 B: two 8-B laps
+        bytes(range(256)),  # 32-B lanes + tails
+        b"x" * 1000,
+    ]
+    df = spark.createDataFrame([(bytearray(c),) for c in cases], "b binary")
+    got = [r[0] for r in df.select(F.xxhash64("b")).collect()]
+    want = [xxh64(c, seed=42) - (1 << 64 if xxh64(c, seed=42) >= 1 << 63 else 0)
+            for c in cases]
+    assert got == want
+
+
+def test_avro_zstandard_codec_roundtrip():
+    from hdp2_5_hive2_spark.storage.avro import parse_avro, serialize_avro
+
+    schema = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"id","type":["null","long"]},'
+        '{"name":"s","type":["null","string"]}]}'
+    )
+    rows = [(i, f"row {i} " * 20) for i in range(500)]
+    blob = serialize_avro(rows, schema, codec="zstandard")
+    assert list(parse_avro(blob)) == rows
+    # the frame inside is checksummed: flip a byte mid-file
+    bad = bytearray(blob)
+    bad[len(bad) - 40] ^= 0x10
+    with pytest.raises(ValueError):
+        list(parse_avro(bytes(bad)))
+
+
+def test_avro_zstandard_jvm_parity(spark):
+    """Avro-spec conformance of the zstandard leg: the block payload our
+    writer frames must be a plain zstd frame the reference decoder opens."""
+    from hdp2_5_hive2_spark.storage.avro import (
+        _parse_header,
+        _read_long,
+        serialize_avro,
+    )
+
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    schema = (
+        '{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}'
+    )
+    blob = serialize_avro([(i,) for i in range(100)], schema, codec="zstandard")
+    pos, meta, sync = _parse_header(blob)
+    assert meta["avro.codec"] == b"zstandard"
+    count, pos = _read_long(blob, pos)
+    size, pos = _read_long(blob, pos)
+    payload = blob[pos : pos + size]
+    plain = bytes(Z.decompress(payload, 10 * count))
+    assert len(plain) <= 10 * count and plain  # zigzag longs, ≤10 B each
