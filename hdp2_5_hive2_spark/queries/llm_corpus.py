@@ -6127,3 +6127,70 @@ def llm_dedup_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tier(F.md5(F.substring("text", 1, 200)), "prefix_200"))
         .unionAll(near)
     )
+
+
+@query(
+    "llm_jsonl_shard_ingest",
+    oracle="""
+    SELECT c.codec,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(d.text)) AS BIGINT) AS total_chars,
+           CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+    FROM (VALUES ('gzip'), ('plain'), ('zstd')) AS c(codec)
+    CROSS JOIN (SELECT * FROM documents WHERE doc_id % 2 = 0) d
+    GROUP BY c.codec
+    """,
+    tags=("llm", "ingest", "formats"),
+)
+def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus-shard ingestion END TO END (llm/corpus_shards.py —
+    the distribution format of the public LLM corpora: The Pile/Dolma
+    ship .jsonl.zst, C4/RedPajama .json.gz): the even documents are
+    sharded out executor-side (write_jsonl_shards, one shard per
+    partition, no driver collect) once per codec — plain, gzip, and
+    zstd (storage/zstd_codec.py frames, the RFC 8878 codec) — then read
+    back through read_jsonl_shards (decompress + line-split in the
+    Arrow pass) with JSON field extraction left JVM-side
+    (get_json_object, codegen). Per-codec doc counts, char totals and
+    id sums must equal the oracle's direct aggregation of the same
+    slice, so framing, compression, UTF-8 and JSON escaping all have to
+    round-trip exactly. 100 TB: publishers size shards for
+    one-task-per-shard parallelism; .gz/.zst members are not
+    random-access, so whole-member decode per task is the honest cost
+    model (same contract as the .warc.gz path)."""
+    import glob as _glob
+
+    from hdp2_5_hive2_spark.llm.corpus_shards import (
+        read_jsonl_shards,
+        write_jsonl_shards,
+    )
+    from hdp2_5_hive2_spark.queries.storage_corpus import IO_ROOT
+
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+    paths: list[str] = []
+    for codec in ("plain", "gzip", "zstd"):
+        root = f"{IO_ROOT}/jsonl_shards/{codec}"
+        write_jsonl_shards(docs, root, codec=codec)
+        paths.extend(sorted(_glob.glob(f"{root}/part-*")))
+    lines = read_jsonl_shards(spark, paths)
+    return (
+        lines.withColumn(
+            "codec", F.regexp_extract("path", r"jsonl_shards/([a-z]+)/", 1)
+        )
+        .select(
+            "codec",
+            F.get_json_object("line", "$.doc_id").cast("bigint").alias("doc_id"),
+            F.get_json_object("line", "$.text").alias("text"),
+        )
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
