@@ -912,3 +912,131 @@ def setsim_join_pairs(
         "uni",
         (F.col("inter").cast("double") / F.col("uni")).alias("jaccard"),
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr span detection (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    span whose text of length >= ``min_len`` occurs elsewhere in the
+    corpus (other documents OR a repeat within the same document).
+
+    The reference tool builds one giant suffix array on a single large
+    machine; the distributed re-expression rests on an exactness
+    lemma: a duplicated substring of length >= L exists iff one of its
+    length-EXACTLY-L windows is duplicated. So hash every length-L
+    window (md5, 16-byte shuffle key), keep windows whose hash count
+    is > 1, and merge overlapping/adjacent window positions per
+    document into maximal spans (gaps-and-islands: a new island starts
+    when the position gap exceeds L).
+
+    Returns (id_col, span_start 0-based, span_len) — one row per
+    maximal duplicated span.
+
+    100 TB notes: the window explode is pure codegen (sequence +
+    substring + md5 — no Python), emitting ~(bytes of corpus) rows of
+    (16B hash, id, pos); the single wide shuffle on the hash key is
+    the inherent cost of exact (not approximate) substring dedup —
+    what the suffix array trades RAM for on one box, this trades
+    shuffle for across a cluster. Count-over-hash-partition keeps it
+    to ONE exchange before the per-doc island pass (a second, narrow
+    shuffle on id). Near-dup pipelines that can tolerate approximation
+    should prefer minhash_lsh_pairs; this is the exact-span tool."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    win = (
+        docs.where(F.length(text_col) >= L)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - F.lit(L))
+            ).alias("p"),
+        )
+        .select(
+            "_id",
+            "p",
+            F.md5(F.expr(f"substring(_t, p + 1, {L})")).alias("h"),
+        )
+    )
+    dup = (
+        win.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("c") > 1)
+        .select("_id", "p")
+    )
+    byid = Window.partitionBy("_id").orderBy("p")
+    grp = (
+        dup.withColumn("prev", F.lag("p").over(byid))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("p") - F.col("prev") > L), 1
+            ).otherwise(0),
+        )
+        .withColumn("g", F.sum("brk").over(byid))
+    )
+    return (
+        grp.groupBy("_id", "g")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + L - F.min("p")).alias("span_len"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("bigint"),
+            F.col("span_len").cast("bigint"),
+        )
+    )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove the given (span_start, span_len) character ranges from each
+    document's text — the ExactSubstr CUT step. The policy question
+    (cut every occurrence, as the released deduplicate-text-datasets
+    tool does, vs keep one canonical copy) belongs to the caller: pass
+    the spans frame filtered accordingly. Documents with no spans pass
+    through unchanged; a document cut to empty text survives as ''.
+
+    Scale: spans per doc are collected into one array per document
+    (bounded by doc length / min_len) and applied in ONE codegen pass —
+    aggregate() folds the sorted span array into the kept text."""
+    agg = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_len"))
+        ).alias("_spans")
+    )
+    # fold sorted spans: carry (kept-so-far, cursor); append the slice
+    # between the previous cut end and this span's start.
+    fold = F.expr(
+        f"""aggregate(
+              _spans,
+              named_struct('kept', CAST('' AS STRING), 'cur', 0L),
+              (acc, s) -> named_struct(
+                  'kept', concat(acc.kept,
+                                 substring({text_col},
+                                           CAST(acc.cur AS INT) + 1,
+                                           CAST(greatest(s.span_start - acc.cur, 0)
+                                                AS INT))),
+                  'cur', greatest(s.span_start + s.span_len, acc.cur)),
+              acc -> concat(acc.kept,
+                            substring({text_col}, CAST(acc.cur AS INT) + 1,
+                                      length({text_col}))))"""
+    )
+    return (
+        docs.join(agg, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(fold),
+        )
+        .drop("_spans")
+    )

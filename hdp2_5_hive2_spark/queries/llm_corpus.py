@@ -6194,3 +6194,66 @@ def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
         )
     )
+
+
+@query(
+    "llm_exact_substring_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p
+      FROM (
+        SELECT doc_id, p,
+               COUNT(*) OVER (
+                 PARTITION BY md5(substr(text, CAST(p AS INT) + 1, 60))
+               ) AS c
+        FROM (SELECT doc_id, text, unnest(range(0, length(text) - 60 + 1)) AS p
+              FROM documents WHERE length(text) >= 60)
+      ) WHERE c > 1
+    ), isl AS (
+      SELECT doc_id, p,
+             CASE WHEN LAG(p) OVER w IS NULL OR p - LAG(p) OVER w > 60
+                  THEN 1 ELSE 0 END AS brk
+      FROM sh WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ), grp AS (
+      SELECT doc_id, p,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, MIN(p) AS s, MAX(p) + 60 - MIN(p) AS ln
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(ln) AS BIGINT) AS dup_chars,
+           CAST(MIN(s) AS BIGINT) AS first_span_start
+    FROM spans GROUP BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup spans (Lee et al. 2021's ExactSubstr,
+    llm/dedup.py:exact_substring_spans): every maximal character span
+    whose length-60+ text recurs anywhere in the corpus — across
+    documents or repeated inside one — found by hashing EVERY length-60
+    window (pure codegen: sequence-explode + substring + md5, no
+    Python), one wide count-over-hash shuffle, then a per-document
+    gaps-and-islands merge. Per document: span count, duplicated chars,
+    first span offset; the DuckDB oracle replays the identical window
+    algebra, so the exactness lemma (dup substring >= L exists iff a
+    length-L window is duplicated), the island merge rule (gap > L
+    breaks) and 0/1-based indexing all have to agree. The suffix-array
+    tool this re-expresses runs on one big-RAM box; the distributed
+    form trades that RAM for one wide-but-parallel shuffle (see the
+    operator's 100 TB note). cut_spans applies the cut step."""
+    from hdp2_5_hive2_spark.llm.dedup import exact_substring_spans
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        exact_substring_spans(docs, min_len=60)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").alias("dup_chars"),
+            F.min("span_start").alias("first_span_start"),
+        )
+    )

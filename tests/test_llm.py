@@ -2165,3 +2165,64 @@ def test_bpe_apply_tokenizer_counts(spark):
     merges = [r.pair for r in bpe_train(df, n_merges=2).orderBy("merge_idx").collect()]
     out = bpe_apply(df, merges)
     assert out.count() == 2 and out.filter("n_bpe_tokens <= 0").count() == 0
+
+
+def test_exact_substring_spans_planted(spark):
+    """ExactSubstr detection: a planted shared run >= min_len is reported
+    (covered by one span) in BOTH documents, and every reported span is
+    sound — its windows really do recur (brute-force recheck)."""
+    import random
+
+    rng = random.Random(11)
+    L = 50
+    alpha = "abcdefghij "
+    docs = {
+        i: "".join(rng.choice(alpha) for _ in range(rng.randrange(120, 400)))
+        for i in range(12)
+    }
+    planted = "".join(rng.choice("XYZW") for _ in range(L + 17))
+    pos = {}
+    for i in (3, 8):
+        at = rng.randrange(0, len(docs[i]) - 1)
+        docs[i] = docs[i][:at] + planted + docs[i][at:]
+        pos[i] = at
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    spans = dedup.exact_substring_spans(df, min_len=L)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_len"])
+        for r in spans.collect()
+    }
+    for i in (3, 8):
+        s, ln = got[i]
+        assert s <= pos[i] and pos[i] + len(planted) <= s + ln
+    # soundness: every span's every L-window occurs >= 2 times corpus-wide
+    from collections import Counter
+
+    counts = Counter(
+        t[p : p + L] for t in docs.values() for p in range(len(t) - L + 1)
+    )
+    for r in spans.collect():
+        t = docs[r["doc_id"]]
+        for p in range(r["span_start"], r["span_start"] + r["span_len"] - L + 1):
+            assert counts[t[p : p + L]] >= 2, (r, p)
+
+
+def test_cut_spans_removes_planted(spark):
+    L = 50
+    shared = "S" * (L + 5)
+    df = spark.createDataFrame(
+        [
+            (1, "alpha " + shared + " omega"),
+            (2, "beta-" + shared + "-gamma"),
+            (3, "untouched document body kept verbatim"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = dedup.exact_substring_spans(df, min_len=L)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.cut_spans(df, spans).collect()
+    }
+    assert shared not in out[1] and shared not in out[2]
+    assert out[1].startswith("alpha") and out[1].endswith("omega")
+    assert out[3] == "untouched document body kept verbatim"
