@@ -861,3 +861,52 @@ def test_dhash_pair_join_plan(spark):
     # decode/hash is upstream; candidate filtering has no Python stage
     post_join = plan.split("Join")[-1]
     assert "BatchEvalPython" not in post_join and "ArrowEvalPython" not in post_join
+
+
+def test_exact_substring_spans_plan(spark):
+    """ExactSubstr window hashing must be pure codegen — sequence-explode,
+    substring, md5 all JVM-side with ZERO Python eval nodes anywhere —
+    and exactly two exchanges: the wide count-over-hash shuffle plus the
+    narrow per-document island pass."""
+    from hdp2_5_hive2_spark.llm.dedup import exact_substring_spans
+
+    docs = spark.createDataFrame(
+        [(i, "text body %d " % i * 20) for i in range(32)],
+        "doc_id bigint, text string",
+    )
+    plan = _executed(exact_substring_spans(docs, min_len=50))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "md5" in plan and "Generate explode" in plan, plan
+
+
+def test_jsonl_field_extraction_stays_jvm_side(spark, tmp_path):
+    """read_jsonl_shards keeps Python to decompress+split: downstream
+    get_json_object extraction and aggregation must show exactly ONE
+    Arrow eval (the shard reader) and a partial-final hash aggregate."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.corpus_shards import (
+        read_jsonl_shards,
+        write_jsonl_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "doc_id bigint, text string"
+    ).coalesce(1)
+    root = str(tmp_path / "s")
+    write_jsonl_shards(df, root, codec="zstd")
+    import glob
+
+    lines = read_jsonl_shards(spark, sorted(glob.glob(f"{root}/part-*")))
+    out = (
+        lines.select(
+            F.get_json_object("line", "$.doc_id").cast("bigint").alias("k")
+        )
+        .groupBy()
+        .agg(F.sum("k").alias("s"))
+    )
+    plan = _executed(out)
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, plan
+    assert "get_json_object" in plan, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
