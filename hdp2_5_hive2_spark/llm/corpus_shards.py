@@ -17,7 +17,10 @@ Division of labor, deliberately:
 100 TB notes: publishers size shards ~100-500 MB precisely so that
 one-task-per-shard is the intended parallelism grain; gzip and zstd
 streams are not random-access, so whole-member decode per task is the
-honest cost model (same contract as llm/warc.py's .warc.gz path). On a
+honest cost model (same contract as llm/warc.py's .warc.gz path) —
+EXCEPT seekable-zstd shards (write_jsonl_seekable/read_jsonl_seekable,
+storage/zstd_seekable.py), which split one shard into independently
+decodable frames and plan one task per frame. On a
 cluster with native Hadoop codecs, plain/.gz shards can also go through
 ``spark.read.json`` directly; in this container (no native hadoop, no
 native libzstd for Hadoop's ZStandardCodec) the zstd leg runs on
@@ -39,6 +42,8 @@ __all__ = [
     "build_jsonl_shard",
     "read_jsonl_shards",
     "write_jsonl_shards",
+    "write_jsonl_seekable",
+    "read_jsonl_seekable",
 ]
 
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
@@ -134,3 +139,103 @@ def read_jsonl_shards(spark, paths: list[str], parallelism: int | None = None):
             yield pd.DataFrame(rows, columns=["path", "line_idx", "line"])
 
     return pdf.mapInPandas(run, "path string, line_idx bigint, line string")
+
+
+def write_jsonl_seekable(
+    df, path: str, lines_per_frame: int = 1000
+) -> None:
+    """Seekable-zstd shards (storage/zstd_seekable.py): one shard per
+    partition, each holding whole-line frames of ``lines_per_frame``
+    rows — so every frame is independently parseable JSONL and
+    ``read_jsonl_seekable`` can plan one task per FRAME instead of per
+    shard. Overwrite semantics."""
+    import json as _json
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    cols = df.columns
+
+    def _write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        from hdp2_5_hive2_spark.storage.zstd_seekable import write_seekable
+
+        lines = [
+            _json.dumps(dict(zip(cols, r)), ensure_ascii=False, sort_keys=True)
+            + "\n"
+            for r in rows
+        ]
+        if not lines:
+            return
+        chunks = [
+            "".join(lines[i : i + lines_per_frame]).encode("utf-8")
+            for i in range(0, len(lines), lines_per_frame)
+        ]
+        pid = TaskContext.get().partitionId()
+        with open(os.path.join(path, f"part-{pid:05d}.jsonl.zst"), "wb") as fh:
+            fh.write(write_seekable(chunks))
+
+    df.rdd.foreachPartition(_write_partition)
+
+
+def read_jsonl_seekable(spark, paths: list[str]):
+    """(path, frame_idx, line_idx, line) across seekable-zstd shards with
+    ONE TASK PER FRAME: planning reads only each file's seek-table
+    footer (the ranged-GET pattern); tasks pread and decode just their
+    frame's compressed byte range. This is the split-parallel .zst
+    path the plain read_jsonl_shards cost model calls out — the same
+    discipline as the RCFile sync-marker and Avro sync-aligned splits.
+    Requires worker-visible paths (local/NFS; object stores would swap
+    the pread for a ranged GET)."""
+    import pandas as pd
+
+    from hdp2_5_hive2_spark.storage.zstd_seekable import read_seek_table
+
+    splits = []
+    for p in paths:
+        with open(p, "rb") as fh:
+            blob = fh.read()  # footer-only parse; whole read keeps IO simple here
+        for i, e in enumerate(read_seek_table(blob)):
+            splits.append((p, i, e.c_off, e.c_len, e.d_len, e.checksum))
+    sdf = spark.createDataFrame(
+        splits,
+        "path string, frame_idx int, c_off bigint, c_len bigint, "
+        "d_len bigint, checksum bigint",
+    ).repartition(max(1, min(len(splits), spark.sparkContext.defaultParallelism)))
+
+    def run(batches):
+        from hdp2_5_hive2_spark.storage.zstd_codec import xxh64, zstd_decompress
+
+        for b in batches:
+            rows = []
+            for path, fi, off, ln, dlen, ck in zip(
+                b["path"], b["frame_idx"], b["c_off"], b["c_len"],
+                b["d_len"], b["checksum"],
+            ):
+                with open(path, "rb") as fh:
+                    fh.seek(int(off))
+                    frame = fh.read(int(ln))
+                data = zstd_decompress(frame)
+                if len(data) != int(dlen):
+                    raise ValueError("seekable zstd corrupt: frame size mismatch")
+                if pd.notna(ck) and xxh64(data) & 0xFFFFFFFF != int(ck):
+                    raise ValueError(
+                        "seekable zstd corrupt: frame checksum mismatch"
+                    )
+                try:
+                    text = data.decode("utf-8")
+                except UnicodeDecodeError as exc:
+                    raise ValueError(
+                        f"jsonl shard corrupt: not UTF-8 ({exc})"
+                    ) from None
+                for j, lnr in enumerate(x for x in text.split("\n") if x.strip()):
+                    rows.append((path, int(fi), j, lnr))
+            yield pd.DataFrame(
+                rows, columns=["path", "frame_idx", "line_idx", "line"]
+            )
+
+    return sdf.mapInPandas(
+        run, "path string, frame_idx int, line_idx bigint, line string"
+    )

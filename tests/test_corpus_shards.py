@@ -80,3 +80,60 @@ def test_hostile_inputs_valueerror_only():
         split_jsonl(b"\xff\xfe plain but not utf8 \xff")
     with pytest.raises(ValueError):
         build_jsonl_shard([], codec="lz77")
+
+
+def test_seekable_container_conformance(spark):
+    """The seekable container must remain a PLAIN multi-frame zstd file to
+    spec decoders: zstd-jni and our own whole-buffer decoder both read
+    the concatenation (skippable seek table ignored), while the seek
+    table reconstructs every frame boundary and checksum."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import zstd_decompress
+    from hdp2_5_hive2_spark.storage.zstd_seekable import (
+        read_seek_table,
+        read_seekable,
+        write_seekable,
+    )
+
+    chunks = [f"chunk {i} ".encode() * (i + 1) for i in range(7)]
+    blob = write_seekable(chunks)
+    whole = b"".join(chunks)
+    assert zstd_decompress(blob) == whole
+    entries = read_seek_table(blob)
+    assert [e.d_len for e in entries] == [len(c) for c in chunks]
+    assert b"".join(read_seekable(blob, e) for e in entries) == whole
+    # spec magics sit where the spec puts them
+    import struct
+
+    assert struct.unpack_from("<I", blob, len(blob) - 4)[0] == 0x8F92EAB1
+    # corrupt one frame byte: its checksum (not another frame's) trips
+    bad = bytearray(blob)
+    bad[entries[3].c_off + 10] ^= 0x20
+    assert read_seekable(bytes(bad), entries[2]) == chunks[2]
+    with pytest.raises(ValueError):
+        read_seekable(bytes(bad), entries[3])
+
+
+def test_seekable_shards_one_task_per_frame(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.corpus_shards import (
+        read_jsonl_seekable,
+        write_jsonl_seekable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(250)], "doc_id bigint, text string"
+    ).coalesce(1)
+    root = str(tmp_path / "seek")
+    write_jsonl_seekable(df, root, lines_per_frame=40)
+    paths = sorted(glob.glob(f"{root}/part-*.jsonl.zst"))
+    assert len(paths) == 1
+    lines = read_jsonl_seekable(spark, paths)
+    got = lines.select(
+        "frame_idx",
+        F.get_json_object("line", "$.doc_id").cast("bigint").alias("doc_id"),
+    )
+    rows = got.collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(250))
+    # 250 rows / 40 per frame = 7 frames, so 7 independent splits
+    assert got.select("frame_idx").distinct().count() == 7
