@@ -192,3 +192,27 @@ def test_avro_zstandard_jvm_parity(spark):
     payload = blob[pos : pos + size]
     plain = bytes(Z.decompress(payload, 10 * count))
     assert len(plain) <= 10 * count and plain  # zigzag longs, ≤10 B each
+
+
+def test_fuzz_entropy_frames_valueerror_only(spark):
+    """Mutations/truncations of REAL entropy-coded frames (FSE + Huffman
+    paths, not just our store frames) keep the ValueError-only contract."""
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    rng = random.Random(99)
+    data = ("lorem ipsum dolor %d " % 7 * 400).encode() + bytes(
+        rng.randrange(256) for _ in range(2000)
+    )
+    for lvl in (1, 19):
+        frame = bytes(Z.compress(data, lvl))
+        for _ in range(150):
+            mut = bytearray(frame)
+            for _ in range(rng.randrange(1, 4)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            try:
+                zstd_decompress(bytes(mut))
+            except ValueError:
+                pass
+            try:
+                zstd_decompress(frame[: rng.randrange(1, len(frame))])
+            except ValueError:
+                pass
