@@ -8,7 +8,7 @@ JVM-native (zstd-jni) and untouched — this module is the *format-layer*
 path for the pure-Python container codecs in this package (Avro object
 container files, corpus-shard ingestion) plus a spec-pinned audit tool.
 
-Decoder: COMPLETE for dictionary-less frames — frame header grammar,
+Decoder: COMPLETE — frame header grammar,
 raw/RLE/compressed blocks, all four literals block types (raw, RLE,
 Huffman-compressed in 1- and 4-stream forms, treeless repeats), Huffman
 table descriptions (direct weights and FSE-compressed weights with the
@@ -16,8 +16,11 @@ two interleaved states), FSE table descriptions (variable-bit threshold
 coding with zero-repeat flags), predefined/RLE/FSE/repeat sequence
 table modes, the three repeat-offsets with their literals-length-zero
 shuffle, overlapping match copies across block boundaries, XXH64
-content checksums, skippable frames, and multi-frame concatenation.
-Dictionary frames raise (``Dictionary_ID`` unsupported, documented).
+content checksums, skippable frames, multi-frame concatenation, and
+§5 DICTIONARIES (entropy-table preload + content-as-virtual-history +
+repeat-offset seeding; raw-content dictionaries too) — pass the
+dictionary blob to ``zstd_decompress``; frames that declare a
+Dictionary_ID without one raise.
 
 Encoder: a conformant *store* encoder (raw + RLE blocks only, the same
 fixture-encoder strategy as llm/webp.py) — any spec decoder, including
@@ -46,7 +49,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["zstd_decompress", "zstd_compress_store", "xxh64"]
+__all__ = ["zstd_decompress", "zstd_compress_store", "xxh64", "ZstdDict"]
 
 _MAGIC = 0xFD2FB528
 _SKIP_LO = 0x184D2A50
@@ -630,7 +633,59 @@ def _decode_block(block: bytes, ctx: _FrameCtx, history: bytearray) -> None:
     history += lits[lpos:]
 
 
-def _decode_frame(data: bytes, pos: int) -> tuple[bytearray, int]:
+
+# ---------------------------------------------------------------------------
+# Dictionaries (RFC 8878 §5)
+# ---------------------------------------------------------------------------
+
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDict:
+    """Parsed dictionary: id, pre-loaded entropy tables, repeat offsets,
+    and the content that serves as virtual history before the frame.
+    Blobs without the dictionary magic are RAW-CONTENT dictionaries
+    (content only, default tables/offsets) per §5."""
+
+    __slots__ = ("dict_id", "huf", "of", "ml", "ll", "reps", "content")
+
+    def __init__(self, blob: bytes):
+        if len(blob) >= 8 and int.from_bytes(blob[:4], "little") == _DICT_MAGIC:
+            self.dict_id = int.from_bytes(blob[4:8], "little")
+            pos = 8
+            self.huf, used = _read_huf_desc(blob[pos:])
+            pos += used
+            fwd = _FwdBits(blob[pos:])
+            counts, alog = _read_fse_counts(fwd, _SEQ_MAX_SYM["of"], _SEQ_MAX_ALOG["of"])
+            self.of = _fse_from_counts(counts, alog)
+            pos += fwd.bytes_used()
+            fwd = _FwdBits(blob[pos:])
+            counts, alog = _read_fse_counts(fwd, _SEQ_MAX_SYM["ml"], _SEQ_MAX_ALOG["ml"])
+            self.ml = _fse_from_counts(counts, alog)
+            pos += fwd.bytes_used()
+            fwd = _FwdBits(blob[pos:])
+            counts, alog = _read_fse_counts(fwd, _SEQ_MAX_SYM["ll"], _SEQ_MAX_ALOG["ll"])
+            self.ll = _fse_from_counts(counts, alog)
+            pos += fwd.bytes_used()
+            if pos + 12 > len(blob):
+                raise ValueError("zstd corrupt: dictionary header truncated")
+            self.reps = [
+                int.from_bytes(blob[pos + 4 * i : pos + 4 * i + 4], "little")
+                for i in range(3)
+            ]
+            if any(r == 0 for r in self.reps):
+                raise ValueError("zstd corrupt: zero dictionary repeat offset")
+            self.content = blob[pos + 12 :]
+        else:
+            self.dict_id = 0
+            self.huf = self.of = self.ml = self.ll = None
+            self.reps = [1, 4, 8]
+            self.content = blob
+
+
+def _decode_frame(
+    data: bytes, pos: int, zdict: ZstdDict | None = None
+) -> tuple[bytearray, int]:
     if pos + 2 > len(data):
         raise ValueError("zstd corrupt: truncated frame header")
     fhd = data[pos]
@@ -647,8 +702,14 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytearray, int]:
         pos += 1  # window bound is advisory for a whole-buffer decoder
     did_len = (0, 1, 2, 4)[did_flag]
     if did_len:
-        if int.from_bytes(data[pos : pos + did_len], "little"):
-            raise ValueError("zstd unsupported: dictionary frames")
+        did = int.from_bytes(data[pos : pos + did_len], "little")
+        if did:
+            if zdict is None:
+                raise ValueError(
+                    "zstd: dictionary frame — pass the dictionary blob"
+                )
+            if zdict.dict_id and zdict.dict_id != did:
+                raise ValueError("zstd corrupt: dictionary ID mismatch")
         pos += did_len
     fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
     fcs = None
@@ -660,7 +721,13 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytearray, int]:
             fcs += 256
         pos += fcs_len
     ctx = _FrameCtx()
+    prefix = 0
     out = bytearray()
+    if zdict is not None:
+        ctx.huf, ctx.of, ctx.ml, ctx.ll = zdict.huf, zdict.of, zdict.ml, zdict.ll
+        ctx.reps = list(zdict.reps)
+        prefix = len(zdict.content)
+        out = bytearray(zdict.content)
     while True:
         if pos + 3 > len(data):
             raise ValueError("zstd corrupt: truncated block header")
@@ -687,6 +754,7 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytearray, int]:
                 _decode_block(body, ctx, out)
         if last:
             break
+    del out[:prefix]
     if fcs is not None and len(out) != fcs:
         raise ValueError("zstd corrupt: content size mismatch")
     if checksum:
@@ -699,8 +767,11 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytearray, int]:
     return out, pos
 
 
-def zstd_decompress(data: bytes) -> bytes:
-    """Decode a (possibly multi-frame) zstd buffer per RFC 8878."""
+def zstd_decompress(data: bytes, dictionary: bytes | None = None) -> bytes:
+    """Decode a (possibly multi-frame) zstd buffer per RFC 8878.
+    ``dictionary`` is a §5 dictionary blob (magic 0xEC30A437 with
+    entropy tables + content, or raw content) applied to every frame
+    that declares a Dictionary_ID."""
     out = bytearray()
     pos = 0
     if not data:
@@ -720,7 +791,8 @@ def zstd_decompress(data: bytes) -> bytes:
             continue
         if magic != _MAGIC:
             raise ValueError("zstd corrupt: bad magic")
-        frame, pos = _decode_frame(data, pos)
+        zdict = ZstdDict(dictionary) if dictionary is not None else None
+        frame, pos = _decode_frame(data, pos, zdict)
         out += frame
     return bytes(out)
 

@@ -216,3 +216,38 @@ def test_fuzz_entropy_frames_valueerror_only(spark):
                 zstd_decompress(frame[: rng.randrange(1, len(frame))])
             except ValueError:
                 pass
+
+
+def test_dictionary_decode_cross_parity(spark):
+    """§5 dictionaries: decode frames the reference encoder compressed
+    against a zstd-TRAINED dictionary (entropy preload + virtual-history
+    matches + seeded repeat offsets) and against a raw-content one."""
+    rng = random.Random(5)
+    samples = [
+        (
+            "record %d: user=u%04d action=%s ts=%d payload=lorem ipsum\n"
+            % (i, rng.randrange(50), rng.choice(["click", "view"]), i * 37)
+        ).encode()
+        for i in range(800)
+    ]
+    trainer = spark._jvm.com.github.luben.zstd.ZstdDictTrainer(1 << 20, 8192)
+    for s in samples:
+        trainer.addSample(s)
+    dict_bytes = bytes(trainer.trainSamples())
+    assert dict_bytes[:4] == bytes.fromhex("37a430ec")  # 0xEC30A437 LE
+    for lvl in (1, 19):
+        ctx = spark._jvm.com.github.luben.zstd.ZstdCompressCtx()
+        ctx.loadDict(dict_bytes)
+        ctx.setLevel(lvl)
+        for data in (samples[3], b"".join(samples[:40]), samples[0] * 50):
+            comp = bytes(ctx.compress(data))
+            assert zstd_decompress(comp, dictionary=dict_bytes) == data
+            with pytest.raises(ValueError, match="dictionary"):
+                zstd_decompress(comp)
+    # raw-content dictionary (no magic): content-only virtual history
+    raw = b"0123456789 common prefix material " * 30
+    ctx = spark._jvm.com.github.luben.zstd.ZstdCompressCtx()
+    ctx.loadDict(raw)
+    ctx.setLevel(3)
+    data = raw[:200] + b" tail"
+    assert zstd_decompress(bytes(ctx.compress(data)), dictionary=raw) == data
