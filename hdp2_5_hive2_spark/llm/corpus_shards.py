@@ -50,7 +50,15 @@ _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 
 def _decompress_member(blob: bytes) -> bytes:
-    if blob[:4] == _ZSTD_MAGIC or blob[:4] == b"\x50\x2a\x4d\x18":
+    # zstd frame magic, or any of the 16 skippable-frame magics
+    # 0x184D2A50-0x184D2A5F (a seekable shard legitimately STARTS with
+    # one when its first frame is skippable; our own write_seekable puts
+    # the 0x...5E seek table last, but other writers may lead with one)
+    if blob[:4] == _ZSTD_MAGIC or (
+        len(blob) >= 4
+        and blob[1:4] == b"\x2a\x4d\x18"
+        and 0x50 <= blob[0] <= 0x5F
+    ):
         from hdp2_5_hive2_spark.storage.zstd_codec import zstd_decompress
 
         return zstd_decompress(blob)

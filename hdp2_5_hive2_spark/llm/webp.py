@@ -107,8 +107,14 @@ def _read_code_lengths(br: _Bits, n_symbols: int) -> _Prefix:
             sym1 = br.read(8)
             if sym0 >= n_symbols or sym1 >= n_symbols:
                 raise ValueError("VP8L corrupt: simple-code symbol range")
-            lengths[sym0] = 1
-            lengths[sym1] = 1
+            # spec 6.2.1: code 0 is the FIRST-written symbol, code 1 the
+            # second — positional, not canonical-by-value (they may be
+            # written in descending order)
+            p = _Prefix.__new__(_Prefix)
+            p.single = None
+            p.max_len = 1
+            p.fast = {(1, 0): sym0, (1, 1): sym1}
+            return p
         else:
             if sym0 >= n_symbols:
                 raise ValueError("VP8L corrupt: simple-code symbol range")
@@ -382,6 +388,12 @@ def _decode_image(br: _Bits, w: int, h: int, top_level: bool) -> np.ndarray:
     return img
 
 
+def _trunc_half(d):
+    """C-style (d / 2) truncation toward zero (libwebp AddSubtractComponentHalf)
+    — Python // floors, which diverges for negative odd differences."""
+    return np.sign(d) * (np.abs(d) // 2)
+
+
 def _avg2(a, b):
     return (a + b) // 2
 
@@ -450,7 +462,7 @@ def _inverse_predictor(img: np.ndarray, bits: int, timg: np.ndarray) -> np.ndarr
                     pred = pack(np.clip(L + T - TL, 0, 255))
                 elif mode == 13:  # ClampAddSubtractHalf
                     avg = _avg2(L, T)
-                    pred = pack(np.clip(avg + (avg - TL) // 2, 0, 255))
+                    pred = pack(np.clip(avg + _trunc_half(avg - TL), 0, 255))
                 else:
                     raise ValueError("VP8L corrupt: predictor mode")
             v = int(out[y, x])
@@ -493,11 +505,23 @@ def _inverse_color_transform(img: np.ndarray, bits: int, timg: np.ndarray) -> np
 
 
 def sniff_webp(data: bytes) -> str:
-    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
-        if b"VP8L" in data[12:32]:
+    """Chunk-walk the RIFF payload: a VP8X extended container places the
+    VP8L chunk after the 18-byte VP8X chunk (offset 30), so a fixed
+    search window would miss it."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return "unknown"
+    pos = 12
+    for _ in range(8):  # image chunk appears within the first few chunks
+        if pos + 8 > len(data):
+            break
+        fourcc = data[pos : pos + 4]
+        if fourcc == b"VP8L":
             return "webp-lossless"
-        return "webp"
-    return "unknown"
+        if fourcc == b"VP8 ":
+            return "webp"
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        pos += 8 + size + (size & 1)
+    return "webp"
 
 
 # ---------------------------------------------------------------------------
@@ -752,7 +776,6 @@ def _forward_predictor(img: np.ndarray, mode: int) -> np.ndarray:
     channel), predictions computed from ORIGINAL neighbors in scan
     order — exactly what the decoder's inverse reconstructs."""
     h, w = img.shape
-    timg = np.full((1, 1), (0xFF << 24) | (mode << 8), np.uint32)
     # run the decoder's inverse in mirror: compute pred from originals
     out = np.zeros_like(img, dtype=np.uint32)
     orig = img.astype(np.int64)
@@ -832,7 +855,7 @@ def _predict_one(orig: np.ndarray, y: int, x: int, w: int, mode: int) -> int:
         return pack(np.clip(L + T - TL, 0, 255))
     if mode == 13:
         avg = _avg2(L, T)
-        return pack(np.clip(avg + (avg - TL) // 2, 0, 255))
+        return pack(np.clip(avg + _trunc_half(avg - TL), 0, 255))
     raise ValueError("bad predictor mode")
 
 

@@ -548,7 +548,10 @@ def _decode_literals(block: bytes, ctx: _FrameCtx) -> tuple[bytes, int]:
 
 
 def _decode_block(block: bytes, ctx: _FrameCtx, history: bytearray) -> None:
+    blk_start = len(history)
     lits, pos = _decode_literals(block, ctx)
+    if len(lits) > (1 << 17):
+        raise ValueError("zstd corrupt: literals beyond block maximum size")
     if pos >= len(block):
         raise ValueError("zstd corrupt: missing sequences header")
     b0 = block[pos]
@@ -613,6 +616,8 @@ def _decode_block(block: bytes, ctx: _FrameCtx, history: bytearray) -> None:
         lpos += ll
         if offset > len(history):
             raise ValueError("zstd corrupt: match offset beyond history")
+        if len(history) - blk_start + ml > (1 << 17):
+            raise ValueError("zstd corrupt: block output beyond maximum size")
         start = len(history) - offset
         if offset >= ml:
             history += history[start : start + ml]
@@ -631,6 +636,8 @@ def _decode_block(block: bytes, ctx: _FrameCtx, history: bytearray) -> None:
     if bb.rem != 0:
         raise ValueError("zstd corrupt: sequence bitstream not fully consumed")
     history += lits[lpos:]
+    if len(history) - blk_start > (1 << 17):
+        raise ValueError("zstd corrupt: block output beyond maximum size")
 
 
 
@@ -736,6 +743,10 @@ def _decode_frame(
         last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
         if btype == 3:
             raise ValueError("zstd corrupt: reserved block type")
+        if bsize > (1 << 17):
+            # Block_Maximum_Size = min(Window_Size, 128 KiB) for every
+            # block type — also the decompression-bomb guard for RLE
+            raise ValueError("zstd corrupt: block beyond maximum size")
         if btype == 1:  # RLE: 1 stored byte, bsize output bytes
             if pos + 1 > len(data):
                 raise ValueError("zstd corrupt: truncated RLE block")
@@ -749,8 +760,6 @@ def _decode_frame(
             if btype == 0:
                 out += body
             else:
-                if bsize > (1 << 17):
-                    raise ValueError("zstd corrupt: block beyond maximum size")
                 _decode_block(body, ctx, out)
         if last:
             break
@@ -774,6 +783,7 @@ def zstd_decompress(data: bytes, dictionary: bytes | None = None) -> bytes:
     that declares a Dictionary_ID."""
     out = bytearray()
     pos = 0
+    zdict: ZstdDict | None = None
     if not data:
         raise ValueError("zstd corrupt: empty input")
     while pos < len(data):
@@ -791,7 +801,8 @@ def zstd_decompress(data: bytes, dictionary: bytes | None = None) -> bytes:
             continue
         if magic != _MAGIC:
             raise ValueError("zstd corrupt: bad magic")
-        zdict = ZstdDict(dictionary) if dictionary is not None else None
+        if zdict is None and dictionary is not None:
+            zdict = ZstdDict(dictionary)
         frame, pos = _decode_frame(data, pos, zdict)
         out += frame
     return bytes(out)

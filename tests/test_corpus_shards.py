@@ -137,3 +137,18 @@ def test_seekable_shards_one_task_per_frame(spark, tmp_path):
     assert sorted(r["doc_id"] for r in rows) == list(range(250))
     # 250 rows / 40 per frame = 7 frames, so 7 independent splits
     assert got.select("frame_idx").distinct().count() == 7
+
+
+def test_shard_leading_skippable_frame_any_magic():
+    """RFC 8878 defines 16 skippable magics (0x184D2A50-5F); a shard that
+    LEADS with one (e.g. a seek-table variant) must still route to the
+    zstd decoder, not the plain-text path."""
+    rows = _rows(4)
+    import struct
+
+    from hdp2_5_hive2_spark.llm.corpus_shards import build_jsonl_shard
+
+    for nibble in (0x0, 0xE, 0xF):
+        skip = struct.pack("<II", 0x184D2A50 | nibble, 3) + b"xyz"
+        blob = skip + build_jsonl_shard(rows, "zstd")
+        assert [json.loads(ln) for ln in split_jsonl(blob)] == rows

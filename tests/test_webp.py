@@ -185,3 +185,67 @@ def test_fuzz_only_valueerror(seed, n_mut, cut):
         webp_decode(blob)
     except ValueError:
         pass
+
+
+def test_predictor13_truncates_toward_zero():
+    """libwebp's ClampedAddSubtractHalf uses C (a - b) / 2 truncation:
+    avg(L,T)=10 with TL=13 predicts 10 + trunc(-3/2) = 9, not floor's 8.
+    Hand-built 2x2 vector: residuals crafted against the C semantics."""
+    import numpy as np
+
+    from hdp2_5_hive2_spark.llm.webp import _inverse_predictor
+
+    # layout: TL=(0,0), T=(0,1), L=(1,0), target=(1,1); mode 13 everywhere
+    timg = np.full((1, 1), (0xFF << 24) | (13 << 8), np.uint32)
+    # residuals reconstruct TL=13, T=12, L=8 (row 0 / col 0 use the
+    # fixed left/top predictors), then target = pred + 0 exposes pred:
+    # green avg(L,T)=10, TL=13 -> pred must be 10 + trunc(-3/2) = 9
+    def delta(v, prev):
+        d = (v - prev) % 256
+        return (d << 16) | (d << 8) | d
+
+    res = np.zeros((2, 2), np.uint32)
+    res[0, 0] = delta(13, 0)
+    res[0, 1] = delta(12, 13)
+    res[1, 0] = delta(8, 13)
+    res[1, 1] = 0  # target = pred + 0 -> exposes pred directly
+    out = _inverse_predictor(res.copy(), 1, timg)  # 2x2 px per timg cell
+    got = out[1, 1]
+    assert (got >> 8) & 0xFF == 9, hex(int(got))  # green: trunc, not floor
+    assert (got >> 16) & 0xFF == 9 and got & 0xFF == 9
+
+
+def test_simple_code_descending_symbol_order():
+    """Spec 6.2.1: in a 2-symbol simple code, bit 0 decodes to the
+    FIRST-written symbol even when symbols are written in descending
+    order — positional, not canonical-by-value."""
+    from hdp2_5_hive2_spark.llm.webp import _Bits, _read_code_lengths
+
+    w = _BitW()
+    w.write(1, 1)  # simple
+    w.write(1, 1)  # two symbols
+    w.write(1, 1)  # first symbol in 8 bits
+    w.write(200, 8)
+    w.write(100, 8)
+    w.write(0, 1)  # next read: code 0 -> 200
+    w.write(1, 1)  # then code 1 -> 100
+    br = _Bits(w.bytes())
+    code = _read_code_lengths(br, 256)
+    assert code.read(br) == 200
+    assert code.read(br) == 100
+
+
+def test_sniff_vp8x_wrapped_lossless():
+    """VP8X extended container: VP8L chunk sits after the 18-byte VP8X
+    chunk (offset 30) — the sniffer must chunk-walk, not window-scan."""
+    import numpy as np
+
+    core = vp8l_encode_lossless(np.zeros((4, 4, 3), np.uint8))
+    vp8l_chunk = core[12:]  # strip RIFF/WEBP header, keep VP8L chunk
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 10
+    payload = vp8x + vp8l_chunk
+    blob = b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP" + payload
+    assert sniff_webp(blob) == "webp-lossless"
+    from hdp2_5_hive2_spark.llm.webp import webp_decode
+
+    assert webp_decode(core).shape == (4, 4, 4)

@@ -251,3 +251,17 @@ def test_dictionary_decode_cross_parity(spark):
     ctx.setLevel(3)
     data = raw[:200] + b" tail"
     assert zstd_decompress(bytes(ctx.compress(data)), dictionary=raw) == data
+
+
+def test_rle_decompression_bomb_rejected():
+    """RFC 8878 caps every block's size at min(Window_Size, 128 KiB); a
+    crafted stream of max-size RLE blocks (516,538x amplification from
+    406 bytes) must raise, not allocate."""
+    import struct
+
+    frame = bytearray(struct.pack("<I", 0xFD2FB528)) + b"\x20\x00"
+    for i in range(50):
+        bh = (1 if i == 49 else 0) | (1 << 1) | (((1 << 21) - 8) << 3)
+        frame += struct.pack("<I", bh)[:3] + b"A"
+    with pytest.raises(ValueError, match="maximum size"):
+        zstd_decompress(bytes(frame))
