@@ -6136,11 +6136,11 @@ def llm_dedup_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM(LENGTH(d.text)) AS BIGINT) AS total_chars,
            CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
-    FROM (VALUES ('gzip'), ('plain'), ('zstd')) AS c(codec)
+    FROM (VALUES ('gzip'), ('plain'), ('seekable'), ('zstd')) AS c(codec)
     CROSS JOIN (SELECT * FROM documents WHERE doc_id % 2 = 0) d
     GROUP BY c.codec
     """,
-    tags=("llm", "ingest", "formats"),
+    tags=("llm", "ingest", "formats", "bench"),
 )
 def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL corpus-shard ingestion END TO END (llm/corpus_shards.py —
@@ -6148,9 +6148,12 @@ def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship .jsonl.zst, C4/RedPajama .json.gz): the even documents are
     sharded out executor-side (write_jsonl_shards, one shard per
     partition, no driver collect) once per codec — plain, gzip, and
-    zstd (storage/zstd_codec.py frames, the RFC 8878 codec) — then read
-    back through read_jsonl_shards (decompress + line-split in the
-    Arrow pass) with JSON field extraction left JVM-side
+    zstd (storage/zstd_codec.py frames, the RFC 8878 codec), plus a
+    SEEKABLE-zstd leg (write/read_jsonl_seekable — one independently
+    decodable frame per 40 lines, one Spark task per frame planned from
+    footer-only seek tables) — then read back through read_jsonl_shards
+    (decompress + line-split in the Arrow pass) with JSON field
+    extraction left JVM-side
     (get_json_object, codegen). Per-codec doc counts, char totals and
     id sums must equal the oracle's direct aggregation of the same
     slice, so framing, compression, UTF-8 and JSON escaping all have to
@@ -6161,7 +6164,9 @@ def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
 
     from hdp2_5_hive2_spark.llm.corpus_shards import (
+        read_jsonl_seekable,
         read_jsonl_shards,
+        write_jsonl_seekable,
         write_jsonl_shards,
     )
     from hdp2_5_hive2_spark.queries.storage_corpus import IO_ROOT
@@ -6177,7 +6182,12 @@ def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = f"{IO_ROOT}/jsonl_shards/{codec}"
         write_jsonl_shards(docs, root, codec=codec)
         paths.extend(sorted(_glob.glob(f"{root}/part-*")))
-    lines = read_jsonl_shards(spark, paths)
+    seek_root = f"{IO_ROOT}/jsonl_shards/seekable"
+    write_jsonl_seekable(docs, seek_root, lines_per_frame=40)
+    seek_lines = read_jsonl_seekable(
+        spark, sorted(_glob.glob(f"{seek_root}/part-*"))
+    ).select("path", "line_idx", "line")
+    lines = read_jsonl_shards(spark, paths).unionByName(seek_lines)
     return (
         lines.withColumn(
             "codec", F.regexp_extract("path", r"jsonl_shards/([a-z]+)/", 1)
@@ -6228,7 +6238,7 @@ def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(s) AS BIGINT) AS first_span_start
     FROM spans GROUP BY doc_id
     """,
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def llm_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-SUBSTRING dedup spans (Lee et al. 2021's ExactSubstr,
