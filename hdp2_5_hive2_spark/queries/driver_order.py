@@ -167,6 +167,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_bpe_apply_count",             # tokenizer-true token pricing (r6)
     "llm_jsonl_shard_ingest",          # .jsonl/.gz/.zst corpus shards (r6)
     "llm_exact_substring_dedup",       # ExactSubstr span detection (r6)
+    "storage_acid_lifecycle",          # Hive-ACID delta/ROW__ID lifecycle (r6)
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a

@@ -781,3 +781,91 @@ def storage_merge_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("r_regionkey", "r_name", "r_generation")
     )
+
+
+@query(
+    "storage_acid_lifecycle",
+    oracle="""
+    WITH w2state AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey <= 800
+    ), current_state AS (
+      SELECT k,
+             CASE WHEN k <= 100 THEN 'U' ELSE st END AS st,
+             CASE WHEN k <= 100 THEN CAST(0 AS DECIMAL(18,2)) ELSE price END AS price
+      FROM w2state WHERE k % 7 <> 0
+    )
+    SELECT 'as_of_w2' AS snapshot, st AS o_orderstatus,
+           COUNT(*) AS n_rows, CAST(SUM(price) AS DOUBLE) AS sum_price
+    FROM w2state GROUP BY st
+    UNION ALL
+    SELECT 'current', st, COUNT(*), CAST(SUM(price) AS DOUBLE)
+    FROM current_state GROUP BY st
+    """,
+    tags=("storage", "write", "acid"),
+)
+def storage_acid_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Hive-ACID lifecycle (storage/acid.py — the delta-directory
+    algebra of UpdateDeleteSemanticAnalyzer.java:52 / AcidUtils.java:53 /
+    OrcRawRecordMerger.java:50 on parquet): two INSERT write ids, a
+    DELETE (delete_delta of ROW__IDs), an UPDATE (Hive's
+    delete+insert rewrite in one write id), then TWO merge-on-read
+    snapshots — time travel to write id 2 (pre-delete/update state,
+    AcidUtils ValidTxnList semantics) and the current state — each
+    aggregated per status. A major compaction runs before the final
+    read, so the current snapshot is served from the compacted
+    ``base_N`` while the as-of read still resolves from history taken
+    beforehand. The oracle replays the same insert/delete/update
+    algebra in SQL; exact decimal sums must agree through the ROW__ID
+    anti-join, the write-id bound and the compaction rewrite."""
+    import shutil
+
+    from hdp2_5_hive2_spark.storage.acid import (
+        acid_compact,
+        acid_delete,
+        acid_insert,
+        acid_read,
+        acid_update,
+    )
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = f"{IO_ROOT}/acid_orders"
+    shutil.rmtree(root, ignore_errors=True)
+    acid_insert(orders.where(F.col("k") <= 600).repartition(4), root)
+    w2 = acid_insert(
+        orders.where((F.col("k") > 600) & (F.col("k") <= 800)), root
+    )
+    # as-of snapshot must be AGGREGATED before compaction cleans history
+    as_of = (
+        acid_read(spark, root, up_to_write_id=w2)
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("sum_price"),
+        )
+        .select(F.lit("as_of_w2").alias("snapshot"), "st", "n_rows", "sum_price")
+        .localCheckpoint()
+    )
+    acid_delete(spark, root, F.col("k") % 7 == 0)
+    acid_update(
+        spark,
+        root,
+        F.col("k") <= 100,
+        {"st": F.lit("U"), "price": F.lit(0).cast("decimal(18,2)")},
+    )
+    acid_compact(spark, root, major=True)
+    current = (
+        acid_read(spark, root)
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("sum_price"),
+        )
+        .select(F.lit("current").alias("snapshot"), "st", "n_rows", "sum_price")
+    )
+    return as_of.unionByName(current).withColumnRenamed("st", "o_orderstatus")
