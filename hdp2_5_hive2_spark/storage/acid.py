@@ -27,7 +27,10 @@ machinery with plain parquet + Catalyst:
   same contract AcidUtils' ValidTxnList enforces.
 - ``acid_compact`` is the compactor: ``major`` folds the surviving
   rows into ``base_N`` and removes history (Cleaner); ``minor`` merges
-  the delta files per directory-kind without resolving deletes.
+  each kind's ``delta_x_x..delta_y_y`` into one ``delta_x_y`` without
+  resolving deletes — the read-side merge fan-in shrinks to at most
+  base + delta + delete_delta, and (as in Hive) time travel inside a
+  merged range is no longer reconstructable.
 
 Scale notes (100 TB): delete deltas hold 3 longs per victim, so the
 anti-join build side is small → broadcast (plan-pinned in tests); the
@@ -92,7 +95,11 @@ def _stamp_row_ids(df: DataFrame, write_id: int) -> DataFrame:
     ordinal within bucket). monotonically_increasing_id() is documented
     as partitionId·2^33 + per-partition counter, so bucket and ordinal
     decompose from it MAP-SIDE — no shuffle to stamp identities, same
-    as Hive's per-bucket-file writers."""
+    as Hive's per-bucket-file writers. ROW__ID names are reserved, as
+    Hive reserves its virtual columns."""
+    clash = [c for c in df.columns if c in _ROWID]
+    if clash:
+        raise ValueError(f"ACID tables reserve the ROW__ID columns {clash}")
     mid = F.monotonically_increasing_id()
     return (
         df.withColumn("_bucket", F.shiftright(mid, 33).cast("long"))
@@ -111,20 +118,26 @@ def acid_insert(df: DataFrame, path: str) -> int:
     return wid
 
 
-def acid_read(
+def _read_with_rowids(
     spark: SparkSession, path: str, up_to_write_id: int | None = None
 ) -> DataFrame:
-    """Merge-on-read snapshot: base+deltas ≤ bound, minus delete-delta
-    ROW__IDs (broadcast anti-join; delete deltas are 3 longs/victim).
-    Returns user columns only."""
+    """The one merge-on-read implementation: base+deltas ≤ bound minus
+    delete-delta ROW__IDs (broadcast anti-join; 3 longs per victim)."""
     bound = up_to_write_id if up_to_write_id is not None else float("inf")
+    dirs = _dirs(path)
     live, dead = [], []
-    for kind, _, mx, name in _dirs(path):
+    for kind, _, mx, name in dirs:
         if mx > bound:
             continue
         df = spark.read.parquet(os.path.join(path, name))
         (dead if kind == "delete_delta" else live).append(df)
     if not live:
+        if dirs:
+            raise ValueError(
+                f"ACID table {path!r}: no snapshot at write id "
+                f"{up_to_write_id} — history before the first remaining "
+                "base/delta was cleaned by compaction"
+            )
         raise ValueError(f"ACID table {path!r} has no committed data")
     rows = live[0]
     for df in live[1:]:
@@ -134,28 +147,14 @@ def acid_read(
         for df in dead[1:]:
             victims = victims.unionByName(df.select(_ROWID))
         rows = rows.join(F.broadcast(victims.distinct()), _ROWID, "left_anti")
-    return rows.drop(*_ROWID)
+    return rows
 
 
-def _read_with_rowids(
+def acid_read(
     spark: SparkSession, path: str, up_to_write_id: int | None = None
 ) -> DataFrame:
-    bound = up_to_write_id if up_to_write_id is not None else float("inf")
-    live, dead = [], []
-    for kind, _, mx, name in _dirs(path):
-        if mx > bound:
-            continue
-        df = spark.read.parquet(os.path.join(path, name))
-        (dead if kind == "delete_delta" else live).append(df)
-    rows = live[0]
-    for df in live[1:]:
-        rows = rows.unionByName(df)
-    if dead:
-        victims = dead[0].select(_ROWID)
-        for df in dead[1:]:
-            victims = victims.unionByName(df.select(_ROWID))
-        rows = rows.join(F.broadcast(victims.distinct()), _ROWID, "left_anti")
-    return rows
+    """Merge-on-read snapshot; returns user columns only."""
+    return _read_with_rowids(spark, path, up_to_write_id).drop(*_ROWID)
 
 
 def acid_delete(spark: SparkSession, path: str, predicate) -> int:
@@ -180,9 +179,10 @@ def acid_update(spark: SparkSession, path: str, predicate, set_map: dict) -> int
     snap.select(_ROWID).write.mode("errorifexists").parquet(
         os.path.join(path, f"delete_delta_{wid:07d}_{wid:07d}")
     )
-    fresh = snap.drop(*_ROWID)
-    for col, expr in set_map.items():
-        fresh = fresh.withColumn(col, expr)
+    # withColumns = ONE projection: every SET expression evaluates
+    # against the OLD row (SQL UPDATE's simultaneous assignment), so
+    # {"a": lit(0), "b": col("a")} writes b = old a regardless of order
+    fresh = snap.drop(*_ROWID).withColumns(dict(set_map))
     _stamp_row_ids(fresh, wid).write.mode("errorifexists").parquet(
         os.path.join(path, f"delta_{wid:07d}_{wid:07d}")
     )
@@ -205,12 +205,23 @@ def acid_compact(spark: SparkSession, path: str, major: bool = True) -> int:
         for _, _, _, name in _dirs(path):
             shutil.rmtree(os.path.join(path, name))
         os.rename(tmp, os.path.join(path, f"base_{top:07d}"))
-    else:
-        for kind, mn, mx, name in _dirs(path):
-            full = os.path.join(path, name)
-            df = spark.read.parquet(full).coalesce(1)
-            tmp = full + ".tmp"
-            df.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(full)
-            os.rename(tmp, full)
+        return top
+    # minor: merge each kind's delta_x_x..delta_y_y into ONE delta_x_y
+    # (Hive's Worker without delete resolution) — the read-side merge
+    # fan-in shrinks to at most base + delta + delete_delta. As in Hive,
+    # time travel INSIDE a merged range is no longer reconstructable.
+    for kind in ("delta", "delete_delta"):
+        group = [d for d in _dirs(path) if d[0] == kind]
+        if len(group) < 2:
+            continue
+        lo = min(mn for _, mn, _, _ in group)
+        hi = max(mx for _, _, mx, _ in group)
+        merged = spark.read.parquet(
+            *[os.path.join(path, name) for _, _, _, name in group]
+        )
+        tmp = os.path.join(path, f"_compact_tmp_{kind}_{hi:07d}")
+        merged.write.mode("overwrite").parquet(tmp)
+        for _, _, _, name in group:
+            shutil.rmtree(os.path.join(path, name))
+        os.rename(tmp, os.path.join(path, f"{kind}_{lo:07d}_{hi:07d}"))
     return top

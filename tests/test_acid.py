@@ -70,15 +70,44 @@ def test_major_compaction_preserves_snapshot(spark, tmp_path):
     assert acid_read(spark, root).where(F.col("k") == 1).count() == 0
 
 
-def test_minor_compaction_keeps_history(spark, tmp_path):
+def test_minor_compaction_merges_deltas(spark, tmp_path):
     root = str(tmp_path / "t")
     w1 = _seed(spark, root)
+    acid_insert(
+        spark.createDataFrame([(500, "x", 1)], "k int, s string, v int"), root
+    )
+    acid_insert(
+        spark.createDataFrame([(501, "y", 2)], "k int, s string, v int"), root
+    )
     acid_delete(spark, root, F.col("k") < 10)
     before = sorted(map(tuple, acid_read(spark, root).collect()))
     acid_compact(spark, root, major=False)
+    # three delta_N_N dirs merged into ONE delta_1_3; deletes unresolved
+    names = sorted(os.listdir(root))
+    assert names == ["delete_delta_0000004_0000004", "delta_0000001_0000003"]
     assert sorted(map(tuple, acid_read(spark, root).collect())) == before
-    # history retained: time travel to w1 still sees all rows
-    assert acid_read(spark, root, w1).count() == 100
+    # time travel INSIDE the merged range is gone (Hive semantics): the
+    # merged delta's max write id exceeds the bound, so w1 is unreachable
+    with pytest.raises(ValueError, match="history"):
+        acid_read(spark, root, w1).count()
+
+
+def test_update_simultaneous_assignment(spark, tmp_path):
+    """SET a = 0, b = a must write b = OLD a (one projection), not the
+    freshly assigned a — and must not depend on dict order."""
+    root = str(tmp_path / "t")
+    _seed(spark, root, n=5)
+    acid_update(
+        spark, root, F.col("k") == 2, {"v": F.lit(0), "s": F.col("v").cast("string")}
+    )
+    row = acid_read(spark, root).where("k = 2").head()
+    assert row["v"] == 0 and row["s"] == "20"  # old v was 20
+
+
+def test_rowid_column_collision_raises(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2)], "k int, _bucket int")
+    with pytest.raises(ValueError, match="reserve"):
+        acid_insert(df, str(tmp_path / "t"))
 
 
 def test_update_is_delete_plus_insert_one_write_id(spark, tmp_path):
