@@ -377,7 +377,13 @@ def _rice_write(w: _BitW, residual: list[int], param: int):
 
 def _enc_residual(body: _BitW, res: list[int], bs: int, order: int, po: int):
     """Partitioned Rice: parameter chosen per partition from its mean
-    magnitude; partition order ``po`` must divide the block size."""
+    magnitude. The requested ``po`` is clamped to what the spec allows
+    for THIS block: 2^po must divide the block size and the first
+    partition must keep a non-negative sample count after the predictor
+    warm-up — a short final block would otherwise make the stream
+    invalid (caught by hypothesis: blocksize 4, order 2, po 2)."""
+    while po > 0 and (bs % (1 << po) or (bs >> po) < order):
+        po -= 1
     body.write(0, 2)            # 4-bit rice method
     body.write(po, 4)
     nparts = 1 << po
