@@ -1,4 +1,4 @@
-"""JSONL corpus-shard ingestion: ``.jsonl`` / ``.jsonl.gz`` / ``.jsonl.zst``.
+"""JSONL corpus-shard ingestion: .jsonl / .gz / .zst / .bz2 / .xz.
 
 Public LLM corpora ship as compressed JSON-lines shards (The Pile and
 Dolma distribute ``.jsonl.zst``, RedPajama/C4 ``.json.gz`` — one JSON
@@ -33,8 +33,10 @@ caller chooses degrade-vs-fail, as with every parser in this package).
 
 from __future__ import annotations
 
+import bz2
 import gzip
 import json
+import lzma
 import zlib
 
 __all__ = [
@@ -67,6 +69,16 @@ def _decompress_member(blob: bytes) -> bytes:
             return gzip.decompress(blob)  # handles concatenated members
         except (OSError, EOFError, zlib.error) as exc:
             raise ValueError(f"jsonl shard corrupt: bad gzip ({exc})") from None
+    if blob[:3] == b"BZh":
+        try:
+            return bz2.decompress(blob)
+        except (OSError, EOFError, ValueError) as exc:
+            raise ValueError(f"jsonl shard corrupt: bad bzip2 ({exc})") from None
+    if blob[:6] == b"\xfd7zXZ\x00":
+        try:
+            return lzma.decompress(blob)
+        except (lzma.LZMAError, EOFError) as exc:
+            raise ValueError(f"jsonl shard corrupt: bad xz ({exc})") from None
     return blob
 
 
@@ -95,6 +107,10 @@ def build_jsonl_shard(rows: list[dict], codec: str = "zstd") -> bytes:
         return zstd_compress_store(payload)
     if codec == "gzip":
         return gzip.compress(payload, mtime=0)
+    if codec == "bzip2":
+        return bz2.compress(payload)
+    if codec == "xz":
+        return lzma.compress(payload)
     if codec == "plain":
         return payload
     raise ValueError(f"jsonl shard codec {codec!r} not supported")
@@ -107,7 +123,13 @@ def write_jsonl_shards(df, path: str, codec: str = "zstd") -> None:
     import os
     import shutil
 
-    ext = {"plain": "jsonl", "gzip": "jsonl.gz", "zstd": "jsonl.zst"}[codec]
+    ext = {
+        "plain": "jsonl",
+        "gzip": "jsonl.gz",
+        "zstd": "jsonl.zst",
+        "bzip2": "jsonl.bz2",
+        "xz": "jsonl.xz",
+    }[codec]
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     cols = df.columns

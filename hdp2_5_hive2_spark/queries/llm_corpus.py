@@ -6136,7 +6136,8 @@ def llm_dedup_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM(LENGTH(d.text)) AS BIGINT) AS total_chars,
            CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
-    FROM (VALUES ('gzip'), ('plain'), ('seekable'), ('zstd')) AS c(codec)
+    FROM (VALUES ('bzip2'), ('gzip'), ('plain'), ('seekable'), ('xz'),
+                 ('zstd')) AS c(codec)
     CROSS JOIN (SELECT * FROM documents WHERE doc_id % 2 = 0) d
     GROUP BY c.codec
     """,
@@ -6147,8 +6148,9 @@ def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distribution format of the public LLM corpora: The Pile/Dolma
     ship .jsonl.zst, C4/RedPajama .json.gz): the even documents are
     sharded out executor-side (write_jsonl_shards, one shard per
-    partition, no driver collect) once per codec — plain, gzip, and
-    zstd (storage/zstd_codec.py frames, the RFC 8878 codec), plus a
+    partition, no driver collect) once per codec — plain, gzip, bzip2,
+    xz, and zstd (storage/zstd_codec.py frames, the RFC 8878 codec;
+    bz2/lzma are stdlib), plus a
     SEEKABLE-zstd leg (write/read_jsonl_seekable — one independently
     decodable frame per 40 lines, one Spark task per frame planned from
     footer-only seek tables) — then read back through read_jsonl_shards
@@ -6178,7 +6180,7 @@ def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(4)
     )
     paths: list[str] = []
-    for codec in ("plain", "gzip", "zstd"):
+    for codec in ("plain", "gzip", "zstd", "bzip2", "xz"):
         root = f"{IO_ROOT}/jsonl_shards/{codec}"
         write_jsonl_shards(docs, root, codec=codec)
         paths.extend(sorted(_glob.glob(f"{root}/part-*")))
@@ -6190,7 +6192,7 @@ def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = read_jsonl_shards(spark, paths).unionByName(seek_lines)
     return (
         lines.withColumn(
-            "codec", F.regexp_extract("path", r"jsonl_shards/([a-z]+)/", 1)
+            "codec", F.regexp_extract("path", r"jsonl_shards/([a-z0-9]+)/", 1)
         )
         .select(
             "codec",

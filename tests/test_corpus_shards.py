@@ -25,7 +25,7 @@ def _rows(n=40):
     ]
 
 
-@pytest.mark.parametrize("codec", ["plain", "gzip", "zstd"])
+@pytest.mark.parametrize("codec", ["plain", "gzip", "zstd", "bzip2", "xz"])
 def test_build_split_roundtrip(codec):
     rows = _rows()
     lines = split_jsonl(build_jsonl_shard(rows, codec))
@@ -34,9 +34,13 @@ def test_build_split_roundtrip(codec):
 
 def test_split_detects_codec_by_magic():
     rows = _rows(5)
-    blobs = {c: build_jsonl_shard(rows, c) for c in ("plain", "gzip", "zstd")}
+    blobs = {
+        c: build_jsonl_shard(rows, c)
+        for c in ("plain", "gzip", "zstd", "bzip2", "xz")
+    }
     assert blobs["gzip"][:2] == b"\x1f\x8b"
     assert blobs["zstd"][:4] == b"\x28\xb5\x2f\xfd"
+    assert blobs["bzip2"][:3] == b"BZh" and blobs["xz"][:6] == b"\xfd7zXZ\x00"
     assert len({tuple(split_jsonl(b)) for b in blobs.values()}) == 1
 
 
@@ -67,7 +71,7 @@ def test_write_read_shards(spark, tmp_path):
 
 def test_hostile_inputs_valueerror_only():
     rng = random.Random(3)
-    for codec in ("gzip", "zstd"):
+    for codec in ("gzip", "zstd", "bzip2", "xz"):
         base = bytearray(build_jsonl_shard(_rows(10), codec))
         for _ in range(60):
             mut = bytearray(base)
