@@ -221,13 +221,14 @@ def read_jsonl_seekable(spark, paths: list[str]):
     the pread for a ranged GET)."""
     import pandas as pd
 
-    from hdp2_5_hive2_spark.storage.zstd_seekable import read_seek_table
+    from hdp2_5_hive2_spark.storage.zstd_seekable import read_seek_table_file
 
     splits = []
     for p in paths:
-        with open(p, "rb") as fh:
-            blob = fh.read()  # footer-only parse; whole read keeps IO simple here
-        for i, e in enumerate(read_seek_table(blob)):
+        entries = read_seek_table_file(p)  # two ranged preads, footer only
+        if entries is None:
+            raise ValueError(f"jsonl shard {p!r} is not seekable-zstd")
+        for i, e in enumerate(entries):
             splits.append((p, i, e.c_off, e.c_len, e.d_len, e.checksum))
     sdf = spark.createDataFrame(
         splits,

@@ -27,6 +27,7 @@ sync-marker readers. llm/corpus_shards.py builds on this for
 
 from __future__ import annotations
 
+import os
 import struct
 
 from hdp2_5_hive2_spark.storage.zstd_codec import (
@@ -38,6 +39,7 @@ from hdp2_5_hive2_spark.storage.zstd_codec import (
 __all__ = [
     "write_seekable",
     "read_seek_table",
+    "read_seek_table_file",
     "read_seekable",
     "SeekEntry",
 ]
@@ -139,3 +141,45 @@ def read_seekable(blob: bytes, entry: SeekEntry, verify: bool = True) -> bytes:
         if xxh64(data) & 0xFFFFFFFF != entry.checksum:
             raise ValueError("seekable zstd corrupt: frame checksum mismatch")
     return data
+
+
+def read_seek_table_file(path: str) -> list[SeekEntry] | None:
+    """Footer-only seek-table parse via two ranged preads (the object-store
+    planning pattern): 9-byte footer probe, then just the table. Returns
+    None when the file is not seekable-zstd (callers fall back to
+    whole-member reading)."""
+    size = os.path.getsize(path)
+    if size < 17:
+        return None
+    with open(path, "rb") as fh:
+        fh.seek(size - 9)
+        n_frames, descriptor, magic = struct.unpack("<IBI", fh.read(9))
+        if magic != _SEEK_MAGIC or descriptor & 0x7C:
+            return None
+        entry_size = 12 if descriptor & 0x80 else 8
+        table_len = entry_size * n_frames + 9
+        head = size - table_len - 8
+        if head < 0:
+            return None
+        fh.seek(head)
+        tail = fh.read(8 + entry_size * n_frames)
+    skip_magic, skip_len = struct.unpack_from("<II", tail, 0)
+    if skip_magic != _SKIP_MAGIC_E or skip_len != table_len:
+        raise ValueError("seekable zstd corrupt: bad seek-table skippable frame")
+    entries: list[SeekEntry] = []
+    c_off = d_off = 0
+    pos = 8
+    for _ in range(n_frames):
+        c_len, d_len = struct.unpack_from("<II", tail, pos)
+        ck = (
+            struct.unpack_from("<I", tail, pos + 8)[0]
+            if entry_size == 12
+            else None
+        )
+        pos += entry_size
+        entries.append(SeekEntry(c_off, c_len, d_off, d_len, ck))
+        c_off += c_len
+        d_off += d_len
+    if c_off != head:
+        raise ValueError("seekable zstd corrupt: frame sizes do not tile file")
+    return entries

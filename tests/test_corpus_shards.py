@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import random
 
 import pytest
@@ -156,3 +157,45 @@ def test_shard_leading_skippable_frame_any_magic():
         skip = struct.pack("<II", 0x184D2A50 | nibble, 3) + b"xyz"
         blob = skip + build_jsonl_shard(rows, "zstd")
         assert [json.loads(ln) for ln in split_jsonl(blob)] == rows
+
+
+def test_jsonlshards_datasource(spark, tmp_path):
+    """format('jsonlshards'): one InputPartition per seekable frame, per
+    file otherwise; rows identical to the functional readers."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.corpus_shards import (
+        write_jsonl_seekable,
+        write_jsonl_shards,
+    )
+    from hdp2_5_hive2_spark.llm.shards_datasource import (
+        JsonlShardsReader,
+        read_shards_ds,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(120)], "doc_id bigint, text string"
+    ).coalesce(1)
+    seek_root = str(tmp_path / "seek")
+    write_jsonl_seekable(df, seek_root, lines_per_frame=30)  # 4 frames
+    gz_root = str(tmp_path / "gz")
+    write_jsonl_shards(df, gz_root, codec="gzip")  # 1 file
+
+    # split planning: 4 frame-splits + 1 whole-member split
+    mixed = str(tmp_path / "mixed")
+    os.makedirs(mixed)
+    for root in (seek_root, gz_root):
+        for f in os.listdir(root):
+            os.link(os.path.join(root, f), os.path.join(mixed, f"{os.path.basename(root)}-{f}"))
+    parts = JsonlShardsReader({"path": mixed}).partitions()
+    assert len(parts) == 5
+    assert sorted(p.frame_idx for p in parts) == [-1, 0, 1, 2, 3]
+
+    got = (
+        read_shards_ds(spark, mixed)
+        .select(F.get_json_object("line", "$.doc_id").cast("bigint").alias("k"))
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("k").alias("s"))
+        .head()
+    )
+    assert got["n"] == 240 and got["s"] == 2 * sum(range(120))
