@@ -21,7 +21,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _SCHEMA = "path string, frame_idx int, line_idx bigint, line string"
 
@@ -134,3 +139,67 @@ def read_shards_ds(spark, path: str):
     except Exception:
         pass  # already registered
     return spark.read.format("jsonlshards").load(path)
+
+
+class _ShardsStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader over a landing directory: each
+    micro-batch picks up shard files not yet committed. The offset is
+    the sorted list of consumed filenames — the same full-log design as
+    Spark's own FileStreamSource (whose seen-files map also grows with
+    the file count); a production variant would age entries out behind
+    a watermark exactly as FileStreamSource.maxFileAge does.
+    readBetweenOffsets replays a committed batch deterministically from
+    the filename delta, giving exactly-once file-level semantics across
+    restarts."""
+
+    def __init__(self, options) -> None:
+        self._path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _rows_for(self, files):
+        from hdp2_5_hive2_spark.llm.corpus_shards import split_jsonl
+
+        for f in files:
+            with open(os.path.join(self._path, f), "rb") as fh:
+                lines = split_jsonl(fh.read())
+            for j, ln in enumerate(lines):
+                yield (os.path.join(self._path, f), 0, j, ln)
+
+    def read(self, start: dict):
+        seen = set(start["seen"])
+        now = [
+            f
+            for f in sorted(os.listdir(self._path))
+            if not f.startswith((".", "_")) and f not in seen
+        ] if os.path.isdir(self._path) else []
+        end = {"seen": sorted(seen | set(now))}
+        # a LIST, not a generator: the engine's prefetch cache copies the
+        # iterator (copy.copy), which generators do not support
+        return list(self._rows_for(now)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        delta = sorted(set(end["seen"]) - set(start["seen"]))
+        return list(self._rows_for(delta))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint log
+
+
+class JsonlShardsStreamSource(DataSource):
+    """``spark.readStream.format("jsonlshardstream").load(path)`` — the
+    streaming front door: shards landing in a directory become
+    micro-batches of (path, frame_idx, line_idx, line), feeding the
+    streaming dedup gates (streaming/corpus.py) exactly as the batch
+    reader feeds the batch pipeline."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlshardstream"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def simpleStreamReader(self, schema) -> _ShardsStreamReader:
+        return _ShardsStreamReader(self.options)

@@ -199,3 +199,42 @@ def test_jsonlshards_datasource(spark, tmp_path):
         .head()
     )
     assert got["n"] == 240 and got["s"] == 2 * sum(range(120))
+
+
+def test_jsonlshardstream_source(spark, tmp_path):
+    """Streaming front door: shards landing in a directory arrive as
+    micro-batches; a checkpoint restart resumes at the committed file
+    offset (no re-read, no loss)."""
+    from hdp2_5_hive2_spark.llm.corpus_shards import build_jsonl_shard
+    from hdp2_5_hive2_spark.llm.shards_datasource import JsonlShardsStreamSource
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = tmp_path / "sink.parquet"
+    ckpt = str(tmp_path / "ckpt")
+    (land / "a.jsonl.zst").write_bytes(
+        build_jsonl_shard([{"doc_id": i} for i in range(10)], "zstd")
+    )
+    spark.dataSource.register(JsonlShardsStreamSource)
+
+    def run_once():
+        (
+            spark.readStream.format("jsonlshardstream")
+            .load(str(land))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == 10
+    (land / "b.jsonl.gz").write_bytes(
+        build_jsonl_shard([{"doc_id": i} for i in range(7)], "gzip")
+    )
+    run_once()  # restart from checkpoint: only the new shard arrives
+    got = spark.read.parquet(str(sink))
+    assert got.count() == 17
+    assert got.where("path like '%b.jsonl.gz'").count() == 7
