@@ -238,3 +238,80 @@ def test_jsonlshardstream_source(spark, tmp_path):
     got = spark.read.parquet(str(sink))
     assert got.count() == 17
     assert got.where("path like '%b.jsonl.gz'").count() == 7
+
+
+def test_shard_stream_feeds_minhash_gate_end_to_end(spark, tmp_path):
+    """Capstone: the crawl's streaming front door composed — .jsonl.zst
+    shards land in a directory, the jsonlshardstream source turns them
+    into micro-batches, JSON fields extract in codegen, and the
+    stateful MinHash gate flags a shard-2 duplicate of a shard-1 keeper
+    ACROSS micro-batches (keeper state carried in the state store)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.corpus_shards import build_jsonl_shard
+    from hdp2_5_hive2_spark.llm.shards_datasource import JsonlShardsStreamSource
+    from hdp2_5_hive2_spark.streaming.corpus import (
+        resolve_dup_verdicts,
+        streaming_minhash_dedup,
+    )
+
+    rng = random.Random(4)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = {
+        i: " ".join(rng.choice(words) for _ in range(60)) for i in range(8)
+    }
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "shard-000.jsonl.zst").write_bytes(
+        build_jsonl_shard(
+            [{"doc_id": i, "text": docs[i]} for i in range(8)], "zstd"
+        )
+    )
+    spark.dataSource.register(JsonlShardsStreamSource)
+    stream = (
+        spark.readStream.format("jsonlshardstream")
+        .load(str(land))
+        .select(
+            F.get_json_object("line", "$.doc_id").cast("bigint").alias("doc_id"),
+            F.get_json_object("line", "$.text").alias("text"),
+        )
+    )
+    gate = streaming_minhash_dedup(stream)
+    out: list[pd.DataFrame] = []
+
+    def sink(bdf, bid):
+        pdf = resolve_dup_verdicts(bdf).toPandas()
+        if len(pdf):
+            out.append(pdf)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        (
+            gate.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+
+    run_once()
+    # shard 2: one exact dup of doc 3 + one novel doc, judged on RESTART
+    # (keeper state must come back from the checkpointed state store)
+    (land / "shard-001.jsonl.zst").write_bytes(
+        build_jsonl_shard(
+            [
+                {"doc_id": 100, "text": docs[3]},
+                {"doc_id": 101, "text": "totally novel content " * 10},
+            ],
+            "zstd",
+        )
+    )
+    run_once()
+    verdicts = pd.concat(out)
+    v100 = verdicts[verdicts.doc_id == 100].iloc[0]
+    v101 = verdicts[verdicts.doc_id == 101].iloc[0]
+    assert bool(v100.is_dup) and int(v100.dup_of) == 3
+    assert not bool(v101.is_dup)
+    assert not verdicts[verdicts.doc_id < 100].is_dup.any()
