@@ -95,16 +95,16 @@ def split_jsonl(blob: bytes) -> list[str]:
 def build_jsonl_shard(rows: list[dict], codec: str = "zstd") -> bytes:
     """Fixture/export writer: dict rows → one shard blob.
 
-    ``zstd`` emits conformant store frames (storage/zstd_codec.py) any
-    spec decoder opens — same write-side stance as the Avro zstandard
-    leg; ``gzip`` is fully compressed via zlib."""
+    ``zstd`` emits LZ77+FSE compressed frames (storage/zstd_codec.py's
+    own encoder, zstd-jni cross-parity pinned); ``gzip``/``bzip2``/``xz``
+    use the stdlib codecs."""
     payload = "".join(
         json.dumps(r, ensure_ascii=False, sort_keys=True) + "\n" for r in rows
     ).encode("utf-8")
     if codec == "zstd":
-        from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress_store
+        from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress
 
-        return zstd_compress_store(payload)
+        return zstd_compress(payload)
     if codec == "gzip":
         return gzip.compress(payload, mtime=0)
     if codec == "bzip2":

@@ -650,9 +650,9 @@ def serialize_avro(
         elif codec == "zstandard":
             # avro spec: one zstd frame per block, no extra CRC (the frame
             # carries its own XXH64 content checksum)
-            from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress_store
+            from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress
 
-            payload = zstd_compress_store(payload)
+            payload = zstd_compress(payload)
         _write_long(out, count)
         _write_long(out, len(payload))
         out.extend(payload)

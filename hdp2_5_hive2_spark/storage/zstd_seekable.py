@@ -14,9 +14,8 @@ per-frame entries of compressed/decompressed sizes + optional XXH64-low
 checksums).
 
 This module writes and reads that container on top of
-storage/zstd_codec.py. Writes emit store frames (this package's
-write-side stance); reads accept any conformant seekable file,
-including ones written with real compression.
+storage/zstd_codec.py (writes ride its compressing LZ77+FSE encoder);
+reads accept any conformant seekable file.
 
 100 TB role: a seekable ``.jsonl.zst`` shard decomposes into
 independently decodable frames ⇒ one Spark task per FRAME with ranged
@@ -32,7 +31,7 @@ import struct
 
 from hdp2_5_hive2_spark.storage.zstd_codec import (
     xxh64,
-    zstd_compress_store,
+    zstd_compress,
     zstd_decompress,
 )
 
@@ -78,7 +77,7 @@ def write_seekable(
     out = bytearray()
     entries = []
     for chunk in chunks:
-        frame = zstd_compress_store(chunk, checksum=False)
+        frame = zstd_compress(chunk, checksum=False)
         entries.append((len(frame), len(chunk), xxh64(chunk) & 0xFFFFFFFF))
         out += frame
     entry_size = 12 if checksums else 8
