@@ -310,3 +310,24 @@ def test_compress_jni_parity_and_ratio(spark):
             assert bytes(Z.decompress(z, len(data))) == data
         assert zstd_decompress(z) == data
     assert len(zstd_compress(docs)) < len(docs) // 3  # ~3.3x measured
+
+
+def test_compress_huffman_literals_jni_parity(spark):
+    """Huffman-literals rung: ASCII-alphabet payloads (1- and 4-stream
+    forms) decode under the reference decoder and beat the LZ-only
+    ratio on text."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress
+
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    rng = random.Random(9)
+    cases = [
+        bytes(rng.randrange(32, 127) for _ in range(800)),     # 1-stream
+        bytes(rng.randrange(32, 127) for _ in range(50_000)),  # 4-stream
+        bytes(rng.randrange(2) + 65 for _ in range(3000)),     # skewed
+        ("mixed ünïcödé bytes " * 300).encode(),               # >128 → raw
+    ]
+    for data in cases:
+        z = zstd_compress(data)
+        assert bytes(Z.decompress(z, len(data))) == data
+        assert zstd_decompress(z) == data
+    assert len(zstd_compress(cases[2])) < len(cases[2]) // 2
