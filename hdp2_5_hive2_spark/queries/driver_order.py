@@ -1,13 +1,14 @@
 """Driver-facing verification order for the correctness corpus.
 
 The external driver verifies queries in ALPHABETICAL name order and has a
-bounded per-round budget (~50 names/round observed in rounds 1-5). Plain
+bounded per-round budget (~50 names/round observed in rounds 1-6). Plain
 registry names therefore decide WHAT gets verified, and this module assigns
 every registry query a zero-padded numeric prefix
 (``000_storage_rcfile_roundtrip``) so the alphabetical order the driver
 uses IS the priority order we choose.
 
-Structure (VERDICT r5 #2 — round-boundary-proof by construction):
+Structure (VERDICT r5 #2 + VERDICT r6 #2 — round-boundary-proof by
+construction, twice over):
 
 - ``green_union()`` / ``dark_queries()`` are DERIVED from the recorded
   ``CORRECTNESS_r*.json`` files at call time. There is no hard-coded dark
@@ -20,17 +21,23 @@ Structure (VERDICT r5 #2 — round-boundary-proof by construction):
   alphabetically. Because the plan's head IS the expected dark set, the
   order is stable when the next CORRECTNESS file lands — names simply stop
   being "dark" without moving.
+- ``_NEW_THIS_ROUND`` is ROUND-SCOPED (VERDICT r6 #2): the declaring round
+  is recorded alongside the list, and the "new names have no verdict"
+  invariant compares against ``green_union(before_round=declared)`` — the
+  green union as it stood when the tier was declared. The driver landing
+  this round's own CORRECTNESS file therefore can never make the invariant
+  stale (the r4/r5/r6 boundary failure class).
 
-Round-6 plan (VERDICT r5 #1/#5):
+Round-7 plan (VERDICT r6 #1/#8):
 
-- Plan head — the 6 names with NO driver verdict in r01-r05 (the round-5
-  overflow queue): RCFile, winnowing, fingerprint overlap, semantic dedup,
-  EWAH, vocab drift. Round 6 also reworks the EWAH and RCFile kernels, so
-  dark + changed coincide here.
-- Then queries ADDED this round (tier 2).
-- Then green queries whose kernels round 6 touches (tier 3).
-- Then budget fill: oldest-verdict-first re-verification — the 25 names
-  whose only green is round 1, then round-2-only names alphabetically.
+- Plan head — the derived dark set: the ~74 round-6 names past window
+  position 049 (Avro, ACID, jsonl shards, ExactSubstr, setsim, kmeans,
+  PQ/maxsim, the multimodal suite, events/qa twins). Round 7 adds (almost)
+  no new queries so this backlog drains through windows 7 and 8.
+- Tier 3 — green queries whose kernels round 7 touches (the
+  single-partition top-k window fixes) get re-led.
+- Then budget fill: oldest-verdict-first re-verification — names whose
+  NEWEST green is round 1, then round-2-only names alphabetically.
 
 The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep
 the plain names. ``prefixed -> plain`` is recoverable by stripping
@@ -47,9 +54,28 @@ from hdp2_5_hive2_spark.queries import REGISTRY, QuerySpec
 
 _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 
-# Tier 2 — queries added in round 6 (dark by definition; they ALSO derive
-# into dark_queries(), this list just pins their relative order).
-_NEW_THIS_ROUND: list[str] = [
+# Tier 2 — queries added THIS round, with the round that declared the tier.
+# The no-verdict invariant is evaluated against green_union(before_round=
+# _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
+# in place — landing CORRECTNESS_r07.json cannot stale it.
+_NEW_THIS_ROUND_DECLARED: int = 7
+_NEW_THIS_ROUND: list[str] = []
+
+# Tier 3 — green in a prior round but re-implemented/touched this round; a
+# stale green no longer covers the shipped code. Round 7 reworks the
+# single-partition top-k windows (VERDICT r6 #2): bm25_rank and
+# llm_dsir_weights (both green r6) now rank a bounded TakeOrderedAndProject
+# result, and vocab_coverage rides the two-phase distributed rank.
+_CHANGED_THIS_ROUND: list[str] = [
+    "llm_bm25_rank",
+    "llm_dsir_weights",
+    "llm_vocab_coverage",
+]
+
+# Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).
+# Everything past window position 049 of CORRECTNESS_r06.json is still dark
+# and derives to the head of round 7's order automatically.
+_R6_TIER: list[str] = [
     "llm_semantic_dedup_lsh",       # SemDeDup scale seam: LSH pair source (r6)
     "fn_ewah_cardinality",          # run-aware EWAH kernels, dense ones-runs (r6)
     "matchpath_skip_to_next_row",   # MatchPath AFTER MATCH SKIP TO NEXT ROW (r6)
@@ -170,17 +196,11 @@ _NEW_THIS_ROUND: list[str] = [
     "storage_acid_lifecycle",          # Hive-ACID delta/ROW__ID lifecycle (r6)
 ]
 
-# Tier 3 — green in a prior round but re-implemented/touched this round; a
-# stale green no longer covers the shipped code. (The two reworked kernels,
-# EWAH and RCFile, back queries that are still dark, so they sit in the
-# plan head instead.)
-_CHANGED_THIS_ROUND: list[str] = []
-
-# Tier 4 — budget fill: oldest still-standing verdicts first. First the 25
-# names whose ONLY green is round 1, then round-2-only names alphabetically
-# up to the window.
+# Tier 4 — budget fill: oldest still-standing verdicts first. Names whose
+# NEWEST green is round 1, then round-2-only names alphabetically (VERDICT
+# r6 #8 — no query's newest verdict should age past 4 rounds).
 _FILL_REVERIFY: list[str] = [
-    # green in r01 only
+    # newest green is r01
     "fn_interval_arithmetic",
     "fn_json",
     "fn_percentile_exact",
@@ -206,7 +226,7 @@ _FILL_REVERIFY: list[str] = [
     "join_right_outer",
     "lateral_view_explode",
     "llm_context_ngrams",
-    # green in r02 only, alphabetical
+    # newest green is r02, alphabetical
     "events_sessionize",
     "fn_array_ops",
     "fn_bitwise",
@@ -228,32 +248,75 @@ _FILL_REVERIFY: list[str] = [
     "q10_returned_items",
     "q11_important_stock",
     "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
+    "q21_waiting_orders",
+    "q22_sales_opportunity",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "select_distinct",
+    "window_first_last",
+    "window_lag_lead",
+    "window_percentile_exact",
+    "window_range_frame",
+    "window_ranking",
+    "window_running_sum",
+    "window_sliding_rows_frame",
+    "window_topn_per_group",
+    "window_udaf_over_window",
 ]
 
-# The frozen round-6 plan. Head = the names expected dark entering round 6;
-# they lead whether derived-dark or (after CORRECTNESS_r06.json lands)
-# freshly green — so the order does not move at the round boundary.
-_ROTATION_PLAN: list[str] = (
-    [
-        "storage_rcfile_roundtrip",     # RCFile container (r5; JVM read path r6)
-        "llm_winnowing_fingerprint",    # MOSS winnowing fingerprints (r5)
-        "llm_fingerprint_overlap",      # fingerprint-bucket overlap pairs (r5)
-        "llm_semantic_dedup",           # SemDeDup keep/drop composition (r5)
-        "fn_ewah_bitmap",               # EWAH bitmap family (r5; run-aware r6)
-        "llm_vocab_drift",              # corpus-drift QA, chi-square ranking (r5)
-    ]
-    + _NEW_THIS_ROUND
-    + _CHANGED_THIS_ROUND
-    + _FILL_REVERIFY
+# The frozen plan. Head = the r5-overflow names, then the frozen r6 tier
+# (whose tail is exactly the dark set entering round 7), then this round's
+# tiers, then fill. Dark names derive to the front whether or not they are
+# planned; the plan keeps their relative order stable at the boundary.
+_ROTATION_PLAN: list[str] = list(
+    dict.fromkeys(  # dedupe, first occurrence wins (a name may be both in a
+        # frozen tier and re-listed as changed; its earliest slot stands)
+        [
+            "storage_rcfile_roundtrip",     # RCFile container (r5; JVM read path r6)
+            "llm_winnowing_fingerprint",    # MOSS winnowing fingerprints (r5)
+            "llm_fingerprint_overlap",      # fingerprint-bucket overlap pairs (r5)
+            "llm_semantic_dedup",           # SemDeDup keep/drop composition (r5)
+            "fn_ewah_bitmap",               # EWAH bitmap family (r5; run-aware r6)
+            "llm_vocab_drift",              # corpus-drift QA, chi-square ranking (r5)
+        ]
+        + _R6_TIER
+        + _NEW_THIS_ROUND
+        + _CHANGED_THIS_ROUND
+        + _FILL_REVERIFY
+    )
 )
 
 
-def green_union(root: pathlib.Path | None = None) -> set[str]:
+def green_union(
+    root: pathlib.Path | None = None, before_round: int | None = None
+) -> set[str]:
     """Names with any green driver verdict across the recorded
     ``CORRECTNESS_r*.json`` files (same predicate the driver uses: value
-    hash match, or rows match for oracle-less checks)."""
+    hash match, or rows match for oracle-less checks).
+
+    ``before_round`` restricts to files from rounds strictly earlier — the
+    green union as it stood when a tier was declared (VERDICT r6 #2). That
+    view is immutable: later rounds' files landing cannot change it.
+    """
     green: set[str] = set()
     for path in sorted((root or _REPO_ROOT).glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if before_round is not None and m and int(m.group(1)) >= before_round:
+            continue
         for key, row in json.loads(path.read_text()).items():
             name = re.sub(r"^\d+_", "", key)
             if row.get("hash_match") or (

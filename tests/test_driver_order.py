@@ -2,12 +2,21 @@
 budget (~the first 50 names each round). These tests pin the contract that
 makes that order OUR priority order.
 
-Per VERDICT r5 #2 the dark set is DERIVED from the recorded
-CORRECTNESS_r*.json files inside `driver_order.py` itself (single source of
-truth) and every invariant below is checked BOTH against the current files
-AND against simulated future rounds (a synthetic CORRECTNESS_r06/r07.json
-landing), so a new round's file can never make this suite go stale again —
-the exact failure mode that hit rounds 4 and 5."""
+Round-boundary proofing (VERDICT r5 #2, hardened per VERDICT r6 #2 after
+the suite staled at three consecutive round boundaries):
+
+- The dark set is DERIVED from the recorded CORRECTNESS_r*.json files
+  inside `driver_order.py` itself (single source of truth).
+- The "new names have no verdict" tier invariant is ROUND-SCOPED: it
+  compares against ``green_union(before_round=declared)``, the green union
+  as it stood when the tier was declared. The driver landing this round's
+  own file cannot change that view, so the invariant is timeless.
+- ``_check_invariants`` holds EVERY invariant in this suite (not just the
+  ordering ones), and the boundary simulations below run it against
+  synthetic future CORRECTNESS files (full window, partial window, red
+  rows, two consecutive rounds). Any assertion that could go stale when a
+  file lands therefore fails at SHIP time, not at the boundary.
+"""
 
 from __future__ import annotations
 
@@ -18,6 +27,7 @@ import __spark_entry__ as entry_mod
 from hdp2_5_hive2_spark.queries import REGISTRY
 from hdp2_5_hive2_spark.queries.driver_order import (
     _NEW_THIS_ROUND,
+    _NEW_THIS_ROUND_DECLARED,
     _ROTATION_PLAN,
     dark_queries,
     driver_order,
@@ -25,12 +35,14 @@ from hdp2_5_hive2_spark.queries.driver_order import (
     green_union,
 )
 
-_WINDOW = 50  # driver budget observed in rounds 1-5
+_WINDOW = 50  # driver budget observed in rounds 1-6
 
 
 def _check_invariants(green: set[str]) -> None:
-    """Every ordering invariant, parameterized by the green union so the
-    same checks run against current files and simulated future rounds."""
+    """EVERY invariant in this suite, parameterized by the green union so
+    the same checks run against current files and simulated future rounds.
+    Add new invariants HERE, not as standalone tests, so the boundary
+    simulations exercise them automatically."""
     order = driver_order(green)
     # 1. covers the registry exactly once
     assert sorted(order) == sorted(REGISTRY)
@@ -51,65 +63,102 @@ def _check_invariants(green: set[str]) -> None:
     #    slots are dark
     in_window = set(order[:_WINDOW])
     assert set(dark) <= in_window or len(dark) >= _WINDOW
+    # 6. registered dark names are planned (unplanned dark would reorder at
+    #    the boundary) — mid-round additions register in _NEW_THIS_ROUND,
+    #    which is part of the plan
+    assert set(dark) <= set(_ROTATION_PLAN), (
+        f"dark names missing from the rotation plan: "
+        f"{set(dark) - set(_ROTATION_PLAN)}"
+    )
+    assert [n for n in _ROTATION_PLAN if n in set(dark)] == dark
+    # 7. tier-2 names (added this round) had no green verdict BEFORE the
+    #    declaring round. Evaluated against the round-scoped green union —
+    #    NOT the `green` parameter — because the declaring-round view is
+    #    immutable; this round's (or any future round's) file landing
+    #    cannot stale it. This is the invariant that broke at the r4/r5/r6
+    #    boundaries when written against the live union.
+    at_declaration = green_union(before_round=_NEW_THIS_ROUND_DECLARED)
+    assert not (set(_NEW_THIS_ROUND) & set(REGISTRY) & at_declaration)
+    # 8. prefixed registry: alphabetical == priority, recoverable names
+    reg = driver_registry()
+    # (driver_registry derives from the live files, so only check shape
+    # invariants here plus exact agreement when `green` IS the live union)
+    names = list(reg)
+    assert names == sorted(names), "prefixes must make alphabetical == priority"
+    plain = [re.sub(r"^\d+_", "", n) for n in names]
+    assert sorted(plain) == sorted(REGISTRY)
+    if green == green_union():
+        assert plain == order
 
 
 def test_invariants_against_current_files():
     _check_invariants(green_union())
 
 
-def test_invariants_survive_next_round_file(tmp_path):
-    """Simulate CORRECTNESS_r06.json landing with the whole window green —
-    the exact event that broke this suite at the r4 and r5 boundaries. The
-    derived dark set must shrink to empty and every invariant must hold
-    with no code change."""
-    for i, name in enumerate(driver_order()[:_WINDOW]):
-        assert name in REGISTRY
-    future = {
+def _simulate(tmp_path, filename: str, names: list[str], red: bool = False):
+    rows = {
         f"{i:03d}_{n}": {
-            "rows_match": True,
-            "schema_match": True,
-            "hash_match": True,
-            "err": None,
+            "rows_match": not red,
+            "schema_match": not red,
+            "hash_match": not red,
+            "err": None if not red else "mismatch",
         }
-        for i, n in enumerate(driver_order()[:_WINDOW])
+        for i, n in enumerate(names)
     }
-    (tmp_path / "CORRECTNESS_r06.json").write_text(json.dumps(future))
+    (tmp_path / filename).write_text(json.dumps(rows))
+
+
+def test_invariants_survive_next_round_file(tmp_path):
+    """Simulate CORRECTNESS_r07.json landing with the whole window green —
+    the exact event that broke this suite at the r4, r5 AND r6 boundaries.
+    The derived dark set must shrink and EVERY invariant must hold with no
+    code change."""
+    window = driver_order()[:_WINDOW]
+    for name in window:
+        assert name in REGISTRY
+    _simulate(tmp_path, "CORRECTNESS_r07.json", window)
     simulated = green_union() | green_union(tmp_path)
-    assert not {n for n in REGISTRY if n not in simulated} - set(REGISTRY), (
-        "sanity"
-    )
     _check_invariants(simulated)
-    # the six round-5 overflow names must now be green, i.e. non-dark, and
-    # the leftover dark names (overflow beyond the window) keep the
-    # documented contract: plan order first, unplanned alphabetically after
-    leftover = {
-        n
-        for n in REGISTRY
-        if n not in simulated and n not in driver_order()[:_WINDOW]
-    }
+    # leftover dark names (overflow beyond the window) keep the documented
+    # contract: plan order first, unplanned alphabetically after
+    leftover = {n for n in REGISTRY if n not in simulated}
     expected = [n for n in _ROTATION_PLAN if n in leftover] + sorted(
         leftover - set(_ROTATION_PLAN)
     )
     assert dark_queries(simulated) == expected
 
 
+def test_invariants_survive_two_future_rounds(tmp_path):
+    """Rounds 7 AND 8 landing back-to-back (the full dark backlog drains)
+    must leave every invariant green — including the round-scoped tier
+    check, whose declaring-round view ignores both files."""
+    order = driver_order()
+    _simulate(tmp_path, "CORRECTNESS_r07.json", order[:_WINDOW])
+    g7 = green_union() | green_union(tmp_path)
+    _simulate(
+        tmp_path, "CORRECTNESS_r08.json", driver_order(g7)[:_WINDOW]
+    )
+    simulated = green_union() | green_union(tmp_path)
+    _check_invariants(simulated)
+    # with 74 dark entering round 7, two windows clear the backlog
+    assert dark_queries(simulated) == []
+
+
 def test_invariants_survive_partial_round_file(tmp_path):
     """A round whose budget stopped early (only 10 names green) must also
     leave the suite green: remaining dark names still lead."""
-    future = {
-        f"{i:03d}_{n}": {"rows_match": True, "hash_match": True, "err": None}
-        for i, n in enumerate(driver_order()[:10])
-    }
-    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(future))
+    _simulate(tmp_path, "CORRECTNESS_r07.json", driver_order()[:10])
     _check_invariants(green_union() | green_union(tmp_path))
 
 
-def test_invariants_survive_red_verdicts():
+def test_invariants_survive_red_verdicts(tmp_path):
     """A file full of red rows adds nothing to the green union; invariants
     hold with the dark set unchanged."""
     before = dark_queries()
-    _check_invariants(green_union() | set())
-    assert dark_queries(green_union()) == before
+    _simulate(tmp_path, "CORRECTNESS_r07.json", driver_order()[:_WINDOW], red=True)
+    assert green_union(tmp_path) == set()
+    _check_invariants(green_union() | green_union(tmp_path))
+    assert dark_queries() == before
 
 
 def test_dark_set_is_file_derived():
@@ -119,25 +168,35 @@ def test_dark_set_is_file_derived():
     assert set(dark_queries()) == {n for n in REGISTRY if n not in green}
 
 
-def test_new_this_round_names_have_no_verdict():
-    """Tier-2 names (added this round) cannot have a green verdict yet;
-    names not yet registered are simply pending implementation."""
-    green = green_union()
-    assert not (set(_NEW_THIS_ROUND) & set(REGISTRY) & green)
+def test_round_scoped_green_union():
+    """before_round must exclude the declaring round's own file and later:
+    the r6 names green ONLY in CORRECTNESS_r06.json are invisible to
+    green_union(before_round=6) but visible to before_round=7."""
+    g_all = green_union()
+    g_before7 = green_union(before_round=7)
+    g_before6 = green_union(before_round=6)
+    assert g_before6 <= g_before7 <= g_all
+    r6_only = g_before7 - g_before6
+    assert r6_only, "round 6 verified names exist"
+    assert not (r6_only & g_before6)
 
 
-def test_plan_head_is_expected_dark_set():
-    """The frozen plan's head must contain every currently-dark name so the
-    order cannot move when the next CORRECTNESS file lands."""
-    dark = set(dark_queries())
-    planned_dark = [n for n in _ROTATION_PLAN if n in dark]
-    # every registered dark name is planned (unplanned dark would reorder
-    # at the boundary) — mid-round additions register themselves in
-    # _NEW_THIS_ROUND which is part of the plan
-    assert dark <= set(_ROTATION_PLAN), (
-        f"dark names missing from the rotation plan: {dark - set(_ROTATION_PLAN)}"
+def test_new_this_round_declaration_is_current():
+    """The declared round must not lag the recorded files by more than the
+    boundary itself: `>=` (not `>`) so the driver landing THIS round's
+    file keeps the suite green, while a full skipped rotation (a file from
+    a LATER round than the declaration) still gets flagged."""
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    recorded = [
+        int(re.search(r"r(\d+)", p.name).group(1))
+        for p in repo.glob("CORRECTNESS_r*.json")
+    ]
+    assert _NEW_THIS_ROUND_DECLARED >= max(recorded), (
+        "rotate _NEW_THIS_ROUND: a CORRECTNESS file PAST the declared "
+        "round exists — the tier was never rotated for that round"
     )
-    assert planned_dark == dark_queries()
 
 
 def test_prefixed_alphabetical_order_is_priority_order():
