@@ -717,13 +717,14 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = retrieval.dsir_importance_weights(
         d, target=d.filter(F.col("source") == "src0"), dim=16
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("weight"), F.asc("doc_id"))
-    return (
-        weights.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "n_tokens", "rank")
+    # Top-20 of the CORPUS-sized weights table via sort+limit
+    # (TakeOrderedAndProject bounded heaps, VERDICT r6 #2) — never a
+    # single-partition window over the full corpus; the ≤20 survivors are
+    # ranked window-free (retrieval.bounded_rank). (weight desc, doc_id
+    # asc) is a total order, so the limit is deterministic.
+    top = weights.orderBy(F.desc("weight"), F.asc("doc_id")).limit(20)
+    return retrieval.bounded_rank(top, "weight", "doc_id").select(
+        "doc_id", "n_tokens", "rank"
     )
 
 
