@@ -25,9 +25,10 @@ Dictionary_ID without one raise.
 Encoders, two rungs: ``zstd_compress`` does REAL compression — greedy
 LZ77 matching emitted as sequences under the predefined FSE tables
 (encoding states derived by inverting this module's own decode tables),
-HUFFMAN-coded literals (direct-weights description, 1- and 4-stream,
-Kraft-exact length-limited code construction; byte alphabets above 128
-fall back to raw literals — FSE-described weights are the next rung),
+HUFFMAN-coded literals (1- and 4-stream, Kraft-exact length-limited code
+construction; the tree description is whichever of direct 4-bit weights
+and FSE-compressed weights (§4.2.1.2) is smaller, so any byte alphabet —
+including symbols above 128 — gets entropy-coded literals),
 and RLE/raw blocks where nothing pays — measured ~4.7x on doc corpora,
 decodable by any spec decoder (zstd-jni parity pinned).
 ``zstd_compress_store`` keeps the raw/RLE-only form for fixtures.
@@ -1112,23 +1113,181 @@ def _limited_lengths(freqs: dict[int, int], cap: int = 11) -> dict[int, int]:
     return lengths
 
 
-def _huf_encode_table(lengths: dict[int, int]) -> tuple[bytes, dict[int, tuple[int, int]]]:
-    """(direct-weights description bytes, symbol → (code, nbits)) for the
-    EXACT table the decoder reconstructs — codes are read back off
-    _huf_from_weights so encode/decode can't drift."""
+class _FwdWriter:
+    """Forward LSB-first bit writer (the encode mirror of _FwdBits) for
+    FSE table descriptions."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _write_fse_counts(counts: list[int], alog: int) -> bytes:
+    """Normalized-count stream writer (§4.1.1) — exact mirror of
+    _read_fse_counts: variable-bit threshold coding with 2-bit zero-repeat
+    flags, byte-padded. ``counts`` must sum to 1 << alog (no -1 entries;
+    the encoder's normalizer never emits less-than-one probabilities)."""
+    w = _FwdWriter()
+    w.write(alog - 5, 4)
+    remaining = (1 << alog) + 1
+    s = 0
+    while remaining > 1:
+        bits = remaining.bit_length()
+        low_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        proba = counts[s]
+        t = proba + 1
+        if t < threshold:
+            w.write(t, bits - 1)
+        elif t <= low_mask:
+            w.write(t, bits)
+        else:
+            w.write(t + threshold, bits)
+        remaining -= proba
+        s += 1
+        if proba == 0:
+            # count the zeros that follow, up to the last symbol the
+            # decoder will still ask for (remaining > 1 keeps it reading)
+            z = 0
+            while s + z < len(counts) and counts[s + z] == 0:
+                z += 1
+            while True:
+                rep = min(z, 3)
+                w.write(rep, 2)
+                z -= rep
+                s += rep
+                if rep < 3:
+                    break
+    return w.finish()
+
+
+def _normalize_weight_counts(freq: dict[int, int], alog: int) -> list[int]:
+    """Exact-sum normalization of weight-symbol frequencies to FSE counts:
+    every present symbol gets >= 1, no count exceeds HALF the table (a
+    count > size/2 creates zero-bit decoder states, which would break the
+    open-ended two-state stop condition _fse_decode_open relies on), and
+    the counts sum to exactly 1 << alog. Needs >= 2 distinct symbols."""
+    size = 1 << alog
+    cap = size >> 1
+    total = sum(freq.values())
+    syms = sorted(freq)
+    counts = {s: min(cap, max(1, (freq[s] * size) // total)) for s in syms}
+    diff = size - sum(counts.values())
+    while diff > 0:
+        s = max(
+            (s for s in syms if counts[s] < cap),
+            key=lambda s: freq[s] / counts[s],
+        )
+        counts[s] += 1
+        diff -= 1
+    while diff < 0:
+        s = min(
+            (s for s in syms if counts[s] > 1),
+            key=lambda s: freq[s] / counts[s],
+        )
+        counts[s] -= 1
+        diff += 1
+    out = [0] * (max(syms) + 1)
+    for s in syms:
+        out[s] = counts[s]
+    return out
+
+
+def _fse_weights_desc(weights: list[int]) -> bytes | None:
+    """FSE-compressed Huffman_Tree_Description payload (§4.2.1.2): the
+    weight run encoded as a two-interleaved-state FSE bitstream preceded
+    by its own table description. Returns the payload WITHOUT the header
+    byte (the caller prepends len(payload), which must be < 128), or None
+    when this form is impossible (degenerate weight alphabet) or does not
+    fit the 127-byte ceiling. The decode table is built by the SAME
+    _fse_from_counts the decoder uses, so encode/decode cannot drift."""
+    n = len(weights)
+    freq: dict[int, int] = {}
+    for v in weights:
+        freq[v] = freq.get(v, 0) + 1
+    if n < 2 or len(freq) < 2:
+        return None
+    alog = 6
+    counts = _normalize_weight_counts(freq, alog)
+    table = _fse_from_counts(counts, alog)
+    enc = _FseEncoder(table)
+    states = [0] * n
+    upd: list[tuple[int, int]] = [(0, 0)] * max(0, n - 2)
+    for i in range(n - 1, -1, -1):
+        nxt = states[i + 2] if i + 2 < n else None
+        x, v, nb = enc.state_for(weights[i], nxt)
+        states[i] = x
+        if nxt is not None:
+            upd[i] = (v, nb)
+    # decoder-read order: state1, state2, then updates interleaved
+    fields = [(states[0], alog), (states[1], alog)] + upd
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    for v, nb in reversed(fields):
+        acc |= v << nbits
+        nbits += nb
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    acc |= 1 << nbits  # sentinel
+    nbits += 1
+    while nbits > 0:
+        stream.append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
+    payload = _write_fse_counts(counts, alog) + bytes(stream)
+    return payload if len(payload) < 128 else None
+
+
+def _huf_encode_table(
+    lengths: dict[int, int],
+) -> tuple[bytes, dict[int, tuple[int, int]]] | None:
+    """(tree-description bytes, symbol → (code, nbits)) for the EXACT
+    table the decoder reconstructs — codes are read back off
+    _huf_from_weights so encode/decode can't drift. Picks the smaller of
+    the direct-4-bit-weights form (symbols 0..128 only) and the
+    FSE-compressed-weights form (§4.2.1.2, any byte alphabet); None when
+    neither form can describe the table."""
     last = max(lengths)
-    if last > 128:
-        raise ValueError("direct weights cover symbols 0..128 only")
     maxbits = max(lengths.values())
     weights = [
         (maxbits + 1 - lengths[s]) if s in lengths else 0 for s in range(last)
     ]
-    nw = last
-    desc = bytearray([127 + nw])
-    for i in range(0, nw, 2):
-        hi = weights[i] << 4
-        lo = weights[i + 1] if i + 1 < nw else 0
-        desc.append(hi | lo)
+    candidates: list[bytes] = []
+    if last <= 128:
+        nw = last
+        direct = bytearray([127 + nw])
+        for i in range(0, nw, 2):
+            hi = weights[i] << 4
+            lo = weights[i + 1] if i + 1 < nw else 0
+            direct.append(hi | lo)
+        candidates.append(bytes(direct))
+    fse_payload = _fse_weights_desc(weights)
+    if fse_payload is not None:
+        candidates.append(bytes([len(fse_payload)]) + fse_payload)
+    if not candidates:
+        return None
+    desc = min(candidates, key=len)
     table = _huf_from_weights(weights)
     codes: dict[int, tuple[int, int]] = {}
     i = 0
@@ -1138,7 +1297,7 @@ def _huf_encode_table(lengths: dict[int, int]) -> tuple[bytes, dict[int, tuple[i
         run = 1 << (table.tlog - nb)
         codes[s] = (i >> (table.tlog - nb), nb)
         i += run
-    return bytes(desc), codes
+    return desc, codes
 
 
 def _huf_stream(codes: dict[int, tuple[int, int]], chunk: bytes) -> bytes:
@@ -1163,8 +1322,8 @@ def _huf_stream(codes: dict[int, tuple[int, int]], chunk: bytes) -> bytes:
 
 
 def _enc_literals(lits: bytes) -> bytes:
-    """Literals section: Huffman-compressed (type 2, direct weights,
-    1- or 4-stream) when the alphabet allows and it pays, else raw."""
+    """Literals section: Huffman-compressed (type 2, direct- or
+    FSE-described weights, 1- or 4-stream) when it pays, else raw."""
     regen = len(lits)
     raw = bytes(
         [0 | (3 << 2) | ((regen & 0xF) << 4), (regen >> 4) & 0xFF,
@@ -1173,9 +1332,12 @@ def _enc_literals(lits: bytes) -> bytes:
     freqs: dict[int, int] = {}
     for b in lits:
         freqs[b] = freqs.get(b, 0) + 1
-    if len(freqs) < 2 or max(freqs) > 128 or regen < 64:
+    if len(freqs) < 2 or regen < 64:
         return raw
-    desc, codes = _huf_encode_table(_limited_lengths(freqs))
+    enc_table = _huf_encode_table(_limited_lengths(freqs))
+    if enc_table is None:  # degenerate weight alphabet, FSE form oversize
+        return raw
+    desc, codes = enc_table
     if regen <= 1023:
         stream = _huf_stream(codes, lits)
         comp = len(desc) + len(stream)

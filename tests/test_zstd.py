@@ -324,10 +324,64 @@ def test_compress_huffman_literals_jni_parity(spark):
         bytes(rng.randrange(32, 127) for _ in range(800)),     # 1-stream
         bytes(rng.randrange(32, 127) for _ in range(50_000)),  # 4-stream
         bytes(rng.randrange(2) + 65 for _ in range(3000)),     # skewed
-        ("mixed ünïcödé bytes " * 300).encode(),               # >128 → raw
+        ("mixed ünïcödé bytes " * 300).encode(),  # >128 → FSE-weights form
     ]
     for data in cases:
         z = zstd_compress(data)
         assert bytes(Z.decompress(z, len(data))) == data
         assert zstd_decompress(z) == data
     assert len(zstd_compress(cases[2])) < len(cases[2]) // 2
+
+
+def test_compress_fse_weights_jni_parity(spark):
+    """FSE-described Huffman weights rung (§4.2.1.2): byte alphabets past
+    symbol 128 — previously the raw-literals fallback — now entropy-code,
+    in both 1- and 4-stream forms, and the reference decoder reads them."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress
+
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    rng = random.Random(11)
+    utf8 = ("Zürich naïve café — 東京 データ 圧縮テスト " * 40).encode()
+    cases = [
+        utf8[:900],                                             # 1-stream
+        utf8 * 30,                                              # 4-stream
+        bytes(rng.choice((0x20, 0x9F, 0xE3, 0xFF)) for _ in range(5000)),
+        bytes(rng.randrange(120, 256) for _ in range(2000)) * 4,
+    ]
+    for data in cases:
+        z = zstd_compress(data)
+        assert bytes(Z.decompress(z, len(data))) == data
+        assert zstd_decompress(z) == data
+    # the high-alphabet text must actually beat the former raw fallback
+    assert len(zstd_compress(utf8 * 30)) < len(utf8 * 30) // 3
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_fse_weights_desc_roundtrip_property(seed):
+    """Random weight tables: the FSE-compressed description (when it
+    applies) must reconstruct the EXACT code lengths through the repo's
+    own decoder path (_read_huf_desc)."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import (
+        _huf_encode_table,
+        _limited_lengths,
+        _read_huf_desc,
+    )
+
+    rng = random.Random(seed)
+    nsyms = rng.randrange(2, 257)
+    pool = rng.sample(range(256), nsyms)
+    freqs = {s: rng.choice((1, 2, 5, 50, 1000, 20000)) for s in pool}
+    lengths = _limited_lengths(freqs)
+    enc = _huf_encode_table(lengths)
+    if enc is None:  # degenerate: single weight value over a >128 alphabet
+        return
+    desc, _codes = enc
+    table, used = _read_huf_desc(desc)
+    assert used == len(desc)
+    got = {}
+    i = 0
+    while i < (1 << table.tlog):
+        s, nb = table.symbol[i], table.nbits[i]
+        got[s] = nb
+        i += 1 << (table.tlog - nb)
+    assert got == lengths
