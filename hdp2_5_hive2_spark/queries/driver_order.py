@@ -70,6 +70,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "llm_bm25_rank",
     "llm_dsir_weights",
     "llm_vocab_coverage",
+    "events_session_paths",
 ]
 
 # Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).

