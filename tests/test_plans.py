@@ -574,17 +574,26 @@ def test_epoch_plan_mixture_table_broadcast(spark):
 
 
 def test_arrow_fence_skips_when_already_parallel(spark):
-    """The conditional Arrow fence: a single-file-ish input (few
-    partitions) gets repartitioned up to the session shuffle width, but an
-    input already at/above that width must pass through UNCHANGED — no
-    extra full-text exchange in the kernel plan."""
-    from hdp2_5_hive2_spark.llm.dedup import _arrow_fence
+    """The size-based Arrow fence: a small input (single-file fixture
+    scan) gets repartitioned up to the session shuffle width, but an input
+    whose Catalyst size estimate already implies >= width scan splits must
+    pass through UNCHANGED — no extra full-text exchange in the kernel
+    plan, and no df.rdd physical-planning probe (the r7-profiled ~40-80 ms
+    per-DataFrame cost)."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.dedup import _arrow_fence, _max_partition_bytes
 
     d = load_tables(spark, SF_CORRECT)["documents"].select("doc_id", "text")
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     narrow = d.coalesce(1)
     assert _arrow_fence(narrow).rdd.getNumPartitions() == n
-    wide = d.repartition(n + 4)
+    # a metadata-only huge input: range stats = 8 bytes/row, so this df's
+    # size estimate clears width * maxPartitionBytes without materializing
+    rows = (n * _max_partition_bytes(spark) * 2) // 8
+    wide = spark.range(rows).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
+    )
     fenced = _arrow_fence(wide)
     assert fenced is wide  # identity: no plan change at all
 
