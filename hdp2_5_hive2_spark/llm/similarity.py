@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from hdp2_5_hive2_spark.llm.dedup import _arrow_fence
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -105,7 +107,6 @@ def brute_force_topk(
     qn = np.linalg.norm(qm, axis=1)
     qn[qn == 0] = 1.0
     qmn = qm / qn[:, None]
-    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def gen(batches):
         for pdf in batches:
@@ -135,7 +136,7 @@ def brute_force_topk(
                 }
             )
 
-    scored = c.repartition(shuffle_n).mapInPandas(
+    scored = _arrow_fence(c).mapInPandas(
         gen, f"query_id {q_id_type}, neighbor_id {c_id_type}, score double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -236,7 +237,6 @@ def lsh_topk(
         [p for t in range(tables) for p in _hyperplanes(dim, bits, seed + 1000 * t)]
     )  # (tables*bits, dim)
     bit_weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
-    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def assign(id_name: str, vec_name: str, id_type: str):
         # one numpy matmul per Arrow batch instead of tables*bits interpreted
@@ -264,7 +264,7 @@ def lsh_topk(
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
     c_gen, c_schema = assign("neighbor_id", "cv", corpus.schema[id_col].dataType.simpleString())
     q_gen, q_schema = assign("query_id", "qv", queries.schema[id_col].dataType.simpleString())
-    c_banded = c.repartition(shuffle_n).mapInPandas(c_gen, c_schema)
+    c_banded = _arrow_fence(c).mapInPandas(c_gen, c_schema)
     q_banded = q.mapInPandas(q_gen, q_schema)
     cand = _score_candidate_pairs(
         c_banded.join(F.broadcast(q_banded), ["tbl", "sig"])
@@ -468,7 +468,6 @@ def _assign_cells(df: DataFrame, id_name: str, vec_name: str, cent, n_probe: int
     import numpy as np
     import pandas as pd
 
-    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     id_type = df.schema[id_name].dataType.simpleString()
 
     def gen(batches):
@@ -489,9 +488,8 @@ def _assign_cells(df: DataFrame, id_name: str, vec_name: str, cent, n_probe: int
                 }
             )
 
-    return (
-        df.repartition(shuffle_n)
-        .mapInPandas(gen, f"{id_name} {id_type}, {vec_name} array<double>, cell int")
+    return _arrow_fence(df).mapInPandas(
+        gen, f"{id_name} {id_type}, {vec_name} array<double>, cell int"
     )
 
 
@@ -664,7 +662,6 @@ def hard_negatives(
     an = np.linalg.norm(am, axis=1)
     an[an == 0] = 1.0
     amn = am / an[:, None]
-    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def gen(batches):
         for pdf in batches:
@@ -697,7 +694,7 @@ def hard_negatives(
                 }
             )
 
-    scored = c.repartition(shuffle_n).mapInPandas(
+    scored = _arrow_fence(c).mapInPandas(
         gen, f"anchor_id {a_id_type}, negative_id {c_id_type}, score double"
     )
     w = W.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("negative_id"))
@@ -892,7 +889,6 @@ def quantized_topk(
     qn2 = (qq * qq).sum(axis=1)  # exact ints
     qnorm = np.sqrt(qn2.astype(np.float64))
     qnorm[qnorm == 0.0] = 1.0
-    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def gen(batches):
         for pdf in batches:
@@ -922,7 +918,7 @@ def quantized_topk(
                 }
             )
 
-    scored = c.repartition(shuffle_n).mapInPandas(
+    scored = _arrow_fence(c).mapInPandas(
         gen, f"query_id {q_id_type}, neighbor_id {c_id_type}, score double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -1110,7 +1106,6 @@ def kmeans_lloyd(
         raise ValueError(f"kmeans_lloyd: need >= {k} rows, got {len(seeds)}")
     cent = np.asarray([r.q for r in seeds], dtype=np.int64)
     dims = cent.shape[1]
-    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def assign(centroids: np.ndarray) -> DataFrame:
         cmat = centroids.copy()
@@ -1136,8 +1131,9 @@ def kmeans_lloyd(
                     }
                 )
 
-        src = base if base.rdd.getNumPartitions() >= shuffle_n else base.repartition(shuffle_n)
-        return src.mapInPandas(
+        # size-stats fence: df.rdd probing costs 40-80 ms of physical
+        # planning per fresh DataFrame (PERF.md r7)
+        return _arrow_fence(base).mapInPandas(
             gen, "id bigint, q array<bigint>, cid bigint, d2 bigint"
         )
 
@@ -1230,7 +1226,6 @@ def pq_adc_topk(
     lut = ((qmat[:, None, :, :] - cb_sub[None, :, :, :]) ** 2).sum(axis=3)
     lut = np.transpose(lut, (0, 2, 1))  # (query, sub, cent)
 
-    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def gen(batches):
         for pdf in batches:
@@ -1255,8 +1250,9 @@ def pq_adc_topk(
                 }
             )
 
-    src = c if c.rdd.getNumPartitions() >= shuffle_n else c.repartition(shuffle_n)
-    scored = src.mapInPandas(gen, "query_id bigint, neighbor_id bigint, d2 bigint")
+    scored = _arrow_fence(c).mapInPandas(
+        gen, "query_id bigint, neighbor_id bigint, d2 bigint"
+    )
     w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1330,7 +1326,6 @@ def maxsim_topk(
     q_ids = np.asarray([r.qid for r in q_rows])
     qq = _quant(np.asarray([r.qv for r in q_rows], dtype=np.float64))
     qb = qq.reshape(len(q_rows), n_blocks, bd)  # (Q, B, bd) int64
-    shuffle_n = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def gen(batches):
         for pdf in batches:
@@ -1358,7 +1353,7 @@ def maxsim_topk(
                 }
             )
 
-    scored = c.repartition(shuffle_n).mapInPandas(
+    scored = _arrow_fence(c).mapInPandas(
         gen, f"query_id {q_id_type}, neighbor_id {c_id_type}, score bigint"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
