@@ -45,47 +45,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hdp2_5_hive2_spark.llm.text import _arrow_fence
+
 
 def _shuffle_n(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
-def _max_partition_bytes(spark) -> int:
-    raw = str(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    ).strip().lower()
-    mult = 1
-    for suf, m in (
-        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
-        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
-    ):
-        if raw.endswith(suf):
-            raw = raw[: -len(suf)]
-            mult = m
-            break
-    return int(raw) * mult
 
-
-def _arrow_fence(df: DataFrame) -> DataFrame:
-    """Parallelism fence for Arrow kernels: mapInPandas inherits the input
-    partitioning, so a small input (a single-file fixture scan) would run
-    the kernel as ONE serial task — repartition those up to the session
-    shuffle width. A LARGE input (the 100 TB case: a scan carrying
-    thousands of splits, or a shuffle-width intermediate) passes through
-    untouched — repartitioning would shuffle every byte of text for
-    nothing. Size >= width * maxPartitionBytes means the scan already
-    yields at least the session width in splits. The size comes from
-    Catalyst's optimizer statistics (sizeInBytes, a ~10 ms metadata
-    lookup) — NOT from df.rdd, whose per-DataFrame physical-planning cost
-    (~40-80 ms, r7 profiling in PERF.md) measurably dragged small-query
-    bench times when this fence briefly probed partition counts."""
-    n = _shuffle_n(df)
-    est = int(
-        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    )
-    if est >= n * _max_partition_bytes(df.sparkSession):
-        return df
-    return df.repartition(n)
 
 
 def word_ngram_rows(

@@ -16,6 +16,47 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def _max_partition_bytes(spark) -> int:
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+    ):
+        if raw.endswith(suf):
+            raw = raw[: -len(suf)]
+            mult = m
+            break
+    return int(raw) * mult
+
+
+def _arrow_fence(df: DataFrame) -> DataFrame:
+    """Parallelism fence for Arrow kernels: mapInPandas inherits the input
+    partitioning, so a small input (a single-file fixture scan) would run
+    the kernel as ONE serial task — repartition those up to the session
+    shuffle width. A LARGE input (the 100 TB case: a scan carrying
+    thousands of splits, or a shuffle-width intermediate) passes through
+    untouched — repartitioning would shuffle every byte of text for
+    nothing. Size >= width * maxPartitionBytes means the scan already
+    yields at least the session width in splits. The size comes from
+    Catalyst's optimizer statistics (sizeInBytes, a ~10 ms metadata
+    lookup) — NOT from df.rdd, whose per-DataFrame physical-planning cost
+    (~40-80 ms, r7 profiling in PERF.md) measurably dragged small-query
+    bench times when this fence briefly probed partition counts.
+
+    Canonical definition (dedup/curation/similarity import it from here —
+    text sits at the bottom of the llm import graph)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    est = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if est >= n * _max_partition_bytes(df.sparkSession):
+        return df
+    return df.repartition(n)
+
 # Tiny deterministic stopword lists per language — enough for a demonstrable
 # n-gram-heuristic language ID; swap for real lists in production.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -293,7 +334,6 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20) -
 
     import pandas as pd
 
-    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -309,8 +349,7 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20) -
                 )
 
     return (
-        df.select(text_col)
-        .repartition(shuffle_n)
+        _arrow_fence(df.select(text_col))
         .mapInPandas(gen, "ngram string, c long")
         .groupBy("ngram")
         .agg(F.sum("c").alias("n"))
@@ -336,7 +375,6 @@ def context_ngrams(
     import pandas as pd
 
     n = len(context)
-    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -355,8 +393,7 @@ def context_ngrams(
                 )
 
     return (
-        df.select(text_col)
-        .repartition(shuffle_n)
+        _arrow_fence(df.select(text_col))
         .mapInPandas(gen, "ngram string, c long")
         .groupBy("ngram")
         .agg(F.sum("c").alias("n"))
