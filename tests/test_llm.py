@@ -2226,3 +2226,52 @@ def test_cut_spans_removes_planted(spark):
     assert shared not in out[1] and shared not in out[2]
     assert out[1].startswith("alpha") and out[1].endswith("omega")
     assert out[3] == "untouched document body kept verbatim"
+
+
+def test_bounded_rank_matches_row_number(spark):
+    """bounded_rank must equal row_number() over (score desc, id asc) —
+    including score ties broken by id, negative/zero scores, and single
+    rows — and preserve the input's other columns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive2_spark.llm.retrieval import bounded_rank
+
+    rows = [
+        (1, 5.0, "a"), (2, 5.0, "b"), (3, -1.5, "c"),
+        (4, 0.0, "d"), (5, 7.25, "e"), (6, 0.0, "f"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, score double, tag string")
+    got = {
+        r.id: (r.rank, r.tag)
+        for r in bounded_rank(df, "score", "id").collect()
+    }
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    want = {
+        r.id: (r.rn, r.tag)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # ascending mode mirrors (score asc, id asc)
+    got_asc = {
+        r.id: r.rank
+        for r in bounded_rank(df, "score", "id", ascending=True).collect()
+    }
+    w2 = Window.orderBy(F.asc("score"), F.asc("id"))
+    want_asc = {
+        r.id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w2)).collect()
+    }
+    assert got_asc == want_asc
+    # rank dtype matches row_number's int, and empty input stays empty
+    out = bounded_rank(df, "score", "id")
+    assert dict(out.dtypes)["rank"] == "int"
+    assert bounded_rank(df.limit(0), "score", "id").count() == 0
+
+
+def test_bounded_rank_single_row(spark):
+    from hdp2_5_hive2_spark.llm.retrieval import bounded_rank
+
+    df = spark.createDataFrame([(9, 3.5)], "id bigint, score double")
+    rows = bounded_rank(df, "score", "id").collect()
+    assert len(rows) == 1 and rows[0].rank == 1
