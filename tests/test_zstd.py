@@ -385,3 +385,51 @@ def test_fse_weights_desc_roundtrip_property(seed):
         got[s] = nb
         i += 1 << (table.tlog - nb)
     assert got == lengths
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_fse_count_stream_roundtrip_property(seed):
+    """§4.1.1 normalized-count stream: arbitrary exact-sum count vectors —
+    including leading/mid zero runs longer than one 2-bit repeat field and
+    counts at the threshold boundaries — must survive writer → reader
+    bit-exactly, at both accuracy logs the weight path uses."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import (
+        _FwdBits,
+        _read_fse_counts,
+        _write_fse_counts,
+    )
+
+    rng = random.Random(seed)
+    alog = rng.choice((5, 6))
+    size = 1 << alog
+    nsym = rng.randrange(2, 20)
+    # random composition of `size` over nsym symbols, some zero
+    counts = [0] * nsym
+    remaining = size
+    live = sorted(rng.sample(range(nsym), rng.randrange(2, nsym + 1)))
+    for i, s in enumerate(live):
+        if i == len(live) - 1:
+            counts[s] = remaining
+        else:
+            take = rng.randrange(1, remaining - (len(live) - 1 - i) + 1)
+            counts[s] = take
+            remaining -= take
+    # cap at size/2 like the encoder's normalizer (redistribute overflow)
+    cap = size >> 1
+    over = sum(max(0, c - cap) for c in counts)
+    counts = [min(c, cap) for c in counts]
+    i = 0
+    while over > 0:
+        s = live[i % len(live)]
+        if counts[s] and counts[s] < cap:
+            counts[s] += 1
+            over -= 1
+        i += 1
+    assert sum(counts) == size
+    # trailing zeros are not written; trim like the writer's stop condition
+    while counts and counts[-1] == 0:
+        counts.pop()
+    blob = _write_fse_counts(counts, alog)
+    got, got_alog = _read_fse_counts(_FwdBits(blob), 255, 6)
+    assert got_alog == alog
+    assert got == counts
