@@ -1065,14 +1065,19 @@ def fn_ewah_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT l_returnflag,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -1096,17 +1101,31 @@ def fn_covar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Welford vs co-moment) whose float results differ in final ULPs.
     Identical exact moments + identical final expression = bit-identical
     statistics; tests/test_functions.py proves the builtins agree with
-    this form to 1e-9 relative."""
+    this form to 1e-9 relative.
+
+    The decimal sums convert to double THROUGH A STRING on both engines:
+    direct decimal→double casts are not correctly rounded everywhere
+    (DuckDB divides the unscaled hugeint by 10^scale in double arithmetic
+    — double rounding; Java's BigDecimal.doubleValue makes no
+    correct-rounding promise either), and a >2^53 moment like Σprice² at
+    a half-ULP boundary flipped the last bit of corr between engines at
+    sf0.001 (r7 find). decimal→string is exact on both engines and
+    string→double is correctly rounded on both (strtod / parseDouble), so
+    the string route pins the conversion bit-for-bit."""
     li = load_tables(spark, sf_dir)["lineitem"]
     dq = F.col("l_quantity").cast("decimal(18,2)")
     dp = F.col("l_extendedprice").cast("decimal(18,2)")
+
+    def d(c):  # engine-stable correctly-rounded decimal→double
+        return c.cast("string").cast("double")
+
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dq).cast("double").alias("sx"),
-        F.sum(dp).cast("double").alias("sy"),
-        F.sum(dq * dp).cast("double").alias("sxy"),
-        F.sum(dq * dq).cast("double").alias("sxx"),
-        F.sum(dp * dp).cast("double").alias("syy"),
+        d(F.sum(dq)).alias("sx"),
+        d(F.sum(dp)).alias("sy"),
+        d(F.sum(dq * dp)).alias("sxy"),
+        d(F.sum(dq * dq)).alias("sxx"),
+        d(F.sum(dp * dp)).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
