@@ -27,3 +27,18 @@ def test_query_vs_oracle(spark, con, name):
         assert n >= 0
     else:
         compare(df, con, spec.oracle, name=name)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_fn_covar_corr_multi_scale(spark, sf_dir):
+    """fn_covar_corr is the one query whose moments exceed 2^53 unscaled
+    (squared prices, scale 4), where decimal→double conversion actually
+    rounds — a half-ULP boundary flipped corr's last bit between engines
+    at sf0.001 until the string-routed cast (r7). Pin it at the scales
+    the default gate does NOT cover."""
+    spec = REGISTRY["fn_covar_corr"]
+    c = duckdb_conn(sf_dir)
+    try:
+        compare(spec.fn(spark, sf_dir), c, spec.oracle, name="fn_covar_corr")
+    finally:
+        c.close()
