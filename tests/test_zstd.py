@@ -433,3 +433,22 @@ def test_fse_count_stream_roundtrip_property(seed):
     got, got_alog = _read_fse_counts(_FwdBits(blob), 255, 6)
     assert got_alog == alog
     assert got == counts
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_compress_fse_weights_fuzz_jni(spark, seed):
+    """Randomized skewed byte distributions over the FULL alphabet (most
+    force the FSE-weights tree description): every frame must decode
+    identically under the reference JVM decoder and our own."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress
+
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    rng = random.Random(1000 + seed)
+    nsym = rng.randrange(2, 257)
+    alphabet = rng.sample(range(256), nsym)
+    weights = [rng.choice((1, 1, 2, 5, 20, 200)) for _ in alphabet]
+    n = rng.randrange(64, 30_000)
+    data = bytes(rng.choices(alphabet, weights=weights, k=n))
+    z = zstd_compress(data)
+    assert bytes(Z.decompress(z, len(data))) == data
+    assert zstd_decompress(z) == data
