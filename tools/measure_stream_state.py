@@ -4,8 +4,10 @@ drive them through the jsonlshardstream source into
 streaming_minhash_dedup, and report state rows / bytes per keeper from the
 query's own state-operator metrics plus the on-disk checkpoint bytes.
 
-Usage: python tools/measure_stream_state.py [sf_dir]
-Prints one JSON line.
+Usage: python tools/measure_stream_state.py [sf_dir] [--rocksdb]
+Prints one JSON line per gate. --rocksdb switches the session to the
+RocksDB state-store provider (rocksdbjni ships in this container) and
+reports the RocksDB-specific progress metrics alongside disk bytes.
 """
 
 from __future__ import annotations
@@ -23,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    rocksdb = "--rocksdb" in sys.argv
     from pyspark.sql import functions as F
 
     from hdp2_5_hive2_spark.llm.corpus_shards import build_jsonl_shard
@@ -34,7 +38,17 @@ def main() -> None:
         streaming_minhash_dedup,
     )
 
-    spark = get_session(app_name="stream-state-probe")
+    extra = (
+        {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        }
+        if rocksdb
+        else None
+    )
+    spark = get_session(app_name="stream-state-probe", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     tbl = pq.read_table(
@@ -87,6 +101,7 @@ def main() -> None:
         bands = 8
         out = {
             "gate": "minhash_text",
+            "provider": "rocksdb" if rocksdb else "hdfs",
             "sf_dir": sf_dir,
             "docs": len(rows),
             "keepers": n_keep,
@@ -106,10 +121,10 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    measure_image_gate(spark, n_images=5000)
+    measure_image_gate(spark, n_images=5000, provider="rocksdb" if rocksdb else "hdfs")
 
 
-def measure_image_gate(spark, n_images: int) -> None:
+def measure_image_gate(spark, n_images: int, provider: str = "hdfs") -> None:
     """Same probe for the dHash image gate (the ~40 B/keeper/band claim):
     n random 16x16 BMPs through streaming_image_dedup, one availableNow
     pass, state metrics from the query progress."""
@@ -163,6 +178,7 @@ def measure_image_gate(spark, n_images: int) -> None:
             json.dumps(
                 {
                     "gate": "dhash_image",
+                    "provider": provider,
                     "images": n_images,
                     "keepers": keepers["n"],
                     "dups_gated": keepers["dups"],
