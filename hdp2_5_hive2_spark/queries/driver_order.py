@@ -28,16 +28,21 @@ construction, twice over):
   this round's own CORRECTNESS file therefore can never make the invariant
   stale (the r4/r5/r6 boundary failure class).
 
-Round-7 plan (VERDICT r6 #1/#8):
+Round-8 plan (VERDICT r7 #1/#4/#6):
 
-- Plan head — the derived dark set: the ~74 round-6 names past window
-  position 049 (Avro, ACID, jsonl shards, ExactSubstr, setsim, kmeans,
-  PQ/maxsim, the multimodal suite, events/qa twins). Round 7 adds (almost)
-  no new queries so this backlog drains through windows 7 and 8.
-- Tier 3 — green queries whose kernels round 7 touches (the
-  single-partition top-k window fixes) get re-led.
+- Plan head — the derived dark set: the 24 round-7 names past window
+  position 049 (Avro, ACID, jsonl shards, ExactSubstr, the multimodal
+  suite, WARC/document extraction, CDC/merge-schema twins). Round 8 adds
+  ZERO new queries (registry frozen at 319 per VERDICT r7 top_next) so
+  this backlog ends here: dark count 0 after CORRECTNESS_r08.
+- Tier 3 — the four r7-reworked names (window-free rank rewrites) whose
+  greens predate the rework, plus the two kernels round 8 touches
+  (pq_adc_topk query cap → llm_pq_topk; token_lift bounded_rank →
+  llm_token_lift). VERDICT r7 #4 asks for fresh verdicts on all six.
 - Then budget fill: oldest-verdict-first re-verification — names whose
-  NEWEST green is round 1, then round-2-only names alphabetically.
+  NEWEST green is round 1, then round-2-only names alphabetically
+  (VERDICT r7 #6: no query's newest verdict older than 5 rounds). The
+  ~20 post-tier-3 slots reach `fn_interval_arithmetic` .. `join_cross`.
 
 The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep
 the plain names. ``prefixed -> plain`` is recoverable by stripping
@@ -58,19 +63,28 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # The no-verdict invariant is evaluated against green_union(before_round=
 # _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
 # in place — landing CORRECTNESS_r07.json cannot stale it.
-_NEW_THIS_ROUND_DECLARED: int = 7
+_NEW_THIS_ROUND_DECLARED: int = 8
 _NEW_THIS_ROUND: list[str] = []
 
-# Tier 3 — green in a prior round but re-implemented/touched this round; a
-# stale green no longer covers the shipped code. Round 7 reworks the
-# single-partition top-k windows (VERDICT r6 #2): bm25_rank and
-# llm_dsir_weights (both green r6) now rank a bounded TakeOrderedAndProject
-# result, and vocab_coverage rides the two-phase distributed rank.
-_CHANGED_THIS_ROUND: list[str] = [
+# Frozen round-7 tier 3 — the window-free rank rewrites (VERDICT r6 #2).
+# Their newest greens (r6) predate the rework, so they still lead the
+# post-dark window until CORRECTNESS_r08 re-verifies them (VERDICT r7 #4).
+_R7_CHANGED: list[str] = [
     "llm_bm25_rank",
     "llm_dsir_weights",
     "llm_vocab_coverage",
     "events_session_paths",
+]
+
+# Tier 3 — green in a prior round but re-implemented/touched this round; a
+# stale green no longer covers the shipped code. Round 8 touches two
+# kernels (VERDICT r7 "What's wrong" #2): pq_adc_topk gains the
+# max_queries guard every sibling kernel has (feeds llm_pq_topk), and
+# llm_token_lift's top-20 moves from a partition-less window to
+# bounded_rank.
+_CHANGED_THIS_ROUND: list[str] = [
+    "llm_pq_topk",
+    "llm_token_lift",
 ]
 
 # Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).
@@ -279,14 +293,22 @@ _FILL_REVERIFY: list[str] = [
     "window_udaf_over_window",
 ]
 
-# The frozen plan. Head = the r5-overflow names, then the frozen r6 tier
-# (whose tail is exactly the dark set entering round 7), then this round's
-# tiers, then fill. Dark names derive to the front whether or not they are
-# planned; the plan keeps their relative order stable at the boundary.
+# The frozen plan. Dark names derive to the front whether or not they are
+# planned; the plan keeps their relative order stable at the boundary (the
+# 24 still-dark names all live in _R6_TIER, so its position in this list
+# does not affect the dark head — only the POST-dark priority). Round 8's
+# post-dark order: this round's tier-2 additions (none — registry frozen),
+# the six tier-3 re-verifications, then oldest-verdict fill, then the
+# already-re-verified r5/r6 tiers, then everything else alphabetically.
 _ROTATION_PLAN: list[str] = list(
     dict.fromkeys(  # dedupe, first occurrence wins (a name may be both in a
         # frozen tier and re-listed as changed; its earliest slot stands)
-        [
+        _NEW_THIS_ROUND
+        + _R7_CHANGED
+        + _CHANGED_THIS_ROUND
+        + _FILL_REVERIFY
+        + _R6_TIER
+        + [
             "storage_rcfile_roundtrip",     # RCFile container (r5; JVM read path r6)
             "llm_winnowing_fingerprint",    # MOSS winnowing fingerprints (r5)
             "llm_fingerprint_overlap",      # fingerprint-bucket overlap pairs (r5)
@@ -294,10 +316,6 @@ _ROTATION_PLAN: list[str] = list(
             "fn_ewah_bitmap",               # EWAH bitmap family (r5; run-aware r6)
             "llm_vocab_drift",              # corpus-drift QA, chi-square ranking (r5)
         ]
-        + _R6_TIER
-        + _NEW_THIS_ROUND
-        + _CHANGED_THIS_ROUND
-        + _FILL_REVERIFY
     )
 )
 
