@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from hdp2_5_hive2_spark.llm.dedup import _arrow_fence
+from hdp2_5_hive2_spark.llm.text import _arrow_fence
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1175,6 +1175,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1024,
+    max_queries: int = 1_000_000,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) scoring
     (Jégou/Douze/Schmid 2011): vectors are chopped into ``n_sub``
@@ -1194,7 +1195,14 @@ def pq_adc_topk(
     distance/argmin/sum in int64. Scale shape: codebook and query LUTs are
     driver-tiny and broadcast into ONE Arrow pass that encodes each corpus
     batch and emits per-query ADC distances (no shuffle); the only
-    shuffle is the final per-query top-k (WindowGroupLimit heaps)."""
+    shuffle is the final per-query top-k (WindowGroupLimit heaps).
+
+    The broadcast-small query contract is ENFORCED like every sibling
+    kernel's (brute_force/maxsim/quantized): more than ``max_queries``
+    query rows raises instead of silently OOMing the driver on the LUT
+    collect — and the scored frame is queries × corpus sized, so an
+    unbounded query side is wrong twice over. The limit(max+1) collect
+    keeps the guard a single job (no extra count)."""
     import numpy as np
     import pandas as pd
 
@@ -1217,7 +1225,13 @@ def pq_adc_topk(
     d_sub = dims // n_sub
     cb_sub = cb.reshape(n_cent, n_sub, d_sub)  # (cent, sub, d)
 
-    qrows = qdf.collect()
+    qrows = qdf.limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_adc_topk: query set exceeds max_queries={max_queries} rows; "
+            "the ADC path collects+broadcasts every query LUT. Use lsh_topk "
+            "or ivf_topk for large query sets."
+        )
     qids = np.asarray([r.query_id for r in qrows], dtype=np.int64)
     qmat = np.asarray([r.q for r in qrows], dtype=np.int64).reshape(
         len(qrows), n_sub, d_sub

@@ -47,13 +47,22 @@ def _arrow_fence(df: DataFrame) -> DataFrame:
     (~40-80 ms, r7 profiling in PERF.md) measurably dragged small-query
     bench times when this fence briefly probed partition counts.
 
+    Unknown stats are NOT "huge": non-file-backed plans (LogicalRDD /
+    createDataFrame inputs) report sizeInBytes = spark.sql.defaultSizeInBytes,
+    which defaults to Long.MaxValue — exactly the small in-memory frames the
+    fence exists to parallelize. Estimates at or above that sentinel
+    therefore fall through to the repartition, not the pass-through.
+
     Canonical definition (dedup/curation/similarity import it from here —
     text sits at the bottom of the llm import graph)."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     est = int(
         str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )
-    if est >= n * _max_partition_bytes(df.sparkSession):
+    unknown = int(
+        df.sparkSession.conf.get("spark.sql.defaultSizeInBytes", str(2**63 - 1))
+    )
+    if n * _max_partition_bytes(df.sparkSession) <= est < unknown:
         return df
     return df.repartition(n)
 

@@ -5291,10 +5291,17 @@ def llm_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-times-constant, so the rank ordering is integer-exact), ties by
     pair. Plan: distinct (doc, token) pairs once, per-doc self-join whose
     fan-out is bounded by per-doc DISTINCT vocabulary (not doc length),
-    then vocab^2-bounded aggregation; the ranking window runs on the
-    post-agg table. Ranking deliberately orders by the integer numerator
-    n_ab*N rather than the lift quotient, keeping the window key exact
-    (the lift column itself is still emitted per pair)."""
+    then vocab^2-bounded aggregation. Ranking deliberately orders by the
+    integer numerator n_ab*N rather than the lift quotient, keeping the
+    rank key exact (the lift column itself is still emitted per pair).
+    The top-20 cut is orderBy+limit (TakeOrderedAndProject: per-partition
+    20-row heaps, no global sort) and the survivors rank WINDOW-FREE via
+    bounded_rank — at 100 TB the support-filtered pair set is millions of
+    rows, and a partition-less row_number window would drag them all
+    through one task (VERDICT r7 #3; the events_session_paths recipe).
+    The pair tie-break rides one concat-ws(' ') key: tokens are
+    whitespace-split so 0x20 sorts strictly below every token byte, making
+    the single-key order equal the (tok_a, tok_b) lexicographic order."""
     d = load_tables(spark, sf_dir)["documents"]
     dt = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
@@ -5310,14 +5317,15 @@ def llm_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ab") >= 50)
         .crossJoin(F.broadcast(n))
     )
-    from pyspark.sql import Window as _W
+    from hdp2_5_hive2_spark.llm.retrieval import bounded_rank
 
-    w = _W.orderBy(
-        F.desc(F.col("n_ab") * F.col("n_docs")), F.asc("tok_a"), F.asc("tok_b")
+    top = (
+        pairs.withColumn("_mass", F.col("n_ab") * F.col("n_docs"))
+        .withColumn("_pair", F.concat_ws(" ", "tok_a", "tok_b"))
+        .orderBy(F.desc("_mass"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(20)
     )
-    ranked = pairs.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 20
-    )
+    ranked = bounded_rank(top, "_mass", "_pair").drop("_mass", "_pair")
     return (
         ranked.join(F.broadcast(ca.withColumnRenamed("tok", "tok_a").withColumnRenamed("c", "n_a")), "tok_a")
         .join(F.broadcast(ca.withColumnRenamed("tok", "tok_b").withColumnRenamed("c", "n_b")), "tok_b")

@@ -1266,8 +1266,12 @@ def _huf_encode_table(
     table the decoder reconstructs — codes are read back off
     _huf_from_weights so encode/decode can't drift. Picks the smaller of
     the direct-4-bit-weights form (symbols 0..128 only) and the
-    FSE-compressed-weights form (§4.2.1.2, any byte alphabet); None when
-    neither form can describe the table."""
+    FSE-compressed-weights form (§4.2.1.2, any byte alphabet — EXCEPT the
+    degenerate single-distinct-weight-value table, where
+    _fse_weights_desc returns None because an FSE table needs >= 2
+    symbols; a >128-symbol alphabet whose weights all coincide therefore
+    yields no candidate here and the caller falls back to raw literals);
+    None when neither form can describe the table."""
     last = max(lengths)
     maxbits = max(lengths.values())
     weights = [

@@ -266,3 +266,18 @@ def test_brute_force_topk_enforces_query_cap(spark):
     # at or under the cap the exact path still runs
     small = emb.limit(2)
     assert brute_force_topk(emb.limit(10), small, k=2, max_queries=2).count() == 4
+
+
+def test_pq_adc_topk_enforces_query_cap(spark):
+    """pq_adc_topk has the same broadcast-small contract as its siblings
+    (VERDICT r7 #2): the query LUT collect is capped, and the scored frame
+    is queries x corpus sized, so an oversized query frame must raise
+    before either materializes."""
+    from hdp2_5_hive2_spark.llm.similarity import pq_adc_topk
+
+    emb = load_tables(spark, SF_CORRECT)["embeddings"]
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_adc_topk(emb, emb, k=2, n_sub=8, n_cent=4, max_queries=3)
+    # at or under the cap the ADC path still serves
+    got = pq_adc_topk(emb, emb.limit(2), k=2, n_sub=8, n_cent=4, max_queries=2)
+    assert got.count() == 4

@@ -579,10 +579,13 @@ def test_arrow_fence_skips_when_already_parallel(spark):
     whose Catalyst size estimate already implies >= width scan splits must
     pass through UNCHANGED — no extra full-text exchange in the kernel
     plan, and no df.rdd physical-planning probe (the r7-profiled ~40-80 ms
-    per-DataFrame cost)."""
+    per-DataFrame cost). Unknown stats are NOT huge: a createDataFrame /
+    LogicalRDD input reports sizeInBytes = defaultSizeInBytes
+    (Long.MaxValue), and those small in-memory frames must repartition,
+    not sneak through the pass-through."""
     from pyspark.sql import functions as F
 
-    from hdp2_5_hive2_spark.llm.dedup import _arrow_fence, _max_partition_bytes
+    from hdp2_5_hive2_spark.llm.text import _arrow_fence, _max_partition_bytes
 
     d = load_tables(spark, SF_CORRECT)["documents"].select("doc_id", "text")
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -596,6 +599,12 @@ def test_arrow_fence_skips_when_already_parallel(spark):
     )
     fenced = _arrow_fence(wide)
     assert fenced is wide  # identity: no plan change at all
+    # non-file-backed input: stats are the defaultSizeInBytes sentinel, so
+    # the fence must treat it as unknown-small and repartition
+    local = spark.createDataFrame(
+        [(i, "x") for i in range(8)], "doc_id bigint, text string"
+    ).coalesce(1)
+    assert _arrow_fence(local).rdd.getNumPartitions() == n
 
 
 def test_cross_dedup_band_join_shuffles_ids_not_text(spark):
@@ -942,3 +951,57 @@ def test_jsonl_field_extraction_stays_jvm_side(spark, tmp_path):
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, plan
     assert "get_json_object" in plan, plan
     assert plan.count("HashAggregate") == 2, plan  # partial + final
+
+
+def test_token_lift_topk_is_bounded_heap_not_window(spark):
+    """llm_token_lift's top-20 must cut via TakeOrderedAndProject
+    (per-partition 20-row heaps) and rank via bounded_rank — at 100 TB the
+    support-filtered pair set is millions of rows, and the partition-less
+    row_number window this replaced (VERDICT r7 #3) dragged them all
+    through one task."""
+    df = REGISTRY["llm_token_lift"].fn(spark, SF_CORRECT)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_no_partitionless_ranking_window_in_package():
+    """Global source invariant (VERDICT r7 #3): a window spec built without
+    partitionBy is legal ONLY as a running/range frame over an aggregated
+    bounded frame (distinct scores, 256 md5 buckets, distinct days — the
+    two-phase distributed-rank recipe), which chains .rowsBetween /
+    .rangeBetween on the spec. A BARE partition-less orderBy spec is a
+    ranking window: one task sorts the world at scale. Those must use
+    bounded_rank (llm/retrieval.py) or orderBy(...).limit(k) instead."""
+    import ast
+    import pathlib
+
+    import hdp2_5_hive2_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        framed = set()  # orderBy Calls immediately wrapped in a frame
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Attribute)
+                and node.attr in ("rowsBetween", "rangeBetween")
+                and isinstance(node.value, ast.Call)
+            ):
+                framed.add(id(node.value))
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id in ("Window", "W", "_W")
+            ):
+                continue
+            if id(node) not in framed:
+                offenders.append(f"{path.relative_to(root)}:{node.lineno}")
+    assert offenders == [], (
+        "partition-less RANKING window spec(s) — use bounded_rank or "
+        f"orderBy().limit(k): {offenders}"
+    )

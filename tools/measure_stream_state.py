@@ -24,6 +24,26 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _finish(q, timeout_s: int = 600):
+    """Await the availableNow query and return its last progress, failing
+    LOUDLY on timeout: awaitTermination(t) returns False when the query is
+    still running, and lastProgress can then be None (or lack
+    'stateOperators'), which would otherwise surface as an opaque
+    TypeError far from the cause."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not finish within {timeout_s}s "
+            f"(status: {q.status})"
+        )
+    prog = q.lastProgress
+    if not prog or not prog.get("stateOperators"):
+        raise RuntimeError(
+            f"query finished but reported no state-operator progress: {prog}"
+        )
+    return prog
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -91,8 +111,7 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-        prog = q.lastProgress
+        prog = _finish(q)
         op = prog["stateOperators"][0]
         disk = sum(
             f.stat().st_size for f in (ckpt / "state").rglob("*") if f.is_file()
@@ -168,8 +187,7 @@ def measure_image_gate(spark, n_images: int, provider: str = "hdfs") -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-        op = q.lastProgress["stateOperators"][0]
+        op = _finish(q)["stateOperators"][0]
         disk = sum(
             f.stat().st_size for f in (ckpt / "state").rglob("*") if f.is_file()
         )
