@@ -907,49 +907,173 @@ def _code_of(value: int, bases: list[int]) -> int:
     return bisect.bisect_right(bases, value) - 1
 
 
-def _find_sequences(block: bytes) -> tuple[list[tuple[int, int, int]], int]:
-    """Greedy 4-byte-hash LZ77 over one block: (lit_len, match_len,
-    offset) triples + count of trailing literals. Min match 4 (>= the
-    format's 3); offsets stay inside the block, so no cross-block
-    window bookkeeping."""
+def _find_sequences(
+    block: bytes,
+    chain: int = 32,
+    keylen: int = 8,
+    lazy_below: int = 0,
+    nice: int = 128,
+    bsize: int | None = None,
+) -> tuple[list[tuple[int, int, int]], int]:
+    """Chain-matched LZ77: (lit_len, match_len, offset) triples + count
+    of trailing literals. Min match = ``keylen`` (8 — selective keys beat
+    4-byte ones: the chains then hold only candidates that already agree
+    on 8 bytes, so a depth-``chain`` walk inspects long-match material
+    instead of short-key noise; measured ~+23% ratio at equal depth on
+    the JSONL corpus, 3.27x -> 4.02x at chain=16).
+
+    The zstd reference encoder's strategy rungs, re-expressed:
+
+    - The per-key predecessor chains are built VECTORIZED before the
+      scan: one stable argsort of the exact 8-byte keys gives
+      ``prev[i]`` = the latest j < i with the same key (no dict inserts
+      in the hot loop, and match-interior positions are indexed for
+      free — a single-slot table would let text after a long match
+      only ever match across it).
+    - ``nice``: stop the chain walk once a match is at least this long
+      (zstd's "nice length" cutoff).
+    - ``lazy_below``: one-step lazy matching, applied only when the
+      found match is shorter than this. Off by default: measured on the
+      JSONL corpus, lazy_below=16 buys +1.5% ratio for ~40% more time —
+      an opt-in ratio knob, not the bulk-write default.
+    - ``bsize``: when set, no emitted match crosses a ``bsize``-aligned
+      output boundary (it is capped there; the continuation re-matches
+      at the boundary, typically as an ll=0 sequence with the same
+      offset). This lets the caller run ONE matcher pass over a whole
+      frame segment — offsets reach across block boundaries, which the
+      format's frame-wide history allows — and still split the result
+      into spec-max-sized blocks.
+
+    Deterministic: pure function of the input bytes."""
     n = len(block)
     seqs: list[tuple[int, int, int]] = []
-    table: dict[bytes, int] = {}
+    if n < keylen:
+        return seqs, n
+    import numpy as np
+
+    a = np.frombuffer(block, dtype=np.uint8).astype(np.uint64)
+    nk = n - keylen + 1
+    k = a[:nk].copy()
+    for b in range(1, keylen):
+        k |= a[b : b + nk] << np.uint64(8 * b)
+    order = np.argsort(k, kind="stable")
+    ks = k[order]
+    same = ks[1:] == ks[:-1]
+    prev_arr = np.full(nk, -1, np.int64)
+    prev_arr[order[1:][same]] = order[:-1][same]
+    prev = prev_arr.tolist()
+    blk = block
+
+    def find(i: int, cap: int) -> tuple[int, int]:
+        best = 0
+        boff = 0
+        stop = nice if nice < cap else cap
+        j = prev[i]
+        depth = chain
+        while j >= 0 and depth and best < stop:
+            depth -= 1
+            # quick reject: a candidate can only win if it matches at the
+            # current best length's boundary byte
+            if best == 0 or (i + best < n and blk[j + best] == blk[i + best]):
+                ln = keylen
+                while i + ln + 16 <= n and blk[j + ln : j + ln + 16] == blk[i + ln : i + ln + 16]:
+                    ln += 16
+                while i + ln < n and blk[j + ln] == blk[i + ln]:
+                    ln += 1
+                if ln > best:
+                    best, boff = ln, i - j
+            j = prev[j]
+        if best > cap:
+            best = cap if cap >= keylen else 0
+        return best, boff
+
     i = 0
     lit_start = 0
-    while i + 4 <= n:
-        key = block[i : i + 4]
-        j = table.get(key)
-        table[key] = i
-        if j is None:
+    limit = nk  # one past the last position with a full key
+    big = n + keylen
+    while i < limit:
+        cap = (bsize - i % bsize) if bsize else big
+        ml, off = find(i, cap)
+        if ml < keylen:
             i += 1
             continue
-        length = 4
-        while i + length < n and block[j + length] == block[i + length]:
-            length += 1
-        seqs.append((i - lit_start, length, i - j))
-        i += length
+        while ml < lazy_below and i + 1 < limit:
+            cap2 = (bsize - (i + 1) % bsize) if bsize else big
+            ml2, off2 = find(i + 1, cap2)
+            if ml2 > ml:
+                i += 1
+                ml, off = ml2, off2
+            else:
+                break
+        seqs.append((i - lit_start, ml, off))
+        i += ml
         lit_start = i
     return seqs, n - lit_start
 
 
-def _enc_sequences_block(block: bytes) -> bytes | None:
+def _enc_sequences_block(
+    block: bytes,
+    reps_in: tuple[int, int, int] = (1, 4, 8),
+    seqs: list[tuple[int, int, int]] | None = None,
+) -> tuple[bytes, tuple[int, int, int]] | None:
     """One compressed block: Huffman-or-raw literals + predefined-table
     FSE sequences (or a literals-only block when no match pays). None
-    when neither beats a raw block."""
-    seqs, trailing = _find_sequences(block)
+    when neither beats a raw block.
+
+    ``reps_in`` is the frame's repeat-offset state entering this block
+    (the decoder threads it across blocks, `_FrameCtx.reps`); on success
+    the updated state is returned alongside the body so the caller can
+    commit it — a raw/RLE fallback block leaves the decoder's reps
+    untouched, so the caller must NOT advance them on a None return.
+    An offset equal to a live repeat slot encodes as offset_value 1-3
+    (0-1 extra bits instead of ~log2(offset)) with the exact inverse of
+    the decoder's §3.1.1.5 slot rotation, including the lit_len==0
+    index shift and the rep1-1 special slot.
+
+    ``seqs``: precomputed (lit_len, match_len, offset) triples whose
+    lit_len is block-local (the frame-segment matcher path in
+    :func:`zstd_compress`); offsets may reach into EARLIER blocks of
+    the frame — the decoder's history is frame-wide. When None, the
+    matcher runs block-locally here."""
+    if seqs is None:
+        seqs, _trailing = _find_sequences(block)
     if len(seqs) > 0x7EFF:
         return None
     if not seqs:
         body = _enc_literals(bytes(block)) + b"\x00"  # nseq = 0
-        return body if len(body) < len(block) else None
+        return (body, tuple(reps_in)) if len(body) < len(block) else None
     lits = bytearray()
     pos = 0
     codes = []
+    r1, r2, r3 = reps_in
     for ll, ml, off in seqs:
         lits += block[pos : pos + ll]
         pos += ll + ml
-        of_val = off + 3
+        if ll != 0:
+            if off == r1:
+                of_val = 1
+            elif off == r2:
+                of_val = 2
+                r1, r2 = r2, r1
+            elif off == r3:
+                of_val = 3
+                r1, r2, r3 = r3, r1, r2
+            else:
+                of_val = off + 3
+                r1, r2, r3 = off, r1, r2
+        else:
+            if off == r2:
+                of_val = 1
+                r1, r2 = r2, r1
+            elif off == r3:
+                of_val = 2
+                r1, r2, r3 = r3, r1, r2
+            elif off == r1 - 1 and off > 0:
+                of_val = 3
+                r1, r2, r3 = r1 - 1, r1, r2
+            else:
+                of_val = off + 3
+                r1, r2, r3 = off, r1, r2
         of_code = of_val.bit_length() - 1
         ml_code = _code_of(ml, _ML_BASE)
         ll_code = _code_of(ll, _LL_BASE)
@@ -1019,14 +1143,19 @@ def _enc_sequences_block(block: bytes) -> bytes | None:
         body.append(n & 0xFF)
     body.append(0)  # all three tables predefined
     body += out_bits
-    return bytes(body) if len(body) < len(block) else None
+    return (bytes(body), (r1, r2, r3)) if len(body) < len(block) else None
 
 
 def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
-    """Compressing single-segment frame: LZ77 + predefined-FSE sequence
-    blocks where they pay, raw/RLE blocks otherwise — decodable by any
-    spec decoder (zstd-jni cross-parity pinned). Ratio is LZ-bound
-    (literals stay raw; Huffman literals are the next rung)."""
+    """Compressing single-segment frame: chain-matched LZ77 with a
+    frame-wide (8 MB-segmented) match window + Huffman-or-raw literals +
+    predefined-FSE sequences with repeat-offset codes, per block where
+    they pay, raw/RLE blocks otherwise — decodable by any spec decoder
+    (zstd-jni cross-parity pinned). Measured on the sf0.1 JSONL corpus
+    sample (2 MB): 4.16x at 1.1 MB/s (the r7 block-local greedy encoder:
+    2.47x at 1.5 MB/s; zstd-jni level 3: 4.82x). Remaining optional
+    rungs: per-block tuned FSE sequence tables, treeless repeat Huffman
+    tables, optimal parse."""
     out = bytearray(struct.pack("<I", _MAGIC))
     n = len(data)
     if n < 256 and n != 0:
@@ -1041,13 +1170,41 @@ def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
         fcs_flag, fcs = 0, b"\x00"
     out.append((fcs_flag << 6) | 0x20 | (0x04 if checksum else 0))
     out += fcs
-    chunks = range(0, n, 1 << 16) if n else [0]
+    bsize = 1 << 16
+    chunks = range(0, n, bsize) if n else [0]
     last_off = max(chunks) if n else 0
+    reps = (1, 4, 8)  # frame repeat-offset state; raw/RLE blocks skip it
+    # ONE matcher pass per 8 MB segment (bounds the position-chain memory),
+    # matches capped at block boundaries but offsets reaching across them —
+    # the single-segment frame's window is the whole frame, so cross-block
+    # references are legal and they are where long-range text repeats live
+    # (the dominant share of the 2.47x -> 4.16x measured gain: long-range
+    # text repeats live across 64 KB boundaries).
+    seg_size = 1 << 23
+    block_seqs: dict[int, list[tuple[int, int, int]]] = {}
+    for seg_start in range(0, n, seg_size):
+        seqs, _tr = _find_sequences(data[seg_start : seg_start + seg_size], bsize=bsize)
+        pos = 0
+        for ll, ml, off in seqs:
+            mstart = pos + ll
+            blk_start = mstart - mstart % bsize
+            # literals before this match that fall in EARLIER blocks become
+            # those blocks' trailing literals; this block's lit_len starts
+            # at its own boundary
+            block_seqs.setdefault(seg_start + blk_start, []).append(
+                (mstart - max(pos, blk_start), ml, off)
+            )
+            pos = mstart + ml
     for off in chunks:
-        body = data[off : off + (1 << 16)]
+        body = data[off : off + bsize]
         last = 1 if off == last_off else 0
-        comp = _enc_sequences_block(body) if len(body) >= 16 else None
-        if comp is not None:
+        res = (
+            _enc_sequences_block(body, reps, seqs=block_seqs.get(off, []))
+            if len(body) >= 16
+            else None
+        )
+        if res is not None:
+            comp, reps = res
             out += struct.pack("<I", last | (2 << 1) | (len(comp) << 3))[:3]
             out += comp
         elif len(body) > 1 and len(set(body)) == 1:

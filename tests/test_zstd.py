@@ -452,3 +452,44 @@ def test_compress_fse_weights_fuzz_jni(spark, seed):
     z = zstd_compress(data)
     assert bytes(Z.decompress(z, len(data))) == data
     assert zstd_decompress(z) == data
+
+
+def test_compress_cross_block_window_jni_parity(spark):
+    """The frame-segment matcher reaches ACROSS 64 KB block boundaries
+    (the single-segment frame's window is the whole frame): a payload
+    whose only redundancy is a 100 KB-period repeat must compress well
+    below a block-local encoder's floor, boundary-capped matches must
+    reassemble exactly, and the reference decoder must agree."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress
+
+    rng = random.Random(20260815)
+    chunk = bytes(rng.randrange(256) for _ in range(100_000))
+    data = chunk * 4  # only cross-block (offset 100k) matches exist
+    z = zstd_compress(data)
+    assert zstd_decompress(z) == data
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    assert bytes(Z.decompress(z, len(data))) == data
+    # 3 of the 4 copies collapse into cross-block matches; a block-local
+    # encoder cannot beat ~1x on incompressible 100 KB-period data
+    assert len(z) < len(data) // 3
+
+
+def test_compress_repeat_offset_codes_roundtrip(spark):
+    """Templated records at a fixed period make consecutive sequences
+    reuse one offset — the encoder's offset_value 1-3 path (§3.1.1.5
+    inverse, incl. the lit_len==0 shift). Pin against both decoders at
+    several periods and with a mid-frame incompressible (raw-fallback)
+    block, which must NOT advance the decoder's repeat-offset state."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress
+
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    rng = random.Random(7)
+    rec = b'{"k":%d,"text":"aaaa bbbb cccc dddd"}\n'
+    for period in (39, 1024, 65536):
+        base = (rec % 1234).ljust(period, b".")
+        data = bytes(base * 3) + bytes(
+            rng.randrange(256) for _ in range(70_000)
+        ) + bytes(base * 3)
+        z = zstd_compress(data)
+        assert zstd_decompress(z) == data, period
+        assert bytes(Z.decompress(z, len(data))) == data, period
