@@ -79,25 +79,31 @@ def word_ngram_counts(
     the kernel as one serial task — a round-robin shuffle of (id, text)
     rows, not a keyed shuffle of n-grams). Higher-order Column chains
     (transform/sequence/slice) evaluate interpreted in Catalyst (~ms/row on
-    long documents), which is why this is Python batches instead."""
+    long documents), which is why this is Python batches instead.
+
+    The id column keeps the INPUT id column's type (bigint doc ids,
+    string source keys, …) — consumers like the source-overlap matrix
+    group by non-numeric keys."""
     from collections import Counter
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids: list[int] = []
+            ids: list = []
             grams: list[str] = []
             cnts: list[int] = []
-            for i, t in zip(pdf[id_col].astype("int64"), pdf[text_col]):
+            for i, t in zip(pdf[id_col], pdf[text_col]):
                 toks = t.split() if isinstance(t, str) else []
                 if len(toks) < n:
                     continue
                 c = Counter(" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1))
-                ids.extend([int(i)] * len(c))
+                ids.extend([i] * len(c))
                 grams.extend(c.keys())
                 cnts.extend(c.values())
             yield pd.DataFrame(
                 {
-                    "id": pd.array(ids, dtype="int64"),
+                    "id": pd.array(ids, dtype="int64") if id_type == "bigint" else ids,
                     "ngram": grams,
                     "cnt": pd.array(cnts, dtype="int64"),
                 }
@@ -105,7 +111,7 @@ def word_ngram_counts(
 
     return (
         _arrow_fence(df.select(id_col, text_col))
-        .mapInPandas(gen, "id bigint, ngram string, cnt bigint")
+        .mapInPandas(gen, f"id {id_type}, ngram string, cnt bigint")
     )
 
 

@@ -5837,19 +5837,17 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any doc-level dedup. Spark plan: distinct (source, ngram)
     pass, then pairs form PER NGRAM from its source list (bounded by
     #sources, never by corpus size) and aggregate map-side; set sizes
-    broadcast back. The n-gram stream shuffles once on the ngram key."""
+    broadcast back. The n-gram stream shuffles once on the ngram key.
+    The n-grams come from the Arrow kernel (curation.word_ngram_rows,
+    source-keyed) — the sequence/slice/array_join Column chain this
+    replaced evaluates INTERPRETED in Catalyst and ran the whole corpus
+    on the scan's single split (~3 s at sf0.1 vs ~1 s; PERF.md r8)."""
+    from hdp2_5_hive2_spark.llm import curation
+
     d = load_tables(spark, sf_dir)["documents"]
-    toks = F.split(F.trim(F.col("text")), r"\s+")
     sng = (
-        d.select(
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 8),
-                    lambda i: F.array_join(F.slice(toks, i + 1, 8), " "),
-                )
-            ).alias("ngram"),
-        )
+        curation.word_ngram_rows(d, "text", "source", n=8)
+        .select(F.col("id").alias("source"), "ngram")
         .distinct()
     )
     sz = sng.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
