@@ -77,14 +77,19 @@ _R7_CHANGED: list[str] = [
 ]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a
-# stale green no longer covers the shipped code. Round 8 touches two
-# kernels (VERDICT r7 "What's wrong" #2): pq_adc_topk gains the
-# max_queries guard every sibling kernel has (feeds llm_pq_topk), and
-# llm_token_lift's top-20 moves from a partition-less window to
-# bounded_rank.
+# stale green no longer covers the shipped code. Round 8 touches four
+# kernels: pq_adc_topk gains the max_queries guard every sibling kernel
+# has (feeds llm_pq_topk; VERDICT r7 #2), llm_token_lift's top-20 moves
+# from a partition-less window to bounded_rank (VERDICT r7 #3),
+# llm_source_overlap_matrix's 8-gram stream moves from interpreted
+# Catalyst HOFs to the Arrow kernel, and that kernel
+# (curation.word_ngram_counts) became id-type-preserving — re-verify its
+# highest-traffic consumer llm_decontaminate too.
 _CHANGED_THIS_ROUND: list[str] = [
     "llm_pq_topk",
     "llm_token_lift",
+    "llm_source_overlap_matrix",
+    "llm_decontaminate",
 ]
 
 # Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).
