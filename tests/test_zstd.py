@@ -493,3 +493,40 @@ def test_compress_repeat_offset_codes_roundtrip(spark):
         z = zstd_compress(data)
         assert zstd_decompress(z) == data, period
         assert bytes(Z.decompress(z, len(data))) == data, period
+
+
+def test_compress_tuned_fse_sequence_tables(spark):
+    """FSE_Compressed_Mode rung: on skewed code histograms the encoder
+    writes per-block tuned sequence tables (modes byte != 0) and beats
+    the predefined-tables floor; constant-code blocks take RLE_Mode.
+    Both decode under our decoder and the reference."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress
+
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    # period-10 repeat: offset code constant (RLE candidate), ll/ml skewed
+    rle_ish = b"0123456789" * 12000
+    # templated JSONL-ish text: skewed but multi-symbol histograms
+    docs = b"".join(
+        (f'{{"id":{i},"t":"lorem ipsum dolor sit amet {i % 7}"}}\n').encode()
+        for i in range(20000)
+    )
+    for data in (rle_ish, docs):
+        z = zstd_compress(data)
+        assert zstd_decompress(z) == data
+        assert bytes(Z.decompress(z, len(data))) == data
+    # the tuned tables must actually engage: at least one compressed block
+    # in the docs frame uses a non-predefined mode for some field
+    from hdp2_5_hive2_spark.storage import zstd_codec as C
+
+    body_modes = []
+    orig = C._choose_seq_table
+    def spy(kind, codes):
+        r = orig(kind, codes)
+        body_modes.append(r[0])
+        return r
+    C._choose_seq_table = spy
+    try:
+        zstd_compress(docs)
+    finally:
+        C._choose_seq_table = orig
+    assert any(m in (1, 2) for m in body_modes), body_modes
