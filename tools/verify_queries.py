@@ -5,6 +5,9 @@ driver does (rows + column names + order-insensitive values + dtype guard).
 Usage: python tools/verify_queries.py name1 name2 ...   (plain names)
        python tools/verify_queries.py --all-new          (names not in any
                                                           CORRECTNESS file)
+       python tools/verify_queries.py --all-new extra1 … (union of both —
+                                                          explicit names no
+                                                          longer get dropped)
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ def main() -> int:
     qmap = {k.split("_", 1)[1]: v for k, v in entry.queries().items()}
     omap = {k.split("_", 1)[1]: v for k, v in entry.oracle_sql().items()}
     if "--all-new" in sys.argv:
-        args = sorted(set(qmap) - green_union())
+        args = sorted((set(qmap) - green_union()) | set(args))
     sf = "/root/testdata/sf0.01"
     # BARE session on purpose — the external driver builds its own, so repo
     # code must self-configure (the verify skill's core gotcha).
