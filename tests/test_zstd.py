@@ -530,3 +530,50 @@ def test_compress_tuned_fse_sequence_tables(spark):
     finally:
         C._choose_seq_table = orig
     assert any(m in (1, 2) for m in body_modes), body_modes
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    nsyms=st.integers(2, 53),
+    alog=st.integers(5, 9),
+    skew=st.floats(0.0, 6.0),
+)
+def test_normalize_seq_counts_property(seed, nsyms, alog, skew):
+    """_normalize_seq_counts invariants for any histogram: counts sum to
+    exactly 1 << alog, every present symbol gets >= 1, absent symbols get
+    0, and the list is exactly max(sym)+1 long — or None only when the
+    alphabet cannot fit the table."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import _normalize_seq_counts
+
+    rng = random.Random(seed)
+    syms = rng.sample(range(53), nsyms)
+    freq = {s: 1 + int(rng.random() ** skew * 10000) for s in syms}
+    counts = _normalize_seq_counts(freq, alog)
+    if nsyms > (1 << alog):
+        assert counts is None
+        return
+    assert counts is not None
+    assert sum(counts) == 1 << alog
+    assert len(counts) == max(syms) + 1
+    for s in range(len(counts)):
+        if s in freq:
+            assert counts[s] >= 1
+        else:
+            assert counts[s] == 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 2**31), period=st.integers(4, 400))
+def test_tuned_table_roundtrip_property(seed, period):
+    """Random-skew periodic payloads push every table-mode branch
+    (RLE / tuned / predefined mixes per field); the frame must always
+    roundtrip through our own decoder."""
+    from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress
+
+    rng = random.Random(seed)
+    base = bytes(rng.randrange(256) for _ in range(period))
+    noise = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+    data = noise + base * rng.randrange(2, 2000 // max(1, period // 40) + 3)
+    data = data[:120_000]
+    assert zstd_decompress(zstd_compress(data)) == data
