@@ -1005,3 +1005,13 @@ def test_no_partitionless_ranking_window_in_package():
         "partition-less RANKING window spec(s) — use bounded_rank or "
         f"orderBy().limit(k): {offenders}"
     )
+
+
+def test_source_overlap_ngrams_come_from_arrow_kernel(spark):
+    """The 8-gram stream must be the Arrow kernel (MapInPandas), never an
+    interpreted Catalyst higher-order chain — the r8 rework measured the
+    lambda form at 2.3x the kernel's wall time because it ran the corpus
+    on the scan's single split (PERF.md r8)."""
+    plan = _executed(REGISTRY["llm_source_overlap_matrix"].fn(spark, SF_CORRECT))
+    assert "MapInPandas" in plan, plan
+    assert "lambdafunction" not in plan, plan
