@@ -1190,45 +1190,67 @@ def _enc_sequences_block(
     mode_ll, desc_ll, tbl_ll, enc_ll = _choose_seq_table("ll", [c[0] for c in codes])
     mode_of, desc_of, tbl_of, enc_of = _choose_seq_table("of", [c[3] for c in codes])
     mode_ml, desc_ml, tbl_ml, enc_ml = _choose_seq_table("ml", [c[5] for c in codes])
-    # choose FSE states in reverse; updates[i] = field read AFTER seq i
+    # ONE fused reverse pass: pick FSE states AND write the bitstream.
+    # The decoder reads fields forward (init states, then per seq i:
+    # of/ml/ll extras + the state-update fields read after i); the
+    # backward-reading format means we emit exactly that list REVERSED —
+    # and since state selection also runs i = n-1 .. 0 (state for seq i
+    # depends on seq i+1's state), both fuse into one loop with no
+    # intermediate states/upd/fields materialization (~9n tuples and 3n
+    # method calls on the old path — measured hot at 2 MB frames).
     n = len(seqs)
-    states = {"ll": [0] * n, "of": [0] * n, "ml": [0] * n}
-    upd = {"ll": [None] * n, "of": [None] * n, "ml": [None] * n}
-    for kind, enc, ci in (("ll", enc_ll, 0), ("of", enc_of, 3), ("ml", enc_ml, 5)):
-        nxt = None
-        for i in range(n - 1, -1, -1):
-            sym = codes[i][ci]
-            x, v, nb = enc.state_for(sym, nxt)
-            states[kind][i] = x
-            if i + 1 <= n - 1:
-                upd[kind][i] = (v, nb)
-            nxt = x
-    # fields in DECODER-READ order
     alog_ll, alog_of, alog_ml = tbl_ll.alog, tbl_of.alog, tbl_ml.alog
-    fields = [
-        (states["ll"][0], alog_ll),
-        (states["of"][0], alog_of),
-        (states["ml"][0], alog_ml),
-    ]
-    for i, c in enumerate(codes):
-        fields.append((c[4], c[3]))            # offset extra (nbits = code)
-        fields.append((c[6], c[7]))            # match extra
-        fields.append((c[1], c[2]))            # literal extra
-        if i < n - 1:
-            fields.append(upd["ll"][i])
-            fields.append(upd["ml"][i])
-            fields.append(upd["of"][i])
-    # write reversed, LSB-first, sentinel bit last
+    by_ll, base_ll, nb_ll = enc_ll.by_symbol, enc_ll.table.base, enc_ll.table.nbits
+    by_of, base_of, nb_of = enc_of.by_symbol, enc_of.table.base, enc_of.table.nbits
+    by_ml, base_ml, nb_ml = enc_ml.by_symbol, enc_ml.table.base, enc_ml.table.nbits
+    br = bisect.bisect_right
     acc = 0
     nbits = 0
     out_bits = bytearray()
-    for v, nb in reversed(fields):
-        acc |= v << nbits
-        nbits += nb
+    nxt_ll = nxt_of = nxt_ml = None
+    last = n - 1
+    for i in range(last, -1, -1):
+        c = codes[i]
+        if nxt_ll is None:  # seq n-1: free state choice, no update fields
+            x_ll = by_ll[c[0]][1][0]
+            x_of = by_of[c[3]][1][0]
+            x_ml = by_ml[c[5]][1][0]
+        else:
+            bases, xs = by_ll[c[0]]
+            x_ll = xs[br(bases, nxt_ll) - 1]
+            bases, xs = by_of[c[3]]
+            x_of = xs[br(bases, nxt_of) - 1]
+            bases, xs = by_ml[c[5]]
+            x_ml = xs[br(bases, nxt_ml) - 1]
+            # update fields, in reverse of the decoder's ll, ml, of reads
+            nb = nb_of[x_of]
+            acc |= (nxt_of - base_of[x_of]) << nbits
+            nbits += nb
+            nb = nb_ml[x_ml]
+            acc |= (nxt_ml - base_ml[x_ml]) << nbits
+            nbits += nb
+            nb = nb_ll[x_ll]
+            acc |= (nxt_ll - base_ll[x_ll]) << nbits
+            nbits += nb
+        # extras, in reverse of the decoder's of, ml, ll reads
+        acc |= c[1] << nbits
+        nbits += c[2]
+        acc |= c[6] << nbits
+        nbits += c[7]
+        acc |= c[4] << nbits
+        nbits += c[3]
         while nbits >= 8:
             out_bits.append(acc & 0xFF)
             acc >>= 8
             nbits -= 8
+        nxt_ll, nxt_of, nxt_ml = x_ll, x_of, x_ml
+    # initial states, in reverse of the decoder's ll, of, ml reads
+    acc |= nxt_ml << nbits
+    nbits += alog_ml
+    acc |= nxt_of << nbits
+    nbits += alog_of
+    acc |= nxt_ll << nbits
+    nbits += alog_ll
     acc |= 1 << nbits  # sentinel
     nbits += 1
     while nbits > 0:
