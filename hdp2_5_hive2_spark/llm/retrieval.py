@@ -57,7 +57,11 @@ def bounded_rank(
     Defined" single-partition warning on every run (constant partition
     keys, even non-foldable ones, are eliminated by Spark 4's optimizer —
     measured, not assumed). Appends ``rank_name`` (int, like row_number)
-    to the input columns."""
+    to the input columns. Composite tie-breaks: pass a STRUCT column as
+    ``id_col`` — Spark struct comparisons are field-lexicographic, so the
+    rank order matches a multi-column orderBy exactly (never encode the
+    composite as a delimiter-joined string: tokens may contain bytes below
+    the delimiter and invert the order — ADVICE r8)."""
     probe = df.select(
         F.col(score_col).alias("_rb_s"), F.col(id_col).alias("_rb_i")
     )

@@ -50,8 +50,14 @@ def _arrow_fence(df: DataFrame) -> DataFrame:
     Unknown stats are NOT "huge": non-file-backed plans (LogicalRDD /
     createDataFrame inputs) report sizeInBytes = spark.sql.defaultSizeInBytes,
     which defaults to Long.MaxValue — exactly the small in-memory frames the
-    fence exists to parallelize. Estimates at or above that sentinel
-    therefore fall through to the repartition, not the pass-through.
+    fence exists to parallelize. And the sentinel rarely survives verbatim:
+    every kernel calls the fence on df.select(id, text), and Catalyst scales
+    a Project's estimate by the column-width ratio, so a 4-column
+    createDataFrame selected to 2 columns reports ~sentinel/2 (ADVICE r8).
+    Any estimate within sentinel >> 10 of it (>= ~9 PB with the default) is
+    therefore treated as unknown-small too — no real per-kernel input
+    reaches petabytes in one fence call (100 TB corpus scans carry
+    file-backed stats orders of magnitude below the ceiling).
 
     Canonical definition (dedup/curation/similarity import it from here —
     text sits at the bottom of the llm import graph)."""
@@ -62,7 +68,7 @@ def _arrow_fence(df: DataFrame) -> DataFrame:
     unknown = int(
         df.sparkSession.conf.get("spark.sql.defaultSizeInBytes", str(2**63 - 1))
     )
-    if n * _max_partition_bytes(df.sparkSession) <= est < unknown:
+    if n * _max_partition_bytes(df.sparkSession) <= est < (unknown >> 10):
         return df
     return df.repartition(n)
 

@@ -5299,9 +5299,11 @@ def llm_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded_rank — at 100 TB the support-filtered pair set is millions of
     rows, and a partition-less row_number window would drag them all
     through one task (VERDICT r7 #3; the events_session_paths recipe).
-    The pair tie-break rides one concat-ws(' ') key: tokens are
-    whitespace-split so 0x20 sorts strictly below every token byte, making
-    the single-key order equal the (tok_a, tok_b) lexicographic order."""
+    The pair tie-break rides one STRUCT key (tok_a, tok_b): Spark struct
+    ordering is field-lexicographic, so the rank's tie order is identical
+    to the orderBy cut's (tok_a asc, tok_b asc) for ANY byte content — a
+    concat-ws(' ') key would invert on tokens containing control bytes
+    below 0x20, which split-on-whitespace does not strip (ADVICE r8)."""
     d = load_tables(spark, sf_dir)["documents"]
     dt = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
@@ -5321,7 +5323,7 @@ def llm_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top = (
         pairs.withColumn("_mass", F.col("n_ab") * F.col("n_docs"))
-        .withColumn("_pair", F.concat_ws(" ", "tok_a", "tok_b"))
+        .withColumn("_pair", F.struct("tok_a", "tok_b"))
         .orderBy(F.desc("_mass"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(20)
     )

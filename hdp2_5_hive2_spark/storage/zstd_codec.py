@@ -887,6 +887,25 @@ class _FseEncoder:
         for s, xs in tmp.items():
             xs.sort(key=lambda x: table.base[x])
             self.by_symbol[s] = ([table.base[x] for x in xs], xs)
+            # Partition invariant, asserted ONCE here so the fused
+            # pick-state-and-write loop in _compress_sequences can skip the
+            # per-symbol range check without ever emitting a silently
+            # corrupt bitstream (ADVICE r8): each symbol's update ranges
+            # must tile [0, 2^alog) exactly — a future normalizer bug
+            # (e.g. a -1 count) fails loudly at table-build time.
+            end = 0
+            for x in xs:
+                if table.base[x] != end:
+                    raise AssertionError(
+                        f"FSE ranges for symbol {s} do not tile the state "
+                        f"space: gap/overlap at {end} vs base {table.base[x]}"
+                    )
+                end += 1 << table.nbits[x]
+            if end != 1 << table.alog:
+                raise AssertionError(
+                    f"FSE ranges for symbol {s} cover {end} of "
+                    f"{1 << table.alog} states"
+                )
 
     def state_for(self, s: int, nxt: int | None) -> tuple[int, int, int]:
         """(state, field_value, field_nbits) so the decoder at ``state``

@@ -1269,6 +1269,44 @@ def test_decontaminate_bloom_no_false_negatives(spark):
         curation.decontaminate_bloom(tr, ev, k=0)
 
 
+def test_decontaminate_bloom_collects_bitmaps_not_positions(spark, monkeypatch):
+    """VERDICT r8 #1 pin: the eval side must reach the driver as
+    <= numPartitions folded bitmap rows, never as k·|eval n-grams|
+    position rows. Every internal collect during decontaminate_bloom is
+    bounded by the shuffle partition count — with hundreds of distinct
+    eval 8-grams in play, a position collect would blow far past it."""
+    # Spark 4: the concrete (classic) DataFrame overrides collect; patching
+    # the pyspark.sql.DataFrame base would never fire.
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from hdp2_5_hive2_spark.llm import curation
+
+    d = load_tables(spark, SF_CORRECT)["documents"].filter(F.col("doc_id") < 120)
+    ev = d.where(F.col("doc_id") % 7 == 0)
+    tr = d.where(F.col("doc_id") % 7 != 0)
+    n_eval_grams = (
+        curation.word_ngram_rows(ev, "text", "doc_id", 8)
+        .select("ngram")
+        .distinct()
+        .count()
+    )
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert n_eval_grams > 3 * cap  # the fixture must be able to tell them apart
+
+    sizes: list[int] = []
+    orig = _DF.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_DF, "collect", spy)
+    curation.decontaminate_bloom(tr, ev, n=8).count()
+    assert sizes, "expected at least the bitmap collect"
+    assert all(s <= cap for s in sizes), (sizes, cap, n_eval_grams)
+
+
 def test_realize_mixture_bounds_and_determinism(spark):
     """Realized tokens per source land within one document's tokens of
     epochs × source tokens (stochastic rounding bound), and re-running

@@ -605,6 +605,20 @@ def test_arrow_fence_skips_when_already_parallel(spark):
         [(i, "x") for i in range(8)], "doc_id bigint, text string"
     ).coalesce(1)
     assert _arrow_fence(local).rdd.getNumPartitions() == n
+    # ADVICE r8: a Project over a LogicalRDD SCALES the sentinel by the
+    # column-width ratio (4 columns selected to 2 → ~sentinel/2 < sentinel),
+    # so an exact-sentinel compare would let this sneak through the
+    # pass-through and run the kernel on ONE partition. The fence treats
+    # anything within sentinel >> 10 as unknown-small.
+    wide_local = spark.createDataFrame(
+        [(i, "x", "pad1", "pad2") for i in range(8)],
+        "doc_id bigint, text string, a string, b string",
+    ).coalesce(1)
+    projected = wide_local.select("doc_id", "text")
+    est = int(str(projected._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    sentinel = 2**63 - 1
+    assert est < sentinel  # the scaled-sentinel case ADVICE r8 describes
+    assert _arrow_fence(projected).rdd.getNumPartitions() == n
 
 
 def test_cross_dedup_band_join_shuffles_ids_not_text(spark):
