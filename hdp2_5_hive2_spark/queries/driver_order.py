@@ -28,21 +28,21 @@ construction, twice over):
   this round's own CORRECTNESS file therefore can never make the invariant
   stale (the r4/r5/r6 boundary failure class).
 
-Round-8 plan (VERDICT r7 #1/#4/#6):
+Round-9 plan (VERDICT r8 #1/#2/#3):
 
-- Plan head — the derived dark set: the 24 round-7 names past window
-  position 049 (Avro, ACID, jsonl shards, ExactSubstr, the multimodal
-  suite, WARC/document extraction, CDC/merge-schema twins). Round 8 adds
-  ZERO new queries (registry frozen at 319 per VERDICT r7 top_next) so
-  this backlog ends here: dark count 0 after CORRECTNESS_r08.
-- Tier 3 — the four r7-reworked names (window-free rank rewrites) whose
-  greens predate the rework, plus the two kernels round 8 touches
-  (pq_adc_topk query cap → llm_pq_topk; token_lift bounded_rank →
-  llm_token_lift). VERDICT r7 #4 asks for fresh verdicts on all six.
-- Then budget fill: oldest-verdict-first re-verification — names whose
-  NEWEST green is round 1, then round-2-only names alphabetically
-  (VERDICT r7 #6: no query's newest verdict older than 5 rounds). The
-  ~20 post-tier-3 slots reach `fn_interval_arithmetic` .. `join_cross`.
+- Plan head — this round's NEW queries (the budget reopens at ~20 on the
+  LLM-pipeline axis after the r8 drain left dark count 0): they are dark
+  by construction and auto-lead via ``dark_queries()``.
+- Tier 3 — the two kernels round 9 reworks: decontaminate_bloom's eval
+  side moves from a k·|eval| position collect to per-partition bitmap
+  folds (VERDICT r8 #2), and llm_token_lift's rank tie-break moves from
+  a concat-ws key to a struct key (ADVICE r8). Their r8 greens predate
+  the rework.
+- Then budget fill: oldest-verdict-first re-verification — the 7 names
+  whose newest green is round 1 (join_left_anti ..), then round-2-only
+  names alphabetically, then round-3-only (VERDICT r8 #3: no name's
+  newest verdict older than r4 entering round 10; 84 candidates, the
+  ~28 post-tier-3 slots continue the queue, remainder rolls to r10).
 
 The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep
 the plain names. ``prefixed -> plain`` is recoverable by stripping
@@ -63,33 +63,34 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # The no-verdict invariant is evaluated against green_union(before_round=
 # _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
 # in place — landing CORRECTNESS_r07.json cannot stale it.
-_NEW_THIS_ROUND_DECLARED: int = 8
+_NEW_THIS_ROUND_DECLARED: int = 9
 _NEW_THIS_ROUND: list[str] = []
 
-# Frozen round-7 tier 3 — the window-free rank rewrites (VERDICT r6 #2).
-# Their newest greens (r6) predate the rework, so they still lead the
-# post-dark window until CORRECTNESS_r08 re-verifies them (VERDICT r7 #4).
+# Frozen round-7/round-8 tier 3s — all re-verified green in
+# CORRECTNESS_r08 (window positions 024-031); they keep their post-dark
+# plan slots but no longer need priority.
 _R7_CHANGED: list[str] = [
     "llm_bm25_rank",
     "llm_dsir_weights",
     "llm_vocab_coverage",
     "events_session_paths",
 ]
-
-# Tier 3 — green in a prior round but re-implemented/touched this round; a
-# stale green no longer covers the shipped code. Round 8 touches four
-# kernels: pq_adc_topk gains the max_queries guard every sibling kernel
-# has (feeds llm_pq_topk; VERDICT r7 #2), llm_token_lift's top-20 moves
-# from a partition-less window to bounded_rank (VERDICT r7 #3),
-# llm_source_overlap_matrix's 8-gram stream moves from interpreted
-# Catalyst HOFs to the Arrow kernel, and that kernel
-# (curation.word_ngram_counts) became id-type-preserving — re-verify its
-# highest-traffic consumer llm_decontaminate too.
-_CHANGED_THIS_ROUND: list[str] = [
+_R8_CHANGED: list[str] = [
     "llm_pq_topk",
     "llm_token_lift",
     "llm_source_overlap_matrix",
     "llm_decontaminate",
+]
+
+# Tier 3 — green in a prior round but re-implemented/touched this round; a
+# stale green no longer covers the shipped code. Round 9 touches two:
+# decontaminate_bloom's eval side now folds per-partition bitmaps
+# executor-side instead of collecting k·|eval| positions (VERDICT r8 #2),
+# and llm_token_lift's bounded_rank tie-break key became a struct
+# (ADVICE r8 — the concat-ws key could invert on control bytes).
+_CHANGED_THIS_ROUND: list[str] = [
+    "llm_decontaminate_bloom",
+    "llm_token_lift",
 ]
 
 # Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).
@@ -217,28 +218,12 @@ _R6_TIER: list[str] = [
 ]
 
 # Tier 4 — budget fill: oldest still-standing verdicts first. Names whose
-# NEWEST green is round 1, then round-2-only names alphabetically (VERDICT
-# r6 #8 — no query's newest verdict should age past 4 rounds).
+# NEWEST green is round 1, then round-2-only names alphabetically, then
+# round-3-only (VERDICT r8 #3 — no query's newest verdict should age past
+# 5 rounds; the 18 r8-verified heads fn_interval_arithmetic ..
+# join_inner_dim dropped off the queue when CORRECTNESS_r08 landed).
 _FILL_REVERIFY: list[str] = [
     # newest green is r01
-    "fn_interval_arithmetic",
-    "fn_json",
-    "fn_percentile_exact",
-    "fn_posexplode",
-    "fn_stack_unpivot",
-    "fn_string_basic",
-    "fn_string_regex",
-    "groupby_cube",
-    "groupby_grouping_sets",
-    "groupby_rollup",
-    "having_filter",
-    "hive_div_semantics",
-    "hive_null_ordering",
-    "intersect_all_keys",
-    "intersect_distinct",
-    "join_cross",
-    "join_full_outer",
-    "join_inner_dim",
     "join_left_anti",
     "join_left_outer",
     "join_left_semi",
@@ -296,22 +281,50 @@ _FILL_REVERIFY: list[str] = [
     "window_sliding_rows_frame",
     "window_topn_per_group",
     "window_udaf_over_window",
+    # newest green is r03, alphabetical
+    "events_stream_stream_join",
+    "lateral_view_outer",
+    "llm_fingerprint",
+    "llm_lang_id",
+    "llm_pii_redact",
+    "llm_quality_score",
+    "llm_repetition_stats",
+    "llm_text_stats",
+    "llm_token_count",
+    "llm_top_bigrams",
+    "matchpath_alternation",
+    "matchpath_bounded_runs",
+    "matchpath_match_summary",
+    "matchpath_price_runs",
+    "matchpath_result_exprs",
+    "pivot_status_by_segment",
+    "q2_min_cost_supplier",
+    "salted_groupby",
+    "subquery_correlated_exists",
+    "subquery_not_in",
+    "subquery_scalar",
+    "tablesample_bucket",
+    "transform_script_identity",
+    "transform_script_sed",
+    "union_all",
+    "union_distinct",
+    "vc_input_file_name",
+    "view_over_view",
 ]
 
 # The frozen plan. Dark names derive to the front whether or not they are
-# planned; the plan keeps their relative order stable at the boundary (the
-# 24 still-dark names all live in _R6_TIER, so its position in this list
-# does not affect the dark head — only the POST-dark priority). Round 8's
-# post-dark order: this round's tier-2 additions (none — registry frozen),
-# the six tier-3 re-verifications, then oldest-verdict fill, then the
-# already-re-verified r5/r6 tiers, then everything else alphabetically.
+# planned; the plan keeps their relative order stable at the boundary.
+# Round 9's post-dark order: this round's new queries (dark, auto-lead),
+# the two tier-3 re-verifications, then oldest-verdict fill, then the
+# already-re-verified r7/r8 tiers, then everything else alphabetically.
 _ROTATION_PLAN: list[str] = list(
     dict.fromkeys(  # dedupe, first occurrence wins (a name may be both in a
         # frozen tier and re-listed as changed; its earliest slot stands)
         _NEW_THIS_ROUND
-        + _R7_CHANGED
         + _CHANGED_THIS_ROUND
         + _FILL_REVERIFY
+        + _R7_CHANGED
+        + _R8_CHANGED
         + _R6_TIER
         + [
             "storage_rcfile_roundtrip",     # RCFile container (r5; JVM read path r6)
