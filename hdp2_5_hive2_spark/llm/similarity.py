@@ -147,6 +147,94 @@ def brute_force_topk(
     )
 
 
+def quantized_dot_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Exact INTEGER-dot top-k neighbors per query over ``floor(v·scale)``
+    quantized vectors — the bit-stable sibling of :func:`brute_force_topk`
+    for consumers that need a cross-engine-exact ranking (evaluation
+    harnesses: nDCG, recall curves). Returns (query_id, neighbor_id, rank,
+    dot) with dot an int64; ties break by neighbor id.
+
+    Exactness: floor(float64(v)·scale) then an int64 matmul — every engine
+    computing the same floor-of-product gets identical codes, and integer
+    dots compare exactly (no float ranking ties to adjudicate). Headroom:
+    |dot| ≤ dim·scale²·max|v|², far inside int64 for unit-ish embeddings.
+
+    Plan / 100 TB: same shape as brute_force_topk — queries broadcast
+    (guarded by ``max_queries``), each corpus Arrow batch emits only its
+    per-query top-k, final merge is a window PARTITIONED by query_id."""
+    import numpy as np
+    import pandas as pd
+
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    c_id_type = corpus.schema[id_col].dataType.simpleString()
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"quantized_dot_topk: query set exceeds max_queries={max_queries} "
+            "rows; the exact path collects+broadcasts every query vector. "
+            "Use lsh_topk or ivf_topk for large query sets."
+        )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
+    if not q_rows:
+        return c.limit(0).select(
+            F.col("neighbor_id").cast(q_id_type).alias("query_id"),
+            "neighbor_id",
+            F.lit(1).alias("rank"),
+            F.lit(0).cast("bigint").alias("dot"),
+        )
+    q_ids = np.asarray([r.qid for r in q_rows])
+    qm = np.floor(np.asarray([r.qv for r in q_rows], dtype=np.float64) * scale).astype(
+        np.int64
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.floor(
+                np.asarray(list(pdf["cv"]), dtype=np.float64) * scale
+            ).astype(np.int64)
+            s = x @ qm.T  # (n, Q) int64
+            nb = pdf["neighbor_id"].to_numpy()
+            top = min(k, len(nb))
+            by_nb = np.argsort(nb, kind="stable")
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                idx = by_nb[np.argsort(-s[by_nb, j], kind="stable")][:top]
+                out_q.append(np.full(top, q_ids[j]))
+                out_n.append(nb[idx])
+                out_s.append(s[idx, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "dot": np.concatenate(out_s),
+                }
+            )
+
+    scored = _arrow_fence(c).mapInPandas(
+        gen, f"query_id {q_id_type}, neighbor_id {c_id_type}, dot bigint"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
 def _score_candidate_pairs(cand: DataFrame) -> DataFrame:
     """Exact cosine for (query_id, neighbor_id, cv, qv) candidate rows in one
     Arrow pass (vectorized einsum per batch) — the re-rank step shared by

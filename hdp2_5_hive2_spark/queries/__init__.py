@@ -17,5 +17,6 @@ from hdp2_5_hive2_spark.queries import streaming_corpus  # noqa: F401  (event-ti
 from hdp2_5_hive2_spark.queries import storage_corpus  # noqa: F401  (write-path round trips)
 from hdp2_5_hive2_spark.queries import hive_surface  # noqa: F401  (TRANSFORM/LATERAL VIEW/PTF)
 from hdp2_5_hive2_spark.queries import retrieval_corpus  # noqa: F401  (tfidf/bm25/stats parity)
+from hdp2_5_hive2_spark.queries import pipeline_corpus  # noqa: F401  (r9 pipeline frontier)
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

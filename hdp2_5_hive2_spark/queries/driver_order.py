@@ -64,7 +64,18 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
 # in place — landing CORRECTNESS_r07.json cannot stale it.
 _NEW_THIS_ROUND_DECLARED: int = 9
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "llm_splade_topk",             # learned-sparse saturated-impact serving (r9)
+    "llm_query_likelihood",        # Dirichlet-smoothed QL ranking (r9)
+    "llm_ndcg_eval",               # exact-fraction nDCG@10 eval harness (r9)
+    "llm_license_propagation",     # robots/license host→page governance (r9)
+    "llm_shard_compaction_audit",  # small-files shard compaction plan (r9)
+    "llm_pack_greedy_bins",        # boundary-aware next-fit packing (r9)
+    "llm_dup_2hop_provenance",     # 2-hop dup-graph lineage chains (r9)
+    "llm_reference_novelty",       # 8-gram novelty vs reference corpus (r9)
+    "llm_contamination_spans",     # consecutive-hit span islands (r9)
+    "llm_bloom_fp_audit",          # bloom-vs-exact false-positive audit (r9)
+]
 
 # Frozen round-7/round-8 tier 3s — all re-verified green in
 # CORRECTNESS_r08 (window positions 024-031); they keep their post-dark
