@@ -75,6 +75,16 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_reference_novelty",       # 8-gram novelty vs reference corpus (r9)
     "llm_contamination_spans",     # consecutive-hit span islands (r9)
     "llm_bloom_fp_audit",          # bloom-vs-exact false-positive audit (r9)
+    "llm_power_iteration",         # exact-int Gram power iteration (r9)
+    "llm_cosine_histogram",        # signed cos² pair-similarity histogram (r9)
+    "llm_centroid_drift",          # cross-snapshot centroid L1 drift (r9)
+    "llm_quantization_error",      # low-bit coarsening error audit (r9)
+    "llm_sign_code_balance",       # ITQ-style sign-code bucket skew (r9)
+    "llm_knn_reciprocity",         # mutual-kNN graph health audit (r9)
+    "llm_quota_allocation",        # Hamilton largest-remainder quotas (r9)
+    "llm_curriculum_stages",       # difficulty-staged curriculum plan (r9)
+    "llm_split_doc_chains",        # head/tail seam reassembly pairs (r9)
+    "llm_wilson_quality",          # Wilson-LB domain quality ranking (r9)
 ]
 
 # Frozen round-7/round-8 tier 3s — all re-verified green in

@@ -802,3 +802,644 @@ def llm_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_fp"),
         )
     )
+
+
+# Shared quantized-embedding CTE (DuckDB side): one (vec_id, dim, q) row per
+# dimension, q = floor(v·1024) — mirrors the Spark-side posexplode+floor.
+_QEMB_CTE = """
+    WITH e AS (
+      SELECT vec_id, label, i - 1 AS dim,
+             CAST(floor(CAST(embedding AS DOUBLE[])[i] * 1024) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, 64)) u(i)
+    )
+"""
+
+
+def _qemb(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, dim, q) quantized-embedding rows — floor(v·1024) as
+    int64, dim 0-based. posexplode + a scalar floor: fully codegen, no
+    higher-order functions (the HOF transform() lambda is interpreted —
+    PERF.md r5/r8)."""
+    return emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(similarity.as_double_array("embedding")).alias("dim", "v"),
+    ).select(
+        "vec_id", "label", "dim", F.floor(F.col("v") * 1024).cast("bigint").alias("q")
+    )
+
+
+@query(
+    "llm_power_iteration",
+    oracle=_QEMB_CTE
+    + """
+    , a0 AS (SELECT vec_id, q AS a0 FROM e WHERE dim = 0),
+    w1 AS (
+      SELECT e.dim, CAST(SUM(e.q * a0.a0) AS BIGINT) AS w1
+      FROM e JOIN a0 USING (vec_id) GROUP BY e.dim
+    ),
+    v1 AS (SELECT dim, w1, CAST(w1 // 65536 AS BIGINT) AS v1 FROM w1),
+    t AS (
+      SELECT e.vec_id, CAST(SUM(e.q * v1.v1) AS BIGINT) AS t
+      FROM e JOIN v1 USING (dim) GROUP BY e.vec_id
+    ),
+    v2 AS (
+      SELECT e.dim, CAST(SUM(e.q * t.t) AS BIGINT) AS v2
+      FROM e JOIN t USING (vec_id) GROUP BY e.dim
+    )
+    SELECT CAST(v1.dim AS BIGINT) AS dim, v1.w1, v1.v1, v2.v2
+    FROM v1 JOIN v2 USING (dim)
+    """,
+    tags=("llm", "similarity", "pca", "linear-algebra"),
+)
+def llm_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration toward the top principal direction of
+    the quantized embedding matrix — two Gram-product steps, all int64:
+    w1 = Aᵀ(A·e₀) (the first matvec from the canonical basis vector),
+    v1 = w1 div 2¹⁶ (integer rescale — truncation toward zero on BOTH
+    engines, never floor-division), v2 = Aᵀ(A·v1). The Rayleigh-quotient
+    ratio v2/v1 estimates the top eigenvalue of AᵀA; the exact-integer
+    routing makes the iterate bit-identical on any engine (the float
+    version would accumulate in partition order). Plan / 100 TB: A never
+    materializes as a matrix — each step is one map-side product join plus
+    one 64-group aggregate; v1 broadcasts (64 rows); the only data-sized
+    shuffles key on vec_id/dim. Headroom: |q| ≤ 1024·max|v|, so v2 stays
+    inside int64 up to ~10⁹ rows at unit-scale embeddings; larger corpora
+    raise the rescale shift."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = _qemb(emb).select("vec_id", "dim", "q")
+    a0 = e.filter(F.col("dim") == 0).select("vec_id", F.col("q").alias("a0"))
+    w1 = (
+        e.join(a0, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("q") * F.col("a0")).alias("w1"))
+    )
+    v1 = w1.select("dim", "w1", F.expr("w1 div 65536").cast("bigint").alias("v1"))
+    t = (
+        e.join(F.broadcast(v1.select("dim", "v1")), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("v1")).alias("t"))
+    )
+    v2 = (
+        e.join(t, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("q") * F.col("t")).alias("v2"))
+    )
+    return (
+        v1.join(v2, "dim")
+        .select(F.col("dim").cast("bigint").alias("dim"), "w1", "v1", "v2")
+    )
+
+
+@query(
+    "llm_cosine_histogram",
+    oracle=_QEMB_CTE
+    + """
+    , s AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 1024)) AS qv
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), n AS (
+      SELECT vec_id, CAST(list_dot_product(qv, qv) AS BIGINT) AS n2, qv
+      FROM s
+    ), p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE a.n2 > 0 AND b.n2 > 0
+    )
+    SELECT CAST(CASE WHEN dot >= 0
+                THEN (32 * dot * dot) // (na * nb)
+                ELSE -((32 * dot * dot) // (na * nb)) END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1
+    """,
+    tags=("llm", "similarity", "stats", "histogram"),
+)
+def llm_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-similarity distribution audit over a deterministic 10%
+    hash sample: the histogram a dedup-threshold decision reads ("where
+    does the corpus's cosine mass sit?"). Buckets are exact integers —
+    signed_bucket = sign(dot)·((32·dot²) div (na·nb)), i.e. cos² scaled to
+    33 levels with the sign reattached; Cauchy-Schwarz caps the magnitude
+    at 32, and everything stays int64 (|q| ≤ 1024 ⇒ 32·dot² ≤ 1.4e17 —
+    the bound holds for |v| ≤ 1; wider embeddings lower the quant scale).
+    Plan / 100 TB: the pair join runs over the SAMPLE (vec_id % 10 — at
+    production scale the sample rate drops to keep pairs bounded, the
+    documented knob); dims explode JVM-side and the pair dot is one hash
+    aggregate on (va, vb); zero-norm vectors are excluded on both engines
+    before any division."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    s = _qemb(emb.filter(F.col("vec_id") % 10 == 0)).select("vec_id", "dim", "q")
+    norms = (
+        s.groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
+        .filter(F.col("n2") > 0)
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
+    )
+    j = (
+        pairs.join(F.broadcast(norms.select(F.col("vec_id").alias("va"), F.col("n2").alias("na"))), "va")
+        .join(F.broadcast(norms.select(F.col("vec_id").alias("vb"), F.col("n2").alias("nb"))), "vb")
+    )
+    mag = F.expr("(32 * dot * dot) div (na * nb)")
+    bucket = F.when(F.col("dot") >= 0, mag).otherwise(-mag)
+    return (
+        j.select(bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "llm_centroid_drift",
+    oracle=_QEMB_CTE
+    + """
+    , h AS (
+      SELECT vec_id % 2 AS half, label, dim, q FROM e
+    ), cs AS (
+      SELECT half, label, dim, CAST(SUM(q) AS BIGINT) AS s
+      FROM h GROUP BY half, label, dim
+    ), cn AS (
+      SELECT half, label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+      FROM (SELECT vec_id % 2 AS half, label, vec_id FROM embeddings)
+      GROUP BY half, label
+    ), j AS (
+      SELECT a.label, a.dim, a.s AS s1, b.s AS s2, na.n AS n1, nb.n AS n2
+      FROM cs a
+      JOIN cs b ON a.label = b.label AND a.dim = b.dim
+                AND a.half = 0 AND b.half = 1
+      JOIN cn na ON na.half = 0 AND na.label = a.label
+      JOIN cn nb ON nb.half = 1 AND nb.label = a.label
+    )
+    SELECT label,
+           CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(SUM(abs(s1 * n2 - s2 * n1)) AS BIGINT) AS l1_cross,
+           CAST(SUM(abs(s1 * n2 - s2 * n1)) AS DOUBLE)
+             / CAST(MAX(n1) * MAX(n2) * 64 AS DOUBLE) AS drift
+    FROM j GROUP BY label
+    """,
+    tags=("llm", "similarity", "drift", "qa"),
+)
+def llm_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two corpus snapshots (the
+    embedding-space QA a pipeline runs when re-embedding or re-crawling:
+    did any class's centroid move?). Snapshots are the vec_id parity
+    halves; drift is the mean per-dimension L1 distance between the two
+    label centroids, computed CROSS-MULTIPLIED — |s1·n2 − s2·n1| sums
+    exactly in int64 and divides by n1·n2·64 once at the end, so no
+    per-dimension mean ever becomes a float (the llm_embedding_dim_stats
+    moment trick applied to differences). Plan: two (half,label,dim)-grain
+    aggregates and a 64·|labels|-row join — corpus touched once."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = _qemb(emb).withColumn("half", F.col("vec_id") % 2)
+    cs = e.groupBy("half", "label", "dim").agg(F.sum("q").alias("s"))
+    cn = emb.select((F.col("vec_id") % 2).alias("half"), "label").groupBy(
+        "half", "label"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = cs.filter(F.col("half") == 0).select("label", "dim", F.col("s").alias("s1"))
+    b = cs.filter(F.col("half") == 1).select("label", "dim", F.col("s").alias("s2"))
+    na = cn.filter(F.col("half") == 0).select("label", F.col("n").alias("n1"))
+    nb = cn.filter(F.col("half") == 1).select("label", F.col("n").alias("n2"))
+    j = (
+        a.join(b, ["label", "dim"])
+        .join(F.broadcast(na), "label")
+        .join(F.broadcast(nb), "label")
+    )
+    diff = F.abs(F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1"))
+    return (
+        j.groupBy("label")
+        .agg(
+            F.max("n1").cast("bigint").alias("n1"),
+            F.max("n2").cast("bigint").alias("n2"),
+            F.sum(diff).cast("bigint").alias("l1_cross"),
+        )
+        .select(
+            "label",
+            "n1",
+            "n2",
+            "l1_cross",
+            (
+                F.col("l1_cross").cast("double")
+                / (F.col("n1") * F.col("n2") * F.lit(64)).cast("double")
+            ).alias("drift"),
+        )
+    )
+
+
+@query(
+    "llm_quantization_error",
+    oracle=_QEMB_CTE
+    + """
+    , r AS (
+      SELECT label, q, q - (q // 8) * 8 AS err FROM e
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vals,
+           CAST(SUM(err * err) AS BIGINT) AS total_sq_err,
+           CAST(MAX(abs(err)) AS BIGINT) AS max_abs_err,
+           CAST(SUM(err * err) AS DOUBLE) / count(*) AS mse
+    FROM r GROUP BY label
+    """,
+    tags=("llm", "similarity", "quantization", "qa"),
+)
+def llm_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-error audit for the int8-style coarsening an ANN
+    deployment applies (drop the 3 low bits of the 10-bit grid:
+    coarse = (q div 8)·8): per label, the exact integer sum of squared
+    errors, the worst per-dimension error, and MSE as one final division.
+    The remainder q − (q div 8)·8 carries the dividend's sign on both
+    engines (truncating division), so the error distribution is
+    reproduced exactly. One map-side pass + one label-grain aggregate —
+    the audit a serving team runs before committing to a cheaper code."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = _qemb(emb)
+    err = F.col("q") - F.expr("q div 8") * F.lit(8)
+    r = e.select("label", err.alias("err"))
+    return r.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum(F.col("err") * F.col("err")).cast("bigint").alias("total_sq_err"),
+        F.max(F.abs(F.col("err"))).cast("bigint").alias("max_abs_err"),
+        (
+            F.sum(F.col("err") * F.col("err")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mse"),
+    )
+
+
+@query(
+    "llm_sign_code_balance",
+    oracle=_QEMB_CTE
+    + """
+    , codes AS (
+      SELECT vec_id, dim // 8 AS sub,
+             CAST(SUM(CASE WHEN q > 0
+                      THEN CAST(1 AS BIGINT) << (dim % 8) ELSE 0 END)
+                  AS BIGINT) AS code
+      FROM e GROUP BY vec_id, dim // 8
+    ), cc AS (
+      SELECT sub, code, CAST(count(*) AS BIGINT) AS cnt
+      FROM codes GROUP BY sub, code
+    )
+    SELECT CAST(sub AS BIGINT) AS sub,
+           CAST(count(*) AS BIGINT) AS n_codes_used,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_share
+    FROM cc GROUP BY sub
+    """,
+    tags=("llm", "similarity", "quantization", "balance"),
+)
+def llm_sign_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-code (1-bit-per-dimension, ITQ-style) bucket balance audit:
+    each vector's 64 dims split into 8 subspaces of 8 bits; the code is
+    the sign bitmask. Per subspace: distinct codes in use (of 256), the
+    hottest and coldest code populations, and the hottest code's share —
+    the skew report that predicts Hamming-bucket ANN hot spots before an
+    index is built. Integer bit arithmetic end to end; share is one
+    double division. Plan: two hash aggregates, (vec,sub) then (sub,code)
+    grain — both shuffle tiny keyed rows, never embeddings."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = _qemb(emb)
+    codes = (
+        e.groupBy("vec_id", F.expr("dim div 8").alias("sub"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("q") > 0,
+                    # pyspark's shiftleft() only takes a literal bit count —
+                    # the SQL form accepts a column expression
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(dim % 8 AS INT))"),
+                ).otherwise(F.lit(0))
+            ).alias("code")
+        )
+    )
+    cc = codes.groupBy("sub", "code").agg(F.count(F.lit(1)).alias("cnt"))
+    return cc.groupBy(F.col("sub").cast("bigint").alias("sub")).agg(
+        F.count(F.lit(1)).alias("n_codes_used"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.min("cnt").cast("bigint").alias("min_cnt"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_share"
+        ),
+    )
+
+
+@query(
+    "llm_knn_reciprocity",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 1024)) AS qv
+      FROM embeddings WHERE vec_id % 4 = 0
+    ), p AS (
+      SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb,
+             CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT va, la, vb,
+             row_number() OVER (PARTITION BY va ORDER BY dot DESC, vb) AS rn
+      FROM p
+    ), e AS (
+      SELECT va, la, vb FROM r WHERE rn <= 3
+    ), m AS (
+      SELECT e.va, e.la, (e2.va IS NOT NULL) AS mut
+      FROM e LEFT JOIN e e2 ON e2.va = e.vb AND e2.vb = e.va
+    )
+    SELECT la AS label,
+           CAST(count(DISTINCT va) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN mut THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+           CAST(SUM(CASE WHEN mut THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS reciprocity
+    FROM m GROUP BY la
+    """,
+    tags=("llm", "similarity", "knn", "graph"),
+)
+def llm_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-k-NN reciprocity audit over a deterministic 25% sample: the
+    k-NN-graph health check run before graph-based clustering or
+    hubness-sensitive ANN evaluation (low reciprocity per class = hub
+    vectors attracting asymmetric edges). Top-3 neighbors per node by
+    exact integer dot (llm.similarity.quantized_dot_topk with k=4 — the
+    self edge, when present, is filtered and the survivors re-ranked
+    per-query; any true top-3 non-self neighbor is within the overall
+    top-4, so the cut is exact). Reciprocity = mutual-edge share among
+    each label's outgoing edges, one double division. 100 TB: the sample
+    rate is the documented knob; scoring is the broadcast-query Arrow
+    matmul, never an all-pairs shuffle; windows partition by query."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    s = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "label", "embedding")
+    top = similarity.quantized_dot_topk(
+        s.select("vec_id", "embedding"), s.select("vec_id", "embedding"), k=4
+    )
+    nonself = top.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    edges = (
+        nonself.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("query_id").alias("va"), F.col("neighbor_id").alias("vb"))
+    )
+    back = edges.select(F.col("va").alias("vb2"), F.col("vb").alias("va2"))
+    m = edges.join(
+        back,
+        (F.col("va") == F.col("va2")) & (F.col("vb") == F.col("vb2")),
+        "left",
+    ).select("va", F.col("va2").isNotNull().alias("mut"))
+    lab = s.select(F.col("vec_id").alias("va"), "label")
+    return (
+        m.join(F.broadcast(lab), "va")
+        .groupBy("label")
+        .agg(
+            F.countDistinct("va").cast("bigint").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.when(F.col("mut"), 1).otherwise(0)).cast("bigint").alias("n_mutual"),
+        )
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            "n_mutual",
+            (F.col("n_mutual").cast("double") / F.col("n_edges").cast("double")).alias(
+                "reciprocity"
+            ),
+        )
+    )
+
+
+@query(
+    "llm_quota_allocation",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+    b AS (
+      SELECT source, n_docs,
+             (100 * n_docs) // t.total AS base,
+             100 * n_docs - ((100 * n_docs) // t.total) * t.total AS rem
+      FROM c, t
+    ), d AS (SELECT 100 - CAST(SUM(base) AS BIGINT) AS deficit FROM b),
+    r AS (
+      SELECT source, n_docs, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM b
+    )
+    SELECT source, n_docs,
+           CAST(base AS BIGINT) AS base_alloc,
+           CAST(rem AS BIGINT) AS rem_scaled,
+           CAST(base + CASE WHEN rk <= d.deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r, d
+    """,
+    tags=("llm", "curation", "sampling", "allocation"),
+)
+def llm_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) quota allocation: distribute a
+    100-document sample budget across sources proportionally with EXACT
+    integer arithmetic — base = (B·N_h) div N, then the sources with the
+    largest scaled remainders (B·N_h − base·N, an integer — no float
+    fractions to compare) absorb the rounding deficit one unit each, ties
+    by source name. Σ alloc == B exactly, the property proportional-float
+    rounding cannot give. The stratified-sampling front-end
+    (llm_stratified_sample draws the rows; this decides HOW MANY per
+    stratum). Plan: one source-grain aggregate; the remainder ranking
+    rides bounded_rank over the |sources|-sized frame (window-free, the
+    VERDICT r6 #2 device)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("total"))
+    b = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.expr("(100 * n_docs) div total").alias("base"),
+        (
+            F.lit(100) * F.col("n_docs")
+            - F.expr("(100 * n_docs) div total") * F.col("total")
+        ).alias("rem"),
+    )
+    deficit = b.agg((F.lit(100) - F.sum("base")).alias("deficit"))
+    ranked = retrieval.bounded_rank(b, "rem", "source", rank_name="rk")
+    return (
+        ranked.crossJoin(F.broadcast(deficit))
+        .select(
+            "source",
+            "n_docs",
+            F.col("base").cast("bigint").alias("base_alloc"),
+            F.col("rem").cast("bigint").alias("rem_scaled"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+
+
+@query(
+    "llm_curriculum_stages",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS nt
+      FROM documents
+    ), x AS (
+      SELECT doc_id, nt, (1000 * n_chars) // nt AS diff FROM d
+    ), r AS (
+      SELECT doc_id, nt, diff,
+             row_number() OVER (ORDER BY diff ASC, doc_id) AS rank
+      FROM x
+    ), t AS (SELECT count(*) AS n FROM x)
+    SELECT CAST(((rank - 1) * 4) // t.n AS BIGINT) AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(MIN(diff) AS BIGINT) AS min_diff,
+           CAST(MAX(diff) AS BIGINT) AS max_diff,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens
+    FROM r, t GROUP BY 1
+    """,
+    tags=("llm", "curation", "curriculum"),
+)
+def llm_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: rank every document by a difficulty proxy
+    (mean chars per token ×1000, exact integer division — longer words =
+    harder text) and deal the ranked corpus into 4 equal stages,
+    stage = ((rank−1)·4) div N — the easy→hard schedule a curriculum
+    trainer feeds. The global (diff asc, doc_id) rank REUSES
+    llm.curation.balanced_shards' two-phase distributed rank (weight =
+    −diff, so its (weight desc, id) order IS difficulty ascending):
+    per-bucket parallel windows + broadcast base offsets — no
+    single-partition ranking window at any size (the device the AST plan
+    test enforces). Per stage: doc count, difficulty range, token mass."""
+    d = load_tables(spark, sf_dir)["documents"]
+    x = d.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("nt"),
+        F.expr("(1000 * n_chars) div size(split(trim(text), '\\\\s+'))").alias(
+            "diff"
+        ),
+    )
+    ranked = curation.balanced_shards(
+        x.withColumn("negd", -F.col("diff")), n_shards=1, weight_col="negd"
+    ).select("doc_id", "rank")
+    n = x.agg(F.count(F.lit(1)).alias("n"))
+    staged = (
+        x.join(ranked, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "nt",
+            "diff",
+            F.expr("((rank - 1) * 4) div n").cast("bigint").alias("stage"),
+        )
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("diff").cast("bigint").alias("min_diff"),
+        F.max("diff").cast("bigint").alias("max_diff"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
+    "llm_split_doc_chains",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), ht AS (
+      SELECT doc_id,
+             array_to_string(t[1:3], ' ') AS head,
+             array_to_string(t[len(t)-2:len(t)], ' ') AS tail
+      FROM t WHERE len(t) >= 6
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail AS gram
+    FROM ht a JOIN ht b ON a.tail = b.head AND a.doc_id <> b.doc_id
+    """,
+    tags=("llm", "curation", "reassembly"),
+)
+def llm_split_doc_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document reassembly candidates: document pairs where A's last
+    trigram equals B's first trigram — the continuation evidence a crawl
+    pipeline uses to re-join documents that a page-boundary or
+    chunk-size limit split apart (each pair is a candidate A→B seam).
+    Docs need ≥6 tokens so head and tail never overlap inside one doc.
+    Plan / 100 TB: heads and tails are 3-token strings extracted map-side
+    (slice on the token array — fixed-size, not a per-token HOF chain);
+    the seam join keys on the trigram string, so candidates come only
+    from shared seams (never all-pairs) and text never shuffles — the
+    same bucket-join doctrine as every dedup family."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ht = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head"),
+        F.concat_ws(" ", F.slice(toks, F.size(toks) - 2, 3)).alias("tail"),
+    ).filter(F.size(toks) >= 6)
+    a = ht.select(F.col("doc_id").alias("doc_a"), F.col("tail").alias("gram"))
+    b = ht.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("gram"))
+    return a.join(b, "gram").filter(F.col("doc_a") != F.col("doc_b")).select(
+        "doc_a", "doc_b", "gram"
+    )
+
+
+@query(
+    "llm_wilson_quality",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_good,
+           CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p_hat,
+           ((CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             + 2.0 / CAST(n_docs AS DOUBLE))
+            - 2.0 * sqrt(((CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                           * (1.0 - CAST(n_good AS DOUBLE)
+                                    / CAST(n_docs AS DOUBLE)))
+                          + 1.0 / CAST(n_docs AS DOUBLE))
+                         / CAST(n_docs AS DOUBLE)))
+           / (1.0 + 4.0 / CAST(n_docs AS DOUBLE)) AS wilson_lb
+    FROM c
+    """,
+    tags=("llm", "qa", "quality", "wilson"),
+)
+def llm_wilson_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain quality score with a Wilson lower bound (z=2): the
+    small-sample-safe ranking a per-domain quality gate uses instead of
+    the raw pass rate (a 2/2 domain must not outrank a 95/100 one).
+    wilson_lb = (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n) with
+    z² = 4 — a FIXED expression tree of single IEEE ops (each division,
+    product, and the square root is one correctly-rounded operation on
+    both engines; the tree is written identically in the oracle, the
+    repo's determinism contract for non-integer outputs). Success =
+    n_chars ≥ 300 (the corpus median). One source-grain aggregate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+    )
+    nD = F.col("n_docs").cast("double")
+    p = F.col("n_good").cast("double") / nD
+    lb = (
+        (p + F.lit(2.0) / nD)
+        - F.lit(2.0)
+        * F.sqrt(((p * (F.lit(1.0) - p)) + F.lit(1.0) / nD) / nD)
+    ) / (F.lit(1.0) + F.lit(4.0) / nD)
+    return c.select(
+        "source", "n_docs", "n_good", p.alias("p_hat"), lb.alias("wilson_lb")
+    )
