@@ -2313,3 +2313,98 @@ def test_bounded_rank_single_row(spark):
     df = spark.createDataFrame([(9, 3.5)], "id bigint, score double")
     rows = bounded_rank(df, "score", "id").collect()
     assert len(rows) == 1 and rows[0].rank == 1
+
+
+def test_splade_topk_saturates_impacts(spark):
+    """SPLADE impact scoring: score = Σ w_t · min(tf, sat) — a term
+    repeated past the saturation point adds nothing, weights multiply, and
+    docs without any query term never appear. Bad params raise."""
+    from hdp2_5_hive2_spark.llm.retrieval import splade_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark spark spark spark"),  # tf=7 -> sat 5
+            (2, "spark join"),
+            (3, "nothing relevant here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.score, r.rank) for r in
+           splade_topk(df, [("spark", 3), ("join", 2)], topk=10).collect()}
+    assert got == {1: (15, 1), 2: (5, 2)}  # 3*min(7,5)=15; 3*1+2*1=5
+    with pytest.raises(ValueError):
+        splade_topk(df, [])
+    with pytest.raises(ValueError):
+        splade_topk(df, [("spark", 1)], sat=0)
+
+
+def test_query_likelihood_smooths_absent_terms(spark):
+    """Dirichlet QL: every document scores (smoothing covers absent
+    terms), a doc containing the query term outranks one that doesn't at
+    equal length, and the per-term probability matches the hand-computed
+    (tf·C + μ·cf)/((dl+μ)·C) single division."""
+    from hdp2_5_hive2_spark.llm.retrieval import query_likelihood_rank
+
+    df = spark.createDataFrame(
+        [(1, "spark a b c"), (2, "x a b c")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: (r.score, r.rank) for r in
+            query_likelihood_rank(df, ["spark"], mu=100, topk=10).collect()}
+    assert set(rows) == {1, 2}  # doc 2 scores too
+    c_total, dl, cf = 8, 4, 1
+    p1 = (1 * c_total + 100 * cf) / ((dl + 100) * c_total)
+    p2 = (0 * c_total + 100 * cf) / ((dl + 100) * c_total)
+    assert rows[1] == (p1, 1) and rows[2] == (p2, 2)
+    with pytest.raises(ValueError):
+        query_likelihood_rank(df, [])
+    with pytest.raises(ValueError):
+        query_likelihood_rank(df, ["spark"], mu=0)
+
+
+def test_quantized_dot_topk_matches_numpy(spark):
+    """quantized_dot_topk reproduces the numpy int64 ranking exactly —
+    including the (dot desc, neighbor asc) tie-break — and enforces the
+    broadcast-small query guard like its cosine sibling."""
+    import numpy as np
+
+    e = load_tables(spark, SF_CORRECT)["embeddings"].filter(F.col("vec_id") < 60)
+    q = e.filter(F.col("vec_id") < 3)
+    c = e.filter(F.col("vec_id") >= 3)
+    got = similarity.quantized_dot_topk(
+        c.select("vec_id", "embedding"), q.select("vec_id", "embedding"), k=5
+    ).collect()
+    qr = {r.vec_id: np.floor(np.asarray(r.embedding, dtype=np.float64) * 1024)
+          .astype(np.int64) for r in q.collect()}
+    cr = {r.vec_id: np.floor(np.asarray(r.embedding, dtype=np.float64) * 1024)
+          .astype(np.int64) for r in c.collect()}
+    for qid, qv in qr.items():
+        dots = sorted(
+            ((int(cv @ qv), cid) for cid, cv in cr.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        mine = sorted(
+            [(r.dot, r.neighbor_id, r.rank) for r in got if r.query_id == qid],
+            key=lambda t: t[2],
+        )
+        assert [(d, n) for d, n, _ in mine] == dots, (qid, mine, dots)
+    with pytest.raises(ValueError):
+        similarity.quantized_dot_topk(c, q, k=3, max_queries=1)
+
+
+def test_pack_greedy_bins_invariants(spark):
+    """Boundary-aware packing invariants: bins never exceed capacity
+    unless they hold exactly one (oversized) document, every document is
+    packed exactly once, and bin indexes are dense per chunk."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    n_docs = d.count()
+    bins = REGISTRY["llm_pack_greedy_bins"].fn(spark, SF_CORRECT).collect()
+    assert sum(r.n_docs for r in bins) == n_docs
+    for r in bins:
+        assert r.n_tokens <= 512 or r.n_docs == 1, r
+    by_chunk: dict[int, list[int]] = {}
+    for r in bins:
+        by_chunk.setdefault(r.chunk, []).append(r.bin_idx)
+    for chunk, idxs in by_chunk.items():
+        assert sorted(idxs) == list(range(len(idxs))), (chunk, idxs)
