@@ -941,7 +941,10 @@ def llm_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = s.alias("a")
     b = s.alias("b")
     pairs = (
-        a.join(b, "dim")
+        # dim has only 64 distinct values — a hash join on it would pile the
+        # whole sample into 64 skewed partitions. The b side is the capped
+        # sample: broadcast it and keep the pair fan-out map-side.
+        a.join(F.broadcast(b), "dim")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .groupBy(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
         .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
