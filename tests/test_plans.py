@@ -1029,3 +1029,34 @@ def test_source_overlap_ngrams_come_from_arrow_kernel(spark):
     plan = _executed(REGISTRY["llm_source_overlap_matrix"].fn(spark, SF_CORRECT))
     assert "MapInPandas" in plan, plan
     assert "lambdafunction" not in plan, plan
+
+
+def test_splade_filters_terms_before_aggregation(spark):
+    """Posting-list plan: the query-term filter sits below the tf
+    aggregation (inverted-index access — only matching postings ever
+    aggregate), the impact weights are a codegen CASE (no weights join),
+    and the top-15 cut is a bounded heap, not a global sort."""
+    plan = _executed(REGISTRY["llm_splade_topk"].fn(spark, SF_CORRECT))
+    agg_pos = plan.find("HashAggregate")
+    filt_pos = plan.rfind("Filter")
+    assert agg_pos != -1 and filt_pos > agg_pos, plan  # a Filter BELOW the aggs
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pack_greedy_bins_shuffles_counts_not_text(spark):
+    """The packing shuffle carries (chunk, doc_id, n_tokens) 24-byte rows:
+    the text column is pruned at the scan and appears in no exchange."""
+    plan = _executed(REGISTRY["llm_pack_greedy_bins"].fn(spark, SF_CORRECT))
+    for ex in plan.split("Exchange")[1:]:
+        head = ex.splitlines()[0]
+        assert "text" not in head, head
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in schema and "lang" not in schema and "source" not in schema, schema
+
+
+def test_cosine_histogram_broadcasts_pair_side(spark):
+    """The pair self-join must broadcast (dim has 64 distinct values — a
+    hash join on it is a skew cliff); no sort-merge join anywhere."""
+    plan = _executed(REGISTRY["llm_cosine_histogram"].fn(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
