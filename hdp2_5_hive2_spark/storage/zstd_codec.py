@@ -1291,18 +1291,39 @@ def _enc_sequences_block(
     return (bytes(body), (r1, r2, r3)) if len(body) < len(block) else None
 
 
-def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
+def zstd_compress(data: bytes, checksum: bool = True, level: int = 1) -> bytes:
     """Compressing single-segment frame: chain-matched LZ77 with a
     frame-wide (8 MB-segmented) match window + Huffman-or-raw literals +
     FSE sequences with repeat-offset codes and per-block table choice
     (predefined / RLE / tuned FSE_Compressed_Mode, whichever the entropy
     estimate says is smaller), raw/RLE blocks otherwise — decodable by
     any spec decoder (zstd-jni cross-parity pinned). Measured on the
-    sf0.1 JSONL corpus sample (2 MB): 5.63x at 0.9 MB/s (the r7
-    block-local greedy + predefined-tables encoder: 2.47x at 1.5 MB/s;
-    zstd-jni level 3 on the same input: 4.82x). Remaining optional
-    rungs: treeless repeat Huffman/FSE tables across blocks, optimal
-    parse."""
+    sf0.1 JSONL corpus sample (1.4 MB, r9 re-baseline): level 1 = 5.82x
+    at 0.85 MB/s (zstd-jni level 3 on the same input: 4.96x).
+
+    ``level`` trades encode time for ratio via the matcher's search depth
+    (measured r9, same sample):
+
+    - 1 (default): chain=32, nice=128 — 5.82x, 0.85 MB/s. The bulk-write
+      setting; the pipeline's shard writers stay here.
+    - 2: chain=128 — 6.20x, 0.59 MB/s (+6.6% ratio for 0.7x speed).
+    - 3: chain=256, nice=512 — 6.25x, 0.40 MB/s; archival. (Adding
+      one-step lazy matching on top was measured WORSE with deep chains —
+      6.23x at 0.22 MB/s — so no level enables it.)
+
+    Measured and REJECTED beyond these (PERF.md r9): a suffix-array exact
+    match finder (prefix-doubling + PSV/NSV longest-previous-match) hits
+    only 6.17x at 0.28 MB/s — exact-longest greedy equals chain=128, so
+    the remaining gap to zstd-jni L19 (6.77x) is optimal-parse PRICING,
+    whose per-(position,length) DP is a ~0.05 MB/s proposition in pure
+    Python; treeless repeat tables were rejected r8 at a 0.4% ceiling."""
+    if level not in (1, 2, 3):
+        raise ValueError(f"zstd_compress: level must be 1, 2 or 3, got {level}")
+    _knobs = {
+        1: dict(chain=32, nice=128),
+        2: dict(chain=128, nice=128),
+        3: dict(chain=256, nice=512),
+    }[level]
     out = bytearray(struct.pack("<I", _MAGIC))
     n = len(data)
     if n < 256 and n != 0:
@@ -1330,7 +1351,9 @@ def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
     seg_size = 1 << 23
     block_seqs: dict[int, list[tuple[int, int, int]]] = {}
     for seg_start in range(0, n, seg_size):
-        seqs, _tr = _find_sequences(data[seg_start : seg_start + seg_size], bsize=bsize)
+        seqs, _tr = _find_sequences(
+            data[seg_start : seg_start + seg_size], bsize=bsize, **_knobs
+        )
         pos = 0
         for ll, ml, off in seqs:
             mstart = pos + ll

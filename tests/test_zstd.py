@@ -577,3 +577,30 @@ def test_tuned_table_roundtrip_property(seed, period):
     data = noise + base * rng.randrange(2, 2000 // max(1, period // 40) + 3)
     data = data[:120_000]
     assert zstd_decompress(zstd_compress(data)) == data
+
+
+def test_compress_levels_monotone_and_jni_decodable(spark):
+    """The r9 level knob: deeper-search levels never compress worse, every
+    level's output decodes identically by both this decoder and zstd-jni,
+    the pipeline default stays level 1, and out-of-range levels raise."""
+    import json as _json
+
+    from hdp2_5_hive2_spark.storage.zstd_codec import zstd_compress
+
+    rng = random.Random(20260815)
+    words = ["spark", "join", "window", "table", "query", "scan", "merge"]
+    data = "\n".join(
+        _json.dumps({"doc_id": i, "text": " ".join(rng.choices(words, k=40))})
+        for i in range(800)
+    ).encode()
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    sizes = []
+    for lvl in (1, 2, 3):
+        z = zstd_compress(data, level=lvl)
+        assert zstd_decompress(z) == data
+        assert bytes(Z.decompress(z, len(data))) == data
+        sizes.append(len(z))
+    assert sizes[0] >= sizes[1] >= sizes[2], sizes
+    assert zstd_compress(data) == zstd_compress(data, level=1)  # default pinned
+    with pytest.raises(ValueError):
+        zstd_compress(data, level=0)
