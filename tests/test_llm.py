@@ -2408,3 +2408,52 @@ def test_pack_greedy_bins_invariants(spark):
         by_chunk.setdefault(r.chunk, []).append(r.bin_idx)
     for chunk, idxs in by_chunk.items():
         assert sorted(idxs) == list(range(len(idxs))), (chunk, idxs)
+
+
+def test_pack_greedy_bins_matches_python_reference(spark):
+    """Hypothesis: the distributed packer (applyInPandas per chunk) equals
+    a pure-Python greedy next-fit fold over arbitrary token-count
+    sequences — including oversized docs and exact-fit boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as SF
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        toks=st.lists(st.integers(1, 700), min_size=1, max_size=150),
+    )
+    def check(toks):
+        # reference fold: greedy next-fit, cap 512, per 64-doc chunk
+        want = {}
+        for chunk_start in range(0, len(toks), 64):
+            chunk_id = chunk_start // 64
+            bin_idx, fill, ndocs = 0, 0, 0
+            for t in toks[chunk_start : chunk_start + 64]:
+                if ndocs > 0 and fill + t > 512:
+                    want[(chunk_id, bin_idx)] = (ndocs, fill)
+                    bin_idx, fill, ndocs = bin_idx + 1, 0, 0
+                fill += t
+                ndocs += 1
+            if ndocs:
+                want[(chunk_id, bin_idx)] = (ndocs, fill)
+        # drive the registry query's packer over a synthetic documents dir
+        import pandas as pd
+
+        from hdp2_5_hive2_spark.queries.pipeline_corpus import llm_pack_greedy_bins
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * t)) for i, t in enumerate(toks)],
+            "doc_id bigint, text string",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            got = {
+                (r.chunk, r.bin_idx): (r.n_docs, r.n_tokens)
+                for r in llm_pack_greedy_bins(spark, tmp).collect()
+            }
+        assert got == want, (toks, got, want)
+
+    check()
