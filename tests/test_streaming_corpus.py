@@ -363,3 +363,27 @@ def test_streaming_image_gate_flags_variants_across_triggers(spark):
     assert hits >= 18, f"variant recall {hits}/20"
     false_orig = [k for k in range(20) if by_asset[k][1]]
     assert len(false_orig) <= 1, f"textured originals cross-flagged: {false_orig}"
+
+
+def test_streaming_gate_replay_is_deterministic(spark, planted):
+    """Dedup-gate replay determinism: running the IDENTICAL file-source
+    stream end-to-end twice (fresh checkpoints, fresh state stores) must
+    produce byte-identical verdicts — batch assignment, is_dup flags and
+    keeper ids included. The gate's hashes are md5-derived with no RNG and
+    its state transitions are pure functions of arrival order, so a replay
+    of the same ordered input is exactly reproducible — the property an
+    at-least-once pipeline relies on when it reprocesses a shard."""
+    originals, near = planted
+
+    def canon(batches):
+        rows = []
+        for bid, pdf in batches:
+            for r in pdf.itertuples():
+                dup_of = None if r.dup_of != r.dup_of or r.dup_of is None else int(r.dup_of)
+                rows.append((bid, int(r.doc_id), bool(r.is_dup), dup_of))
+        return sorted(rows)
+
+    first = canon(_run_gate(spark, [originals, near]))
+    second = canon(_run_gate(spark, [originals, near]))
+    assert first == second
+    assert first, "gate must emit verdicts"
