@@ -1256,9 +1256,13 @@ def llm_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     by source name. Σ alloc == B exactly, the property proportional-float
     rounding cannot give. The stratified-sampling front-end
     (llm_stratified_sample draws the rows; this decides HOW MANY per
-    stratum). Plan: one source-grain aggregate; the remainder ranking
-    rides bounded_rank over the |sources|-sized frame (window-free, the
-    VERDICT r6 #2 device)."""
+    stratum). Plan / 100 TB: one source-grain aggregate; the rounding
+    deficit is ≤ B−1 (a CONSTANT, 100 here) regardless of stratum count,
+    so the +1 winners come from orderBy+limit(deficit) — a bounded
+    per-partition heap (TakeOrderedAndProject) — never a rank over the
+    stratum frame (a million domains would make any |strata|-sized rank
+    or k×k bounded_rank join a cliff). The deficit itself is ONE scalar
+    row collected to parameterize the limit."""
     d = load_tables(spark, sf_dir)["documents"]
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     t = c.agg(F.sum("n_docs").alias("total"))
@@ -1271,19 +1275,22 @@ def llm_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("(100 * n_docs) div total") * F.col("total")
         ).alias("rem"),
     )
-    deficit = b.agg((F.lit(100) - F.sum("base")).alias("deficit"))
-    ranked = retrieval.bounded_rank(b, "rem", "source", rank_name="rk")
+    deficit = int(
+        b.agg((F.lit(100) - F.sum("base")).alias("deficit")).collect()[0][0]
+    )
+    winners = (
+        b.orderBy(F.desc("rem"), F.asc("source"))
+        .limit(deficit)
+        .select("source", F.lit(1).alias("_plus"))
+    )
     return (
-        ranked.crossJoin(F.broadcast(deficit))
+        b.join(F.broadcast(winners), "source", "left")
         .select(
             "source",
             "n_docs",
             F.col("base").cast("bigint").alias("base_alloc"),
             F.col("rem").cast("bigint").alias("rem_scaled"),
-            (
-                F.col("base")
-                + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
-            )
+            (F.col("base") + F.coalesce(F.col("_plus"), F.lit(0)))
             .cast("bigint")
             .alias("alloc"),
         )
