@@ -1371,9 +1371,14 @@ def llm_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string(t[1:3], ' ') AS head,
              array_to_string(t[len(t)-2:len(t)], ' ') AS tail
       FROM t WHERE len(t) >= 6
+    ), hot AS (
+      SELECT gram FROM (
+        SELECT head AS gram FROM ht UNION ALL SELECT tail FROM ht
+      ) GROUP BY gram HAVING count(*) > 64
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail AS gram
     FROM ht a JOIN ht b ON a.tail = b.head AND a.doc_id <> b.doc_id
+    WHERE a.tail NOT IN (SELECT gram FROM hot)
     """,
     tags=("llm", "curation", "reassembly"),
 )
@@ -1386,8 +1391,10 @@ def llm_split_doc_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan / 100 TB: heads and tails are 3-token strings extracted map-side
     (slice on the token array — fixed-size, not a per-token HOF chain);
     the seam join keys on the trigram string, so candidates come only
-    from shared seams (never all-pairs) and text never shuffles — the
-    same bucket-join doctrine as every dedup family."""
+    from shared seams (never all-pairs) and text never shuffles — and
+    seams occurring > 64 times (boilerplate trigrams, the k×m pair bomb)
+    are excluded BEFORE the join, the same hot-bucket cap every dedup
+    family carries."""
     d = load_tables(spark, sf_dir)["documents"]
     toks = F.split(F.trim(F.col("text")), r"\s+")
     ht = d.select(
@@ -1395,7 +1402,17 @@ def llm_split_doc_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head"),
         F.concat_ws(" ", F.slice(toks, F.size(toks) - 2, 3)).alias("tail"),
     ).filter(F.size(toks) >= 6)
-    a = ht.select(F.col("doc_id").alias("doc_a"), F.col("tail").alias("gram"))
+    occ = (
+        ht.select(F.col("head").alias("gram"))
+        .unionAll(ht.select(F.col("tail").alias("gram")))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") <= 64)
+        .select("gram")
+    )
+    a = ht.select(F.col("doc_id").alias("doc_a"), F.col("tail").alias("gram")).join(
+        occ, "gram"
+    )
     b = ht.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("gram"))
     return a.join(b, "gram").filter(F.col("doc_a") != F.col("doc_b")).select(
         "doc_a", "doc_b", "gram"
