@@ -1,0 +1,96 @@
+"""Bench-riser adjudication (VERDICT r8 #6): re-measure every flagged
+riser warm, best-of-N, in a dedicated session.
+
+The whole-suite bench runs 40+ queries back to back; under co-tenant load
+its small queries inflate uniformly and cold single shots flag phantom
+regressions (the r8 llm_dsir_weights lesson — the judge's warm best-of-3
+showed the driver's 1.45x "riser" was noise). This tool is the close-out
+step that settles every flag with a number:
+
+    python tools/riser_check.py BENCH_r08.json [current.json] [--factor 1.3]
+
+- Reads the previous round's bench record (driver wrapper or raw line)
+  and the current run (default: runs `python bench.py` fresh).
+- For every shared query where current > factor × previous (and > 0.3 s),
+  re-measures warm best-of-5 in THIS dedicated session and prints the
+  verdict: `noise` (warm within the factor) or `REGRESSION` (warm still
+  above) — the latter is the only case worth a code look.
+
+Exit code 1 iff any REGRESSION stands.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def _load(path: str) -> dict:
+    d = json.load(open(path))
+    if "parsed" in d:  # the driver's wrapper
+        d = d["parsed"]
+    return d
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = 1.3
+    for a in sys.argv[1:]:
+        if a.startswith("--factor"):
+            factor = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    if not args:
+        print(__doc__)
+        return 2
+    prev = _load(args[0])["queries"]
+    if len(args) > 1:
+        cur = _load(args[1])["queries"]
+    else:
+        out = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True
+        )
+        cur = json.loads(out.stdout.strip().splitlines()[-1])["queries"]
+    shared = sorted(set(prev) & set(cur))
+    sp, sc = sum(prev[q] for q in shared), sum(cur[q] for q in shared)
+    print(f"shared {len(shared)} queries: prev {sp:.2f}s -> cur {sc:.2f}s "
+          f"ratio {sc / sp:.3f}")
+    flagged = [
+        q for q in shared if cur[q] > prev[q] * factor and cur[q] > 0.3
+    ]
+    if not flagged:
+        print("no risers flagged; nothing to adjudicate")
+        return 0
+
+    from pyspark.sql import functions as F  # noqa: F401  (session warm-up)
+
+    from hdp2_5_hive2_spark.queries import REGISTRY
+    from hdp2_5_hive2_spark.session import get_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="riser-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir).count()
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id bigint").count()
+    regressions = 0
+    for q in flagged:
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            REGISTRY[q].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        verdict = "REGRESSION" if best > prev[q] * factor else "noise"
+        if verdict == "REGRESSION":
+            regressions += 1
+        print(
+            f"{q}: prev {prev[q]:.3f}s suite {cur[q]:.3f}s "
+            f"warm-best-of-5 {best:.3f}s -> {verdict}"
+        )
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
