@@ -272,6 +272,13 @@ def query_likelihood_rank(
     tf·|C| < 2^63 — at corpus sizes where |C| approaches 2^48 tokens,
     pre-divide cf by a power of two on both engines.
 
+    Degenerate terms: a query term with ZERO corpus frequency has p = 0
+    for every document. If at least one term occurs somewhere, all scores
+    collapse to 0.0 and the top-k is the first k documents by id (ties);
+    if EVERY query term is corpus-absent the result is EMPTY (the cf
+    frame has no rows, so no doc×term grid exists) — deterministic, and
+    identical in the DuckDB oracle, which builds the same grid.
+
     Plan / 100 TB: collection stats (|C|, per-term cf) are ≤|q|+1 rows and
     broadcast; the doc×term grid is |docs|·|q| rows built from the dl frame
     (map-side crossJoin with the broadcast term list); tf joins into it

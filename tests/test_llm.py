@@ -2457,3 +2457,115 @@ def test_pack_greedy_bins_matches_python_reference(spark):
         assert got == want, (toks, got, want)
 
     check()
+
+
+def test_splade_matches_python_reference(spark):
+    """Hypothesis: splade_topk over random tiny corpora equals a
+    pure-Python scorer — saturation, weights, ordering and the absence of
+    zero-term docs all pinned."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdp2_5_hive2_spark.llm.retrieval import splade_topk
+
+    vocab = ["a", "b", "c", "d", "e"]
+    weights = [("a", 3), ("c", 2), ("e", 1)]
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=30),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(docs):
+        want = {}
+        for i, toks in enumerate(docs):
+            s = sum(w * min(toks.count(t), 5) for t, w in weights)
+            if s > 0:
+                want[i] = s
+        order = sorted(want, key=lambda i: (-want[i], i))[:15]
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id bigint, text string",
+        )
+        got = sorted(
+            ((r.doc_id, r.score, r.rank) for r in splade_topk(df, weights).collect()),
+            key=lambda t: t[2],
+        )
+        assert [(d, s) for d, s, _ in got] == [(i, want[i]) for i in order], (
+            docs, got, order,
+        )
+
+    check()
+
+
+def test_query_likelihood_matches_python_reference(spark):
+    """Hypothesis: query_likelihood_rank equals the pure-Python Dirichlet
+    model — per-term single-division probabilities multiplied in query
+    order, every doc scored, ranking ties broken by id."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdp2_5_hive2_spark.llm.retrieval import query_likelihood_rank
+
+    vocab = ["a", "b", "c", "d"]
+    terms = ["a", "c"]
+    MU = 50
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=20),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def check(docs):
+        c_total = sum(len(t) for t in docs)
+        cf = {t: sum(d.count(t) for d in docs) for t in terms}
+        want = {}
+        for i, toks in enumerate(docs):
+            dl = len(toks)
+            score = 1.0
+            for t in terms:
+                score *= (toks.count(t) * c_total + MU * cf[t]) / (
+                    (dl + MU) * c_total
+                )
+            want[i] = score
+        # documented degenerate case: every query term corpus-absent ->
+        # empty ranking (no cf rows, no grid) on both engines
+        order = (
+            []
+            if all(cf[t] == 0 for t in terms)
+            else sorted(want, key=lambda i: (-want[i], i))[:15]
+        )
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id bigint, text string",
+        )
+        got = sorted(
+            (
+                (r.doc_id, r.score, r.rank)
+                for r in query_likelihood_rank(df, terms, mu=MU).collect()
+            ),
+            key=lambda t: t[2],
+        )
+        assert [d for d, _, _ in got] == order, (docs, got, order)
+        for d, s, _ in got:
+            assert s == want[d], (d, s, want[d])
+
+    check()
+
+
+def test_quantized_dot_topk_empty_queries(spark):
+    """Zero query rows must yield an empty frame with the full output
+    schema (the contract brute_force_topk pins for its empty path)."""
+    e = load_tables(spark, SF_CORRECT)["embeddings"]
+    out = similarity.quantized_dot_topk(
+        e.select("vec_id", "embedding"),
+        e.filter(F.col("vec_id") < 0).select("vec_id", "embedding"),
+    )
+    assert out.columns == ["query_id", "neighbor_id", "rank", "dot"]
+    assert out.count() == 0
