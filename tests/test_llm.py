@@ -2569,3 +2569,33 @@ def test_quantized_dot_topk_empty_queries(spark):
     )
     assert out.columns == ["query_id", "neighbor_id", "rank", "dot"]
     assert out.count() == 0
+
+
+def test_quota_allocation_sums_to_budget(spark):
+    """Hamilton allocation invariants on the fixture: Σ alloc == 100
+    exactly, every alloc within 1 of the unrounded proportional share,
+    and base <= alloc <= base+1."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+
+    rows = REGISTRY["llm_quota_allocation"].fn(spark, SF_CORRECT).collect()
+    assert sum(r.alloc for r in rows) == 100
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        exact = 100 * r.n_docs / total
+        assert r.base_alloc <= r.alloc <= r.base_alloc + 1
+        assert abs(r.alloc - exact) < 1.0, (r, exact)
+
+
+def test_ndcg_eval_bounds_and_perfect_case(spark):
+    """nDCG invariants: every score in [0, 1]; a query whose top-10 is
+    entirely relevant with >= 10 relevant candidates scores exactly 1.0
+    (dcg_num == idcg_num by construction of the prefix table)."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+
+    rows = REGISTRY["llm_ndcg_eval"].fn(spark, SF_CORRECT).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0, r
+        assert (r.ndcg == 1.0) == (r.dcg_num == r.idcg_num != 0), r
+        if r.n_rel == 0:
+            assert r.ndcg == 0.0 and r.idcg_num == 0
