@@ -928,11 +928,21 @@ def llm_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bound holds for |v| ≤ 1; wider embeddings lower the quant scale).
     Plan / 100 TB: the pair join runs over the SAMPLE (vec_id % 10 — at
     production scale the sample rate drops to keep pairs bounded, the
-    documented knob); dims explode JVM-side and the pair dot is one hash
+    documented knob), and the broadcast-small contract is ENFORCED like
+    every ANN kernel's: more than 2^16 sample vectors raises instead of
+    silently attempting a multi-GB broadcast (the limit-probe is one
+    cheap job). Dims explode JVM-side and the pair dot is one hash
     aggregate on (va, vb); zero-norm vectors are excluded on both engines
     before any division."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    s = _qemb(emb.filter(F.col("vec_id") % 10 == 0)).select("vec_id", "dim", "q")
+    sample = emb.filter(F.col("vec_id") % 10 == 0)
+    cap = 1 << 16
+    if sample.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"llm_cosine_histogram: sample exceeds {cap} vectors; lower the "
+            "sample rate — the pair side broadcasts and pairs grow O(n²)."
+        )
+    s = _qemb(sample).select("vec_id", "dim", "q")
     norms = (
         s.groupBy("vec_id")
         .agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
