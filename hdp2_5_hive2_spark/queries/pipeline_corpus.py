@@ -58,7 +58,7 @@ _TOK_CTE = """
       FROM s
     ) WHERE rank <= 15
     """,
-    tags=("llm", "retrieval", "splade", "sparse", "bench"),
+    tags=("llm", "retrieval", "splade", "sparse"),
 )
 def llm_splade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-sparse retrieval serving (llm.retrieval.splade_topk): the
@@ -175,7 +175,7 @@ _IDCG_PREFIX = [13860, 23100, 30030, 35574, 40194, 44154, 47619, 50699, 53471, 5
            END AS ndcg
     FROM nr JOIN d USING (qid)
     """,
-    tags=("llm", "similarity", "eval", "ndcg", "bench"),
+    tags=("llm", "similarity", "eval", "ndcg"),
 )
 def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality evaluation: nDCG@10 of the exact quantized-dot
@@ -443,7 +443,7 @@ from hdp2_5_hive2_spark.queries.llm_corpus import (  # noqa: E402
            CAST(SUM(nt) AS DOUBLE) / 512.0 AS util
     FROM pack GROUP BY chunk, bin_idx
     """,
-    tags=("llm", "packing", "curriculum", "bench"),
+    tags=("llm", "packing", "curriculum"),
 )
 def llm_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-AWARE sequence packing (the sibling of llm_pack_sequences,
