@@ -2599,3 +2599,33 @@ def test_ndcg_eval_bounds_and_perfect_case(spark):
         assert (r.ndcg == 1.0) == (r.dcg_num == r.idcg_num != 0), r
         if r.n_rel == 0:
             assert r.ndcg == 0.0 and r.idcg_num == 0
+
+
+def test_power_iteration_matches_numpy(spark):
+    """Three-way agreement: the distributed integer power iteration equals
+    a dense numpy int64 computation of the same two Gram matvec steps —
+    including the truncating-division rescale on negative components —
+    and the Rayleigh ratio v2/v1 approximates the top eigenvalue of AᵀA
+    on the quantized matrix."""
+    import numpy as np
+
+    from hdp2_5_hive2_spark.queries import REGISTRY
+
+    emb = load_tables(spark, SF_CORRECT)["embeddings"]
+    A = np.floor(
+        np.asarray([r.embedding for r in emb.orderBy("vec_id").collect()],
+                   dtype=np.float64) * 1024
+    ).astype(np.int64)
+    w1 = A.T @ A[:, 0]
+    # truncation toward zero, NOT floor division (negative components)
+    v1 = np.sign(w1) * (np.abs(w1) // 65536)
+    v2 = A.T @ (A @ v1)
+    got = {r.dim: (r.w1, r.v1, r.v2)
+           for r in REGISTRY["llm_power_iteration"].fn(spark, SF_CORRECT).collect()}
+    for j in range(64):
+        assert got[j] == (int(w1[j]), int(v1[j]), int(v2[j])), (j, got[j])
+    # Rayleigh sanity: v2 = Gram @ v1, so v1·v2 / v1·v1 estimates λ_max
+    lam = float(v1 @ v2) / float(v1 @ v1)
+    top = np.linalg.eigvalsh((A.T @ A).astype(np.float64)).max()
+    assert 0 < lam <= top * 1.001
+    assert lam >= 0.5 * top  # one rescaled step already dominates
