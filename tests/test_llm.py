@@ -2629,3 +2629,31 @@ def test_power_iteration_matches_numpy(spark):
     top = np.linalg.eigvalsh((A.T @ A).astype(np.float64)).max()
     assert 0 < lam <= top * 1.001
     assert lam >= 0.5 * top  # one rescaled step already dominates
+
+
+def test_centroid_drift_matches_numpy(spark):
+    """Three-way agreement for the drift audit: the cross-multiplied L1
+    drift equals a dense numpy computation over the same parity halves,
+    and drift == 0 would require identical scaled centroid sums."""
+    import numpy as np
+
+    from hdp2_5_hive2_spark.queries import REGISTRY
+
+    emb = load_tables(spark, SF_CORRECT)["embeddings"]
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    Q = {r.vec_id: (r.label, np.floor(np.asarray(r.embedding, np.float64) * 1024)
+                    .astype(np.int64)) for r in rows}
+    want = {}
+    labels = {lab for lab, _ in Q.values()}
+    for lab in labels:
+        h0 = [q for vid, (l, q) in Q.items() if l == lab and vid % 2 == 0]
+        h1 = [q for vid, (l, q) in Q.items() if l == lab and vid % 2 == 1]
+        if not h0 or not h1:
+            continue
+        s1, s2 = np.sum(h0, axis=0), np.sum(h1, axis=0)
+        n1, n2 = len(h0), len(h1)
+        l1 = int(np.abs(s1 * n2 - s2 * n1).sum())
+        want[lab] = (n1, n2, l1, l1 / float(n1 * n2 * 64))
+    got = {r.label: (r.n1, r.n2, r.l1_cross, r.drift)
+           for r in REGISTRY["llm_centroid_drift"].fn(spark, SF_CORRECT).collect()}
+    assert got == want
