@@ -2657,3 +2657,67 @@ def test_centroid_drift_matches_numpy(spark):
     got = {r.label: (r.n1, r.n2, r.l1_cross, r.drift)
            for r in REGISTRY["llm_centroid_drift"].fn(spark, SF_CORRECT).collect()}
     assert got == want
+
+
+def test_sign_code_balance_matches_numpy(spark):
+    """The subspace sign-code populations equal a dense numpy bitmask
+    computation (same quantization, same bit order)."""
+    import collections
+
+    import numpy as np
+
+    from hdp2_5_hive2_spark.queries import REGISTRY
+
+    emb = load_tables(spark, SF_CORRECT)["embeddings"]
+    Q = np.floor(
+        np.asarray([r.embedding for r in emb.orderBy("vec_id").collect()],
+                   np.float64) * 1024
+    ).astype(np.int64)
+    want = {}
+    for sub in range(8):
+        block = Q[:, sub * 8 : sub * 8 + 8] > 0
+        codes = (block * (1 << np.arange(8))).sum(axis=1)
+        cnt = collections.Counter(codes.tolist())
+        total = sum(cnt.values())
+        want[sub] = (
+            len(cnt), max(cnt.values()), min(cnt.values()),
+            max(cnt.values()) / float(total),
+        )
+    got = {r.sub: (r.n_codes_used, r.max_cnt, r.min_cnt, r.top_share)
+           for r in REGISTRY["llm_sign_code_balance"].fn(spark, SF_CORRECT).collect()}
+    assert got == want
+
+
+def test_contamination_spans_matches_python(spark):
+    """The span islands equal a pure-Python scan: consecutive flagged
+    8-gram positions merge into one span, gaps split spans."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in load_tables(spark, SF_CORRECT)["documents"].collect()
+    }
+    ev = set()
+    for did, toks in docs.items():
+        if did % 29 == 0:
+            for i in range(len(toks) - 7):
+                ev.add(" ".join(toks[i : i + 8]))
+    want = {}
+    for did, toks in docs.items():
+        if did % 29 == 0:
+            continue
+        flags = [" ".join(toks[i : i + 8]) in ev for i in range(len(toks) - 7)]
+        spans, cur = [], 0
+        for f in flags:
+            if f:
+                cur += 1
+            elif cur:
+                spans.append(cur)
+                cur = 0
+        if cur:
+            spans.append(cur)
+        if spans:
+            want[did] = (len(spans), max(spans), sum(spans))
+    got = {r.doc_id: (r.n_spans, r.max_span_len, r.n_hit_positions)
+           for r in REGISTRY["llm_contamination_spans"].fn(spark, SF_CORRECT).collect()}
+    assert got == want
