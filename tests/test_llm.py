@@ -2721,3 +2721,41 @@ def test_contamination_spans_matches_python(spark):
     got = {r.doc_id: (r.n_spans, r.max_span_len, r.n_hit_positions)
            for r in REGISTRY["llm_contamination_spans"].fn(spark, SF_CORRECT).collect()}
     assert got == want
+
+
+def test_knn_reciprocity_matches_python(spark):
+    """The reciprocity audit equals a pure-Python pairwise computation:
+    top-3 integer-dot neighbors per sampled node (ties by id), mutual
+    edges counted per label."""
+    import numpy as np
+
+    from hdp2_5_hive2_spark.queries import REGISTRY
+
+    emb = load_tables(spark, SF_CORRECT)["embeddings"]
+    rows = emb.filter(F.col("vec_id") % 4 == 0).orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    labs = {r.vec_id: r.label for r in rows}
+    Q = np.floor(np.asarray([r.embedding for r in rows], np.float64) * 1024).astype(
+        np.int64
+    )
+    dots = Q @ Q.T
+    edges = set()
+    for i, a in enumerate(ids):
+        cand = sorted(
+            ((int(dots[i, j]), ids[j]) for j in range(len(ids)) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        for _, b in cand:
+            edges.add((a, b))
+    want = {}
+    for a, b in edges:
+        lab = labs[a]
+        n_e, n_m, nodes = want.get(lab, (0, 0, set()))
+        want[lab] = (n_e + 1, n_m + ((b, a) in edges), nodes | {a})
+    want = {
+        lab: (len(nodes), n_e, n_m, n_m / float(n_e))
+        for lab, (n_e, n_m, nodes) in want.items()
+    }
+    got = {r.label: (r.n_nodes, r.n_edges, r.n_mutual, r.reciprocity)
+           for r in REGISTRY["llm_knn_reciprocity"].fn(spark, SF_CORRECT).collect()}
+    assert got == want
