@@ -28,21 +28,20 @@ construction, twice over):
   this round's own CORRECTNESS file therefore can never make the invariant
   stale (the r4/r5/r6 boundary failure class).
 
-Round-9 plan (VERDICT r8 #1/#2/#3):
+Round-10 plan (VERDICT r9 #1/#2/#4):
 
-- Plan head — this round's NEW queries (the budget reopens at ~20 on the
-  LLM-pipeline axis after the r8 drain left dark count 0): they are dark
-  by construction and auto-lead via ``dark_queries()``.
-- Tier 3 — the two kernels round 9 reworks: decontaminate_bloom's eval
-  side moves from a k·|eval| position collect to per-partition bitmap
-  folds (VERDICT r8 #2), and llm_token_lift's rank tie-break moves from
-  a concat-ws key to a struct key (ADVICE r8). Their r8 greens predate
-  the rework.
-- Then budget fill: oldest-verdict-first re-verification — the 7 names
-  whose newest green is round 1 (join_left_anti ..), then round-2-only
-  names alphabetically, then round-3-only (VERDICT r8 #3: no name's
-  newest verdict older than r4 entering round 10; 84 candidates, the
-  ~28 post-tier-3 slots continue the queue, remainder rolls to r10).
+- Plan head — this round's NEW queries (~20-name budget on the
+  pre-probed LLM-pipeline candidates: dup-graph 2-core, MMR top-k,
+  recall@k curve, rotation audit, quota/schedule/sampling ops): dark by
+  construction, auto-lead via ``dark_queries()``.
+- Tier 3 — kernels round 10 reworks: decontaminate_bloom's TRAIN-side
+  probe moves from a per-row Python hashlib loop to the JVM-side codegen
+  md5 position columns + a vectorized numpy bitmap gather (VERDICT r9
+  #1). Its r9 green predates the rework.
+- Then budget fill: oldest-verdict-first re-verification — the 28
+  remaining round-2 names (q13_customer_distribution .. the window_*
+  family), then the 28 round-3 names alphabetically (VERDICT r9 #2:
+  nothing predates r3 entering round 11; remainder rolls to r11).
 
 The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep
 the plain names. ``prefixed -> plain`` is recoverable by stripping
@@ -63,8 +62,12 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # The no-verdict invariant is evaluated against green_union(before_round=
 # _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
 # in place — landing CORRECTNESS_r07.json cannot stale it.
-_NEW_THIS_ROUND_DECLARED: int = 9
-_NEW_THIS_ROUND: list[str] = [
+_NEW_THIS_ROUND_DECLARED: int = 10
+_NEW_THIS_ROUND: list[str] = []
+
+# Frozen round-9 tier (was _NEW_THIS_ROUND while round 9 was current) —
+# all verified green in CORRECTNESS_r09 window positions 000-019.
+_R9_TIER: list[str] = [
     "llm_splade_topk",             # learned-sparse saturated-impact serving (r9)
     "llm_query_likelihood",        # Dirichlet-smoothed QL ranking (r9)
     "llm_ndcg_eval",               # exact-fraction nDCG@10 eval harness (r9)
@@ -87,9 +90,9 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_wilson_quality",          # Wilson-LB domain quality ranking (r9)
 ]
 
-# Frozen round-7/round-8 tier 3s — all re-verified green in
-# CORRECTNESS_r08 (window positions 024-031); they keep their post-dark
-# plan slots but no longer need priority.
+# Frozen round-7/8/9 tier 3s — all re-verified green in their rounds'
+# CORRECTNESS windows; they keep their post-dark plan slots but no longer
+# need priority.
 _R7_CHANGED: list[str] = [
     "llm_bm25_rank",
     "llm_dsir_weights",
@@ -102,16 +105,18 @@ _R8_CHANGED: list[str] = [
     "llm_source_overlap_matrix",
     "llm_decontaminate",
 ]
-
-# Tier 3 — green in a prior round but re-implemented/touched this round; a
-# stale green no longer covers the shipped code. Round 9 touches two:
-# decontaminate_bloom's eval side now folds per-partition bitmaps
-# executor-side instead of collecting k·|eval| positions (VERDICT r8 #2),
-# and llm_token_lift's bounded_rank tie-break key became a struct
-# (ADVICE r8 — the concat-ws key could invert on control bytes).
-_CHANGED_THIS_ROUND: list[str] = [
+_R9_CHANGED: list[str] = [
     "llm_decontaminate_bloom",
     "llm_token_lift",
+]
+
+# Tier 3 — green in a prior round but re-implemented/touched this round; a
+# stale green no longer covers the shipped code. Round 10 reworks
+# decontaminate_bloom's TRAIN-side probe: the per-row Python hashlib loop
+# becomes the JVM-side codegen md5 position columns + one vectorized numpy
+# bitmap gather per Arrow batch (VERDICT r9 #1).
+_CHANGED_THIS_ROUND: list[str] = [
+    "llm_decontaminate_bloom",
 ]
 
 # Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).
@@ -244,36 +249,9 @@ _R6_TIER: list[str] = [
 # 5 rounds; the 18 r8-verified heads fn_interval_arithmetic ..
 # join_inner_dim dropped off the queue when CORRECTNESS_r08 landed).
 _FILL_REVERIFY: list[str] = [
-    # newest green is r01
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_null_safe",
-    "join_right_outer",
-    "lateral_view_explode",
-    "llm_context_ngrams",
-    # newest green is r02, alphabetical
-    "events_sessionize",
-    "fn_array_ops",
-    "fn_bitwise",
-    "fn_collect_sorted",
-    "fn_complex_types",
-    "fn_histogram_numeric",
-    "fn_json_props_agg",
-    "fn_map_ops",
-    "fn_math",
-    "fn_parse_url_tuple",
-    "fn_percentile_approx",
-    "fn_reflect",
-    "fn_sentences",
-    "fn_str_to_map",
-    "fn_xpath",
-    "groupby_grouping_id",
-    "hive_cast_semantics",
-    "order_limit_offset",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
+    # newest green is r02, alphabetical (r1-only and the r2 head through
+    # q12_shipmode_priority were re-verified green in CORRECTNESS_r09
+    # window positions 022-049 and dropped off the queue)
     "q13_customer_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
@@ -335,17 +313,19 @@ _FILL_REVERIFY: list[str] = [
 
 # The frozen plan. Dark names derive to the front whether or not they are
 # planned; the plan keeps their relative order stable at the boundary.
-# Round 9's post-dark order: this round's new queries (dark, auto-lead),
-# the two tier-3 re-verifications, then oldest-verdict fill, then the
-# already-re-verified r7/r8 tiers, then everything else alphabetically.
+# Round 10's post-dark order: this round's new queries (dark, auto-lead),
+# the tier-3 re-verification, then oldest-verdict fill, then the
+# already-re-verified r7/r8/r9 tiers, then everything else alphabetically.
 _ROTATION_PLAN: list[str] = list(
     dict.fromkeys(  # dedupe, first occurrence wins (a name may be both in a
         # frozen tier and re-listed as changed; its earliest slot stands)
         _NEW_THIS_ROUND
         + _CHANGED_THIS_ROUND
         + _FILL_REVERIFY
+        + _R9_TIER
         + _R7_CHANGED
         + _R8_CHANGED
+        + _R9_CHANGED
         + _R6_TIER
         + [
             "storage_rcfile_roundtrip",     # RCFile container (r5; JVM read path r6)
