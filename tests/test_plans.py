@@ -1060,3 +1060,48 @@ def test_cosine_histogram_broadcasts_pair_side(spark):
     plan = _executed(REGISTRY["llm_cosine_histogram"].fn(spark, SF_CORRECT))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_no_hashlib_in_arrow_kernels_on_operator_paths():
+    """Global source invariant (VERDICT r9 #1): an Arrow kernel passed to
+    mapInPandas / applyInPandas on an operator path must not hash per row
+    in Python — md5-derived positions/draws belong in whole-stage codegen
+    (conv(substring(md5(..)))) projected BEFORE the kernel, which then
+    does vectorized numpy work only. The bloom probe regression class:
+    the same positions were computed JVM-side for one side and via a
+    per-row hashlib loop for the other. Fixture-scale format-roundtrip
+    queries (queries/llm_corpus.py — capped inputs, digest verification
+    of roundtripped bytes) are the documented carve-out."""
+    import ast
+    import pathlib
+
+    import hdp2_5_hive2_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    allow = {"queries/llm_corpus.py"}
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        rel = str(path.relative_to(root))
+        if rel in allow:
+            continue
+        tree = ast.parse(path.read_text())
+        kernels: set[str] = set()
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr
+                in ("mapInPandas", "applyInPandas", "applyInPandasWithState")
+                and node.args
+                and isinstance(node.args[0], ast.Name)
+            ):
+                kernels.add(node.args[0].id)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.FunctionDef) and node.name in kernels:
+                src = ast.unparse(node)
+                if "hashlib" in src:
+                    offenders.append(f"{rel}:{node.lineno} ({node.name})")
+    assert offenders == [], (
+        "per-row Python hashing inside Arrow kernel(s) — project codegen "
+        f"md5 position columns before the kernel instead: {offenders}"
+    )
