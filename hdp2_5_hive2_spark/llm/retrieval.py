@@ -225,7 +225,18 @@ def splade_topk(
     the per-doc sum is one hash aggregate over |matching postings| rows,
     and the top-k cut is TakeOrderedAndProject + window-free bounded_rank
     (VERDICT r6 #2 device). Nothing driver-side, nothing quadratic."""
-    pairs = list(dict.fromkeys(term_weights))
+    # Dedupe by TERM, not by (term, weight) pair: a term repeated with two
+    # different weights would otherwise keep both CASE branches with the
+    # first silently winning — an ambiguous query vector is an input error.
+    by_term: dict[str, int] = {}
+    for t, wt in term_weights:
+        if t in by_term and by_term[t] != int(wt):
+            raise ValueError(
+                f"splade_topk: conflicting weights for term {t!r}: "
+                f"{by_term[t]} vs {int(wt)}"
+            )
+        by_term[t] = int(wt)
+    pairs = list(by_term.items())
     if not pairs:
         raise ValueError("splade_topk requires at least one weighted term")
     if sat < 1:

@@ -2336,6 +2336,14 @@ def test_splade_topk_saturates_impacts(spark):
         splade_topk(df, [])
     with pytest.raises(ValueError):
         splade_topk(df, [("spark", 1)], sat=0)
+    # Conflicting weights for one term are an input error (ADVICE r9);
+    # an exact repeat of the same (term, weight) pair stays legal.
+    with pytest.raises(ValueError, match="conflicting weights"):
+        splade_topk(df, [("spark", 3), ("spark", 2)])
+    again = {r.doc_id: (r.score, r.rank) for r in
+             splade_topk(df, [("spark", 3), ("spark", 3), ("join", 2)],
+                         topk=10).collect()}
+    assert again == got
 
 
 def test_query_likelihood_smooths_absent_terms(spark):

@@ -1036,10 +1036,19 @@ def test_splade_filters_terms_before_aggregation(spark):
     aggregation (inverted-index access — only matching postings ever
     aggregate), the impact weights are a codegen CASE (no weights join),
     and the top-15 cut is a bounded heap, not a global sort."""
+    import re
+
     plan = _executed(REGISTRY["llm_splade_topk"].fn(spark, SF_CORRECT))
     agg_pos = plan.find("HashAggregate")
-    filt_pos = plan.rfind("Filter")
-    assert agg_pos != -1 and filt_pos > agg_pos, plan  # a Filter BELOW the aggs
+    # Match an actual Filter OPERATOR line, not the FileScan leaf's
+    # `PushedFilters: [...]` annotation (which always prints at the bottom
+    # and made the old rfind("Filter") pin vacuous — ADVICE r9).
+    op_filters = [
+        m.start()
+        for m in re.finditer(r"(?m)^[\s+:*-]*Filter ", plan)
+    ]
+    assert agg_pos != -1 and op_filters, plan
+    assert max(op_filters) > agg_pos, plan  # a Filter operator BELOW the aggs
     assert "TakeOrderedAndProject" in plan, plan
 
 

@@ -38,11 +38,21 @@ def _load(path: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     factor = 1.3
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--factor"):
-            factor = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                factor = float(a.split("=", 1)[1])
+            else:  # space-separated form: consume the value token too
+                factor = float(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     if not args:
         print(__doc__)
         return 2
