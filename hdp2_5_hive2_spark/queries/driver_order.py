@@ -63,7 +63,15 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
 # in place — landing CORRECTNESS_r07.json cannot stale it.
 _NEW_THIS_ROUND_DECLARED: int = 10
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "llm_hapax_audit",             # per-source vocabulary-tail audit (r10)
+    "llm_burstiness",              # Church-Gale cf/df boilerplate screen (r10)
+    "llm_ppswor_sample",           # stratified md5-priority PPSWOR sample (r10)
+    "llm_token_budget_alloc",      # Chinchilla token-budget allocation (r10)
+    "llm_fertility_by_source",     # BPE-ish tokenizer fertility audit (r10)
+    "llm_consistent_hash_moves",   # 64-vnode ring rebalance churn audit (r10)
+    "llm_ngram_coverage_curve",    # top-N 8-gram coverage (memorization) (r10)
+]
 
 # Frozen round-9 tier (was _NEW_THIS_ROUND while round 9 was current) —
 # all verified green in CORRECTNESS_r09 window positions 000-019.
