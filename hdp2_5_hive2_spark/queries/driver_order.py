@@ -71,6 +71,12 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_fertility_by_source",     # BPE-ish tokenizer fertility audit (r10)
     "llm_consistent_hash_moves",   # 64-vnode ring rebalance churn audit (r10)
     "llm_ngram_coverage_curve",    # top-N 8-gram coverage (memorization) (r10)
+    "llm_contamination_position",  # decile heatmap of eval-hit positions (r10)
+    "llm_span_dedup_mask",         # span-mask retained-token audit (r10)
+    "llm_dedup_threshold_sweep",   # exact Jaccard threshold sensitivity (r10)
+    "llm_temperature_sweep",       # mixture weights at T=1/0.5/0.25 (r10)
+    "llm_rank_stability",          # Kendall-tau run-perturbation audit (r10)
+    "llm_cluster_size_powerlaw",   # pow2 dup-cluster size histogram (r10)
 ]
 
 # Frozen round-9 tier (was _NEW_THIS_ROUND while round 9 was current) —

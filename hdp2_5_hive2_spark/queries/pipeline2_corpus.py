@@ -470,3 +470,472 @@ def llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         (F.col("covered").cast("double") / F.col("total")).alias("coverage"),
     )
+
+
+@query(
+    "llm_contamination_position",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i - 1 AS p, len(t) - 7 AS n_pos,
+             array_to_string(t[i:i+7], ' ') AS g
+      FROM t, unnest(generate_series(1, len(t) - 7)) u(i)
+    ), ev AS (
+      SELECT DISTINCT g FROM pos WHERE doc_id % 29 = 0
+    ), hits AS (
+      SELECT p.doc_id, (p.p * 10) // p.n_pos AS decile
+      FROM pos p JOIN ev USING (g)
+      WHERE p.doc_id % 29 <> 0
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hits GROUP BY decile
+    """,
+    tags=("llm", "curation", "contamination", "position"),
+)
+def llm_contamination_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination position heatmap: eval-matching 8-gram hit positions
+    bucketed into relative-position deciles of each train document —
+    leakage concentrated in decile 0 means contaminated HEADERS (license
+    blocks, shared prompts), a flat profile means full-document copies;
+    the two need different remediation (header strip vs drop). The decile
+    is exact integer arithmetic ((0-based position × 10) div n_positions).
+    Same positional-gram window device as llm_contamination_spans
+    (per-document ROWS window, never global); the eval join is the
+    decontaminate broadcast shape. 100 TB: everything is keyed by doc_id
+    until the final 10-row aggregate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("idx", "tok"),
+    )
+    w8 = Window.partitionBy("doc_id").orderBy("idx").rowsBetween(0, 7)
+    wd = Window.partitionBy("doc_id")
+    grams = (
+        toks.withColumn("g", F.concat_ws(" ", F.collect_list("tok").over(w8)))
+        .withColumn("_n", F.count("tok").over(w8))
+        .filter(F.col("_n") == 8)
+        .withColumn("n_pos", F.count(F.lit(1)).over(wd))
+        .select("doc_id", "idx", "n_pos", "g")
+    )
+    ev = grams.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") % 29 != 0)
+        .join(ev, "g")
+        .select("doc_id", F.expr("(idx * 10) div n_pos").alias("decile"))
+    )
+    return hits.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+
+
+@query(
+    "llm_span_dedup_mask",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS idx, len(t) AS n_tokens,
+             array_to_string(t[i:i+7], ' ') AS g
+      FROM t, unnest(generate_series(1, len(t) - 7)) u(i)
+    ), ev AS (
+      SELECT DISTINCT g FROM pos WHERE doc_id % 29 = 0
+    ), hits AS (
+      SELECT p.doc_id, p.idx, p.n_tokens FROM pos p JOIN ev USING (g)
+      WHERE p.doc_id % 29 <> 0
+    ), cov AS (
+      SELECT doc_id, n_tokens,
+             least(8, coalesce(lead(idx) OVER (PARTITION BY doc_id
+                                               ORDER BY idx) - idx, 8)) AS c
+      FROM hits
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS masked_tokens,
+           CAST(((MAX(n_tokens) - SUM(c)) * 1000) // MAX(n_tokens) AS BIGINT)
+             AS retained_milli
+    FROM cov GROUP BY doc_id
+    """,
+    tags=("llm", "curation", "contamination", "masking"),
+)
+def llm_span_dedup_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-masking cost audit: if every eval-matching 8-gram window were
+    masked out of the training document (the span-removal remedy, Lee
+    2021 §4), how many tokens survive? The masked-token union is computed
+    WITHOUT materializing intervals: sorted hit starts contribute
+    least(8, next_start - start) each (last contributes 8) — the exact
+    size of the union of [start, start+7] windows, one per-document
+    window pass. retained_milli is exact integer thousandths. 100 TB:
+    per-document windows only; the hit derivation is the decontaminate
+    broadcast join."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("idx", "tok"),
+    )
+    n_tok = d.select("doc_id", token_count("text").alias("n_tokens"))
+    w8 = Window.partitionBy("doc_id").orderBy("idx").rowsBetween(0, 7)
+    grams = (
+        toks.withColumn("g", F.concat_ws(" ", F.collect_list("tok").over(w8)))
+        .withColumn("_n", F.count("tok").over(w8))
+        .filter(F.col("_n") == 8)
+        .select("doc_id", "idx", "g")
+    )
+    ev = grams.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+    hits = grams.filter(F.col("doc_id") % 29 != 0).join(ev, "g").select(
+        "doc_id", "idx"
+    )
+    wd = Window.partitionBy("doc_id").orderBy("idx")
+    cov = hits.withColumn(
+        "c",
+        F.least(F.lit(8), F.coalesce(F.lead("idx").over(wd) - F.col("idx"), F.lit(8))),
+    )
+    per = cov.groupBy("doc_id").agg(F.sum("c").alias("masked"))
+    return (
+        per.join(n_tok, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("masked").cast("bigint").alias("masked_tokens"),
+            F.expr("((n_tokens - masked) * 1000) div n_tokens")
+            .cast("bigint")
+            .alias("retained_milli"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_threshold_sweep",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 120
+    ), corpus AS (
+      SELECT doc_id, array_to_string(t, ' ') AS text FROM base
+      UNION ALL
+      SELECT doc_id + 2000000, array_to_string(t[1:len(t)-1], ' ')
+      FROM base WHERE doc_id < 40 AND len(t) >= 10
+      UNION ALL
+      SELECT doc_id + 4000000, array_to_string(t[1:(3*len(t))//4], ' ')
+      FROM base WHERE doc_id < 40 AND len(t) >= 16
+    ), t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus
+    ), ngd AS (
+      SELECT DISTINCT doc_id, ngram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 7),
+                                     i -> array_to_string(t[i:i+7], ' ')))
+                 AS ngram
+        FROM t
+      )
+    ), na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ngd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+      FROM ngd a JOIN ngd b USING (ngram)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT inter.i, x.n AS na, y.n AS nb
+      FROM inter JOIN na x ON x.doc_id = inter.da
+                 JOIN na y ON y.doc_id = inter.db
+    ), thr AS (SELECT * FROM (VALUES (CAST(70 AS BIGINT)), (CAST(80 AS BIGINT)),
+                                     (CAST(90 AS BIGINT))) v(thr_pct))
+    SELECT t.thr_pct,
+           CAST(coalesce(SUM(CASE WHEN j.i * 100 >= t.thr_pct
+                                       * (j.na + j.nb - j.i)
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+    FROM thr t LEFT JOIN j ON true
+    GROUP BY t.thr_pct
+    """,
+    tags=("llm", "dedup", "jaccard", "threshold"),
+)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity: exact 8-gram Jaccard pair counts at
+    0.7 / 0.8 / 0.9 on a capped audit sample (doc_id < 120) extended with
+    two planted perturbation bands — a copy missing its final token
+    (Jaccard ≈ (n−1)/n, survives every threshold) and a copy truncated to
+    its first three quarters (Jaccard ≈ 0.75·n/(n), lands between 0.7 and
+    0.9 depending on length) — so the curve has mass at every scale and
+    the audit actually separates the thresholds (the curve a curation
+    team reads before fixing the production LSH threshold). The Jaccard
+    test is integer cross-multiplication (i·100 >= thr·(na+nb−i)) — no
+    float ratios. Candidate pairs come from the co-gram join (only pairs
+    sharing ≥1 gram can pass any threshold ≥ 0.7), never an all-pairs
+    product; empty candidate sets still emit all three thresholds with
+    zero counts (LEFT join against the threshold table). 100 TB: this is
+    the documented capped-sample audit; the production path at full scale
+    is llm_setsim_join's prefix-filtered PPJoin with the same integer
+    threshold test."""
+    base = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    )
+    corpus = (
+        base.select("doc_id", F.concat_ws(" ", "t").alias("text"))
+        .unionAll(
+            base.filter((F.col("doc_id") < 40) & (F.size("t") >= 10)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat_ws(" ", F.expr("slice(t, 1, size(t) - 1)")).alias("text"),
+            )
+        )
+        .unionAll(
+            base.filter((F.col("doc_id") < 40) & (F.size("t") >= 16)).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.concat_ws(" ", F.expr("slice(t, 1, (3 * size(t)) div 4)")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    ngd = curation.word_ngram_rows(corpus, "text", "doc_id", 8)
+    na = ngd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ngd.alias("a"), ngd.alias("b")
+    inter = (
+        a.join(b, "ngram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("da"), F.col("b.id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        inter.join(na.withColumnRenamed("id", "da").withColumnRenamed("n", "na"), "da")
+        .join(na.withColumnRenamed("id", "db").withColumnRenamed("n", "nb"), "db")
+        .select("i", "na", "nb")
+    )
+    thr = spark.createDataFrame([(70,), (80,), (90,)], "thr_pct bigint")
+    return (
+        F.broadcast(thr)
+        .join(j, F.lit(True), "left")
+        .groupBy("thr_pct")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("i") * 100
+                        >= F.col("thr_pct") * (F.col("na") + F.col("nb") - F.col("i")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )
+
+
+@query(
+    "llm_temperature_sweep",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), t AS (SELECT CAST(MAX(n_tokens) AS BIGINT) AS n_max FROM c),
+    temps AS (SELECT * FROM (VALUES ('t100'), ('t050'), ('t025')) v(t_label))
+    SELECT tp.t_label, c.source, c.n_tokens,
+           CASE tp.t_label
+             WHEN 't100' THEN CAST(c.n_tokens AS DOUBLE) / t.n_max
+             WHEN 't050' THEN sqrt(CAST(c.n_tokens AS DOUBLE) / t.n_max)
+             ELSE sqrt(sqrt(CAST(c.n_tokens AS DOUBLE) / t.n_max))
+           END AS w_rel,
+           CAST(floor(CASE tp.t_label
+             WHEN 't100' THEN CAST(c.n_tokens AS DOUBLE) / t.n_max
+             WHEN 't050' THEN sqrt(CAST(c.n_tokens AS DOUBLE) / t.n_max)
+             ELSE sqrt(sqrt(CAST(c.n_tokens AS DOUBLE) / t.n_max))
+           END * 1000.0) AS BIGINT) AS quota_per_1k_of_max
+    FROM temps tp CROSS JOIN c CROSS JOIN t
+    """,
+    tags=("llm", "curation", "mixture", "temperature"),
+)
+def llm_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sweep of the mixture-flattening rule (p_s ∝ n_s^T) at
+    T ∈ {1, 1/2, 1/4}, on TOKEN counts: the side-by-side table a mixture
+    planner reads to pick how hard to flatten (T=1 is proportional replay,
+    lower T up-weights small sources). Exactness discipline: T=1/2 and
+    T=1/4 are sqrt and sqrt∘sqrt — each a correctly-rounded single IEEE op
+    — over ONE exact integer division by the max source, so every double
+    is a fixed chain both engines reproduce bitwise (the r6 relative-form
+    device; a Σ n^T normalizer would be an order-dependent float sum).
+    100 TB: one map-side token count per source; everything after is
+    mixture-sized."""
+    d = load_tables(spark, sf_dir)["documents"]
+    c = d.groupBy("source").agg(F.sum(token_count("text")).alias("n_tokens"))
+    t = c.agg(F.max("n_tokens").alias("n_max"))
+    temps = spark.createDataFrame([("t100",), ("t050",), ("t025",)], "t_label string")
+    r = F.col("n_tokens").cast("double") / F.col("n_max").cast("double")
+    w = (
+        F.when(F.col("t_label") == "t100", r)
+        .when(F.col("t_label") == "t050", F.sqrt(r))
+        .otherwise(F.sqrt(F.sqrt(r)))
+    )
+    return (
+        F.broadcast(temps)
+        .crossJoin(c)
+        .crossJoin(F.broadcast(t))
+        .select(
+            "t_label",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            w.alias("w_rel"),
+            F.floor(w * F.lit(1000.0)).cast("bigint").alias("quota_per_1k_of_max"),
+        )
+    )
+
+
+@query(
+    "llm_rank_stability",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('spark', 'join', 'window', 'table', 'query', 'merge')
+      GROUP BY doc_id, term
+    ), sa AS (
+      SELECT doc_id,
+             CAST(SUM((CASE term WHEN 'spark' THEN 3 WHEN 'join' THEN 2
+                        WHEN 'window' THEN 2 WHEN 'table' THEN 1
+                        WHEN 'query' THEN 1 ELSE 0 END)
+                      * least(tf, 5)) AS BIGINT) AS score
+      FROM tf GROUP BY doc_id
+    ), sb AS (
+      SELECT doc_id,
+             CAST(SUM((CASE term WHEN 'query' THEN 3 WHEN 'table' THEN 2
+                        WHEN 'merge' THEN 2 WHEN 'spark' THEN 1
+                        WHEN 'join' THEN 1 ELSE 0 END)
+                      * least(tf, 5)) AS BIGINT) AS score
+      FROM tf GROUP BY doc_id
+    ), ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM sa QUALIFY r <= 15
+    ), rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM sb QUALIFY r <= 15
+    ), common AS (
+      SELECT ra.doc_id, ra.r AS r_a, rb.r AS r_b FROM ra JOIN rb USING (doc_id)
+    ), pairs AS (
+      SELECT CASE WHEN (x.r_a - y.r_a) * (x.r_b - y.r_b) > 0 THEN 1 ELSE 0 END
+               AS conc
+      FROM common x JOIN common y ON x.doc_id < y.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM common) AS BIGINT) AS n_common,
+           CAST(coalesce(SUM(conc), 0) AS BIGINT) AS concordant,
+           CAST(coalesce(SUM(1 - conc), 0) AS BIGINT) AS discordant,
+           CAST(CASE WHEN count(*) > 0
+                     THEN ((SUM(conc) - SUM(1 - conc)) * 1000) // count(*)
+                     ELSE 0 END AS BIGINT) AS tau_milli
+    FROM pairs
+    """,
+    tags=("llm", "retrieval", "eval", "rank-correlation"),
+)
+def llm_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-correlation audit between two retrieval runs (Kendall tau over
+    the common top-15): run A is the llm_splade_topk weight vector, run B
+    re-weights the query ({query:3, table:2, merge:2, spark:1, join:1}) —
+    the weight-perturbation stability check an eval harness runs before
+    trusting a single learned-sparse ranking. Both runs are pure-int64
+    saturated-impact scores; ranks are distinct (row_number under a total
+    order) so there are no ties and tau = (C − D)/(C + D), reported in
+    exact integer thousandths (floor division, truncation toward zero on
+    both engines). 100 TB: each run is the splade posting-list plan with a
+    bounded top-15 heap; the pair stage joins two 15-row frames — O(k²)
+    on k=15, nothing corpus-sized."""
+    d = load_tables(spark, sf_dir)["documents"]
+    run_a = retrieval.splade_topk(
+        d, [("spark", 3), ("join", 2), ("window", 2), ("table", 1), ("query", 1)],
+        topk=15,
+    ).select("doc_id", F.col("rank").alias("r_a"))
+    run_b = retrieval.splade_topk(
+        d, [("query", 3), ("table", 2), ("merge", 2), ("spark", 1), ("join", 1)],
+        topk=15,
+    ).select("doc_id", F.col("rank").alias("r_b"))
+    common = run_a.join(run_b, "doc_id")
+    x, y = common.alias("x"), common.alias("y")
+    pairs = x.join(y, F.col("x.doc_id") < F.col("y.doc_id")).select(
+        F.when(
+            (F.col("x.r_a") - F.col("y.r_a")) * (F.col("x.r_b") - F.col("y.r_b")) > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    n_common = common.agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    return (
+        pairs.agg(
+            F.coalesce(F.sum("conc"), F.lit(0)).cast("bigint").alias("concordant"),
+            F.coalesce(F.sum(1 - F.col("conc")), F.lit(0))
+            .cast("bigint")
+            .alias("discordant"),
+            F.count(F.lit(1)).alias("_np"),
+        )
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_common",
+            "concordant",
+            "discordant",
+            F.when(F.col("_np") > 0,
+                   F.expr("((concordant - discordant) * 1000) div _np"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("tau_milli"),
+        )
+    )
+
+
+@query(
+    "llm_cluster_size_powerlaw",
+    oracle="WITH RECURSIVE " + _ngram_cte(15) + """
+    , rare AS (SELECT ngram FROM ngd GROUP BY ngram HAVING count(*) <= 100),
+    e0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM ngd a JOIN ngd b USING (ngram) JOIN rare USING (ngram)
+           WHERE a.doc_id < b.doc_id),
+    e AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0),
+    v AS (SELECT DISTINCT s AS id FROM e),
+    walk AS (
+      SELECT id, id AS lab FROM v
+      UNION
+      SELECT e.d AS id, w.lab FROM walk w JOIN e ON e.s = w.id
+    ), cc AS (
+      SELECT id, min(lab) AS rep FROM walk GROUP BY id
+    ), sizes AS (
+      SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM cc GROUP BY rep
+    )
+    SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY bucket
+    """,
+    tags=("llm", "dedup", "graph", "powerlaw"),
+)
+def llm_cluster_size_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution in power-of-two buckets
+    (bucket = floor(log2(size)) computed EXACTLY as the binary-digit count
+    minus one — no float log): the shape check on the dedup graph before
+    choosing a survivorship policy. A heavy 2^4+ tail means template farms
+    (cluster-collapse saves big); all-singleton-pairs means near-dup
+    removal barely pays. Same edges as llm_dedup_clusters_star (16-gram
+    buckets, df <= 100) and the same label-propagation CC operator the
+    cluster queries pin. 100 TB: bounded-round CC over bucketed edges;
+    the histogram is cluster-count-sized."""
+    d = load_tables(spark, sf_dir)["documents"]
+    edges = curation.shared_ngram_edges(d, n=16, max_df=100)
+    cc = curation.connected_components(edges)
+    sizes = cc.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.select(
+            (F.length(F.bin("sz")) - 1).cast("bigint").alias("bucket"), "sz"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+    )
