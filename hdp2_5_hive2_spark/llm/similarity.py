@@ -235,6 +235,108 @@ def quantized_dot_topk(
     )
 
 
+def quantized_cell_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_id_col: str = "vec_id",
+    max_centroids: int = 4096,
+) -> DataFrame:
+    """(id, cell) — nearest-centroid assignment by EXACT integer dot over
+    ``floor(v·scale)`` quantized vectors (cell = the centroid's own id;
+    ties break toward the smallest centroid id). The deterministic, engine
+    -exact IVF coarse quantizer: unlike :func:`ivf_topk`'s float k-means
+    cells, any engine computing the same floors reproduces the same
+    partition of the corpus, which is what recall audits need for a
+    SQL-checkable ground truth.
+
+    Plan / 100 TB: centroid count is the INDEX's k — constant by design —
+    so the centroid matrix is a driver-collected broadcast guarded by
+    ``max_centroids`` (raise, never an unbounded collect); assignment is
+    one Arrow matmul pass over the corpus, no shuffle. A dim-keyed join
+    would shuffle on a 64-value key — the skew cliff the cosine-histogram
+    plan test pins against."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    c_rows = (
+        centroids.select(
+            F.col(cell_id_col).alias("cid"), as_double_array(vec_col).alias("cv")
+        )
+        .orderBy("cid")
+        .limit(max_centroids + 1)
+        .collect()
+    )
+    if len(c_rows) > max_centroids:
+        raise ValueError(
+            f"quantized_cell_assign: centroid side exceeds max_centroids="
+            f"{max_centroids}; IVF coarse books are constant-sized by design"
+        )
+    if not c_rows:
+        raise ValueError("quantized_cell_assign: empty centroid side")
+    c_ids = np.asarray([r.cid for r in c_rows])
+    cm = np.floor(
+        np.asarray([r.cv for r in c_rows], dtype=np.float64) * scale
+    ).astype(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.floor(
+                np.asarray(list(pdf["_v"]), dtype=np.float64) * scale
+            ).astype(np.int64)
+            s = x @ cm.T  # (n, C) int64; argmax takes the FIRST max —
+            # centroids are id-sorted, so ties break toward the smaller id
+            best = np.argmax(s, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": c_ids[best]})
+
+    src = df.select(id_col, as_double_array(vec_col).alias("_v"))
+    return _arrow_fence(src).mapInPandas(gen, f"{id_col} {id_type}, cell bigint")
+
+
+def quantized_pair_dots(
+    pairs: DataFrame,
+    scale: int = 1024,
+    a_vec: str = "qv",
+    b_vec: str = "cv",
+    dot_name: str = "dot",
+) -> DataFrame:
+    """Exact integer dot for pre-joined (…, qv, cv) candidate rows in one
+    Arrow pass — the integer sibling of :func:`_score_candidate_pairs` for
+    quantized-recall audits (vectorized (A·B).sum(1) per batch; never a
+    per-row Python loop, never an interpreted higher-order Column chain on
+    a candidate set whose size the plan does not bound)."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = [c for c in pairs.columns if c not in (a_vec, b_vec)]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.schema.fields
+        if f.name in out_cols
+    ) + f", {dot_name} bigint"
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.floor(
+                np.asarray(list(pdf[a_vec]), dtype=np.float64) * scale
+            ).astype(np.int64)
+            b = np.floor(
+                np.asarray(list(pdf[b_vec]), dtype=np.float64) * scale
+            ).astype(np.int64)
+            out = pdf[out_cols].copy()
+            out[dot_name] = (a * b).sum(axis=1)
+            yield out
+
+    return pairs.mapInPandas(gen, schema)
+
+
 def _score_candidate_pairs(cand: DataFrame) -> DataFrame:
     """Exact cosine for (query_id, neighbor_id, cv, qv) candidate rows in one
     Arrow pass (vectorized einsum per batch) — the re-rank step shared by

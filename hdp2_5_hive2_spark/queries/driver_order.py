@@ -77,6 +77,10 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_temperature_sweep",       # mixture weights at T=1/0.5/0.25 (r10)
     "llm_rank_stability",          # Kendall-tau run-perturbation audit (r10)
     "llm_cluster_size_powerlaw",   # pow2 dup-cluster size histogram (r10)
+    "llm_dup_graph_2core",         # synchronized 2-core degree peel (r10)
+    "llm_mixture_interleave",      # weighted-fair-queueing schedule (r10)
+    "llm_recall_curve",            # recall@1/5/10 of deterministic IVF (r10)
+    "llm_opq_rotation_audit",      # signed-permutation code balance (r10)
 ]
 
 # Frozen round-9 tier (was _NEW_THIS_ROUND while round 9 was current) —

@@ -939,3 +939,436 @@ def llm_cluster_size_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sz").cast("bigint").alias("n_docs"),
         )
     )
+
+
+def _twocore_oracle(rounds: int) -> str:
+    """Chained-CTE oracle for the synchronized 2-core peel: round r keeps
+    nodes with degree >= 2 in the round-(r-1) induced subgraph and filters
+    edges to kept endpoints. Generated mechanically so the Spark loop and
+    the SQL run EXACTLY the same number of synchronized rounds — results
+    match by construction whether or not the peel has converged (and the
+    convergence test in tests/test_llm.py pins that it HAS, at the shipped
+    scales)."""
+    parts = [
+        "WITH " + _ngram_cte(15),
+        """
+    , rare AS (SELECT ngram FROM ngd GROUP BY ngram HAVING count(*) <= 100),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM ngd a JOIN ngd b USING (ngram) JOIN rare USING (ngram)
+           WHERE a.doc_id < b.doc_id)
+    """,
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , k{r} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT da AS node FROM {prev} UNION ALL SELECT db FROM {prev}
+      ) GROUP BY node HAVING count(*) >= 2
+    ), e{r} AS MATERIALIZED (
+      SELECT e.da, e.db FROM {prev} e
+      JOIN k{r} x ON x.node = e.da JOIN k{r} y ON y.node = e.db
+    )""")
+        prev = f"e{r}"
+    parts.append(f"""
+    SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+      SELECT da AS node FROM {prev} UNION ALL SELECT db FROM {prev}
+    ) GROUP BY node
+    """)
+    return "".join(parts)
+
+
+@query(
+    "llm_dup_graph_2core",
+    oracle=_twocore_oracle(12),
+    tags=("llm", "dedup", "graph", "kcore"),
+)
+def llm_dup_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the duplicate graph (iterative degree peel): nodes that
+    survive repeated removal of degree-<2 vertices — the subgraph where
+    duplication is MUTUALLY corroborated (trees/pendant edges are one
+    shared quote; the 2-core is template farms and copy rings, the part
+    of the graph worth cluster-collapsing). Peeling runs 12 SYNCHRONIZED
+    rounds on both engines (each round: recompute degrees in the induced
+    subgraph, keep nodes with degree >= 2, filter edges to kept
+    endpoints), so Spark and the chained-CTE oracle agree by construction;
+    the convergence pytest pins that 12 rounds reach the true fixpoint at
+    the shipped scales. Same edge derivation as llm_dedup_clusters_star
+    (16-gram buckets, df <= 100). 100 TB: each round is two
+    semi-joins keyed on node ids over an only-shrinking edge list, the
+    same bounded-round discipline as connected_components; lineage is cut
+    every round (localCheckpoint) so the plan stays flat."""
+    d = load_tables(spark, sf_dir)["documents"]
+    edges = curation.shared_ngram_edges(d, n=16, max_df=100).localCheckpoint(
+        eager=False
+    )
+    for _ in range(12):
+        nodes = edges.select(F.col("doc_a").alias("node")).unionAll(
+            edges.select(F.col("doc_b").alias("node"))
+        )
+        keep = (
+            nodes.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("node")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "doc_a"), "doc_a")
+            .join(keep.withColumnRenamed("node", "doc_b"), "doc_b")
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
+        edges.select(F.col("doc_b").alias("doc_id"))
+    )
+    return nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    )
+
+
+@query(
+    "llm_mixture_interleave",
+    oracle="""
+    WITH w AS (
+      SELECT * FROM (VALUES ('src0', CAST(3 AS BIGINT)),
+                            ('src1', CAST(2 AS BIGINT)),
+                            ('src2', CAST(1 AS BIGINT))) v(source, wt)
+    ), items AS (
+      SELECT d.source, d.doc_id, w.wt,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':ord'), d.doc_id
+             ) AS i
+      FROM documents d JOIN w USING (source)
+    ), keyed AS (
+      SELECT source, doc_id, CAST(i * (6 // wt) AS BIGINT) AS vkey FROM items
+    )
+    SELECT CAST(pos AS BIGINT) AS pos, source, doc_id, vkey FROM (
+      SELECT source, doc_id, vkey,
+             row_number() OVER (ORDER BY vkey, source, doc_id) AS pos
+      FROM keyed
+    ) WHERE pos <= 30
+    """,
+    tags=("llm", "curation", "mixture", "schedule"),
+)
+def llm_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-fair interleaved mixture schedule: three sources with
+    integer weights 3:2:1 emit documents in md5-shuffled order; item i of
+    a weight-w source carries virtual time i·(LCM/w) (LCM = 6, so every
+    key is an exact integer — the weighted-fair-queueing finish-time rule)
+    and the realized schedule is the first 30 positions of the (vkey,
+    source, doc_id) total order. Guarantees each prefix of the schedule
+    tracks the 3:2:1 ratio within one item per source — the interleaving
+    property data loaders need so no training window sees a source drought.
+    100 TB: the per-source index window is PARTITIONED by source; the
+    global cut is TakeOrderedAndProject (bounded 30-row heap) + the
+    window-free bounded_rank for positions."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = spark.createDataFrame(
+        [("src0", 3), ("src1", 2), ("src2", 1)], "source string, wt bigint"
+    )
+    ws = Window.partitionBy("source").orderBy("pri", "doc_id")
+    items = (
+        d.join(F.broadcast(w), "source")
+        .select(
+            "source",
+            "doc_id",
+            "wt",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ord"))).alias(
+                "pri"
+            ),
+        )
+        .withColumn("i", F.row_number().over(ws))
+        .select(
+            "source", "doc_id", F.expr("i * (6 div wt)").cast("bigint").alias("vkey")
+        )
+    )
+    top = items.orderBy("vkey", "source", "doc_id").limit(30)
+    ranked = retrieval.bounded_rank(
+        top.withColumn(
+            "_tie", F.struct(F.col("source").alias("s"), F.col("doc_id").alias("d"))
+        ),
+        "vkey",
+        "_tie",
+        ascending=True,
+    )
+    return ranked.select(
+        F.col("rank").cast("bigint").alias("pos"), "source", "doc_id", "vkey"
+    )
+
+
+_QINT_CTE = """
+    WITH qe AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 1024)) AS qv
+      FROM embeddings
+    )
+"""
+
+
+@query(
+    "llm_recall_curve",
+    oracle=_QINT_CTE
+    + """
+    , cents AS (
+      SELECT vec_id AS cid, qv FROM qe WHERE vec_id >= 8 AND vec_id % 17 = 8
+    ), corpus AS (SELECT vec_id, qv FROM qe WHERE vec_id >= 8),
+    queries AS (SELECT vec_id, qv FROM qe WHERE vec_id < 8),
+    c_cell AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT c.vec_id, ct.cid,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_dot_product(c.qv, ct.qv) DESC, ct.cid
+               ) AS rk
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rk = 1
+    ), q_cell AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT q.vec_id, ct.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.qv, ct.qv) DESC, ct.cid
+               ) AS rk
+        FROM queries q CROSS JOIN cents ct
+      ) WHERE rk = 1
+    ), exact AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(c.qv, q.qv) DESC, c.vec_id
+               ) AS rk
+        FROM corpus c CROSS JOIN queries q
+      ) WHERE rk <= 10
+    ), approx AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(c.qv, q.qv) DESC, c.vec_id
+               ) AS rk
+        FROM queries q
+        JOIN q_cell qc ON qc.vec_id = q.vec_id
+        JOIN c_cell cc ON cc.cell = qc.cell
+        JOIN corpus c ON c.vec_id = cc.vec_id
+      ) WHERE rk <= 10
+    ), ks AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(5 AS BIGINT)),
+                                    (CAST(10 AS BIGINT))) v(k))
+    SELECT e.query_id, k.k,
+           CAST(SUM(CASE WHEN a.rk IS NOT NULL AND a.rk <= k.k
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN a.rk IS NOT NULL AND a.rk <= k.k
+                         THEN 1 ELSE 0 END) AS DOUBLE) / k.k AS recall
+    FROM ks k CROSS JOIN exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    WHERE e.rk <= k.k
+    GROUP BY e.query_id, k.k
+    """,
+    tags=("llm", "similarity", "ann", "recall", "ivf"),
+)
+def llm_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k curve (k = 1/5/10) of a single-probe deterministic-IVF
+    index against exact integer-dot ground truth: the acceptance curve an
+    ANN rollout reads — recall@1 collapsing while recall@10 holds means
+    near-boundary cells, a uniformly low curve means too few probes. The
+    coarse book is every 17th corpus vector (llm.similarity
+    .quantized_cell_assign: id-sorted broadcast book, exact int64 dots,
+    first-max = smallest-id tie-break), candidates are the query's single
+    cell, and both rankings share llm_ndcg_eval's quantized-dot total
+    order ((dot desc, id) — no float ties to adjudicate). 100 TB: corpus
+    assignment is one Arrow matmul against a constant-size broadcast book
+    (raise-guarded); the candidate join is cell-keyed; the exact side is
+    quantized_dot_topk's broadcast-queries shape; nothing all-pairs except
+    the 8-query ground-truth scan the audit inherently needs."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") >= 8)
+    queries = e.filter(F.col("vec_id") < 8)
+    cents = corpus.filter(F.col("vec_id") % 17 == 8)
+    c_cell = similarity.quantized_cell_assign(corpus, cents)
+    q_cell = similarity.quantized_cell_assign(queries, cents)
+    cand = (
+        q_cell.withColumnRenamed("vec_id", "query_id")
+        .join(c_cell.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .select("query_id", "neighbor_id")
+    )
+    pairs = (
+        cand.join(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                similarity.as_double_array("embedding").alias("qv"),
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                similarity.as_double_array("embedding").alias("cv"),
+            ),
+            "neighbor_id",
+        )
+    )
+    scored = similarity.quantized_pair_dots(pairs)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.col("rk").alias("a_rk"))
+    )
+    exact = similarity.quantized_dot_topk(corpus, queries, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("e_rk")
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k bigint")
+    hit = F.sum(
+        F.when(F.col("a_rk").isNotNull() & (F.col("a_rk") <= F.col("k")), 1).otherwise(
+            0
+        )
+    )
+    return (
+        F.broadcast(ks)
+        .crossJoin(exact)
+        .join(approx, ["query_id", "neighbor_id"], "left")
+        .filter(F.col("e_rk") <= F.col("k"))
+        .groupBy("query_id", "k")
+        .agg(
+            hit.cast("bigint").alias("n_hits"),
+            (hit.cast("double") / F.col("k")).alias("recall"),
+        )
+    )
+
+
+@query(
+    "llm_opq_rotation_audit",
+    oracle="""
+    WITH dims AS (
+      SELECT j,
+             CAST(('0x' || substring(md5('perm:' || j), 1, 8)) AS BIGINT) AS h,
+             CASE WHEN CAST(('0x' || substring(md5('sign:' || j), 1, 8))
+                    AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM generate_series(0, 63) t(j)
+    ), perm AS (
+      SELECT a.j, a.sgn,
+             CAST((SELECT count(*) FROM dims b
+                   WHERE b.h < a.h OR (b.h = a.h AND b.j <= a.j)) - 1
+               AS BIGINT) AS pos
+      FROM dims a
+    ), q AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding AS DOUBLE[])[i] * 1024) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, 64)) u(i)
+    ), raw_b AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN q > 0 THEN 1 ELSE 0 END
+                      * (CAST(1 AS BIGINT) << CAST(dim AS INT))) AS BIGINT)
+               AS bucket
+      FROM q WHERE dim < 8 GROUP BY vec_id
+    ), rot_b AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN p.sgn * q.q > 0 THEN 1 ELSE 0 END
+                      * (CAST(1 AS BIGINT) << CAST(p.pos AS INT))) AS BIGINT)
+               AS bucket
+      FROM q JOIN perm p ON p.j = q.dim
+      WHERE p.pos < 8 GROUP BY vec_id
+    ), stats AS (
+      SELECT 'raw' AS variant, bucket, count(*) AS c FROM raw_b GROUP BY bucket
+      UNION ALL
+      SELECT 'rotated', bucket, count(*) FROM rot_b GROUP BY bucket
+    )
+    SELECT variant,
+           CAST(SUM(c) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(SUM(c * c) AS BIGINT) AS sum_sq
+    FROM stats GROUP BY variant
+    """,
+    tags=("llm", "similarity", "quantize", "rotation"),
+)
+def llm_opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style rotation audit: does an orthogonal transform balance the
+    sign-code buckets? The rotation is a SIGNED PERMUTATION (md5-ranked
+    dimension reorder + md5-derived per-dimension sign flips) — exactly
+    orthogonal and exactly integer (r[perm(j)] = sgn_j·q_j permutes and
+    flips the floor(v·1024) codes unchanged), so the audit is bit-stable
+    on any engine while testing the same thing OPQ's learned rotation is
+    tested on: occupancy skew of the leading-8-bit sign codes before vs
+    after (n_buckets used, max bucket, Σcount² — the collision mass that
+    drives Hamming-probe cost). Extends llm_sign_code_balance (the
+    before-only audit). 100 TB: the permutation is a 64-row broadcast
+    (rank via a 64×64 self-join count, no global window); buckets are one
+    map-side shift-OR aggregate per vector over dims < 8."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.select(
+        "vec_id",
+        F.posexplode(similarity.as_double_array("embedding")).alias("dim", "v"),
+    ).select(
+        "vec_id", "dim", F.floor(F.col("v") * 1024).cast("bigint").alias("q")
+    )
+    dims = spark.range(64).select(
+        F.col("id").alias("j"),
+        F.conv(F.substring(F.md5(F.concat(F.lit("perm:"), F.col("id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sign:"), F.col("id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    a, b = dims.alias("a"), dims.alias("b")
+    perm = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.h") < F.col("a.h"))
+            | ((F.col("b.h") == F.col("a.h")) & (F.col("b.j") <= F.col("a.j"))),
+        )
+        .groupBy(F.col("a.j").alias("j"), F.col("a.sgn").alias("sgn"))
+        .agg((F.count(F.lit(1)) - 1).cast("bigint").alias("pos"))
+    )
+    raw_b = (
+        q.filter(F.col("dim") < 8)
+        .withColumn("bit", F.when(F.col("q") > 0, 1).otherwise(0))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(dim AS INT))"))
+            .cast("bigint")
+            .alias("bucket")
+        )
+    )
+    rot_b = (
+        q.join(F.broadcast(perm), F.col("dim") == F.col("j"))
+        .filter(F.col("pos") < 8)
+        .withColumn("bit", F.when(F.col("sgn") * F.col("q") > 0, 1).otherwise(0))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"))
+            .cast("bigint")
+            .alias("bucket")
+        )
+    )
+    stats = (
+        raw_b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit("raw").alias("variant"), "bucket", "c")
+        .unionAll(
+            rot_b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit("rotated").alias("variant"), "bucket", "c")
+        )
+    )
+    return stats.groupBy("variant").agg(
+        F.sum("c").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+    )

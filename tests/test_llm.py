@@ -2767,3 +2767,48 @@ def test_knn_reciprocity_matches_python(spark):
     got = {r.label: (r.n_nodes, r.n_edges, r.n_mutual, r.reciprocity)
            for r in REGISTRY["llm_knn_reciprocity"].fn(spark, SF_CORRECT).collect()}
     assert got == want
+
+
+def test_dup_graph_2core_converges_in_12_rounds(spark):
+    """The llm_dup_graph_2core query runs 12 SYNCHRONIZED peel rounds on
+    both engines (results match by construction even un-converged); this
+    pins that 12 rounds reach the TRUE fixpoint at the shipped scales —
+    one more peel round changes nothing, so the output genuinely is the
+    2-core, not a truncated peel. Also checks the 2-core invariant
+    directly: every surviving node has core degree >= 2."""
+    from hdp2_5_hive2_spark.llm import curation
+    from hdp2_5_hive2_spark.catalog import load_tables
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    edges = curation.shared_ngram_edges(d, n=16, max_df=100).localCheckpoint(
+        eager=False
+    )
+
+    def peel(e, rounds):
+        for _ in range(rounds):
+            nodes = e.select(F.col("doc_a").alias("node")).unionAll(
+                e.select(F.col("doc_b").alias("node"))
+            )
+            keep = (
+                nodes.groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= 2)
+                .select("node")
+            )
+            e = (
+                e.join(keep.withColumnRenamed("node", "doc_a"), "doc_a")
+                .join(keep.withColumnRenamed("node", "doc_b"), "doc_b")
+                .select("doc_a", "doc_b")
+                .localCheckpoint(eager=False)
+            )
+        return e
+
+    e12 = peel(edges, 12)
+    r12 = sorted((r.doc_a, r.doc_b) for r in e12.collect())
+    r13 = sorted((r.doc_a, r.doc_b) for r in peel(e12, 1).collect())
+    assert r12 == r13, "peel not converged after 12 rounds"
+    degs = {}
+    for a, b in r12:
+        degs[a] = degs.get(a, 0) + 1
+        degs[b] = degs.get(b, 0) + 1
+    assert all(v >= 2 for v in degs.values())
