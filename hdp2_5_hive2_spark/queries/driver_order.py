@@ -81,6 +81,9 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_mixture_interleave",      # weighted-fair-queueing schedule (r10)
     "llm_recall_curve",            # recall@1/5/10 of deterministic IVF (r10)
     "llm_opq_rotation_audit",      # signed-permutation code balance (r10)
+    "llm_mmr_diversify",           # exact-int MMR greedy top-6 of 12 (r10)
+    "llm_packing_contamination",   # contaminated-bin exposure audit (r10)
+    "llm_compaction_stream",       # keyed compaction fold + stream twin (r10)
 ]
 
 # Frozen round-9 tier (was _NEW_THIS_ROUND while round 9 was current) —

@@ -1372,3 +1372,304 @@ def llm_opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("max_bucket"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
     )
+
+
+@query(
+    "llm_mmr_diversify",
+    oracle=_QINT_CTE.replace("WITH qe", "WITH RECURSIVE qe")
+    + """
+    , corpus AS (SELECT vec_id, qv FROM qe WHERE vec_id >= 8),
+    qv0 AS (SELECT qv FROM qe WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id, CAST(list_dot_product(c.qv, q.qv) AS BIGINT) AS rel
+      FROM corpus c CROSS JOIN qv0 q
+    ),
+    pool AS MATERIALIZED (
+      SELECT vec_id, rel FROM scored ORDER BY rel DESC, vec_id LIMIT 12
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(list_dot_product(x.qv, y.qv) AS BIGINT) AS s
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      JOIN corpus x ON x.vec_id = a.vec_id
+      JOIN corpus y ON y.vec_id = b.vec_id
+    ),
+    sel AS (
+      (SELECT CAST(1 AS BIGINT) AS step, vec_id,
+              CAST(2 * rel AS BIGINT) AS mmr, [vec_id] AS chosen
+       FROM pool ORDER BY rel DESC, vec_id LIMIT 1)
+      UNION ALL
+      SELECT s.step + 1, nxt.vec_id, nxt.mmr, list_append(s.chosen, nxt.vec_id)
+      FROM sel s, LATERAL (
+        SELECT p.vec_id,
+               CAST(2 * p.rel - (SELECT MAX(sm.s) FROM sims sm
+                                 WHERE sm.ia = p.vec_id
+                                   AND list_contains(s.chosen, sm.ib))
+                 AS BIGINT) AS mmr
+        FROM pool p
+        WHERE NOT list_contains(s.chosen, p.vec_id)
+        ORDER BY mmr DESC, p.vec_id
+        LIMIT 1
+      ) nxt
+      WHERE s.step < 6
+    )
+    SELECT step, vec_id, mmr FROM sel
+    """,
+    tags=("llm", "retrieval", "diversity", "mmr"),
+)
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell–Goldstein
+    1998) with λ = 2/3 kept EXACT by scaling: 3·MMR = 2·rel − max-sim, all
+    int64 quantized dots, greedy pick 6 of a 12-candidate pool (pool =
+    quantized_dot_topk vs query vector 0; step 1 scores 2·rel, later steps
+    subtract the max similarity to the already-chosen set; ties go to the
+    smaller id). The re-ranking layer result diversification needs above
+    plain top-k — near-duplicate neighbors of the first pick drop behind
+    fresh regions of the embedding space. Oracle: the same greedy fold as
+    a recursive CTE carrying the chosen set as a LIST column (the
+    cumulative set, NOT just the previous row — the r9 probe's finding).
+    100 TB: the pool is a bounded top-k (broadcast-query kernel); the
+    greedy loop runs in ONE applyInPandas group over the 132 directed pool
+    pairs — bounded by construction at pool²; nothing corpus-sized past
+    the top-k cut."""
+    import pandas as pd
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") >= 8)
+    q0 = e.filter(F.col("vec_id") == 0)
+    pool = similarity.quantized_dot_topk(corpus, q0, k=12).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("dot").alias("rel")
+    )
+    vecs = corpus.join(pool.select("vec_id"), "vec_id").select(
+        "vec_id", similarity.as_double_array("embedding").alias("v")
+    )
+    a = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("qv"))
+    b = vecs.select(F.col("vec_id").alias("ib"), F.col("v").alias("cv"))
+    prs = a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+    sims = similarity.quantized_pair_dots(prs, dot_name="s")
+    frame = sims.join(
+        F.broadcast(pool.withColumnRenamed("vec_id", "ia")), "ia"
+    ).withColumn("_g", F.lit(1))
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rel = {int(i): int(r) for i, r in zip(pdf["ia"], pdf["rel"])}
+        sim = {
+            (int(i), int(j)): int(s)
+            for i, j, s in zip(pdf["ia"], pdf["ib"], pdf["s"])
+        }
+        chosen: list[int] = []
+        out = []
+        for step in range(1, 7):
+            best, best_m = None, None
+            for p in sorted(rel):
+                if p in chosen:
+                    continue
+                m = 2 * rel[p] - (
+                    max(sim[(p, c)] for c in chosen) if chosen else 0
+                )
+                if best is None or m > best_m:
+                    best, best_m = p, m
+            if best is None:
+                break
+            out.append((step, best, best_m))
+            chosen.append(best)
+        return pd.DataFrame(out, columns=["step", "vec_id", "mmr"])
+
+    return frame.groupBy("_g").applyInPandas(
+        greedy, "step bigint, vec_id bigint, mmr bigint"
+    )
+
+
+@query(
+    "llm_packing_contamination",
+    oracle="WITH RECURSIVE " + _ngram_cte(7) + """
+    , ev AS (SELECT DISTINCT ngram FROM ngd WHERE doc_id % 29 = 0),
+    contam AS (
+      SELECT DISTINCT n.doc_id FROM ngd n JOIN ev USING (ngram)
+      WHERE n.doc_id % 29 <> 0
+    ), t AS (
+      SELECT doc_id // 64 AS chunk, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS nt,
+             row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ), pack AS (
+      SELECT chunk, rn, doc_id, 0 AS bin_idx, nt AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.chunk, t.rn, t.doc_id,
+             CASE WHEN p.fill + t.nt > 512 THEN p.bin_idx + 1
+                  ELSE p.bin_idx END,
+             CASE WHEN p.fill + t.nt > 512 THEN t.nt
+                  ELSE p.fill + t.nt END
+      FROM pack p JOIN t ON t.chunk = p.chunk AND t.rn = p.rn + 1
+    ), member AS (
+      SELECT p.chunk, p.bin_idx, p.doc_id,
+             (c.doc_id IS NOT NULL) AS contam
+      FROM pack p LEFT JOIN contam c USING (doc_id)
+    ), bins AS (
+      SELECT chunk, bin_idx,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN contam THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+             CAST(SUM(CASE WHEN contam THEN 0 ELSE 1 END) AS BIGINT) AS n_ok
+      FROM member GROUP BY chunk, bin_idx
+    )
+    SELECT CAST(chunk AS BIGINT) AS chunk,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(SUM(CASE WHEN n_bad > 0 AND n_ok > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_mixed_bins,
+           CAST(SUM(CASE WHEN n_bad > 0 THEN n_ok ELSE 0 END) AS BIGINT)
+             AS n_exposed_docs
+    FROM bins GROUP BY chunk
+    """,
+    tags=("llm", "packing", "contamination"),
+)
+def llm_packing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-contamination through sequence packing: when contaminated
+    documents (train docs sharing an 8-gram with the doc_id%29 eval set —
+    the decontaminate derivation) are packed into 512-token bins with
+    clean ones, every clean bin-mate trains inside a contaminated
+    attention window. Per 64-doc packing chunk: bin count, bins mixing
+    contaminated and clean docs, and clean docs so exposed — the
+    measurement that motivates masking/ordering fixes BEFORE packing.
+    Composes the llm_pack_greedy_bins fold (same chunk sharding, here
+    emitting bin MEMBERSHIP) with the decontaminate join. 100 TB: the
+    packing shuffle carries (chunk, doc_id, nt) only; the contamination
+    side is the broadcast eval-gram join; output is chunk-count-sized."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"]
+    grams = curation.word_ngram_rows(d, "text", "doc_id", 8)
+    ev = grams.filter(F.col("id") % 29 == 0).select("ngram").distinct()
+    contam = (
+        grams.filter(F.col("id") % 29 != 0)
+        .join(ev, "ngram")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    toks = d.select(
+        F.expr("doc_id div 64").alias("chunk"),
+        "doc_id",
+        token_count("text").cast("bigint").alias("nt"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        out = []
+        chunk = int(pdf["chunk"].iloc[0])
+        bin_idx, fill, ndocs = 0, 0, 0
+        for did, t in zip(pdf["doc_id"], pdf["nt"]):
+            t = int(t)
+            if ndocs > 0 and fill + t > 512:
+                bin_idx, fill, ndocs = bin_idx + 1, 0, 0
+            out.append((chunk, bin_idx, int(did)))
+            fill += t
+            ndocs += 1
+        return pd.DataFrame(out, columns=["chunk", "bin_idx", "doc_id"])
+
+    member = toks.groupBy("chunk").applyInPandas(
+        pack, "chunk bigint, bin_idx bigint, doc_id bigint"
+    )
+    flagged = member.join(contam, "doc_id", "left").select(
+        "chunk", "bin_idx", F.coalesce("contam", F.lit(False)).alias("contam")
+    )
+    bins = flagged.groupBy("chunk", "bin_idx").agg(
+        F.sum(F.when(F.col("contam"), 1).otherwise(0)).alias("n_bad"),
+        F.sum(F.when(F.col("contam"), 0).otherwise(1)).alias("n_ok"),
+    )
+    return bins.groupBy("chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.when((F.col("n_bad") > 0) & (F.col("n_ok") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mixed_bins"),
+        F.sum(F.when(F.col("n_bad") > 0, F.col("n_ok")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_docs"),
+    )
+
+
+@query(
+    "llm_compaction_stream",
+    oracle="""
+    WITH RECURSIVE f AS (
+      SELECT user_id, (event_id % 997) + 64 AS bytes,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), fold AS (
+      SELECT user_id, rn, bytes,
+             CASE WHEN bytes >= 4096 THEN 1 ELSE 0 END AS comp,
+             CASE WHEN bytes >= 4096 THEN 0 ELSE bytes END AS fill
+      FROM f WHERE rn = 1
+      UNION ALL
+      SELECT f.user_id, f.rn, f.bytes,
+             CASE WHEN p.fill + f.bytes >= 4096 THEN p.comp + 1
+                  ELSE p.comp END,
+             CASE WHEN p.fill + f.bytes >= 4096 THEN 0
+                  ELSE p.fill + f.bytes END
+      FROM fold p JOIN f ON f.user_id = p.user_id AND f.rn = p.rn + 1
+    ), last AS (
+      SELECT user_id, comp, fill,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rk
+      FROM fold
+    )
+    SELECT f.user_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(f.bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(l.comp) AS BIGINT) AS n_compactions,
+           CAST(MAX(l.fill) AS BIGINT) AS residual_bytes
+    FROM f JOIN last l ON l.user_id = f.user_id AND l.rk = 1
+    GROUP BY f.user_id
+    """,
+    tags=("llm", "storage", "compaction", "streaming-twin"),
+)
+def llm_compaction_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-ordered shard-compaction accounting — the BATCH twin of the
+    stateful streaming monitor (streaming.corpus.streaming_compaction
+    _monitor, parity-pinned in tests/test_streaming_corpus.py): shard
+    files arrive per writer (user_id) in (ts, event_id) order with
+    deterministic sizes ((event_id % 997) + 64 bytes); a writer's fill
+    accumulates until it crosses the 4096-byte target, which fires a
+    compaction and resets the fill — the running decision a streaming
+    ingest service makes per micro-batch, here folded over the full
+    history. Output per writer: files, bytes, compactions fired, residual
+    fill. The fold is inherently sequential PER KEY, so it runs as
+    applyInPandas per user (keyed state, the applyInPandasWithState shape
+    in batch form); the oracle is the same fold as a recursive CTE.
+    100 TB: keyed by writer — groups are writer-history-sized, exactly
+    the state the streaming monitor holds; nothing global anywhere."""
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir)["events"]
+    f = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") % 997) + 64).cast("bigint").alias("bytes"),
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        uid = int(pdf["user_id"].iloc[0])
+        fill, comp, total = 0, 0, 0
+        for b in pdf["bytes"]:
+            b = int(b)
+            total += b
+            fill += b
+            if fill >= 4096:
+                comp += 1
+                fill = 0
+        return pd.DataFrame(
+            [(uid, len(pdf), total, comp, fill)],
+            columns=[
+                "user_id", "n_files", "total_bytes", "n_compactions",
+                "residual_bytes",
+            ],
+        )
+
+    return f.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id bigint, n_files bigint, total_bytes bigint, "
+        "n_compactions bigint, residual_bytes bigint",
+    )

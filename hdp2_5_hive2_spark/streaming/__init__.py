@@ -1,5 +1,6 @@
 from hdp2_5_hive2_spark.streaming.corpus import (
     resolve_dup_verdicts,
+    streaming_compaction_monitor,
     resolve_image_verdicts,
     streaming_image_dedup,
     streaming_minhash_dedup,
@@ -21,5 +22,6 @@ __all__ = [
     "streaming_minhash_dedup",
     "resolve_dup_verdicts",
     "streaming_image_dedup",
+    "streaming_compaction_monitor",
     "resolve_image_verdicts",
 ]

@@ -400,3 +400,84 @@ def resolve_image_verdicts(band_verdicts: DataFrame) -> DataFrame:
             "hamming",
         )
     )
+
+
+def streaming_compaction_monitor(
+    file_stream: DataFrame,
+    target_bytes: int = 4096,
+) -> DataFrame:
+    """STREAMING shard-compaction monitor — the stateful twin of the batch
+    llm_compaction_stream query (queries/pipeline2_corpus.py): shard-file
+    arrival events ``(user_id, ts, event_id, bytes)`` stream in per writer;
+    each writer's keyed state carries (fill, compactions, files, bytes) and
+    a compaction fires whenever the accumulated fill crosses
+    ``target_bytes`` (fill resets to 0 — the same greedy fold the batch
+    twin runs over the full history). Emits ONE row per writer per
+    micro-batch with the RUNNING totals, so the last emission per writer
+    equals the batch query's row — the parity contract pinned in
+    tests/test_streaming_corpus.py.
+
+    Within a micro-batch, arrivals are processed in (ts, event_id) order —
+    deterministic replay, the same discipline as the dedup gate. 100 TB
+    notes: state is four ints per writer (RocksDB-trivial); the stateful
+    shuffle keys on writer id, the same partitioning the ingest service's
+    commit log already has; compaction decisions are made executor-side
+    with no driver involvement."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_files", LongType()),
+            StructField("total_bytes", LongType()),
+            StructField("n_compactions", LongType()),
+            StructField("residual_bytes", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_files", LongType()),
+            StructField("total_bytes", LongType()),
+            StructField("n_compactions", LongType()),
+            StructField("fill", LongType()),
+        ]
+    )
+    tgt = int(target_bytes)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n_files, total, comp, fill = state.get
+        else:
+            n_files, total, comp, fill = 0, 0, 0, 0
+        rows = []
+        for pdf in pdfs:
+            for ts, eid, b in zip(pdf["ts"], pdf["event_id"], pdf["bytes"]):
+                rows.append((int(ts), int(eid), int(b)))
+        rows.sort()
+        for _, _, b in rows:
+            n_files += 1
+            total += b
+            fill += b
+            if fill >= tgt:
+                comp += 1
+                fill = 0
+        state.update((int(n_files), int(total), int(comp), int(fill)))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_files": [n_files],
+                    "total_bytes": [total],
+                    "n_compactions": [comp],
+                    "residual_bytes": [fill],
+                }
+            )
+
+    return file_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

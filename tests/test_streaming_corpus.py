@@ -387,3 +387,83 @@ def test_streaming_gate_replay_is_deterministic(spark, planted):
     second = canon(_run_gate(spark, [originals, near]))
     assert first == second
     assert first, "gate must emit verdicts"
+
+
+def test_streaming_compaction_monitor_matches_batch_twin(spark):
+    """The stateful compaction monitor's LAST emission per writer must
+    equal the llm_compaction_stream batch query's row for that writer —
+    cross-trigger state parity: arrivals split across three time-ordered
+    micro-batches, so every writer's totals depend on state carried
+    between triggers."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+    from hdp2_5_hive2_spark.streaming import streaming_compaction_monitor
+
+    # ts rides as epoch-micros ints: pandas datetime64[ns] round-trips as
+    # TIMESTAMP(NANOS) parquet, which Spark's plain timestamp reader
+    # rejects; the conversion is monotone so arrival order is unchanged.
+    base = load_tables(spark, SF_CORRECT)["events"]
+    ts_col = (
+        F.unix_micros("ts")
+        if dict(base.dtypes)["ts"].startswith("timestamp")
+        else F.col("ts").cast("bigint")
+    )
+    ev = (
+        base.select(
+            "user_id",
+            ts_col.alias("ts"),
+            "event_id",
+            ((F.col("event_id") % 997) + 64).cast("bigint").alias("bytes"),
+        )
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    third = len(ev) // 3
+    files = [ev.iloc[:third], ev.iloc[third : 2 * third], ev.iloc[2 * third :]]
+
+    tmp = Path(tempfile.mkdtemp(prefix="stream_compact_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        for i, pdf in enumerate(files):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, ts bigint, event_id bigint, bytes bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        mon = streaming_compaction_monitor(stream)
+        out: list[tuple[int, object]] = []
+
+        def sink(bdf, bid):
+            pdf = bdf.toPandas()
+            out.append((int(bid), pdf))
+
+        q = mon.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert len([1 for _, pdf in out if len(pdf)]) >= 3, "need >= 3 triggers"
+    last: dict[int, tuple] = {}
+    for bid, pdf in sorted(out, key=lambda x: x[0]):
+        for r in pdf.itertuples():
+            last[int(r.user_id)] = (
+                int(r.n_files),
+                int(r.total_bytes),
+                int(r.n_compactions),
+                int(r.residual_bytes),
+            )
+    batch = {
+        int(r.user_id): (
+            int(r.n_files),
+            int(r.total_bytes),
+            int(r.n_compactions),
+            int(r.residual_bytes),
+        )
+        for r in REGISTRY["llm_compaction_stream"].fn(spark, SF_CORRECT).collect()
+    }
+    assert last == batch
