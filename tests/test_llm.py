@@ -2812,3 +2812,54 @@ def test_dup_graph_2core_converges_in_12_rounds(spark):
         degs[a] = degs.get(a, 0) + 1
         degs[b] = degs.get(b, 0) + 1
     assert all(v >= 2 for v in degs.values())
+
+
+def test_quantized_cell_assign_guards_and_tiebreak(spark):
+    """The IVF coarse book is a bounded driver collect: an oversized
+    centroid side must RAISE (never attempt the broadcast), an empty book
+    raises, and assignment ties break toward the SMALLEST centroid id
+    (first-max over the id-sorted book)."""
+    import pytest as _pytest
+
+    from hdp2_5_hive2_spark.llm import similarity
+
+    e = load_tables(spark, SF_CORRECT)["embeddings"]
+    with _pytest.raises(ValueError, match="max_centroids"):
+        similarity.quantized_cell_assign(e, e, max_centroids=3)
+    with _pytest.raises(ValueError, match="empty centroid"):
+        similarity.quantized_cell_assign(e, e.filter(F.col("vec_id") < 0))
+    # duplicate centroid vectors -> identical dots; the winner must be the
+    # smaller centroid id for every assigned vector
+    dup = e.filter(F.col("vec_id") == 9)
+    cents = dup.select(F.lit(100).alias("vec_id"), "embedding", "label").unionAll(
+        dup.select(F.lit(200).alias("vec_id"), "embedding", "label")
+    ).select("vec_id", "embedding", "label")
+    got = similarity.quantized_cell_assign(
+        e.filter(F.col("vec_id") < 30), cents
+    ).collect()
+    assert got and all(r.cell == 100 for r in got)
+
+
+def test_quantized_pair_dots_matches_numpy(spark):
+    """The pair-dot Arrow kernel equals a numpy reference on the exact
+    floor(v*1024) quantization."""
+    import numpy as np
+
+    from hdp2_5_hive2_spark.llm import similarity
+
+    e = load_tables(spark, SF_CORRECT)["embeddings"].filter(F.col("vec_id") < 12)
+    v = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in e.collect()}
+    a = e.select(F.col("vec_id").alias("ia"),
+                 similarity.as_double_array("embedding").alias("qv"))
+    b = e.select(F.col("vec_id").alias("ib"),
+                 similarity.as_double_array("embedding").alias("cv"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    got = {
+        (r.ia, r.ib): r.dot
+        for r in similarity.quantized_pair_dots(pairs).collect()
+    }
+    for (i, j), d in got.items():
+        qi = np.floor(v[i] * 1024).astype(np.int64)
+        qj = np.floor(v[j] * 1024).astype(np.int64)
+        assert d == int((qi * qj).sum()), (i, j)
+    assert len(got) == 12 * 11 // 2

@@ -1114,3 +1114,57 @@ def test_no_hashlib_in_arrow_kernels_on_operator_paths():
         "per-row Python hashing inside Arrow kernel(s) — project codegen "
         f"md5 position columns before the kernel instead: {offenders}"
     )
+
+
+def test_recall_curve_assignment_is_arrow_not_dim_join(spark):
+    """IVF assignment must be the broadcast-book Arrow matmul: no join
+    keyed on `dim` anywhere (64-value key = skew cliff), the candidate
+    join keyed on `cell`, and both rankings partitioned by query_id."""
+    plan = _executed(REGISTRY["llm_recall_curve"].fn(spark, SF_CORRECT))
+    assert "MapInPandas" in plan, plan
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        key = ex.split(",")[0]
+        assert not key.startswith("dim"), plan
+
+
+def test_ngram_coverage_cuts_are_bounded_heaps(spark):
+    """Each of the three top-N cuts must compile to TakeOrderedAndProject
+    (bounded heap), never a global Sort over the distinct-gram table."""
+    plan = _executed(REGISTRY["llm_ngram_coverage_curve"].fn(spark, SF_CORRECT))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    import re
+
+    global_sorts = [
+        ln
+        for ln in plan.splitlines()
+        if re.match(r"^[\s+:*-]*Sort ", ln) and "TakeOrdered" not in ln
+    ]
+    assert not global_sorts, global_sorts
+
+
+def test_consistent_hash_ring_is_broadcast(spark):
+    """The 576-row vnode ring must broadcast (BroadcastNestedLoopJoin,
+    BuildRight = the ring side); the document side reaches its assignment
+    aggregate without any pre-join shuffle. (The later a8-vs-a9 join keys
+    on doc_id — a data-sized equi-join AQE is free to plan either way.)"""
+    plan = _executed(REGISTRY["llm_consistent_hash_moves"].fn(spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mmr_pool_pairs_stay_bounded_broadcast(spark):
+    """The MMR pair stage joins two pool-sized (<=12 row) frames — the
+    self-join must be a broadcast, and the greedy fold one Python group:
+    no SortMergeJoin anywhere in the plan."""
+    plan = _executed(REGISTRY["llm_mmr_diversify"].fn(spark, SF_CORRECT))
+    assert "SortMergeJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan, plan
+
+
+def test_packing_contamination_shuffles_ids_not_text(spark):
+    """The packing-membership shuffle carries (chunk, doc_id, nt) rows
+    only — text appears in no exchange."""
+    plan = _executed(REGISTRY["llm_packing_contamination"].fn(spark, SF_CORRECT))
+    for ex in plan.split("Exchange")[1:]:
+        head = ex.splitlines()[0]
+        assert "text" not in head, head
