@@ -17,6 +17,29 @@ import time
 from hdp2_5_hive2_spark.queries import REGISTRY
 from hdp2_5_hive2_spark.session import get_session
 
+
+def _host_calibration() -> dict[str, float]:
+    """Fixed-work single-core probes bracketing the suite, so every
+    recorded bench line carries the host-speed context needed to read a
+    round-over-round ratio (PERF.md round 10: the frozen suite read
+    1.35x on a host whose fixed-work throughput was swinging 20-40%
+    minute to minute under external co-tenant load — invisible without
+    a number next to the timings). ~0.5 s total; see
+    tools/host_calibrate.py for the full multi-probe version."""
+    import hashlib
+
+    h = b"calibrate"
+    t0 = time.perf_counter()
+    for _ in range(400_000):
+        h = hashlib.md5(h).digest()
+    hps = 400_000 / (time.perf_counter() - t0)
+    try:
+        with open("/proc/loadavg") as f:
+            load = float(f.read().split()[0])
+    except OSError:
+        load = -1.0
+    return {"md5_hps": round(hps, 1), "loadavg_1m": load}
+
 # Headline set: one per operator family — scan/agg, joins, window, topk,
 # setop/subquery, LLM ops and event-time windows as they land.
 HEADLINE = [
@@ -70,6 +93,7 @@ def main() -> None:
     # between whole bench invocations minutes apart (PERF.md round-3 drift
     # investigation); a third sample per query tightens the best-of estimate.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    calib_before = _host_calibration()
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
@@ -89,6 +113,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calib_before": calib_before,
+                "calib_after": _host_calibration(),
             }
         )
     )
