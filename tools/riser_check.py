@@ -16,6 +16,15 @@ step that settles every flag with a number:
   verdict: `noise` (warm within the factor) or `REGRESSION` (warm still
   above) — the latter is the only case worth a code look.
 
+Host-speed scaling (round 10): bench.py embeds fixed-work calibration
+probes (calib_before/calib_after) in its JSON line. When the PREVIOUS
+record carries them, both the flagging threshold and the warm verdicts
+are scaled by the measured host-speed ratio (prev/suite-time for flags,
+prev/now re-probed for verdicts) — round 10's host swung 20-40% on
+fixed work between consecutive minutes, which made raw ratios
+uninterpretable. Records without calibration (r9 and earlier) behave
+exactly as before.
+
 Exit code 1 iff any REGRESSION stands.
 """
 
@@ -37,6 +46,19 @@ def _load(path: str) -> dict:
     return d
 
 
+def _calib_hps(rec: dict) -> float | None:
+    """Best single-core md5 reading recorded in a bench line (bench.py
+    embeds calib_before/calib_after since round 10). Best-of: the
+    less-degraded of the two brackets is the closer estimate of the
+    host's own speed band."""
+    readings = [
+        c["md5_hps"]
+        for k in ("calib_before", "calib_after")
+        if isinstance(c := rec.get(k), dict) and "md5_hps" in c
+    ]
+    return max(readings) if readings else None
+
+
 def main() -> int:
     argv = sys.argv[1:]
     args: list[str] = []
@@ -56,20 +78,33 @@ def main() -> int:
     if not args:
         print(__doc__)
         return 2
-    prev = _load(args[0])["queries"]
+    prev_rec = _load(args[0])
+    prev = prev_rec["queries"]
     if len(args) > 1:
-        cur = _load(args[1])["queries"]
+        cur_rec = _load(args[1])
     else:
         out = subprocess.run(
             [sys.executable, "bench.py"], capture_output=True, text=True
         )
-        cur = json.loads(out.stdout.strip().splitlines()[-1])["queries"]
+        cur_rec = json.loads(out.stdout.strip().splitlines()[-1])
+    cur = cur_rec["queries"]
     shared = sorted(set(prev) & set(cur))
     sp, sc = sum(prev[q] for q in shared), sum(cur[q] for q in shared)
     print(f"shared {len(shared)} queries: prev {sp:.2f}s -> cur {sc:.2f}s "
           f"ratio {sc / sp:.3f}")
+    # Host-speed scaling (PERF.md round 10): when both records carry the
+    # embedded calibration, a slower host inflates every timing — the
+    # speed-scaled ratio is the code signal, the raw ratio is not.
+    hp, hc = _calib_hps(prev_rec), _calib_hps(cur_rec)
+    flag_scale = 1.0
+    if hp and hc:
+        flag_scale = hp / hc  # >1 means the current-suite host was slower
+        print(f"host calibration: prev {hp:,.0f} -> cur {hc:,.0f} md5/s; "
+              f"speed-scaled suite ratio {sc / sp / flag_scale:.3f} "
+              f"(raw {sc / sp:.3f}, host slowdown {flag_scale:.3f}x)")
     flagged = [
-        q for q in shared if cur[q] > prev[q] * factor and cur[q] > 0.3
+        q for q in shared
+        if cur[q] > prev[q] * factor * flag_scale and cur[q] > 0.3
     ]
     if not flagged:
         print("no risers flagged; nothing to adjudicate")
@@ -79,6 +114,19 @@ def main() -> int:
 
     from hdp2_5_hive2_spark.queries import REGISTRY
     from hdp2_5_hive2_spark.session import get_session
+
+    # Re-probe at adjudication time: the warm loop runs minutes after the
+    # suite, and round 10 measured 20-40% host swings on that timescale —
+    # prev-vs-NOW is the right scaling for the warm verdicts, not
+    # prev-vs-suite-time.
+    verdict_scale = 1.0
+    if hp:
+        import bench as _bench
+
+        now = _bench._host_calibration()["md5_hps"]
+        verdict_scale = hp / now
+        print(f"host calibration at adjudication: {now:,.0f} md5/s; "
+              f"warm verdicts scaled by {verdict_scale:.3f}x")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="riser-check")
@@ -92,7 +140,9 @@ def main() -> int:
             t0 = time.perf_counter()
             REGISTRY[q].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
-        verdict = "REGRESSION" if best > prev[q] * factor else "noise"
+        verdict = (
+            "REGRESSION" if best > prev[q] * factor * verdict_scale else "noise"
+        )
         if verdict == "REGRESSION":
             regressions += 1
         print(
