@@ -1168,3 +1168,26 @@ def test_packing_contamination_shuffles_ids_not_text(spark):
     for ex in plan.split("Exchange")[1:]:
         head = ex.splitlines()[0]
         assert "text" not in head, head
+
+
+def test_dedup_threshold_sweep_joins_stay_bounded(spark):
+    """The threshold sweep's only unbounded-looking join is thr-vs-pairs:
+    the 3-row threshold table must broadcast (BroadcastNestedLoopJoin),
+    never CartesianProduct, and the candidate stage must be the co-gram
+    equi-join (hash/sort-merge on ngram), never an all-pairs product."""
+    plan = _executed(REGISTRY["llm_dedup_threshold_sweep"].fn(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_mixture_interleave_cut_is_bounded_and_window_partitioned(spark):
+    """The global 30-row cut must compile to TakeOrderedAndProject (a
+    bounded heap, never a full sort of the keyed corpus), and the
+    per-source index window must stay PARTITIONED by source — a global
+    row_number here would serialize the corpus through one task."""
+    import re
+
+    plan = _executed(REGISTRY["llm_mixture_interleave"].fn(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan, plan
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("source"), m.group(0)
