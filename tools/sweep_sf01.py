@@ -38,6 +38,9 @@ def main() -> int:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1 :])
+    import bench as _bench
+
+    print(f"host calibration (start): {_bench._host_calibration()}", flush=True)
     qmap = {k.split("_", 1)[1]: v for k, v in entry.queries().items()}
     timings: list[tuple[str, float, int]] = []
     errors = 0
@@ -57,6 +60,7 @@ def main() -> int:
     for name, dt, n in sorted(timings, key=lambda t: -t[1])[:10]:
         print(f"{name} {dt:.2f}s {n} rows")
     total = sum(t[1] for t in timings)
+    print(f"host calibration (end): {_bench._host_calibration()}")
     print(f"TOTAL {len(timings)} queries {total:.1f}s, {errors} errors")
     return 1 if errors else 0
 
