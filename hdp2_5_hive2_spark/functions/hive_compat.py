@@ -182,6 +182,144 @@ def mask_hash(col: Column) -> Column:
     return F.md5(col)
 
 
+_INT32_LO = -(1 << 31)
+_UINT32 = 1 << 32
+
+
+def _wrap_int32(c: Column) -> Column:
+    """Java int narrowing: keep the low 32 bits, two's complement. Written
+    as explicit arithmetic (never a bare bigint→int cast, whose behavior
+    flips between wrap and error under ANSI mode)."""
+    return (F.pmod(c - F.lit(_INT32_LO), F.lit(_UINT32)) + F.lit(_INT32_LO)).cast(
+        "int"
+    )
+
+
+def reflect2(
+    col: Column, method: str, *args: Column | str | int, receiver: str = "string"
+) -> Column:
+    """Hive `reflect2(obj, 'method', args...)` — invoke a Java instance
+    method ON the value itself (GenericUDFReflect2.java,
+    FunctionRegistry.java:410; `reflect`/`java_method` cover only STATIC
+    methods). Hive requires the method name to be a constant, so this shim
+    resolves it at expression-BUILD time and compiles each supported
+    method to plain Spark expressions — whole-stage codegen, no Python
+    UDF, no reflection machinery at run time.
+
+    Supported java.lang.String instance methods: length, isEmpty,
+    toUpperCase, toLowerCase, trim (Java trim strips every char <= U+0020,
+    NOT just spaces — mirrored with an explicit character class),
+    substring(begin[, end]) (0-based, end-exclusive; out-of-range yields
+    an empty/short string where Java throws StringIndexOutOfBounds),
+    indexOf(str) (-1 when absent), contains,
+    startsWith, endsWith, replace(target, replacement), concat, hashCode
+    (s[0]·31^(n-1) + … with Java int32 overflow; folds via F.aggregate —
+    interpreted, so corpus-sized hot paths should pre-compute it, the
+    same caveat the repo applies to every Catalyst HOF).
+
+    Supported boxed java.lang.Long methods: longValue, intValue (low-32
+    two's-complement narrowing), doubleValue, floatValue, toString,
+    hashCode ((int)(v ^ (v >>> 32)) — pass receiver="long", since Hive
+    dispatches hashCode on the receiver's Java type and a build-time shim
+    cannot see the column's type).
+
+    Character semantics note: lengths and offsets count Java UTF-16 code
+    units; Spark counts codepoints. Identical on BMP-only data (the whole
+    test corpus) — documented rather than shimmed, matching the repo's
+    treatment of other JVM-vs-engine encoding corners."""
+    lits = [a if isinstance(a, Column) else F.lit(a) for a in args]
+
+    def need(n: int) -> None:
+        if len(lits) != n:
+            raise ValueError(f"reflect2 {method!r} takes {n} argument(s)")
+
+    m = method
+    if m == "length":
+        need(0)
+        return F.length(col).cast("int")
+    if m == "isEmpty":
+        need(0)
+        return F.length(col) == 0
+    if m == "toUpperCase":
+        need(0)
+        return F.upper(col)
+    if m == "toLowerCase":
+        need(0)
+        return F.lower(col)
+    if m == "trim":
+        need(0)
+        return F.regexp_replace(col, r"^[\x00-\x20]+|[\x00-\x20]+$", "")
+    if m == "substring":
+        if len(lits) == 1:
+            b = lits[0]
+            return col.substr(
+                (b + 1).cast("int"), (F.length(col) - b).cast("int")
+            )
+        if len(lits) == 2:
+            b, e = lits
+            return col.substr((b + 1).cast("int"), (e - b).cast("int"))
+        raise ValueError("reflect2 'substring' takes 1 or 2 arguments")
+    if m == "indexOf":
+        need(1)
+        return (F.instr(col, lits[0]) - 1).cast("int")
+    if m == "contains":
+        need(1)
+        return F.contains(col, lits[0])
+    if m == "startsWith":
+        need(1)
+        return F.startswith(col, lits[0])
+    if m == "endsWith":
+        need(1)
+        return F.endswith(col, lits[0])
+    if m == "replace":
+        need(2)
+        return F.replace(col, lits[0], lits[1])
+    if m == "concat":
+        need(1)
+        return F.concat(col, lits[0])
+    if m == "hashCode":
+        # Hive dispatches on the receiver's Java type, known to it from the
+        # ObjectInspector; a build-time shim cannot see the column's type,
+        # so the caller states it (receiver="string" | "long").
+        need(0)
+        if receiver == "long":
+            v = col.cast("bigint")
+            return _wrap_int32(
+                v.bitwiseXOR(F.shiftrightunsigned(v, 32)).cast("bigint")
+            )
+        return _wrap_int32(
+            F.aggregate(
+                F.transform(
+                    F.split(col, ""), lambda ch: F.ascii(ch).cast("bigint")
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, c: F.pmod(acc * 31 + c, F.lit(_UINT32)),
+            )
+        )
+    if m == "longValue":
+        need(0)
+        return col.cast("bigint")
+    if m == "intValue":
+        need(0)
+        return _wrap_int32(col.cast("bigint"))
+    if m == "doubleValue":
+        need(0)
+        return col.cast("double")
+    if m == "floatValue":
+        need(0)
+        return col.cast("float")
+    if m == "toString":
+        need(0)
+        return col.cast("string")
+    raise NotImplementedError(
+        f"reflect2: unsupported instance method {method!r}; supported: "
+        "String(length isEmpty toUpperCase toLowerCase trim substring "
+        "indexOf contains startsWith endsWith replace concat hashCode), "
+        "Long(longValue intValue doubleValue floatValue toString "
+        "hashCode with receiver='long')"
+    )
+
+
 def _unsupported(name: str, why: str) -> Callable[..., Column]:
     def call(*_args, **_kw):
         raise NotImplementedError(f"hive function {name!r} not carried over: {why}")
@@ -303,6 +441,9 @@ HIVE_FUNCTIONS.update(
         "$sum0": lambda c: F.coalesce(F.sum(c), F.lit(0)),
         # regexp == rlike alias in Hive (FunctionRegistry.java:261)
         "regexp": _expr_fn("rlike"),
+        # reflect2: instance-method reflection (FunctionRegistry.java:410) —
+        # constant method name resolved at build time, see reflect2().
+        "reflect2": reflect2,
         # ngrams/context_ngrams: see hdp2_5_hive2_spark.llm.text n-gram support
         # ngrams/context_ngrams are DataFrame-level operators here (a UDAF
         # returning top-k maps doesn't fit Column algebra): see

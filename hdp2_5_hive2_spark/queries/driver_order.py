@@ -84,6 +84,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_mmr_diversify",           # exact-int MMR greedy top-6 of 12 (r10)
     "llm_packing_contamination",   # contaminated-bin exposure audit (r10)
     "llm_compaction_stream",       # keyed compaction fold + stream twin (r10)
+    "fn_reflect2",                 # instance-method reflection shim (r10 audit)
 ]
 
 # Frozen round-9 tier (was _NEW_THIS_ROUND while round 9 was current) —

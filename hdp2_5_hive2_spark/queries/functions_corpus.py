@@ -1179,3 +1179,66 @@ def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_mode"),
         )
     )
+
+
+@query(
+    "fn_reflect2",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_orderkey,
+             o_orderpriority || '#' || CAST(o_orderkey AS VARCHAR) AS s
+      FROM orders WHERE o_orderkey <= 400
+    )
+    SELECT o_orderkey,
+           CAST(len(s) AS INT) AS c_len,
+           substr(s, 2, 7) AS c_sub,
+           CAST(strpos(s, 'a') - 1 AS INT) AS c_idxof,
+           lower(s) AS c_lower,
+           CAST(((list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                                 list_transform(string_split(s, ''),
+                                                c -> CAST(ord(c) AS BIGINT))),
+                    (acc, x) -> (acc * 31 + x) % 4294967296)
+                  + 2147483648) % 4294967296) - 2147483648 AS INT)
+             AS c_hash,
+           CAST(((xor(o_orderkey * 1234567891,
+                      (o_orderkey * 1234567891) >> 32)
+                  % 4294967296 + 4294967296 + 2147483648) % 4294967296)
+                - 2147483648 AS INT) AS k_hash,
+           CAST(((o_orderkey * 1234567891 % 4294967296 + 4294967296
+                  + 2147483648) % 4294967296) - 2147483648 AS INT) AS k_int
+    FROM o2
+    """,
+    tags=("reflection", "function"),
+)
+def fn_reflect2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reflect2() — instance-method reflection (GenericUDFReflect2.java,
+    FunctionRegistry.java:410), the one FunctionRegistry name the round-10
+    parity audit found uncovered (reflect/java_method handle only STATIC
+    methods). The shim (functions/hive_compat.py reflect2) resolves the
+    constant method name at build time and compiles each method to plain
+    Spark expressions — codegen, no JVM reflection, no Python UDF: String
+    length/substring/indexOf/toUpperCase plus the exact Java
+    String.hashCode fold (31-multiplier, int32 overflow) and boxed-Long
+    hashCode ((int)(v ^ v>>>32)) / intValue narrowing on a scaled key.
+    Oracle recomputes every method with explicit arithmetic (list_reduce
+    char fold, xor + two's-complement wrap). The hashCode fold is a
+    Catalyst HOF (interpreted) — fine on this capped 400-row audit; at
+    corpus scale pre-compute hashes map-side (the repo's standing HOF
+    rule). get_splits, the only other uncovered registry name, is LLAP
+    split-generation plumbing — out of scope like Demux/Mux."""
+    from hdp2_5_hive2_spark.functions.hive_compat import reflect2
+
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") <= 400)
+    s = F.concat("o_orderpriority", F.lit("#"), F.col("o_orderkey").cast("string"))
+    scaled = (F.col("o_orderkey") * 1234567891).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        reflect2(s, "length").alias("c_len"),
+        reflect2(s, "substring", 1, 8).alias("c_sub"),
+        reflect2(s, "indexOf", "a").alias("c_idxof"),
+        reflect2(s, "toLowerCase").alias("c_lower"),
+        reflect2(s, "hashCode").alias("c_hash"),
+        reflect2(scaled, "hashCode", receiver="long").alias("k_hash"),
+        reflect2(scaled, "intValue").alias("k_int"),
+    )

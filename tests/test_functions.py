@@ -634,3 +634,75 @@ def test_builtin_covar_corr_agree_with_moment_form(spark):
     assert math.isclose(b.r, cov0 / (math.sqrt(varx) * math.sqrt(vary)), rel_tol=1e-9)
     assert math.isclose(b.vp, varx / n, rel_tol=1e-9)
     assert math.isclose(b.vs, varx / (n - 1), rel_tol=1e-9)
+
+
+def test_reflect2_java_semantics(spark):
+    """reflect2 shim equals Java instance-method semantics computed in
+    Python: String.hashCode's 31-fold with int32 overflow (including the
+    canonical "Hello World" == -862545276), trim's <= U+0020 class,
+    0-based end-exclusive substring, indexOf's -1, Long.hashCode's
+    v ^ (v >>> 32), and intValue's low-32 narrowing."""
+    from hdp2_5_hive2_spark.functions.hive_compat import reflect2
+
+    def jhash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    def wrap32(v: int) -> int:
+        v &= 0xFFFFFFFF
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    strs = ["Hello World", "", "  tab\there  ", "1-URGENT#42", "a"]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = {
+        r.s: r
+        for r in df.select(
+            "s",
+            reflect2(F.col("s"), "length").alias("ln"),
+            reflect2(F.col("s"), "hashCode").alias("hc"),
+            reflect2(F.col("s"), "trim").alias("tr"),
+            reflect2(F.col("s"), "indexOf", "e").alias("io"),
+            reflect2(F.col("s"), "substring", 1, 4).alias("sub"),
+            reflect2(F.col("s"), "isEmpty").alias("em"),
+            reflect2(F.col("s"), "startsWith", "He").alias("sw"),
+            reflect2(F.col("s"), "replace", " ", "_").alias("rp"),
+        ).collect()
+    }
+    java_space = "".join(chr(c) for c in range(0x21))
+    for s in strs:
+        r = got[s]
+        assert r.ln == len(s)
+        assert r.hc == jhash(s), s
+        assert r.tr == s.strip(java_space)
+        assert r.io == s.find("e")
+        assert r.em == (len(s) == 0)
+        assert r.sw == s.startswith("He")
+        assert r.rp == s.replace(" ", "_")
+        if len(s) >= 4:
+            assert r.sub == s[1:4]
+    assert jhash("Hello World") == -862545276  # reference anchor
+    longs = [6692865316216747466, -5, 4294967296, 0]
+    dl = spark.createDataFrame([(v,) for v in longs], "v bigint")
+    got_l = {
+        r.v: r
+        for r in dl.select(
+            "v",
+            reflect2(F.col("v"), "hashCode", receiver="long").alias("hc"),
+            reflect2(F.col("v"), "intValue").alias("iv"),
+            reflect2(F.col("v"), "toString").alias("ts"),
+        ).collect()
+    }
+    for v in longs:
+        r = got_l[v]
+        assert r.hc == wrap32(v ^ ((v % (1 << 64)) >> 32)), v
+        assert r.iv == wrap32(v)
+        assert r.ts == str(v)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="unsupported instance"):
+        reflect2(F.col("v"), "getClass")
+    with _pytest.raises(ValueError, match="take"):
+        reflect2(F.col("v"), "length", 1)
+    assert hive_fn("reflect2") is reflect2
