@@ -35,16 +35,21 @@ def _host_calibration() -> dict[str, float]:
     hps = 400_000 / (time.perf_counter() - t0)
     # Threaded-BLAS matmul: single-core md5 can read healthy while the
     # full socket is starved (round-10 run7: md5 1.80M at suite start,
-    # suite 2.6x) — a multi-core probe catches that mode.
-    import numpy as np
-
-    a = np.random.RandomState(0).rand(1024, 1024)
-    a @ a  # warm BLAS thread pool
+    # suite 2.6x) — a multi-core probe catches that mode. numpy is
+    # optional here: losing the probe must not take down the whole bench
+    # (ADVICE r10), so matmul_ps reads -1.0 when numpy is absent.
     best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        a @ a
-        best = min(best, time.perf_counter() - t0)
+    try:
+        import numpy as np
+
+        a = np.random.RandomState(0).rand(1024, 1024)
+        a @ a  # warm BLAS thread pool
+        for _ in range(3):
+            t0 = time.perf_counter()
+            a @ a
+            best = min(best, time.perf_counter() - t0)
+    except ImportError:
+        pass
     try:
         with open("/proc/loadavg") as f:
             load = float(f.read().split()[0])
@@ -52,7 +57,7 @@ def _host_calibration() -> dict[str, float]:
         load = -1.0
     return {
         "md5_hps": round(hps, 1),
-        "matmul_ps": round(1.0 / best, 1),
+        "matmul_ps": round(1.0 / best, 1) if best < float("inf") else -1.0,
         "loadavg_1m": load,
     }
 

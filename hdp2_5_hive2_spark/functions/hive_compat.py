@@ -189,9 +189,14 @@ _UINT32 = 1 << 32
 def _wrap_int32(c: Column) -> Column:
     """Java int narrowing: keep the low 32 bits, two's complement. Written
     as explicit arithmetic (never a bare bigint→int cast, whose behavior
-    flips between wrap and error under ANSI mode)."""
-    return (F.pmod(c - F.lit(_INT32_LO), F.lit(_UINT32)) + F.lit(_INT32_LO)).cast(
-        "int"
+    flips between wrap and error under ANSI mode), and in overflow-free
+    order: ``pmod`` FIRST (safe for any int64 input), then a conditional
+    shift down by 2^32 (result stays in [-2^31, 2^32)). The previous form
+    subtracted INT32_LO before the pmod, which itself overflowed under
+    ANSI for |c| >= 2^63 - 2^31 — e.g. Long.MAX_VALUE.intValue()."""
+    x = F.pmod(c, F.lit(_UINT32))
+    return (
+        F.when(x >= F.lit(1 << 31), x - F.lit(_UINT32)).otherwise(x).cast("int")
     )
 
 
@@ -222,6 +227,14 @@ def reflect2(
     hashCode ((int)(v ^ (v >>> 32)) — pass receiver="long", since Hive
     dispatches hashCode on the receiver's Java type and a build-time shim
     cannot see the column's type).
+
+    hashCode superset note: the reference's GenericUDFReflect2.initialize
+    REJECTS a bare ``hashCode`` call ("Use hash() UDF instead of this.",
+    GenericUDFReflect2.java) — real Hive routes it to ``hash()``. This
+    shim implements it anyway as a deliberate superset, because the exact
+    Java ``String.hashCode``/``Long.hashCode`` semantics are the useful
+    part of reflect2 for deterministic corpus work; callers porting Hive
+    scripts verbatim will simply never hit the extra surface.
 
     Character semantics note: lengths and offsets count Java UTF-16 code
     units; Spark counts codepoints. Identical on BMP-only data (the whole

@@ -683,7 +683,19 @@ def test_reflect2_java_semantics(spark):
         if len(s) >= 4:
             assert r.sub == s[1:4]
     assert jhash("Hello World") == -862545276  # reference anchor
-    longs = [6692865316216747466, -5, 4294967296, 0]
+    # Long.MAX/MIN rows (ADVICE r10): the old (c - INT32_LO)-then-pmod
+    # wrap overflowed under ANSI for |v| >= 2^63 - 2^31, where Java's
+    # intValue()/Long.hashCode() never throw.
+    longs = [
+        6692865316216747466,
+        -5,
+        4294967296,
+        0,
+        (1 << 63) - 1,   # Long.MAX_VALUE
+        -(1 << 63),      # Long.MIN_VALUE
+        (1 << 63) - (1 << 31),   # ANSI-overflow boundary of the old form
+        -((1 << 63) - (1 << 31)),
+    ]
     dl = spark.createDataFrame([(v,) for v in longs], "v bigint")
     got_l = {
         r.v: r
