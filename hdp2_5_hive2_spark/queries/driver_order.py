@@ -28,20 +28,22 @@ construction, twice over):
   this round's own CORRECTNESS file therefore can never make the invariant
   stale (the r4/r5/r6 boundary failure class).
 
-Round-10 plan (VERDICT r9 #1/#2/#4):
+Round-11 plan (VERDICT r10 #1/#3/#4):
 
 - Plan head — this round's NEW queries (~20-name budget on the
-  pre-probed LLM-pipeline candidates: dup-graph 2-core, MMR top-k,
-  recall@k curve, rotation audit, quota/schedule/sampling ops): dark by
-  construction, auto-lead via ``dark_queries()``.
-- Tier 3 — kernels round 10 reworks: decontaminate_bloom's TRAIN-side
-  probe moves from a per-row Python hashlib loop to the JVM-side codegen
-  md5 position columns + a vectorized numpy bitmap gather (VERDICT r9
-  #1). Its r9 green predates the rework.
+  pre-probed candidates: dup-graph triangle closure, IVF cell balance,
+  vocab drift, Simpson collision mass, shard skew, winnowing density
+  sweep, survivorship policy delta, ...): dark by construction,
+  auto-lead via ``dark_queries()``.
+- Tier 3 — kernels round 11 touches: ``fn_reflect2``'s int32 wrap was
+  reordered to the overflow-free pmod-first form (ADVICE r10 medium —
+  the old form threw under ANSI at |v| >= 2^63-2^31); its r10 green
+  predates the rework.
 - Then budget fill: oldest-verdict-first re-verification — the 28
-  remaining round-2 names (q13_customer_distribution .. the window_*
-  family), then the 28 round-3 names alphabetically (VERDICT r9 #2:
-  nothing predates r3 entering round 11; remainder rolls to r11).
+  remaining round-3 names (the matchpath_* family, transform_script_*,
+  union/subquery stragglers, and the r3 llm text heads). This drains
+  the queue entirely: after CORRECTNESS_r11 lands, nothing in the
+  registry has a newest green older than r4 (VERDICT r10 #1).
 
 The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep
 the plain names. ``prefixed -> plain`` is recoverable by stripping
@@ -62,8 +64,12 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # The no-verdict invariant is evaluated against green_union(before_round=
 # _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
 # in place — landing CORRECTNESS_r07.json cannot stale it.
-_NEW_THIS_ROUND_DECLARED: int = 10
-_NEW_THIS_ROUND: list[str] = [
+_NEW_THIS_ROUND_DECLARED: int = 11
+_NEW_THIS_ROUND: list[str] = []
+
+# Frozen round-10 tier (was _NEW_THIS_ROUND while round 10 was current) —
+# all verified green in CORRECTNESS_r10 window positions 000-020.
+_R10_TIER: list[str] = [
     "llm_hapax_audit",             # per-source vocabulary-tail audit (r10)
     "llm_burstiness",              # Church-Gale cf/df boilerplate screen (r10)
     "llm_ppswor_sample",           # stratified md5-priority PPSWOR sample (r10)
@@ -131,14 +137,17 @@ _R9_CHANGED: list[str] = [
     "llm_decontaminate_bloom",
     "llm_token_lift",
 ]
+_R10_CHANGED: list[str] = [
+    "llm_decontaminate_bloom",
+]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a
-# stale green no longer covers the shipped code. Round 10 reworks
-# decontaminate_bloom's TRAIN-side probe: the per-row Python hashlib loop
-# becomes the JVM-side codegen md5 position columns + one vectorized numpy
-# bitmap gather per Arrow batch (VERDICT r9 #1).
+# stale green no longer covers the shipped code. Round 11 reorders
+# fn_reflect2's int32 narrowing to the overflow-free pmod-first form
+# (ADVICE r10): same values on every previously-green input, but the
+# expression tree changed, so the r10 green predates the shipped code.
 _CHANGED_THIS_ROUND: list[str] = [
-    "llm_decontaminate_bloom",
+    "fn_reflect2",
 ]
 
 # Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).
@@ -271,38 +280,10 @@ _R6_TIER: list[str] = [
 # 5 rounds; the 18 r8-verified heads fn_interval_arithmetic ..
 # join_inner_dim dropped off the queue when CORRECTNESS_r08 landed).
 _FILL_REVERIFY: list[str] = [
-    # newest green is r02, alphabetical (r1-only and the r2 head through
-    # q12_shipmode_priority were re-verified green in CORRECTNESS_r09
-    # window positions 022-049 and dropped off the queue)
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q20_potential_promotion",
-    "q21_waiting_orders",
-    "q22_sales_opportunity",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "select_distinct",
-    "window_first_last",
-    "window_lag_lead",
-    "window_percentile_exact",
-    "window_range_frame",
-    "window_ranking",
-    "window_running_sum",
-    "window_sliding_rows_frame",
-    "window_topn_per_group",
-    "window_udaf_over_window",
-    # newest green is r03, alphabetical
+    # newest green is r03, alphabetical (the whole r2 block —
+    # q13_customer_distribution .. window_udaf_over_window — was
+    # re-verified green in CORRECTNESS_r10 window positions 022-049 and
+    # dropped off the queue; these 28 are the LAST names predating r4)
     "events_stream_stream_join",
     "lateral_view_outer",
     "llm_fingerprint",
@@ -335,19 +316,22 @@ _FILL_REVERIFY: list[str] = [
 
 # The frozen plan. Dark names derive to the front whether or not they are
 # planned; the plan keeps their relative order stable at the boundary.
-# Round 10's post-dark order: this round's new queries (dark, auto-lead),
+# Round 11's post-dark order: this round's new queries (dark, auto-lead),
 # the tier-3 re-verification, then oldest-verdict fill, then the
-# already-re-verified r7/r8/r9 tiers, then everything else alphabetically.
+# already-re-verified r7/r8/r9/r10 tiers, then everything else
+# alphabetically.
 _ROTATION_PLAN: list[str] = list(
     dict.fromkeys(  # dedupe, first occurrence wins (a name may be both in a
         # frozen tier and re-listed as changed; its earliest slot stands)
         _NEW_THIS_ROUND
         + _CHANGED_THIS_ROUND
         + _FILL_REVERIFY
+        + _R10_TIER
         + _R9_TIER
         + _R7_CHANGED
         + _R8_CHANGED
         + _R9_CHANGED
+        + _R10_CHANGED
         + _R6_TIER
         + [
             "storage_rcfile_roundtrip",     # RCFile container (r5; JVM read path r6)
