@@ -19,5 +19,6 @@ from hdp2_5_hive2_spark.queries import hive_surface  # noqa: F401  (TRANSFORM/LA
 from hdp2_5_hive2_spark.queries import retrieval_corpus  # noqa: F401  (tfidf/bm25/stats parity)
 from hdp2_5_hive2_spark.queries import pipeline_corpus  # noqa: F401  (r9 pipeline frontier)
 from hdp2_5_hive2_spark.queries import pipeline2_corpus  # noqa: F401  (r10 curation planning)
+from hdp2_5_hive2_spark.queries import pipeline3_corpus  # noqa: F401  (r11 graph/index health)
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -65,7 +65,12 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
 # in place — landing CORRECTNESS_r07.json cannot stale it.
 _NEW_THIS_ROUND_DECLARED: int = 11
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "llm_dup_triangle_closure",    # 2-path triangle closure rate (r11)
+    "llm_ivf_cell_balance",        # coarse-quantizer occupancy audit (r11)
+    "llm_vocab_half_drift",        # half-vs-half L1 drift, top-16 basket (r11)
+    "llm_simpson_collision",       # per-source Simpson collision mass (r11)
+]
 
 # Frozen round-10 tier (was _NEW_THIS_ROUND while round 10 was current) —
 # all verified green in CORRECTNESS_r10 window positions 000-020.
