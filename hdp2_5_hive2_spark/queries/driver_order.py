@@ -70,6 +70,10 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_ivf_cell_balance",        # coarse-quantizer occupancy audit (r11)
     "llm_vocab_half_drift",        # half-vs-half L1 drift, top-16 basket (r11)
     "llm_simpson_collision",       # per-source Simpson collision mass (r11)
+    "llm_shard_skew_audit",        # token-weighted hash-vs-range skew (r11)
+    "llm_zipf_ratio_curve",        # top-16 Zipf ratio health check (r11)
+    "llm_header_boilerplate",      # shared first-8-gram header rate (r11)
+    "llm_quant_scale_ablation",    # overlap@10 vs scale-1024 reference (r11)
 ]
 
 # Frozen round-10 tier (was _NEW_THIS_ROUND while round 10 was current) —

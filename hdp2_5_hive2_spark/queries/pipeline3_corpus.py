@@ -315,3 +315,275 @@ def llm_simpson_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("simpson_micro"),
         )
     )
+
+
+@query(
+    "llm_shard_skew_audit",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shard'),
+                                     1, 8)) AS BIGINT) % 16 AS hsh,
+             CAST(doc_id * 16 // (SELECT max(doc_id) + 1 FROM documents)
+                  AS BIGINT) AS rng
+      FROM documents
+    ), h AS (
+      SELECT 'hash' AS scheme, hsh AS shard, SUM(n) AS tok FROM d GROUP BY 2
+      UNION ALL
+      SELECT 'range', rng, SUM(n) FROM d GROUP BY 2
+    ), t AS (
+      SELECT scheme, SUM(tok) AS total, count(*) AS k, MAX(tok) AS mx
+      FROM h GROUP BY scheme
+    )
+    SELECT h.scheme,
+           CAST(SUM(abs(h.tok * t.k - t.total)) AS BIGINT) AS l1_cross,
+           CAST(MAX(t.mx) AS BIGINT) AS max_tok,
+           CAST(MAX(t.mx) * 1000 * t.k // t.total AS BIGINT)
+             AS max_over_mean_milli
+    FROM h JOIN t USING (scheme)
+    GROUP BY h.scheme, t.k, t.total
+    """,
+    tags=("llm", "curation", "sharding", "audit"),
+)
+def llm_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted shard-skew audit, hash vs range partitioning into 16
+    shards: per scheme, the exact cross-multiplied L1 deviation from the
+    uniform share (Σ|tok_s·k − total|), the hottest shard's token count,
+    and max/mean in milli — the planner's evidence for choosing the
+    sharding scheme of a packed training corpus (range sharding inherits
+    doc-length locality; md5-hash sharding trades locality for balance).
+    All exact int64. Plan / 100 TB: one map-side pass computes both shard
+    keys per doc (md5 codegen + one scalar broadcast of max(doc_id)),
+    then two 16-row aggregates and a 2-row fold — the audit never
+    shuffles more than (scheme, shard) rows."""
+    d = load_tables(spark, sf_dir)["documents"]
+    mx = d.agg((F.max("doc_id") + 1).cast("bigint").alias("mxp1"))
+    base = d.crossJoin(F.broadcast(mx)).select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 16
+        ).alias("hsh"),
+        F.expr("doc_id * 16 div mxp1").cast("bigint").alias("rng"),
+    )
+    h = (
+        base.groupBy(F.col("hsh").alias("shard"))
+        .agg(F.sum("n").alias("tok"))
+        .select(F.lit("hash").alias("scheme"), "shard", "tok")
+        .unionAll(
+            base.groupBy(F.col("rng").alias("shard"))
+            .agg(F.sum("n").alias("tok"))
+            .select(F.lit("range").alias("scheme"), "shard", "tok")
+        )
+    )
+    t = h.groupBy("scheme").agg(
+        F.sum("tok").alias("total"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("tok").alias("mx"),
+    )
+    return (
+        h.join(F.broadcast(t), "scheme")
+        .groupBy("scheme", "k", "total")
+        .agg(
+            F.sum(F.abs(F.col("tok") * F.col("k") - F.col("total")))
+            .cast("bigint")
+            .alias("l1_cross"),
+            F.max("mx").cast("bigint").alias("max_tok"),
+            F.expr("max(mx) * 1000 * k div total")
+            .cast("bigint")
+            .alias("max_over_mean_milli"),
+        )
+        .select("scheme", "l1_cross", "max_tok", "max_over_mean_milli")
+    )
+
+
+@query(
+    "llm_zipf_ratio_curve",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY term
+    ), rk AS (
+      SELECT term, f, row_number() OVER (ORDER BY f DESC, term) AS r
+      FROM tf QUALIFY r <= 16
+    ), f1 AS (SELECT f AS f1 FROM rk WHERE r = 1)
+    SELECT CAST(r AS BIGINT) AS r, term, f,
+           CAST(f * r * 1000 // (SELECT f1 FROM f1) AS BIGINT) AS zipf_milli
+    FROM rk
+    """,
+    tags=("llm", "text", "zipf", "audit"),
+)
+def llm_zipf_ratio_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf ratio curve over the top-16 terms: f_r·r/f_1 in exact milli —
+    Zipf's law predicts ~1000 at every rank; the synthetic test corpus is
+    deliberately near-uniform, so the curve reads as an increasing ramp
+    and the query doubles as the 'corpus is NOT zipfian' health check
+    (a natural-language corpus whose curve ramps like this has a
+    vocabulary-sampling bug — and vice versa for synthetic data that
+    accidentally IS zipfian). Plan / 100 TB: one term-frequency
+    aggregate, a TakeOrderedAndProject top-16, then the window-free
+    bounded_rank over the 16 survivors and a 1-row broadcast of f_1 —
+    the ranking never touches a partition-less window."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tf = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    top = tf.orderBy(F.col("f").desc(), "term").limit(16)
+    ranked = retrieval.bounded_rank(top, "f", "term", rank_name="r")
+    f1 = ranked.filter(F.col("r") == 1).select(F.col("f").alias("f1"))
+    return (
+        ranked.crossJoin(F.broadcast(f1))
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            "term",
+            "f",
+            F.expr("f * r * 1000 div f1").cast("bigint").alias("zipf_milli"),
+        )
+    )
+
+
+@query(
+    "llm_header_boilerplate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), f AS (
+      SELECT doc_id, source, array_to_string(t[1:8], ' ') AS g
+      FROM t WHERE len(t) >= 8
+    ), allg AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM t, unnest(generate_series(1, len(t) - 7)) u(i)
+    ), df AS (SELECT g, count(*) AS df FROM allg GROUP BY g)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_header,
+           CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS shared_milli
+    FROM f JOIN df USING (g)
+    GROUP BY f.source
+    """,
+    tags=("llm", "text", "boilerplate", "audit"),
+)
+def llm_header_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-boilerplate rate per source: documents whose FIRST 8-gram
+    occurs in more than one document anywhere in the corpus — the
+    signature of injected site headers, licence banners, and scraper
+    chrome that leading-span dedup should strip before training. The
+    document-frequency side reuses the corpus 8-gram kernel
+    (curation.word_ngram_rows — distinct grams per doc, Arrow map-side),
+    so this audit and the decontamination suite can never disagree on
+    tokenization. Plan / 100 TB: gram df is the standard (gram → count)
+    aggregate; the probe side is one row per document (its header gram)
+    hash-joined to the df table — corpus-sized but ids+one-gram wide;
+    the result is source-grain."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    f = t.filter(F.size("t") >= 8).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice("t", 1, 8)).alias("g"),
+    )
+    df_ = (
+        curation.word_ngram_rows(d, "text", "doc_id", 8)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        f.join(df_, f.g == df_.ngram)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            shared.cast("bigint").alias("n_shared_header"),
+            F.expr(
+                "sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("shared_milli"),
+        )
+    )
+
+
+@query(
+    "llm_quant_scale_ablation",
+    oracle="""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (SELECT * FROM (VALUES (CAST(256 AS BIGINT)), (CAST(1024 AS BIGINT)),
+                                 (CAST(4096 AS BIGINT))) s(scale)),
+    qv AS (SELECT s.scale, q.vec_id,
+                  list_transform(q.v, x -> floor(x * s.scale)) AS qv
+           FROM q CROSS JOIN sc s),
+    qq AS (SELECT scale, vec_id AS qid, qv FROM qv WHERE vec_id < 8),
+    top AS (
+      SELECT c.scale, qq.qid, c.vec_id,
+             row_number() OVER (
+               PARTITION BY c.scale, qq.qid
+               ORDER BY CAST(list_dot_product(c.qv, qq.qv) AS BIGINT) DESC,
+                        c.vec_id) AS rk
+      FROM qv c JOIN qq ON qq.scale = c.scale WHERE c.vec_id >= 8
+    ), t10 AS (SELECT scale, qid, vec_id FROM top WHERE rk <= 10)
+    SELECT a.scale, a.qid, CAST(count(*) AS BIGINT) AS overlap10
+    FROM t10 a
+    JOIN t10 b ON b.scale = 1024 AND b.qid = a.qid AND b.vec_id = a.vec_id
+    GROUP BY a.scale, a.qid
+    """,
+    tags=("llm", "similarity", "quantization", "audit"),
+)
+def llm_quant_scale_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-scale ablation for integer-dot ANN serving: top-10
+    neighbor overlap of the scale-256 and scale-4096 rankings against the
+    scale-1024 reference, for each of the 8 audit queries (vec_id < 8;
+    corpus = the rest). The measured answer to 'how many quantization
+    bits does serving need' — at fixture scale the 256 rung visibly
+    degrades (overlap 9/10) while 4096 matches, and the 1024-vs-1024 rows
+    are the built-in sanity anchor (always 10). Exact: every ranking is
+    an int64 dot over floor(v·scale) codes, ties to the smaller id.
+    Plan / 100 TB: three quantized_dot_topk passes (queries broadcast
+    with a raise-guard, per-batch Arrow top-k, merge window partitioned
+    by query), then a top-10-sized self-join keyed on (qid, neighbor) —
+    k²-bounded, never corpus-sized."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    parts = []
+    for scale in (256, 1024, 4096):
+        tk = similarity.quantized_dot_topk(corpus, queries, k=10, scale=scale)
+        parts.append(
+            tk.select(
+                F.lit(scale).cast("bigint").alias("scale"),
+                F.col("query_id").alias("qid"),
+                F.col("neighbor_id").alias("vec_id"),
+            )
+        )
+    t10 = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    ref = (
+        t10.filter(F.col("scale") == 1024)
+        .select("qid", "vec_id")
+        .withColumnRenamed("qid", "r_qid")
+        .withColumnRenamed("vec_id", "r_vec")
+    )
+    return (
+        t10.join(
+            ref,
+            (t10.qid == ref.r_qid) & (t10.vec_id == ref.r_vec),
+        )
+        .groupBy("scale", "qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap10"))
+    )
