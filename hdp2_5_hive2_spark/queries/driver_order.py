@@ -74,6 +74,10 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_zipf_ratio_curve",        # top-16 Zipf ratio health check (r11)
     "llm_header_boilerplate",      # shared first-8-gram header rate (r11)
     "llm_quant_scale_ablation",    # overlap@10 vs scale-1024 reference (r11)
+    "llm_winnowing_density",       # MOSS density sweep vs 2/(w+1) bound (r11)
+    "llm_survivorship_policy",     # keep-newest vs keep-longest ablation (r11)
+    "llm_cross_source_grams",      # source-pair shared-gram matrix (r11)
+    "llm_pii_cooccurrence",        # planted digit+email window audit (r11)
 ]
 
 # Frozen round-10 tier (was _NEW_THIS_ROUND while round 10 was current) —

