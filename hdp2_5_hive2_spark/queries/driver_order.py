@@ -78,6 +78,10 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_survivorship_policy",     # keep-newest vs keep-longest ablation (r11)
     "llm_cross_source_grams",      # source-pair shared-gram matrix (r11)
     "llm_pii_cooccurrence",        # planted digit+email window audit (r11)
+    "llm_heaps_vocab_growth",      # vocab checkpoints at 25/50/100% (r11)
+    "llm_length_gini",             # per-source length inequality micro (r11)
+    "llm_novelty_decay",           # first-seen 8-gram share per decile (r11)
+    "llm_embedding_norm_audit",    # pow2 histogram of int sq-norms (r11)
 ]
 
 # Frozen round-10 tier (was _NEW_THIS_ROUND while round 10 was current) —

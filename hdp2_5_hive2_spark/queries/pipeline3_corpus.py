@@ -909,3 +909,221 @@ def llm_pii_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("doc_id").cast("bigint").alias("n_docs_cooc"),
         )
     )
+
+
+@query(
+    "llm_heaps_vocab_growth",
+    oracle=_TOK_CTE
+    + """
+    , mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS m FROM documents),
+    cps AS (SELECT * FROM (VALUES (CAST(25 AS BIGINT)), (CAST(50 AS BIGINT)),
+                                  (CAST(100 AS BIGINT))) c(pct))
+    SELECT pct,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_types
+    FROM tok CROSS JOIN mx JOIN cps ON doc_id * 100 < pct * m
+    GROUP BY pct
+    """,
+    tags=("llm", "text", "heaps", "audit"),
+)
+def llm_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth checkpoints: distinct-type count after
+    the first 25% / 50% / 100% of the doc_id range — the sub-linear
+    growth curve (V ≈ K·n^β, β < 1) that distinguishes organic text from
+    generator loops (whose vocabulary saturates) and OCR noise (whose
+    vocabulary grows linearly). Exact integer counts at three fixed
+    checkpoints; the curve shape is the signal, no fitting on the query
+    path (llm_chars_per_token_fit is the closed-form fit sibling).
+    Plan / 100 TB: one tokenize, a 3-row checkpoint-range join (each
+    token lands in every checkpoint it precedes — a bounded 3× map-side
+    fan-out), and per-checkpoint distinct aggregates — the same
+    two-level distinct-agg shape Catalyst already optimizes with
+    partial_count(distinct ...)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    mx = d.agg((F.max("doc_id") + 1).cast("bigint").alias("m"))
+    cps = spark.createDataFrame([(25,), (50,), (100,)], "pct bigint")
+    return (
+        tok.crossJoin(F.broadcast(mx))
+        .join(
+            F.broadcast(cps),
+            F.col("doc_id") * 100 < F.col("pct") * F.col("m"),
+        )
+        .groupBy("pct")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count_distinct("term").cast("bigint").alias("n_types"),
+        )
+    )
+
+
+@query(
+    "llm_length_gini",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents
+    ), ranked AS (
+      SELECT source, n,
+             row_number() OVER (PARTITION BY source ORDER BY n, doc_id) AS i
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST((2 * SUM(i * n) - (count(*) + 1) * SUM(n)) * 1000000
+                // (count(*) * SUM(n)) AS BIGINT) AS gini_micro
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=("llm", "text", "gini", "audit"),
+)
+def llm_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length inequality per source (Gini coefficient, exact
+    integer micro): Σ(2i − n − 1)·x_(i) over ascending-sorted lengths,
+    one BIGINT floor division by n·Σx at the end. High Gini means a few
+    mega-documents dominate the source's token budget — the signal for
+    per-document length caps before the source's sampling weight is
+    computed (a source at Gini 0.8 contributes far fewer effective
+    documents than its token count suggests). Ties are order-invariant
+    (equal x share any coefficient assignment), so the doc_id tie-break
+    is determinism polish, not semantics. Plan / 100 TB: one map-side
+    length pass, one window PARTITIONED by source (never partition-less),
+    one per-source fold."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("source").orderBy("n", "doc_id")
+    ranked = base.select(
+        "source", "n", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "(2 * sum(i * n) - (count(*) + 1) * sum(n)) * 1000000"
+            " div (count(*) * sum(n))"
+        )
+        .cast("bigint")
+        .alias("gini_micro"),
+    )
+
+
+@query(
+    "llm_novelty_decay",
+    oracle="WITH "
+    + _ngram_cte(7)
+    + """
+    , mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS m FROM documents),
+    fs AS (SELECT ngram, min(doc_id) AS fd FROM ngd GROUP BY ngram),
+    newd AS (SELECT CAST(fd * 10 // m AS BIGINT) AS decile,
+                    CAST(count(*) AS BIGINT) AS n_new
+             FROM fs CROSS JOIN mx GROUP BY 1),
+    inc AS (SELECT CAST(doc_id * 10 // m AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_incidences
+            FROM ngd CROSS JOIN mx GROUP BY 1)
+    SELECT decile, n_new, n_incidences,
+           CAST(n_new * 1000 // n_incidences AS BIGINT) AS novelty_milli
+    FROM newd JOIN inc USING (decile)
+    """,
+    tags=("llm", "text", "novelty", "audit"),
+)
+def llm_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty decay curve: per doc_id decile, how many distinct 8-grams
+    make their FIRST corpus appearance there, as milli of the decile's
+    total gram incidences — the crawl-freshness gauge (a healthy growing
+    corpus decays slowly; a recrawl-heavy one collapses to near-zero
+    novelty after the first deciles, meaning later snapshots are paying
+    storage for already-seen text). Same 8-gram kernel as the
+    decontamination suite. Plan / 100 TB: gram first-sight is a
+    (gram → min doc_id) aggregate — the standard value-keyed shuffle;
+    both decile rollups are 10-row aggregates; the scalar max(doc_id)
+    broadcasts."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ngd = curation.word_ngram_rows(d, "text", "doc_id", 8)
+    mx = d.agg((F.max("doc_id") + 1).cast("bigint").alias("m"))
+    fs = ngd.groupBy("ngram").agg(F.min("id").alias("fd"))
+    newd = (
+        fs.crossJoin(F.broadcast(mx))
+        .select(F.expr("fd * 10 div m").cast("bigint").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    inc = (
+        ngd.crossJoin(F.broadcast(mx))
+        .select(F.expr("id * 10 div m").cast("bigint").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_incidences"))
+    )
+    return (
+        newd.join(inc, "decile")
+        .select(
+            "decile",
+            "n_new",
+            "n_incidences",
+            F.expr("n_new * 1000 div n_incidences")
+            .cast("bigint")
+            .alias("novelty_milli"),
+        )
+    )
+
+
+@query(
+    "llm_embedding_norm_audit",
+    oracle="""
+    WITH qe AS (
+      SELECT vec_id,
+             CAST(list_dot_product(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1024)),
+               list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1024))
+             ) AS BIGINT) AS sqn
+      FROM embeddings
+    )
+    SELECT CAST(length(bin(sqn)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(sqn) AS BIGINT) AS min_sqn,
+           CAST(max(sqn) AS BIGINT) AS max_sqn
+    FROM qe GROUP BY 1
+    """,
+    tags=("llm", "similarity", "norms", "audit"),
+)
+def llm_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm health audit: power-of-two histogram of exact
+    integer squared norms over floor(v·1024) codes (bucket = binary digit
+    count − 1, the same no-float log2 as llm_cluster_size_powerlaw).
+    Norm spread is THE precondition check for dot-product serving: if
+    norms span multiple octaves, dot ranking diverges from cosine
+    ranking and the ANN index needs normalization first; a tight
+    single-bucket histogram certifies dot ≈ cosine. min/max per bucket
+    bound the outliers. Plan / 100 TB: one map-side self-dot per vector
+    (codegen over the array), a bucket-count-sized aggregate — no joins,
+    no windows."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1024))
+    sqn = (
+        F.aggregate(
+            F.zip_with(qv, qv, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        )
+    ).alias("sqn")
+    base = emb.select(sqn)
+    return (
+        base.select(
+            (F.length(F.bin("sqn")) - 1).cast("bigint").alias("bucket"), "sqn"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("sqn").cast("bigint").alias("min_sqn"),
+            F.max("sqn").cast("bigint").alias("max_sqn"),
+        )
+    )
