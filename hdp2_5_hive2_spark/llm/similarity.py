@@ -1261,6 +1261,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1024,
+    inertia_curve: bool = False,
 ) -> DataFrame:
     """DISTRIBUTED Lloyd k-means over an embedding column, exact-integer
     end-to-end — the full-corpus counterpart of `_train_centroids` (which
@@ -1327,12 +1328,21 @@ def kmeans_lloyd(
             gen, "id bigint, q array<bigint>, cid bigint, d2 bigint"
         )
 
-    for _ in range(iters):
+    # inertia_curve rides the EXISTING per-round driver sync: the d2 sum
+    # joins the same groupBy whose collect already happens, so the curve
+    # costs zero extra passes; with the flag off the aggregate list (and
+    # the plan) is byte-identical to the pre-curve version.
+    curve: list[tuple[int, int, int]] = []
+    for it in range(iters):
+        extra = (
+            [F.sum("d2").alias("d2s")] if inertia_curve else []
+        )
         sums = (
             assign(cent)
             .groupBy("cid")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
+                *extra,
                 *[
                     F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
                     for i in range(dims)
@@ -1340,12 +1350,16 @@ def kmeans_lloyd(
             )
             .collect()
         )
+        if inertia_curve:
+            curve.append(
+                (it, sum(r["cnt"] for r in sums), sum(r["d2s"] for r in sums))
+            )
         nxt = cent.copy()
         for r in sums:
             nxt[r["cid"]] = [r[f"s{i}"] // r["cnt"] for i in range(dims)]
         cent = nxt
 
-    return (
+    final = (
         assign(cent)
         .groupBy("cid")
         .agg(
@@ -1353,6 +1367,15 @@ def kmeans_lloyd(
             F.sum("id").alias("id_checksum"),
             F.sum("d2").alias("inertia"),
         )
+    )
+    if not inertia_curve:
+        return final
+    frow = final.agg(
+        F.sum("n_members").alias("n"), F.sum("inertia").alias("i2")
+    ).collect()[0]
+    curve.append((iters, int(frow["n"]), int(frow["i2"])))
+    return df.sparkSession.createDataFrame(
+        curve, "iter bigint, n_points bigint, inertia bigint"
     )
 
 

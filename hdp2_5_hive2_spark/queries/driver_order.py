@@ -82,6 +82,9 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_length_gini",             # per-source length inequality micro (r11)
     "llm_novelty_decay",           # first-seen 8-gram share per decile (r11)
     "llm_embedding_norm_audit",    # pow2 histogram of int sq-norms (r11)
+    "llm_kmeans_inertia",          # Lloyd per-iteration inertia curve (r11)
+    "llm_packing_waste_sweep",     # next-fit waste at C=128/256/512 (r11)
+    "events_interleave_schedule",  # WFQ event-type interleave + twin (r11)
 ]
 
 # Frozen round-10 tier (was _NEW_THIS_ROUND while round 10 was current) —
@@ -165,6 +168,10 @@ _R10_CHANGED: list[str] = [
 # expression tree changed, so the r10 green predates the shipped code.
 _CHANGED_THIS_ROUND: list[str] = [
     "fn_reflect2",
+    # kmeans_lloyd gained the inertia_curve mode (default path
+    # byte-identical, but the kernel file changed — re-lead per the
+    # tier-3 discipline)
+    "llm_kmeans_clusters",
 ]
 
 # Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).

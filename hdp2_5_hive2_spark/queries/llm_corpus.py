@@ -4963,10 +4963,16 @@ def llm_hll_ngram_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dims: int = 64, scale: int = 1024) -> str:
+def _kmeans_oracle(
+    k: int = 8, iters: int = 2, dims: int = 64, scale: int = 1024,
+    curve: bool = False,
+) -> str:
     """Unrolled Lloyd iterations in plain SQL: assignment = argmin of exact
     integer squared distance (ties -> lowest cid), update = floor(sum/cnt)
-    per dimension, empty clusters keep the previous centroid."""
+    per dimension, empty clusters keep the previous centroid. With
+    ``curve=True`` the final select is the per-iteration total-inertia
+    curve (iter i = inertia of the assignment against the i-times-updated
+    centroids) instead of the per-cluster summary."""
     def dist_cte(dname: str, cname: str) -> str:
         return f"""
     {dname} AS (
@@ -5017,7 +5023,19 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dims: int = 64, scale: int = 1024
         parts.append("," + update_cte(f"m{it}", f"a{it}", f"c{it}", f"c{it + 1}"))
     parts.append("," + dist_cte("dfin", f"c{iters}"))
     parts.append("," + assign_cte("afin", "dfin"))
-    parts.append("""
+    if curve:
+        names = [f"a{i}" for i in range(iters)] + ["afin"]
+        rows = " UNION ALL ".join(
+            f"""
+      SELECT CAST({i} AS BIGINT) AS iter,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(d2) AS BIGINT) AS inertia
+      FROM {name}"""
+            for i, name in enumerate(names)
+        )
+        parts.append(f"SELECT * FROM ({rows})")
+    else:
+        parts.append("""
     SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
            CAST(SUM(d2) AS BIGINT) AS inertia

@@ -1127,3 +1127,223 @@ def llm_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sqn").cast("bigint").alias("max_sqn"),
         )
     )
+
+
+# The Lloyd-inertia oracle reuses llm_corpus's unrolled-CTE generator in
+# curve mode (imported, not copied — the chains can never drift).
+from hdp2_5_hive2_spark.queries.llm_corpus import _kmeans_oracle
+
+
+@query(
+    "llm_kmeans_inertia",
+    oracle=_kmeans_oracle(k=4, iters=2, curve=True),
+    tags=("llm", "similarity", "clustering", "kmeans", "convergence"),
+)
+def llm_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd convergence curve: total inertia after 0 / 1 / 2 centroid
+    updates (k=4, deterministic lowest-id seeds) — the monotone-descent
+    certificate for the distributed k-means operator. Inertia MUST be
+    non-increasing per iteration (Lloyd's guarantee); a curve that ticks
+    up means the assignment and update steps disagree on the metric —
+    the bug class this audit exists to catch before anyone trusts
+    llm_kmeans_clusters's final partition. Exact: same int64
+    distance/update arithmetic as kmeans_lloyd; the per-iteration sums
+    ride the SAME per-round driver sync the update step already does
+    (zero extra passes — inertia_curve mode adds one d2 sum to the
+    existing k-row aggregate). Oracle: the same unrolled chain as
+    llm_kmeans_clusters in curve mode. Plan / 100 TB: unchanged Lloyd
+    shape — per round one broadcast-GEMM Arrow pass, one k-row shuffle,
+    one k×d driver sync."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.kmeans_lloyd(e, k=4, iters=2, inertia_curve=True)
+
+
+def _pack_sweep_oracle() -> str:
+    """Per-capacity next-fit packing chains (the r9 llm_pack_greedy_bins
+    recursion parameterized over capacity), folded to a 3-row waste
+    summary."""
+    chains, selects = [], []
+    for cap in (128, 256, 512):
+        chains.append(f"""
+    pack{cap} AS (
+      SELECT chunk, rn, nt, 0 AS bin_idx, nt AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.chunk, t.rn, t.nt,
+             CASE WHEN p.fill + t.nt > {cap} THEN p.bin_idx + 1
+                  ELSE p.bin_idx END,
+             CASE WHEN p.fill + t.nt > {cap} THEN t.nt
+                  ELSE p.fill + t.nt END
+      FROM pack{cap} p JOIN t ON t.chunk = p.chunk AND t.rn = p.rn + 1
+    ), bins{cap} AS (
+      SELECT chunk, bin_idx, CAST(SUM(nt) AS BIGINT) AS fill
+      FROM pack{cap} GROUP BY chunk, bin_idx
+    )""")
+        selects.append(f"""
+      SELECT CAST({cap} AS BIGINT) AS capacity,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(SUM(fill) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN fill > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow_bins,
+             CAST(SUM(greatest(0, {cap} - fill)) * 1000
+                  // (count(*) * {cap}) AS BIGINT) AS waste_milli
+      FROM bins{cap}""")
+    return (
+        """
+    WITH RECURSIVE t AS (
+      SELECT doc_id // 64 AS chunk, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS nt,
+             row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ),"""
+        + ",".join(chains)
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
+
+
+@query(
+    "llm_packing_waste_sweep",
+    oracle=_pack_sweep_oracle(),
+    tags=("llm", "packing", "sweep"),
+)
+def llm_packing_waste_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing-efficiency sweep: boundary-aware next-fit
+    (the llm_pack_greedy_bins fold) at capacities 128 / 256 / 512, with
+    per-capacity bin count, packed tokens, oversized-document bins
+    (fill > capacity — a doc larger than the bin gets one to itself) and
+    waste as milli of total bin space (Σ max(0, C − fill) / n_bins·C) —
+    the measured trade a training team reads before picking a context
+    length: short contexts waste little per bin but explode bin (and
+    attention-reset) counts; long contexts strand tail capacity. One
+    Arrow kernel per 64-doc chunk runs all three folds over (doc_id, nt)
+    rows only — text never reaches Python or any shuffle; the oracle is
+    three parameterized recursive CTEs. Plan / 100 TB: chunks are 64-row
+    units, perfectly parallel, shuffle rows are 32 bytes."""
+    import pandas as pd
+
+    from hdp2_5_hive2_spark.llm.text import token_count
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        F.expr("doc_id div 64").alias("chunk"),
+        "doc_id",
+        token_count("text").cast("bigint").alias("nt"),
+    )
+
+    def sweep(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        chunk = int(pdf["chunk"].iloc[0])
+        out = []
+        for cap in (128, 256, 512):
+            bin_idx, fill, ndocs = 0, 0, 0
+            for t in pdf["nt"]:
+                t = int(t)
+                if ndocs > 0 and fill + t > cap:
+                    out.append((cap, chunk, bin_idx, fill))
+                    bin_idx, fill, ndocs = bin_idx + 1, 0, 0
+                fill += t
+                ndocs += 1
+            if ndocs:
+                out.append((cap, chunk, bin_idx, fill))
+        return pd.DataFrame(
+            out, columns=["capacity", "chunk", "bin_idx", "fill"]
+        )
+
+    bins = toks.groupBy("chunk").applyInPandas(
+        sweep, "capacity bigint, chunk bigint, bin_idx bigint, fill bigint"
+    )
+    return bins.groupBy("capacity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("fill").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("fill") > F.col("capacity"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overflow_bins"),
+        F.expr(
+            "sum(greatest(0, capacity - fill)) * 1000"
+            " div (count(*) * capacity)"
+        )
+        .cast("bigint")
+        .alias("waste_milli"),
+    )
+
+
+@query(
+    "events_interleave_schedule",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN event_type = 'purchase' THEN CAST(3 AS BIGINT)
+                  WHEN event_type = 'click' THEN CAST(2 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS wt
+      FROM events
+    ), items AS (
+      SELECT event_type, event_id, wt,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS i
+      FROM w
+    ), keyed AS (
+      SELECT event_type, event_id,
+             CAST(i * (6 // wt) AS BIGINT) AS vkey
+      FROM items
+    )
+    SELECT CAST(pos AS BIGINT) AS pos, event_type, event_id, vkey FROM (
+      SELECT event_type, event_id, vkey,
+             row_number() OVER (ORDER BY vkey, event_type, event_id) AS pos
+      FROM keyed
+    ) WHERE pos <= 30
+    """,
+    tags=("events", "streaming", "schedule", "interleave"),
+)
+def events_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-fair interleave of EVENT-TYPE streams (the event-time twin
+    of llm_mixture_interleave, and the batch side of the stateful
+    streaming scheduler parity-pinned in tests/test_streaming_corpus.py):
+    event types weighted purchase:3, click:2, others:1 emit in (ts,
+    event_id) arrival order; item i of a weight-w stream carries virtual
+    finish time i·(6/w) — weighted-fair-queueing with LCM 6, every key an
+    exact integer — and the realized schedule is the first 30 positions
+    of the (vkey, type, id) total order. The property under test is the
+    one a multiplexing ingest service needs: every schedule prefix tracks
+    3:2:1 within one item per stream. Plan / 100 TB: per-type index
+    window is PARTITIONED by event_type; the global cut is
+    TakeOrderedAndProject (bounded 30-row heap) + window-free
+    bounded_rank for positions."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wt = (
+        F.when(F.col("event_type") == "purchase", F.lit(3))
+        .when(F.col("event_type") == "click", F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+    )
+    ws = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    items = (
+        ev.select("event_type", "event_id", "ts", wt.alias("wt"))
+        .withColumn("i", F.row_number().over(ws))
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("i * (6 div wt)").cast("bigint").alias("vkey"),
+        )
+    )
+    top = items.orderBy("vkey", "event_type", "event_id").limit(30)
+    ranked = retrieval.bounded_rank(
+        top.withColumn(
+            "_tie",
+            F.struct(
+                F.col("event_type").alias("t"), F.col("event_id").alias("e")
+            ),
+        ),
+        "vkey",
+        "_tie",
+        ascending=True,
+    )
+    return ranked.select(
+        F.col("rank").cast("bigint").alias("pos"),
+        "event_type",
+        "event_id",
+        "vkey",
+    )
