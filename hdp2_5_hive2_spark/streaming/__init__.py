@@ -1,6 +1,7 @@
 from hdp2_5_hive2_spark.streaming.corpus import (
     resolve_dup_verdicts,
     streaming_compaction_monitor,
+    streaming_interleave_scheduler,
     resolve_image_verdicts,
     streaming_image_dedup,
     streaming_minhash_dedup,
@@ -23,5 +24,6 @@ __all__ = [
     "resolve_dup_verdicts",
     "streaming_image_dedup",
     "streaming_compaction_monitor",
+    "streaming_interleave_scheduler",
     "resolve_image_verdicts",
 ]

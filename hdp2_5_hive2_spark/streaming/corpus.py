@@ -481,3 +481,66 @@ def streaming_compaction_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_interleave_scheduler(event_stream: DataFrame) -> DataFrame:
+    """STREAMING weighted-fair interleave scheduler — the stateful twin of
+    the batch events_interleave_schedule query (queries/pipeline3_corpus
+    .py): events stream in per type; each type's keyed state carries ONE
+    integer (items seen so far) and every arrival is stamped with its
+    weighted-fair-queueing virtual finish time vkey = i·(6/w) for weights
+    purchase:3, click:2, others:1 (LCM 6, exact integers). The realized
+    schedule is the (vkey, type, id) total order over the emitted rows —
+    the parity test in tests/test_streaming_corpus.py sorts the union of
+    all micro-batch emissions and matches the batch query's 30-row cut.
+
+    Within a micro-batch, arrivals are processed in (ts, event_id) order —
+    deterministic replay. 100 TB notes: state is ONE int per stream key;
+    the stateful shuffle keys on event_type (or any finer mux key a real
+    service multiplexes by); vkey assignment is executor-side with no
+    driver involvement, and the consumer-side cut is a bounded top-k."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("event_id", LongType()),
+            StructField("vkey", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("i", LongType())])
+    weights = {"purchase": 3, "click": 2}
+
+    def update(key, pdfs, state: GroupState):
+        etype = str(key[0])
+        wt = weights.get(etype, 1)
+        step = 6 // wt
+        i = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+                rows.append((int(ts), int(eid)))
+        rows.sort()
+        out_ids, out_keys = [], []
+        for _, eid in rows:
+            i += 1
+            out_ids.append(eid)
+            out_keys.append(i * step)
+        state.update((int(i),))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "event_type": [etype] * len(out_ids),
+                    "event_id": out_ids,
+                    "vkey": out_keys,
+                }
+            )
+
+    return event_stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

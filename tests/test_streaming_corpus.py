@@ -467,3 +467,73 @@ def test_streaming_compaction_monitor_matches_batch_twin(spark):
         for r in REGISTRY["llm_compaction_stream"].fn(spark, SF_CORRECT).collect()
     }
     assert last == batch
+
+
+def test_streaming_interleave_scheduler_matches_batch_twin(spark):
+    """The stateful interleave scheduler's emitted (type, id, vkey) rows,
+    globally sorted by (vkey, type, id) and cut to 30, must equal the
+    events_interleave_schedule batch query — cross-trigger state parity:
+    arrivals split across three time-ordered micro-batches, so every
+    stream's item index depends on state carried between triggers."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+    from hdp2_5_hive2_spark.streaming import streaming_interleave_scheduler
+
+    base = load_tables(spark, SF_CORRECT)["events"]
+    ts_col = (
+        F.unix_micros("ts")
+        if dict(base.dtypes)["ts"].startswith("timestamp")
+        else F.col("ts").cast("bigint")
+    )
+    ev = (
+        base.select("event_type", ts_col.alias("ts"), "event_id")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    third = len(ev) // 3
+    files = [ev.iloc[:third], ev.iloc[third : 2 * third], ev.iloc[2 * third :]]
+
+    tmp = Path(tempfile.mkdtemp(prefix="stream_interleave_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        for i, pdf in enumerate(files):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "event_type string, ts bigint, event_id bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        sched = streaming_interleave_scheduler(stream)
+        out: list[tuple[int, object]] = []
+
+        def sink(bdf, bid):
+            pdf = bdf.toPandas()
+            out.append((int(bid), pdf))
+
+        q = sched.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert len([1 for _, pdf in out if len(pdf)]) >= 3, "need >= 3 triggers"
+    emitted = []
+    for _, pdf in out:
+        for r in pdf.itertuples():
+            emitted.append((int(r.vkey), str(r.event_type), int(r.event_id)))
+    emitted.sort()
+    streamed = [
+        (pos + 1, et, eid, vk)
+        for pos, (vk, et, eid) in enumerate(emitted[:30])
+    ]
+    batch = [
+        (int(r.pos), str(r.event_type), int(r.event_id), int(r.vkey))
+        for r in REGISTRY["events_interleave_schedule"]
+        .fn(spark, SF_CORRECT)
+        .orderBy("pos")
+        .collect()
+    ]
+    assert streamed == batch
