@@ -1103,19 +1103,21 @@ def llm_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms span multiple octaves, dot ranking diverges from cosine
     ranking and the ANN index needs normalization first; a tight
     single-bucket histogram certifies dot ≈ cosine. min/max per bucket
-    bound the outliers. Plan / 100 TB: one map-side self-dot per vector
-    (codegen over the array), a bucket-count-sized aggregate — no joins,
+    bound the outliers. Plan / 100 TB: the self-dot is ONE vectorized
+    Arrow pass (similarity.quantized_pair_dots with both sides the same
+    column — never an interpreted higher-order Column chain on the
+    corpus-sized path), then a bucket-count-sized aggregate — no joins,
     no windows."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1024))
-    sqn = (
-        F.aggregate(
-            F.zip_with(qv, qv, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x.cast("bigint"),
-        )
-    ).alias("sqn")
-    base = emb.select(sqn)
+    base = similarity.quantized_pair_dots(
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("qv"),
+            F.col("embedding").alias("cv"),
+        ),
+        scale=1024,
+        dot_name="sqn",
+    ).select("sqn")
     return (
         base.select(
             (F.length(F.bin("sqn")) - 1).cast("bigint").alias("bucket"), "sqn"

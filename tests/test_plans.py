@@ -1191,3 +1191,118 @@ def test_mixture_interleave_cut_is_bounded_and_window_partitioned(spark):
     assert "TakeOrderedAndProject" in plan, plan
     for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^,)]*)", plan):
         assert m.group(1).startswith("source"), m.group(0)
+
+
+def test_triangle_closure_shuffles_ids_only(spark):
+    """Every exchange past the gram kernel must carry id-keyed rows (the
+    degree cap runs BEFORE the path join, so fan-out is bounded); no
+    cartesian/BNLJ anywhere — the closing probe is an equi-hash-join."""
+    plan = _executed(REGISTRY["llm_dup_triangle_closure"].fn(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        key = ex.split(",")[0].split("#")[0]
+        assert key in ("id", "ngram", "doc_a", "doc_b", "a", "b", "c"), (
+            key, plan,
+        )
+
+
+def test_ivf_cell_balance_is_arrow_broadcast_book(spark):
+    """Assignment must be the broadcast-book Arrow matmul (MapInPandas),
+    never a dim-keyed join (64-value key = skew cliff); the occupancy
+    attach is a 1-row broadcast."""
+    plan = _executed(REGISTRY["llm_ivf_cell_balance"].fn(spark, SF_CORRECT))
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        assert not ex.split(",")[0].startswith("dim"), plan
+
+
+def test_vocab_half_drift_basket_is_broadcast(spark):
+    """The top-16 basket must reach the token stream as a BroadcastHashJoin
+    build side — a shuffle join keyed on 16 term values would funnel the
+    corpus through 16 reducers."""
+    plan = _executed(REGISTRY["llm_vocab_half_drift"].fn(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quant_ablation_rankings_partition_by_query(spark):
+    """All per-scale top-k merge windows must partition by query_id, and
+    the three quantization passes are Arrow kernels."""
+    import re
+
+    plan = _executed(REGISTRY["llm_quant_scale_ablation"].fn(spark, SF_CORRECT))
+    assert plan.count("MapInPandas") >= 3, plan
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("query_id"), m.group(0)
+
+
+def test_pii_cooccurrence_filters_before_join(spark):
+    """The digit-run / @-token filters must run BELOW the doc_id join, so
+    the join sides are PII-shaped tokens only — joining raw position
+    tables would be positions x positions per document."""
+    plan = _executed(REGISTRY["llm_pii_cooccurrence"].fn(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    join_at = plan.find("Join")
+    rlike_at = plan.find("RLIKE")
+    contains_at = plan.find("Contains")
+    assert join_at >= 0 and rlike_at > join_at and contains_at > join_at, (
+        "filters must appear under (after, in toString order) the join",
+        plan,
+    )
+
+
+def test_survivorship_policy_has_no_corpus_window(spark):
+    """Both policies fold per-cluster via max_by/struct-max aggregates —
+    no Window operator (a per-cluster row_number would shuffle and sort
+    the whole doubled corpus), no cartesian."""
+    plan = _executed(REGISTRY["llm_survivorship_policy"].fn(spark, SF_CORRECT))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_length_gini_window_partitioned_by_source(spark):
+    import re
+
+    plan = _executed(REGISTRY["llm_length_gini"].fn(spark, SF_CORRECT))
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("source"), m.group(0)
+
+
+def test_interleave_schedule_cut_is_bounded_and_window_partitioned(spark):
+    """Same contract as the mixture_interleave pin: the 30-row global cut
+    is a TakeOrderedAndProject heap and the per-type index window stays
+    PARTITIONED by event_type."""
+    import re
+
+    plan = _executed(
+        REGISTRY["events_interleave_schedule"].fn(spark, SF_CORRECT)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("event_type"), m.group(0)
+
+
+def test_norm_audit_self_dot_is_arrow_not_hof(spark):
+    """The squared norm must come from the vectorized Arrow kernel
+    (quantized_pair_dots), never an interpreted higher-order Column chain
+    over the corpus-sized embedding table."""
+    plan = _executed(REGISTRY["llm_embedding_norm_audit"].fn(spark, SF_CORRECT))
+    assert "MapInPandas" in plan, plan
+    assert "aggregate(" not in plan, plan
+
+
+def test_cross_source_grams_join_keyed_on_gram_value(spark):
+    """The pair join must be an equi-join keyed on the gram value with the
+    df cap applied (hub grams removed) — never cartesian; the sample gate
+    must reach the parquet scan as a pushed filter."""
+    plan = _executed(REGISTRY["llm_cross_source_grams"].fn(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    keys = [
+        ex.split(",")[0].split("#")[0]
+        for ex in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert "ngram" in keys, (keys, plan)
+    assert set(keys) <= {"ngram", "src_a", "ida", "id"}, (keys, plan)
