@@ -172,6 +172,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # byte-identical, but the kernel file changed — re-lead per the
     # tier-3 discipline)
     "llm_kmeans_clusters",
+    # ring assignment rewritten from the 576x BNLJ fan-out to one
+    # zero-fan-out Arrow searchsorted pass (VERDICT r10 polish #1)
+    "llm_consistent_hash_moves",
 ]
 
 # Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).

@@ -19,7 +19,11 @@ drift (both modules are pre-r10 code with byte-identical plans).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 R9 = {
     "q9_product_profit": 0.349,
