@@ -537,3 +537,84 @@ def test_streaming_interleave_scheduler_matches_batch_twin(spark):
         .collect()
     ]
     assert streamed == batch
+
+
+def test_streaming_interleave_scheduler_rocksdb_state_store(spark):
+    """Same cross-trigger parity contract as the default-store test, but
+    with keyed state in the RocksDB state store — the provider the 100 TB
+    docstring prescribes. Converts the scale note into a tested contract:
+    the one-int-per-stream state codec round-trips through RocksDB."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+    from hdp2_5_hive2_spark.streaming import streaming_interleave_scheduler
+
+    base = load_tables(spark, SF_CORRECT)["events"]
+    ts_col = (
+        F.unix_micros("ts")
+        if dict(base.dtypes)["ts"].startswith("timestamp")
+        else F.col("ts").cast("bigint")
+    )
+    ev = (
+        base.select("event_type", ts_col.alias("ts"), "event_id")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    third = len(ev) // 3
+    files = [ev.iloc[:third], ev.iloc[third : 2 * third], ev.iloc[2 * third :]]
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    tmp = Path(tempfile.mkdtemp(prefix="stream_interleave_rocks_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        for i, pdf in enumerate(files):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "event_type string, ts bigint, event_id bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out: list[tuple[int, object]] = []
+
+        def sink(bdf, bid):
+            out.append((int(bid), bdf.toPandas()))
+
+        q = (
+            streaming_interleave_scheduler(stream)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+
+    emitted = sorted(
+        (int(r.vkey), str(r.event_type), int(r.event_id))
+        for _, pdf in out
+        for r in pdf.itertuples()
+    )
+    streamed = [
+        (pos + 1, et, eid, vk)
+        for pos, (vk, et, eid) in enumerate(emitted[:30])
+    ]
+    batch = [
+        (int(r.pos), str(r.event_type), int(r.event_id), int(r.vkey))
+        for r in REGISTRY["events_interleave_schedule"]
+        .fn(spark, SF_CORRECT)
+        .orderBy("pos")
+        .collect()
+    ]
+    assert streamed == batch
