@@ -773,3 +773,30 @@ def test_reflect2_fuzz_against_java_reference(spark):
         if have != want:
             bad.append((repr(s), have, want))
     assert not bad, bad[:5]
+
+
+def test_wrap_int32_fuzz_full_int64_range(spark):
+    """Seeded fuzz of the overflow-free int32 wrap across the FULL int64
+    range (ADVICE r10: the old form threw under ANSI for
+    |v| >= 2^63 - 2^31): every value must narrow exactly like Java's
+    (int) cast, computed independently via Python two's-complement."""
+    import random
+
+    from hdp2_5_hive2_spark.functions.hive_compat import _wrap_int32
+
+    rng = random.Random(0xC0FFEE)
+    vals = [0, 1, -1, (1 << 63) - 1, -(1 << 63), (1 << 31), -(1 << 31),
+            (1 << 32), -(1 << 32), (1 << 62) + 12345]
+    vals += [rng.randrange(-(1 << 63), 1 << 63) for _ in range(290)]
+
+    def java_int(v: int) -> int:
+        w = v & 0xFFFFFFFF
+        return w - (1 << 32) if w >= (1 << 31) else w
+
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    got = {
+        r.v: r.w
+        for r in df.select("v", _wrap_int32(F.col("v")).alias("w")).collect()
+    }
+    for v in vals:
+        assert got[v] == java_int(v), v
