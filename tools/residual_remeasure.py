@@ -35,9 +35,16 @@ CONTROLS = ("q9_product_profit", "q10_returned_items")
 
 
 def main() -> None:
+    """One measurement window; with ``--until-validated N`` retry up to N
+    windows (sleeping 5 min between attempts) and stop at the first whose
+    controls validate — one JSON line per attempt either way."""
     from bench import _host_calibration
     from hdp2_5_hive2_spark.queries import REGISTRY
     from hdp2_5_hive2_spark.session import get_session
+
+    attempts = 1
+    if "--until-validated" in sys.argv:
+        attempts = int(sys.argv[sys.argv.index("--until-validated") + 1])
 
     sf_dir = "/root/testdata/sf0.1"
     spark = get_session(app_name="residual-remeasure")
@@ -46,34 +53,40 @@ def main() -> None:
     for tbl in ("documents", "embeddings", "orders", "customer", "events"):
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
-    cb = _host_calibration()
-    out: dict[str, dict] = {}
-    for name in R9:
-        best = float("inf")
-        samples = []
-        for _ in range(7):
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            samples.append(round(dt, 3))
-            best = min(best, dt)
-        out[name] = {
-            "best": round(best, 3),
-            "ratio_vs_r9": round(best / R9[name], 3),
-            "samples": samples,
-        }
-    ca = _host_calibration()
-    validated = all(out[c]["ratio_vs_r9"] <= 1.15 for c in CONTROLS)
-    print(
-        json.dumps(
-            {
-                "validated_window": validated,
-                "calib_before": cb,
-                "calib_after": ca,
-                "timings": out,
+    for attempt in range(attempts):
+        cb = _host_calibration()
+        out: dict[str, dict] = {}
+        for name in R9:
+            best = float("inf")
+            samples = []
+            for _ in range(7):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                samples.append(round(dt, 3))
+                best = min(best, dt)
+            out[name] = {
+                "best": round(best, 3),
+                "ratio_vs_r9": round(best / R9[name], 3),
+                "samples": samples,
             }
+        ca = _host_calibration()
+        validated = all(out[c]["ratio_vs_r9"] <= 1.15 for c in CONTROLS)
+        print(
+            json.dumps(
+                {
+                    "attempt": attempt,
+                    "validated_window": validated,
+                    "calib_before": cb,
+                    "calib_after": ca,
+                    "timings": out,
+                }
+            ),
+            flush=True,
         )
-    )
+        if validated or attempt == attempts - 1:
+            break
+        time.sleep(300)
 
 
 if __name__ == "__main__":
