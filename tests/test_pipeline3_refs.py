@@ -8,7 +8,6 @@ a hash match. Same discipline as tests/test_pipeline2_refs{,2,3}.py."""
 from __future__ import annotations
 
 import hashlib
-import math
 from collections import Counter, defaultdict
 
 import numpy as np
