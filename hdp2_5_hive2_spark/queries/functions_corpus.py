@@ -1201,13 +1201,26 @@ def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (acc, x) -> (acc * 31 + x) % 4294967296)
                   + 2147483648) % 4294967296) - 2147483648 AS INT)
              AS c_hash,
-           CAST(((xor(o_orderkey * 1234567891,
-                      (o_orderkey * 1234567891) >> 32)
+           CAST(((xor(v, hi)
                   % 4294967296 + 4294967296 + 2147483648) % 4294967296)
                 - 2147483648 AS INT) AS k_hash,
-           CAST(((o_orderkey * 1234567891 % 4294967296 + 4294967296
+           CAST(((v % 4294967296 + 4294967296
                   + 2147483648) % 4294967296) - 2147483648 AS INT) AS k_int
-    FROM o2
+    FROM (
+      SELECT *,
+             ((((v - (((v % 4294967296) + 4294967296) % 4294967296))
+                // 4294967296) % 4294967296) + 4294967296) % 4294967296
+               AS hi
+      FROM (
+        SELECT o_orderkey, s,
+               CASE WHEN o_orderkey % 97 = 0
+                      THEN 9223372036854775807 - o_orderkey
+                    WHEN o_orderkey % 89 = 0
+                      THEN -9223372036854775808 + o_orderkey
+                    ELSE o_orderkey * 1234567891 END AS v
+        FROM o2
+      )
+    )
     """,
     tags=("reflection", "function"),
 )
@@ -1220,9 +1233,14 @@ def fn_reflect2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark expressions — codegen, no JVM reflection, no Python UDF: String
     length/substring/indexOf/toUpperCase plus the exact Java
     String.hashCode fold (31-multiplier, int32 overflow) and boxed-Long
-    hashCode ((int)(v ^ v>>>32)) / intValue narrowing on a scaled key.
+    hashCode ((int)(v ^ v>>>32)) / intValue narrowing on a scaled key
+    that PLANTS Long.MAX−k / Long.MIN+k on every 97th/89th orderkey —
+    the ANSI-overflow boundary of the pre-r11 wrap (ADVICE r10).
     Oracle recomputes every method with explicit arithmetic (list_reduce
-    char fold, xor + two's-complement wrap). The hashCode fold is a
+    char fold; v>>>32 emulated sign-safely as pmod(floor_div(v, 2^32),
+    2^32) with floor_div = (v − pmod(v, 2^32)) / 2^32 — exact-multiple
+    division, so DuckDB's truncating // equals floor; then xor +
+    two's-complement wrap). The hashCode fold is a
     Catalyst HOF (interpreted) — fine on this capped 400-row audit; at
     corpus scale pre-compute hashes map-side (the repo's standing HOF
     rule). get_splits, the only other uncovered registry name, is LLAP
@@ -1231,7 +1249,22 @@ def fn_reflect2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") <= 400)
     s = F.concat("o_orderpriority", F.lit("#"), F.col("o_orderkey").cast("string"))
-    scaled = (F.col("o_orderkey") * 1234567891).cast("bigint")
+    # Planted ANSI-boundary longs (every 97th/89th key maps to
+    # Long.MAX−k / Long.MIN+k): the driver's green then covers the
+    # overflow-free pmod-first int32 wrap at the exact magnitudes where
+    # the pre-r11 form threw under ANSI (ADVICE r10).
+    scaled = (
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.lit((1 << 63) - 1) - F.col("o_orderkey"),
+        )
+        .when(
+            F.col("o_orderkey") % 89 == 0,
+            F.lit(-(1 << 63)) + F.col("o_orderkey"),
+        )
+        .otherwise(F.col("o_orderkey") * 1234567891)
+        .cast("bigint")
+    )
     return o.select(
         "o_orderkey",
         reflect2(s, "length").alias("c_len"),
