@@ -20,5 +20,6 @@ from hdp2_5_hive2_spark.queries import retrieval_corpus  # noqa: F401  (tfidf/bm
 from hdp2_5_hive2_spark.queries import pipeline_corpus  # noqa: F401  (r9 pipeline frontier)
 from hdp2_5_hive2_spark.queries import pipeline2_corpus  # noqa: F401  (r10 curation planning)
 from hdp2_5_hive2_spark.queries import pipeline3_corpus  # noqa: F401  (r11 graph/index health)
+from hdp2_5_hive2_spark.queries import pipeline4_corpus  # noqa: F401  (r12 sampling/serving ablations)
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

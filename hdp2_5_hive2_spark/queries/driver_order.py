@@ -28,22 +28,23 @@ construction, twice over):
   this round's own CORRECTNESS file therefore can never make the invariant
   stale (the r4/r5/r6 boundary failure class).
 
-Round-11 plan (VERDICT r10 #1/#3/#4):
+Round-12 plan (VERDICT r11 #1/#2/#3/#4):
 
-- Plan head — this round's NEW queries (~20-name budget on the
-  pre-probed candidates: dup-graph triangle closure, IVF cell balance,
-  vocab drift, Simpson collision mass, shard skew, winnowing density
-  sweep, survivorship policy delta, ...): dark by construction,
-  auto-lead via ``dark_queries()``.
-- Tier 3 — kernels round 11 touches: ``fn_reflect2``'s int32 wrap was
-  reordered to the overflow-free pmod-first form (ADVICE r10 medium —
-  the old form threw under ANSI at |v| >= 2^63-2^31); its r10 green
-  predates the rework.
-- Then budget fill: oldest-verdict-first re-verification — the 28
-  remaining round-3 names (the matchpath_* family, transform_script_*,
-  union/subquery stragglers, and the r3 llm text heads). This drains
-  the queue entirely: after CORRECTNESS_r11 lands, nothing in the
-  registry has a newest green older than r4 (VERDICT r10 #1).
+- Plan head — this round's NEW queries (8 names: the one zero-touch
+  registry function fn_substring_index, the six pre-probed candidates
+  from TODO_NEXT — jaccard-vs-containment, md5-draw uniformity,
+  burstiness, prefix-echo, length bands, front-coding — and the IVF
+  multi-probe sweep): dark by construction, auto-lead via
+  ``dark_queries()``.
+- Tier 3 — kernels round 12 touches (ADVICE r11): ``llm_novelty_decay``
+  (inner-join → left-join-with-0 so zero-novelty deciles surface) and
+  ``llm_vocab_half_drift`` (float midpoint → exact int64 ``div``);
+  their r11 greens predate the reworks.
+- Then budget fill: oldest-verdict-first re-verification — the ENTIRE
+  40-name r4 block (the oldest newest-green in the registry after r11
+  drained the r3 queue; VERDICT r11 #3). 8 + 2 + 40 = exactly the
+  50-name window, and the oldest block advances to r5 when
+  CORRECTNESS_r12 lands.
 
 The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep
 the plain names. ``prefixed -> plain`` is recoverable by stripping
@@ -64,8 +65,21 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # The no-verdict invariant is evaluated against green_union(before_round=
 # _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
 # in place — landing CORRECTNESS_r07.json cannot stale it.
-_NEW_THIS_ROUND_DECLARED: int = 11
+_NEW_THIS_ROUND_DECLARED: int = 12
 _NEW_THIS_ROUND: list[str] = [
+    "fn_substring_index",             # MySQL-style splitter, 5 regimes (r12)
+    "llm_jaccard_containment_gap",    # truncation/quote dedup detector (r12)
+    "llm_md5_draw_uniformity",        # hash-draw sampler canary (r12)
+    "llm_ivf_probe_sweep",            # recall@10 at nprobe 1/2/4 (r12)
+    "events_interarrival_burstiness", # exact-int CoV² bot screen (r12)
+    "llm_prefix_echo",                # head-bigram echo forensics (r12)
+    "llm_length_bands",               # nearest-rank p10/p50/p90 (r12)
+    "llm_front_coding_gain",          # sorted-vocab prefix compression (r12)
+]
+
+# Frozen round-11 tier (was _NEW_THIS_ROUND while round 11 was current) —
+# all verified green in CORRECTNESS_r11 window positions 000-018.
+_R11_TIER: list[str] = [
     "llm_dup_triangle_closure",    # 2-path triangle closure rate (r11)
     "llm_ivf_cell_balance",        # coarse-quantizer occupancy audit (r11)
     "llm_vocab_half_drift",        # half-vs-half L1 drift, top-16 basket (r11)
@@ -160,21 +174,23 @@ _R9_CHANGED: list[str] = [
 _R10_CHANGED: list[str] = [
     "llm_decontaminate_bloom",
 ]
+_R11_CHANGED: list[str] = [
+    "fn_reflect2",
+    "llm_kmeans_clusters",
+    "llm_consistent_hash_moves",
+]
 
 # Tier 3 — green in a prior round but re-implemented/touched this round; a
-# stale green no longer covers the shipped code. Round 11 reorders
-# fn_reflect2's int32 narrowing to the overflow-free pmod-first form
-# (ADVICE r10): same values on every previously-green input, but the
-# expression tree changed, so the r10 green predates the shipped code.
+# stale green no longer covers the shipped code. Round 12 closes the two
+# ADVICE r11 query-path items: llm_novelty_decay's decile join flipped to
+# the left-join-with-0 form (a pure-recrawl decile with zero first-seen
+# grams now surfaces instead of silently dropping — both engines), and
+# llm_vocab_half_drift's midpoint moved from float `/ 2` to exact int64
+# `div 2`. Same values on every previously-green input, but both
+# expression trees changed, so the r11 greens predate the shipped code.
 _CHANGED_THIS_ROUND: list[str] = [
-    "fn_reflect2",
-    # kmeans_lloyd gained the inertia_curve mode (default path
-    # byte-identical, but the kernel file changed — re-lead per the
-    # tier-3 discipline)
-    "llm_kmeans_clusters",
-    # ring assignment rewritten from the 576x BNLJ fan-out to one
-    # zero-fan-out Arrow searchsorted pass (VERDICT r10 polish #1)
-    "llm_consistent_hash_moves",
+    "llm_novelty_decay",
+    "llm_vocab_half_drift",
 ]
 
 # Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).
@@ -301,51 +317,61 @@ _R6_TIER: list[str] = [
     "storage_acid_lifecycle",          # Hive-ACID delta/ROW__ID lifecycle (r6)
 ]
 
-# Tier 4 — budget fill: oldest still-standing verdicts first. Names whose
-# NEWEST green is round 1, then round-2-only names alphabetically, then
-# round-3-only (VERDICT r8 #3 — no query's newest verdict should age past
-# 5 rounds; the 18 r8-verified heads fn_interval_arithmetic ..
-# join_inner_dim dropped off the queue when CORRECTNESS_r08 landed).
+# Tier 4 — budget fill: oldest still-standing verdicts first (VERDICT r8
+# #3 — no query's newest verdict should age past 5 rounds). The r1-r3
+# queue drained when CORRECTNESS_r11 landed; from round 12 the fill is a
+# pure freshness rotation and the oldest block is the 40 names whose
+# newest green is r4 (`python tools/newest_green.py` prints the queue).
 _FILL_REVERIFY: list[str] = [
-    # newest green is r03, alphabetical (the whole r2 block —
-    # q13_customer_distribution .. window_udaf_over_window — was
-    # re-verified green in CORRECTNESS_r10 window positions 022-049 and
-    # dropped off the queue; these 28 are the LAST names predating r4)
-    "events_stream_stream_join",
-    "lateral_view_outer",
-    "llm_fingerprint",
-    "llm_lang_id",
-    "llm_pii_redact",
-    "llm_quality_score",
-    "llm_repetition_stats",
-    "llm_text_stats",
-    "llm_token_count",
-    "llm_top_bigrams",
-    "matchpath_alternation",
-    "matchpath_bounded_runs",
-    "matchpath_match_summary",
-    "matchpath_price_runs",
-    "matchpath_result_exprs",
-    "pivot_status_by_segment",
-    "q2_min_cost_supplier",
-    "salted_groupby",
-    "subquery_correlated_exists",
-    "subquery_not_in",
-    "subquery_scalar",
-    "tablesample_bucket",
-    "transform_script_identity",
-    "transform_script_sed",
-    "union_all",
-    "union_distinct",
-    "vc_input_file_name",
-    "view_over_view",
+    # newest green is r04, alphabetical — the whole block fits the
+    # round-12 window (8 new + 2 changed + 40 fill = 50)
+    "analyze_ndv_sketch",
+    "analyze_table_stats",
+    "events_anomaly_minutes",
+    "events_asof_join",
+    "events_asof_join_forward",
+    "events_asof_join_nearest",
+    "events_interval_join_incidents",
+    "events_range_join_bands",
+    "events_session_funnel",
+    "events_transition_matrix",
+    "lateral_view_chained",
+    "llm_bigram_lm_score",
+    "llm_bigram_novelty",
+    "llm_chunk_dedup",
+    "llm_chunk_documents",
+    "llm_corpus_filter",
+    "llm_cross_dedup",
+    "llm_cross_source_dups",
+    "llm_curation_report",
+    "llm_dataset_card",
+    "llm_dedup_clusters",
+    "llm_embedding_centroids",
+    "llm_embedding_quantize",
+    "llm_feature_hashing",
+    "llm_minhash_clusters",
+    "llm_mixture_rates",
+    "llm_normalize_text",
+    "llm_pack_sequences",
+    "llm_split_assign",
+    "llm_stratified_sample",
+    "llm_tfidf_topterms",
+    "llm_tokenizer_fertility",
+    "llm_url_host_stats",
+    "llm_weighted_sample",
+    "multimodal_payload_dedup",
+    "storage_regex_serde",
+    "storage_schema_evolution",
+    "storage_textfile_roundtrip",
+    "subquery_correlated_scalar",
+    "subquery_in_having",
 ]
 
 # The frozen plan. Dark names derive to the front whether or not they are
 # planned; the plan keeps their relative order stable at the boundary.
-# Round 11's post-dark order: this round's new queries (dark, auto-lead),
+# Round 12's post-dark order: this round's new queries (dark, auto-lead),
 # the tier-3 re-verification, then oldest-verdict fill, then the
-# already-re-verified r7/r8/r9/r10 tiers, then everything else
+# already-re-verified r7-r11 tiers, then everything else
 # alphabetically.
 _ROTATION_PLAN: list[str] = list(
     dict.fromkeys(  # dedupe, first occurrence wins (a name may be both in a
@@ -353,12 +379,14 @@ _ROTATION_PLAN: list[str] = list(
         _NEW_THIS_ROUND
         + _CHANGED_THIS_ROUND
         + _FILL_REVERIFY
+        + _R11_TIER
         + _R10_TIER
         + _R9_TIER
         + _R7_CHANGED
         + _R8_CHANGED
         + _R9_CHANGED
         + _R10_CHANGED
+        + _R11_CHANGED
         + _R6_TIER
         + [
             "storage_rcfile_roundtrip",     # RCFile container (r5; JVM read path r6)

@@ -223,8 +223,11 @@ def llm_vocab_half_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
     )
+    # exact int64 midpoint via integer `div` (ADVICE r11 — float `/` is
+    # exact only while doc_id fits in a double's 2^53 integer range, and
+    # the module's discipline is no-float-on-the-query-path)
     mid = d.agg(
-        ((F.max("doc_id") + 1).cast("bigint") / 2).cast("bigint").alias("m")
+        F.expr("(max(doc_id) + 1) div 2").cast("bigint").alias("m")
     )
     top = (
         tok.groupBy("term")
@@ -1030,9 +1033,12 @@ def llm_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc AS (SELECT CAST(doc_id * 10 // m AS BIGINT) AS decile,
                    CAST(count(*) AS BIGINT) AS n_incidences
             FROM ngd CROSS JOIN mx GROUP BY 1)
-    SELECT decile, n_new, n_incidences,
-           CAST(n_new * 1000 // n_incidences AS BIGINT) AS novelty_milli
-    FROM newd JOIN inc USING (decile)
+    SELECT decile,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           n_incidences,
+           CAST(coalesce(n_new, 0) * 1000 // n_incidences AS BIGINT)
+             AS novelty_milli
+    FROM inc LEFT JOIN newd USING (decile)
     """,
     tags=("llm", "text", "novelty", "audit"),
 )
@@ -1043,10 +1049,13 @@ def llm_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus decays slowly; a recrawl-heavy one collapses to near-zero
     novelty after the first deciles, meaning later snapshots are paying
     storage for already-seen text). Same 8-gram kernel as the
-    decontamination suite. Plan / 100 TB: gram first-sight is a
-    (gram → min doc_id) aggregate — the standard value-keyed shuffle;
-    both decile rollups are 10-row aggregates; the scalar max(doc_id)
-    broadcasts."""
+    decontamination suite. A decile can carry incidences but zero
+    FIRST-seen grams (a pure-recrawl slice), so the incidence rollup is
+    the spine and first-sight counts left-join onto it with a 0 default
+    (ADVICE r11 — the inner-join form silently dropped such deciles).
+    Plan / 100 TB: gram first-sight is a (gram → min doc_id) aggregate —
+    the standard value-keyed shuffle; both decile rollups are 10-row
+    aggregates; the scalar max(doc_id) broadcasts."""
     d = load_tables(spark, sf_dir)["documents"]
     ngd = curation.word_ngram_rows(d, "text", "doc_id", 8)
     mx = d.agg((F.max("doc_id") + 1).cast("bigint").alias("m"))
@@ -1064,12 +1073,12 @@ def llm_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_incidences"))
     )
     return (
-        newd.join(inc, "decile")
+        inc.join(newd, "decile", "left")
         .select(
             "decile",
-            "n_new",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
             "n_incidences",
-            F.expr("n_new * 1000 div n_incidences")
+            F.expr("coalesce(n_new, 0) * 1000 div n_incidences")
             .cast("bigint")
             .alias("novelty_milli"),
         )

@@ -495,10 +495,18 @@ def streaming_interleave_scheduler(event_stream: DataFrame) -> DataFrame:
     all micro-batch emissions and matches the batch query's 30-row cut.
 
     Within a micro-batch, arrivals are processed in (ts, event_id) order —
-    deterministic replay. 100 TB notes: state is ONE int per stream key;
-    the stateful shuffle keys on event_type (or any finer mux key a real
-    service multiplexes by); vkey assignment is executor-side with no
-    driver involvement, and the consumer-side cut is a bounded top-k."""
+    deterministic replay. PRECONDITION (ADVICE r11): ingestion must be
+    ts-ordered PER KEY ACROSS triggers — per-stream indices are assigned
+    in arrival order, so an event landing in a later trigger with an
+    earlier ts than anything already indexed would get a later index than
+    the batch twin assigns and silently break vkey parity. The state
+    therefore carries the last-seen ts per key and the operator RAISES on
+    regression instead of diverging silently; a true late-data deployment
+    would front this with a watermark-sorted stage. 100 TB notes: state is
+    two ints per stream key; the stateful shuffle keys on event_type (or
+    any finer mux key a real service multiplexes by); vkey assignment is
+    executor-side with no driver involvement, and the consumer-side cut is
+    a bounded top-k."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -509,25 +517,37 @@ def streaming_interleave_scheduler(event_stream: DataFrame) -> DataFrame:
             StructField("vkey", LongType()),
         ]
     )
-    state_schema = StructType([StructField("i", LongType())])
+    state_schema = StructType(
+        [StructField("i", LongType()), StructField("last_ts", LongType())]
+    )
     weights = {"purchase": 3, "click": 2}
 
     def update(key, pdfs, state: GroupState):
         etype = str(key[0])
         wt = weights.get(etype, 1)
         step = 6 // wt
-        i = state.get[0] if state.exists else 0
+        i, last_ts = state.get if state.exists else (0, None)
+        if last_ts is not None and last_ts < 0:
+            last_ts = None  # -1 sentinel: key seen but nothing indexed yet
         rows = []
         for pdf in pdfs:
             for ts, eid in zip(pdf["ts"], pdf["event_id"]):
                 rows.append((int(ts), int(eid)))
         rows.sort()
+        if rows and last_ts is not None and rows[0][0] < last_ts:
+            raise ValueError(
+                f"interleave scheduler key {etype!r}: trigger delivered "
+                f"ts {rows[0][0]} < last indexed ts {last_ts} — "
+                "in-order-per-key ingestion precondition violated "
+                "(vkey parity with the batch twin no longer holds)"
+            )
         out_ids, out_keys = [], []
-        for _, eid in rows:
+        for ts, eid in rows:
             i += 1
+            last_ts = ts
             out_ids.append(eid)
             out_keys.append(i * step)
-        state.update((int(i),))
+        state.update((int(i), int(last_ts) if last_ts is not None else -1))
         if out_ids:
             yield pd.DataFrame(
                 {

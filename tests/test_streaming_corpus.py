@@ -71,7 +71,7 @@ def _run_gate(spark, files, **gate_kw):
                 out.append((int(bid), pdf))
 
         q = gate.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream timed out (300s)"
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -214,7 +214,7 @@ def test_streaming_gate_state_survives_restart(spark, planted):
         # the sink must consume every partition or the state stores never
         # commit (Spark validates per-partition commits for the batch)
         q = start(lambda bdf, bid: bdf.count())
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream timed out (300s)"
 
         # run 2 (fresh query, same checkpoint): only the near-dups are new
         p2 = str(src / "b2.parquet")
@@ -228,7 +228,7 @@ def test_streaming_gate_state_survives_restart(spark, planted):
                 out.append(pdf)
 
         q = start(sink)
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream timed out (300s)"
 
         seen = {int(r.doc_id) for pdf in out for r in pdf.itertuples()}
         assert seen and seen <= set(int(i) for i in near["doc_id"]), (
@@ -338,7 +338,7 @@ def test_streaming_image_gate_flags_variants_across_triggers(spark):
                 out.append((int(bid), pdf))
 
         q = gate.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream timed out (300s)"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -443,7 +443,7 @@ def test_streaming_compaction_monitor_matches_batch_twin(spark):
             out.append((int(bid), pdf))
 
         q = mon.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream timed out (300s)"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -515,7 +515,7 @@ def test_streaming_interleave_scheduler_matches_batch_twin(spark):
             out.append((int(bid), pdf))
 
         q = sched.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream timed out (300s)"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -593,7 +593,7 @@ def test_streaming_interleave_scheduler_rocksdb_state_store(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream timed out (300s)"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         if before is None:
