@@ -1309,3 +1309,114 @@ def test_cross_source_grams_join_keyed_on_gram_value(spark):
     ]
     assert "ngram" in keys, (keys, plan)
     assert set(keys) <= {"ngram", "src_a", "ida", "id"}, (keys, plan)
+
+
+def test_jaccard_gap_shuffles_ids_and_grams_only(spark):
+    """Candidate generation is the df-capped rare-gram bucket join and the
+    intersection re-attach is (doc, ngram)-keyed — no cartesian/BNLJ
+    anywhere, and every exchange carries id- or gram-keyed rows."""
+    plan = _executed(REGISTRY["llm_jaccard_containment_gap"].fn(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        key = ex.split(",")[0].split("#")[0]
+        assert key in ("id", "ngram", "da", "db"), (key, plan)
+
+
+def test_md5_uniformity_is_mapside_hash_plus_64_rows(spark):
+    """The draw is codegen md5 on the scan side; the only keyed exchange is
+    the 64-row bucket aggregate; the scalar total attaches as a broadcast
+    (1-row side — BNLJ is the correct shape there)."""
+    plan = _executed(REGISTRY["llm_md5_draw_uniformity"].fn(spark, SF_CORRECT))
+    assert "md5(" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    keys = [
+        ex.split(",")[0].split("#")[0]
+        for ex in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert set(keys) <= {"bucket"}, (keys, plan)
+
+
+def test_ivf_probe_sweep_windows_partition_by_probe_and_query(spark):
+    """Cell assignment / probe ranking / candidate scoring / ground truth
+    are Arrow kernels (>= 3 MapInPandas); every ranking window partitions
+    by (p,query) or query — never global; no cartesian product (the 3-row
+    probe table broadcasts)."""
+    import re
+
+    plan = _executed(REGISTRY["llm_ivf_probe_sweep"].fn(spark, SF_CORRECT))
+    assert plan.count("MapInPandas") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith(("p", "query_id")), m.group(0)
+
+
+def test_burstiness_is_one_user_window_no_joins(spark):
+    """The lag window must stay PARTITIONED by user_id (the stream's
+    natural key) and the whole query is join-free — one keyed exchange."""
+    import re
+
+    plan = _executed(
+        REGISTRY["events_interarrival_burstiness"].fn(spark, SF_CORRECT)
+    )
+    assert "Join" not in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("user_id"), m.group(0)
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        assert ex.split(",")[0].split("#")[0] == "user_id", plan
+
+
+def test_prefix_echo_is_one_arrow_pass_no_joins(spark):
+    """Echo counting is per-document work inside ONE Arrow pass — no gram
+    shuffle, no join of any kind; the only keyed exchange is the
+    source-sized aggregate."""
+    plan = _executed(REGISTRY["llm_prefix_echo"].fn(spark, SF_CORRECT))
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        assert ex.split(",")[0].split("#")[0] == "source", plan
+
+
+def test_length_bands_windows_partition_by_source(spark):
+    """Both rank windows must stay PARTITIONED by source; the query is
+    join-free and shuffles only source-keyed rows."""
+    import re
+
+    plan = _executed(REGISTRY["llm_length_bands"].fn(spark, SF_CORRECT))
+    assert "Join" not in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("source"), m.group(0)
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        assert ex.split(",")[0].split("#")[0] == "source", plan
+
+
+def test_front_coding_corpus_reduces_before_vocab_sort(spark):
+    """The corpus must reduce to the vocab via a term-keyed distinct
+    BEFORE the single-partition lag window (the global sort is the
+    front-coding write path's own requirement and runs on the VOCAB, never
+    the raw token stream): a partial aggregate must precede the
+    SinglePartition exchange."""
+    plan = _executed(REGISTRY["llm_front_coding_gain"].fn(spark, SF_CORRECT))
+    assert "Exchange hashpartitioning(term" in plan, plan
+    dedup_first = plan.index("Exchange hashpartitioning(term")
+    assert "Exchange SinglePartition" in plan, plan
+    assert "windowspecdefinition" in plan, plan
+    assert dedup_first > plan.index("Exchange SinglePartition"), (
+        # executedPlan prints top-down: the vocab dedup must sit BELOW
+        # (= later in the string than) the single-partition window feed
+        plan
+    )
+
+
+def test_substring_index_is_pure_mapside_projection(spark):
+    """No shuffle at all: the whole query is a codegen projection over the
+    scan, with the audit-slice filter pushed to parquet."""
+    plan = _executed(REGISTRY["fn_substring_index"].fn(spark, SF_CORRECT))
+    assert "Exchange" not in plan, plan
+    assert "substring_index" in plan, plan
+    pushed = (
+        plan.split("PushedFilters:")[1].split("]")[0]
+        if "PushedFilters:" in plan
+        else ""
+    )
+    assert "c_custkey" in pushed, plan
