@@ -800,3 +800,45 @@ def test_wrap_int32_fuzz_full_int64_range(spark):
     }
     for v in vals:
         assert got[v] == java_int(v), v
+
+
+def test_substring_index_fuzz_parity(spark):
+    """F.substring_index must match a pure-Python MySQL-semantics splitter
+    on a seeded corpus spanning the edge regimes: empty strings, leading/
+    trailing/repeated delimiters, multi-char delimiters, unicode, absent
+    delimiters, and counts from -6..6 plus out-of-range extremes — the
+    property companion to the fn_substring_index corpus audit."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = ["a", "b", "ab", "", "x", "δ", "0"]
+    delims = [".", "ab", "δ", "--"]
+    cases = []
+    for _ in range(300):
+        d = rng.choice(delims)
+        s = "".join(
+            rng.choice(alphabet + [d]) for _ in range(rng.randint(0, 12))
+        )
+        cases.append((s, d, rng.choice([-99, *range(-6, 7), 99])))
+    cases += [("", ".", 2), ("...", ".", -2), ("a.b.c", ".", 0)]
+
+    def ssi(s: str, delim: str, count: int) -> str:
+        parts = s.split(delim)
+        if count == 0:
+            return ""
+        return delim.join(parts[:count] if count > 0 else parts[count:])
+
+    df = spark.createDataFrame(
+        [(i, s, d, c) for i, (s, d, c) in enumerate(cases)],
+        "i int, s string, d string, c int",
+    )
+    # the F.substring_index helper wants a literal delim/count — the SQL
+    # expression form takes all three as columns, one job for every case
+    got = {
+        r.i: r.r
+        for r in df.select(
+            "i", F.expr("substring_index(s, d, c)").alias("r")
+        ).collect()
+    }
+    want = {i: ssi(s, d, c) for i, (s, d, c) in enumerate(cases)}
+    assert got == want

@@ -618,3 +618,50 @@ def test_streaming_interleave_scheduler_rocksdb_state_store(spark):
         .collect()
     ]
     assert streamed == batch
+
+
+def test_streaming_interleave_scheduler_raises_on_ts_regression(spark):
+    """The in-order-per-key ingestion precondition must fail LOUDLY
+    (ADVICE r11): an event arriving in a later trigger with an earlier ts
+    than anything already indexed for its key would silently break vkey
+    parity with the batch twin — the operator carries last-seen ts in
+    state and the query must ERROR, not emit a divergent schedule."""
+    import pandas as pd
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hdp2_5_hive2_spark.streaming import streaming_interleave_scheduler
+
+    first = pd.DataFrame(
+        {"event_type": ["click", "click"], "ts": [100, 200], "event_id": [1, 2]}
+    )
+    late = pd.DataFrame(
+        {"event_type": ["click"], "ts": [50], "event_id": [3]}  # ts regressed
+    )
+    tmp = Path(tempfile.mkdtemp(prefix="stream_interleave_late_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        for i, pdf in enumerate([first, late]):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "event_type string, ts bigint, event_id bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        sched = streaming_interleave_scheduler(stream)
+        q = (
+            sched.writeStream.format("memory")
+            .queryName("interleave_late_arrival")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException) as exc_info:
+            q.awaitTermination(300)
+            raise AssertionError("query must fail on ts regression")
+        assert "in-order-per-key ingestion precondition" in str(exc_info.value)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
