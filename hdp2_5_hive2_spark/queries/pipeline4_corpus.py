@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.catalog import load_tables
-from hdp2_5_hive2_spark.llm import curation, similarity
+from hdp2_5_hive2_spark.llm import curation, retrieval, similarity
 from hdp2_5_hive2_spark.llm.text import _arrow_fence
 from hdp2_5_hive2_spark.queries.llm_corpus import _ngram_cte
 from hdp2_5_hive2_spark.queries.registry import query
@@ -588,36 +588,86 @@ def llm_front_coding_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix) against its sorted predecessor — the dictionary-layout
     estimate an inverted-index writer (llm_posting_lists' term
     dictionary) reads to choose between front-coded blocks and plain
-    concatenation. saved/total in exact milli. Plan / 100 TB: the
-    corpus tokenize reduces to a VOCAB-sized distinct (the only shuffle
-    that matters); the lag window and the per-term lcp fold both run on
-    that vocab-sized frame, where the repo's no-interpreted-HOF rule
-    explicitly does not apply (vocab ≪ corpus — the same carve-out as
-    fn_reflect2's capped audit); the final fold is one row. The
-    single-partition sort the global lag window implies is exactly the
-    front-coding write path's own requirement (dictionary blocks are
-    written in term order by one writer per dictionary shard)."""
+    concatenation. saved/total in exact milli.
+
+    Plan / 100 TB — the DISTRIBUTED sorted-adjacency shape (never a
+    partition-less lag window, which the package-wide AST guard
+    correctly rejects: one task would sort the world): the corpus
+    tokenize reduces to a vocab-sized distinct; the vocab range-
+    partitions on term (Spark's distributed sort — each shard IS a
+    front-coded dictionary block), ONE Arrow pass folds each shard's
+    internal LCP sum carrying the previous term across batches, and the
+    partition-count-bounded summary rows (first/last term + 3 ints per
+    shard) stitch the shard-boundary pairs via bounded_rank (the repo's
+    window-free rank device — the summary frame is bounded by CLUSTER
+    CONFIG, not data) and one interpreted-HOF lcp on those <= #shards
+    boundary rows. Everything heavier than the vocab distinct is
+    map-side."""
     d = load_tables(spark, sf_dir)["documents"]
+    # checkpoint the vocab: repartitionByRange runs a boundary-sampling
+    # pass over its input, which would otherwise re-run the corpus
+    # tokenize+distinct a second time
     v = (
         d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    s = v.select(
-        "term", F.lag("term").over(Window.orderBy("term")).alias("prev")
+    shards = v.repartitionByRange(F.col("term")).sortWithinPartitions("term")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        first = prev = None
+        n = total = saved = 0
+        for pdf in batches:
+            for t in pdf["term"]:
+                n += 1
+                total += len(t)
+                if prev is None:
+                    first = t
+                else:
+                    k = 0
+                    for x, y in zip(prev, t):
+                        if x != y:
+                            break
+                        k += 1
+                    saved += k
+                prev = t
+        if n:
+            yield pd.DataFrame(
+                {
+                    "first": [first],
+                    "last": [prev],
+                    "n": pd.array([n], dtype="int64"),
+                    "total": pd.array([total], dtype="int64"),
+                    "saved": pd.array([saved], dtype="int64"),
+                }
+            )
+
+    parts = shards.mapInPandas(
+        gen, "first string, last string, n bigint, total bigint, saved bigint"
     )
-    lcp = F.expr(
-        """CASE WHEN prev IS NULL THEN 0L ELSE coalesce(array_max(filter(
-             transform(sequence(1, least(length(term), length(prev))),
-                       k -> CASE WHEN substring(term, 1, k)
-                                   = substring(prev, 1, k)
+    ranked = retrieval.bounded_rank(parts, "first", "first", ascending=True)
+    nxt = ranked.select(
+        (F.col("rank") - 1).alias("rank"), F.col("first").alias("nxt_first")
+    )
+    # boundary pair (last of shard i, first of shard i+1); <= #shards rows,
+    # so the interpreted-HOF lcp fold is on a config-bounded frame
+    boundary_lcp = F.expr(
+        """CASE WHEN nxt_first IS NULL THEN 0L ELSE coalesce(array_max(filter(
+             transform(sequence(1, least(length(last), length(nxt_first))),
+                       k -> CASE WHEN substring(last, 1, k)
+                                   = substring(nxt_first, 1, k)
                                  THEN CAST(k AS BIGINT) ELSE 0L END),
              x -> x > 0L)), 0L) END"""
     )
-    return s.select(
-        F.length("term").cast("bigint").alias("tl"), lcp.alias("lcp")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        F.sum("tl").cast("bigint").alias("total_chars"),
-        F.sum("lcp").cast("bigint").alias("saved_chars"),
-        F.expr("sum(lcp) * 1000 div sum(tl)").cast("bigint").alias("gain_milli"),
+    return (
+        ranked.join(F.broadcast(nxt), "rank", "left")
+        .select("n", "total", "saved", boundary_lcp.alias("blcp"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_terms"),
+            F.sum("total").cast("bigint").alias("total_chars"),
+            (F.sum("saved") + F.sum("blcp")).cast("bigint").alias("saved_chars"),
+            F.expr("(sum(saved) + sum(blcp)) * 1000 div sum(total)")
+            .cast("bigint")
+            .alias("gain_milli"),
+        )
     )

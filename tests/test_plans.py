@@ -1390,22 +1390,19 @@ def test_length_bands_windows_partition_by_source(spark):
         assert ex.split(",")[0].split("#")[0] == "source", plan
 
 
-def test_front_coding_corpus_reduces_before_vocab_sort(spark):
-    """The corpus must reduce to the vocab via a term-keyed distinct
-    BEFORE the single-partition lag window (the global sort is the
-    front-coding write path's own requirement and runs on the VOCAB, never
-    the raw token stream): a partial aggregate must precede the
-    SinglePartition exchange."""
+def test_front_coding_is_distributed_sorted_adjacency(spark):
+    """The vocab sort must be DISTRIBUTED (range partitioning — each shard
+    a dictionary block), the per-shard LCP fold one Arrow pass, and the
+    boundary stitching window-free (bounded_rank over the config-bounded
+    shard summaries): no lag window, no single-partition sort of the
+    vocab anywhere. The corpus reduces to the vocab via a term-keyed
+    distinct before any of it."""
     plan = _executed(REGISTRY["llm_front_coding_gain"].fn(spark, SF_CORRECT))
     assert "Exchange hashpartitioning(term" in plan, plan
-    dedup_first = plan.index("Exchange hashpartitioning(term")
-    assert "Exchange SinglePartition" in plan, plan
-    assert "windowspecdefinition" in plan, plan
-    assert dedup_first > plan.index("Exchange SinglePartition"), (
-        # executedPlan prints top-down: the vocab dedup must sit BELOW
-        # (= later in the string than) the single-partition window feed
-        plan
-    )
+    assert "Exchange rangepartitioning(term" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # bounded_rank probe side
 
 
 def test_substring_index_is_pure_mapside_projection(spark):
