@@ -7,11 +7,20 @@ Round-trip safety rules:
   - parquet/orc carry exact binary doubles — any table round-trips.
   - csv/json stringify doubles, so those round trips use integer/string
     tables only (nation, region).
-Outputs land under /tmp/hdp2_5_hive2_spark_io/<query>/ with overwrite mode,
-so repeated driver runs are idempotent.
+Outputs land under $SPARK_GRAFT_IO_DIR (default: a PER-PROCESS
+/tmp/hdp2_5_hive2_spark_io_<pid>/, removed at interpreter exit) with
+overwrite mode, so repeated driver runs are idempotent AND two harnesses
+running concurrently (a pytest suite next to an oracle sweep) cannot
+race each other's _temporary commit dirs — the r12 insurance re-run hit
+exactly that chmod-on-missing-_temporary collision on the old fixed
+path. Set SPARK_GRAFT_IO_DIR for a stable inspectable location.
 """
 
 from __future__ import annotations
+
+import atexit
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,7 +36,12 @@ from hdp2_5_hive2_spark.storage import (
     write_partitioned,
 )
 
-IO_ROOT = "/tmp/hdp2_5_hive2_spark_io"
+IO_ROOT = os.environ.get("SPARK_GRAFT_IO_DIR") or (
+    f"/tmp/hdp2_5_hive2_spark_io_{os.getpid()}"
+)
+if not os.environ.get("SPARK_GRAFT_IO_DIR"):
+    # per-process default: don't litter /tmp across runs
+    atexit.register(shutil.rmtree, IO_ROOT, ignore_errors=True)
 
 
 @query(
