@@ -1398,7 +1398,11 @@ def test_front_coding_is_distributed_sorted_adjacency(spark):
     vocab anywhere. The corpus reduces to the vocab via a term-keyed
     distinct before any of it."""
     plan = _executed(REGISTRY["llm_front_coding_gain"].fn(spark, SF_CORRECT))
-    assert "Exchange hashpartitioning(term" in plan, plan
+    # the vocab distinct sits BEHIND the localCheckpoint fence (the
+    # checkpoint truncates the visible plan to Scan ExistingRDD), so the
+    # tokenize/distinct exchange is not in this string — what must be
+    # visible is the distributed range sort, the Arrow fold, and the
+    # absence of any window
     assert "Exchange rangepartitioning(term" in plan, plan
     assert "MapInPandas" in plan, plan
     assert "windowspecdefinition" not in plan, plan
