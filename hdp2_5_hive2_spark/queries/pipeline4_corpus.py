@@ -612,6 +612,17 @@ def llm_front_coding_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    return front_coding_gain(v)
+
+
+def front_coding_gain(v: DataFrame) -> DataFrame:
+    """Distributed front-coding gain over a (term string) vocabulary frame
+    — the reusable core of llm_front_coding_gain, factored so tests can
+    drive it with synthetic vocabularies whose range shards hold MANY
+    terms (the real fixture's 31-term vocab spreads ~1 term per shard, so
+    it exercises the boundary stitching far more than the internal
+    folds). Returns one row (n_terms, total_chars, saved_chars,
+    gain_milli). Shape documented on the caller."""
     shards = v.repartitionByRange(F.col("term")).sortWithinPartitions("term")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

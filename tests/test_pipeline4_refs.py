@@ -299,3 +299,38 @@ def test_substring_index_matches_python(spark):
         for r in REGISTRY["fn_substring_index"].fn(spark, SF_CORRECT).collect()
     }
     assert got == want
+
+
+def test_front_coding_synthetic_vocab_exercises_internal_folds(spark):
+    """The fixture vocab (31 terms over 32 range shards) exercises mostly
+    the BOUNDARY stitching; this synthetic 3000-term vocabulary packs many
+    terms per shard so the per-shard Arrow LCP fold (including the
+    prev-carry across Arrow batches) is proven against a pure-Python walk
+    of the fully sorted list — shard-split-invariance is the whole
+    contract of the distributed sorted-adjacency shape."""
+    from hdp2_5_hive2_spark.queries.pipeline4_corpus import front_coding_gain
+
+    terms = sorted(
+        {
+            f"{p}{i:04d}{'x' * (i % 7)}"
+            for p in ("alpha", "alp", "beta", "b", "gamma_long_prefix")
+            for i in range(600)
+        }
+    )
+
+    def lcp(a: str, b: str) -> int:
+        k = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            k += 1
+        return k
+
+    saved = sum(lcp(a, b) for a, b in zip(terms, terms[1:]))
+    total = sum(len(t) for t in terms)
+    v = spark.createDataFrame([(t,) for t in terms], "term string")
+    row = front_coding_gain(v).collect()[0]
+    assert (row.n_terms, row.total_chars, row.saved_chars, row.gain_milli) == (
+        len(terms), total, saved, saved * 1000 // total,
+    )
+    assert saved > total // 2, "synthetic vocab must be prefix-heavy"
