@@ -1,5 +1,6 @@
 from hdp2_5_hive2_spark.streaming.corpus import (
     resolve_dup_verdicts,
+    streaming_burstiness_monitor,
     streaming_compaction_monitor,
     streaming_interleave_scheduler,
     resolve_image_verdicts,
@@ -23,6 +24,7 @@ __all__ = [
     "streaming_minhash_dedup",
     "resolve_dup_verdicts",
     "streaming_image_dedup",
+    "streaming_burstiness_monitor",
     "streaming_compaction_monitor",
     "streaming_interleave_scheduler",
     "resolve_image_verdicts",

@@ -564,3 +564,100 @@ def streaming_interleave_scheduler(event_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_burstiness_monitor(event_stream: DataFrame) -> DataFrame:
+    """STREAMING per-user burstiness monitor — the stateful twin of the
+    batch events_interarrival_burstiness query (queries/pipeline4_corpus
+    .py): events stream in per user (``user_id bigint, ts bigint`` epoch
+    SECONDS, ``event_id bigint``); keyed state carries the four
+    sufficient statistics (last_ts, n_gaps, Σgap, Σgap²) and every
+    trigger re-emits the user's current exact-integer CoV² verdict once
+    it clears the >= 10-gap floor — the online bot-screen / rate-limiter
+    feed, maintained in O(1) state per user with no reprocessing. The
+    emitted (n_gaps, s1, s2, cov2_milli, is_bursty) row after the final
+    trigger equals the batch query's row for that user exactly (parity
+    test in tests/test_streaming_corpus.py).
+
+    PRECONDITION (same contract as streaming_interleave_scheduler,
+    ADVICE r11): ingestion must be ts-ordered PER KEY ACROSS triggers —
+    gaps are differences of consecutive arrivals, so a late event with an
+    earlier ts would silently corrupt every subsequent gap. The operator
+    RAISES on ts regression instead of diverging. Seconds, not
+    microseconds: gap² at microsecond resolution overflows int64 at
+    realistic event spacing (the r11 pre-probe finding). 100 TB notes:
+    state is four ints per user; the stateful shuffle keys on user_id
+    (the stream's natural key); emission is append-mode, so downstream
+    consumers read the latest row per user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_gaps", LongType()),
+            StructField("s1", LongType()),
+            StructField("s2", LongType()),
+            StructField("cov2_milli", LongType()),
+            StructField("is_bursty", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", LongType()),
+            StructField("n_gaps", LongType()),
+            StructField("s1", LongType()),
+            StructField("s2", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        uid = int(key[0])
+        if state.exists:
+            last_ts, n, s1, s2 = state.get
+        else:
+            last_ts, n, s1, s2 = None, 0, 0, 0
+        if last_ts is not None and last_ts < 0:
+            last_ts = None  # -1 sentinel: key seen but nothing ingested yet
+        rows = []
+        for pdf in pdfs:
+            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+                rows.append((int(ts), int(eid)))
+        rows.sort()
+        if rows and last_ts is not None and rows[0][0] < last_ts:
+            raise ValueError(
+                f"burstiness monitor user {uid}: trigger delivered "
+                f"ts {rows[0][0]} < last ingested ts {last_ts} — "
+                "in-order-per-key ingestion precondition violated "
+                "(gap statistics would silently corrupt)"
+            )
+        for ts, _ in rows:
+            if last_ts is not None:
+                g = ts - last_ts
+                n += 1
+                s1 += g
+                s2 += g * g
+            last_ts = ts
+        state.update(
+            (int(last_ts) if last_ts is not None else -1, int(n), int(s1), int(s2))
+        )
+        if rows and n >= 10 and s1 > 0:
+            cov2 = (n * s2 - s1 * s1) * 1000 // (s1 * s1)
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "n_gaps": [n],
+                    "s1": [s1],
+                    "s2": [s2],
+                    "cov2_milli": [cov2],
+                    "is_bursty": [1 if n * s2 > 2 * s1 * s1 else 0],
+                }
+            )
+
+    return event_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

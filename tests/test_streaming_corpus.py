@@ -665,3 +665,114 @@ def test_streaming_interleave_scheduler_raises_on_ts_regression(spark):
         assert "in-order-per-key ingestion precondition" in str(exc_info.value)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_burstiness_monitor_matches_batch_twin(spark):
+    """The monitor's LAST emission per user (after all triggers) must equal
+    the events_interarrival_burstiness batch query row for row — the
+    cross-trigger state contract: gaps spanning micro-batch boundaries
+    depend on last_ts carried in state."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+    from hdp2_5_hive2_spark.streaming import streaming_burstiness_monitor
+
+    base = load_tables(spark, SF_CORRECT)["events"]
+    ev = (
+        base.select(
+            "user_id", F.col("ts").cast("long").alias("ts"), "event_id"
+        )
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    third = len(ev) // 3
+    files = [ev.iloc[:third], ev.iloc[third : 2 * third], ev.iloc[2 * third :]]
+
+    tmp = Path(tempfile.mkdtemp(prefix="stream_burst_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        for i, pdf in enumerate(files):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema("user_id bigint, ts bigint, event_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        mon = streaming_burstiness_monitor(stream)
+        out: list[tuple[int, object]] = []
+
+        def sink(bdf, bid):
+            pdf = bdf.toPandas()
+            if len(pdf):
+                out.append((int(bid), pdf))
+
+        q = mon.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        assert q.awaitTermination(300), "stream timed out (300s)"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert len(out) >= 3, "need >= 3 emitting triggers"
+    latest = {}
+    for bid, pdf in sorted(out):
+        for r in pdf.itertuples():
+            latest[int(r.user_id)] = (
+                int(r.n_gaps), int(r.s1), int(r.s2),
+                int(r.cov2_milli), int(r.is_bursty),
+            )
+    batch = {
+        int(r.user_id): (
+            int(r.n_gaps), int(r.s1), int(r.s2),
+            int(r.cov2_milli), int(r.is_bursty),
+        )
+        for r in REGISTRY["events_interarrival_burstiness"]
+        .fn(spark, SF_CORRECT)
+        .collect()
+    }
+    assert latest == batch
+    # mid-stream emissions must also be self-consistent prefixes: every
+    # emitted row satisfies the gap floor it claims
+    for _, pdf in out:
+        assert (pdf["n_gaps"] >= 10).all()
+        assert (pdf["s1"] > 0).all()
+
+
+def test_streaming_burstiness_monitor_raises_on_ts_regression(spark):
+    """Same loud-failure contract as the interleave scheduler: a late
+    trigger with an earlier ts for an already-seen user must ERROR, not
+    silently corrupt the gap statistics."""
+    import pandas as pd
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hdp2_5_hive2_spark.streaming import streaming_burstiness_monitor
+
+    first = pd.DataFrame(
+        {"user_id": [7, 7], "ts": [100, 200], "event_id": [1, 2]}
+    )
+    late = pd.DataFrame({"user_id": [7], "ts": [50], "event_id": [3]})
+    tmp = Path(tempfile.mkdtemp(prefix="stream_burst_late_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        for i, pdf in enumerate([first, late]):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema("user_id bigint, ts bigint, event_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        mon = streaming_burstiness_monitor(stream)
+        q = (
+            mon.writeStream.format("memory")
+            .queryName("burstiness_late_arrival")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException) as exc_info:
+            q.awaitTermination(300)
+            raise AssertionError("query must fail on ts regression")
+        assert "in-order-per-key ingestion precondition" in str(exc_info.value)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
