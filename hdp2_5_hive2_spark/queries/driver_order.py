@@ -192,6 +192,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     "llm_novelty_decay",
     "llm_vocab_half_drift",
 ]
+# Tier-3 decision, round 12: storage_corpus.IO_ROOT moved from a fixed
+# /tmp path to a per-process one (harness-concurrency isolation). That
+# touches every storage query's OUTPUT PATH but no expression tree; the
+# three r4-era storage names are in this round's fill block anyway, and
+# every other storage name was verified on the new path by the session's
+# five full two-scale oracle sweeps (387/387 each). No re-lead taken —
+# recorded here so the omission is a decision, not an oversight.
 
 # Frozen round-6 tier (was _NEW_THIS_ROUND while round 6 was current).
 # Everything past window position 049 of CORRECTNESS_r06.json is still dark
