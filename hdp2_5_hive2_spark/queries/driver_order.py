@@ -28,23 +28,23 @@ construction, twice over):
   this round's own CORRECTNESS file therefore can never make the invariant
   stale (the r4/r5/r6 boundary failure class).
 
-Round-12 plan (VERDICT r11 #1/#2/#3/#4):
+Round-13 plan (VERDICT r12 #3/#4 + ADVICE r12):
 
-- Plan head — this round's NEW queries (8 names: the one zero-touch
-  registry function fn_substring_index, the six pre-probed candidates
-  from TODO_NEXT — jaccard-vs-containment, md5-draw uniformity,
-  burstiness, prefix-echo, length bands, front-coding — and the IVF
-  multi-probe sweep): dark by construction, auto-lead via
-  ``dark_queries()``.
-- Tier 3 — kernels round 12 touches (ADVICE r11): ``llm_novelty_decay``
-  (inner-join → left-join-with-0 so zero-novelty deciles surface) and
-  ``llm_vocab_half_drift`` (float midpoint → exact int64 ``div``);
-  their r11 greens predate the reworks.
-- Then budget fill: oldest-verdict-first re-verification — the ENTIRE
-  40-name r4 block (the oldest newest-green in the registry after r11
-  drained the r3 queue; VERDICT r11 #3). 8 + 2 + 40 = exactly the
-  50-name window, and the oldest block advances to r5 when
-  CORRECTNESS_r12 lands.
+- Plan head — this round's NEW queries (the seven pre-probed TODO_NEXT
+  candidates: positional-boilerplate audit, session gap-threshold sweep,
+  diurnal load profile, windowed TTR per source, ANN deletion-staleness
+  recall, whale-concentration value Pareto, event-type mix drift): dark
+  by construction, auto-lead via ``dark_queries()``.
+- Tier 3 — kernels round 13 touches (ADVICE r12): ``llm_ivf_probe_sweep``
+  (recall_centi renamed to recall_milli — the value is n_hits×100 over
+  10 ground-truth neighbors, milli scale) and ``llm_front_coding_gain``
+  (counters coalesced to 0 on an empty vocabulary, matching the
+  oracle's count(*) semantics); their r12 greens predate the reworks.
+- Then budget fill: oldest-verdict-first re-verification — the
+  alphabetical head (41 names) of the 49-name r5 block, the oldest
+  newest-green in the registry after r12 rotated the r4 queue
+  (`tools/newest_green.py` prints it). 7 + 2 + 41 = exactly the 50-name
+  window; the r5 tail (8 storage names) heads round 14's fill.
 
 The prefix is presentation-only: `REGISTRY` keys, tests and bench.py keep
 the plain names. ``prefixed -> plain`` is recoverable by stripping
@@ -65,8 +65,12 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # The no-verdict invariant is evaluated against green_union(before_round=
 # _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
 # in place — landing CORRECTNESS_r07.json cannot stale it.
-_NEW_THIS_ROUND_DECLARED: int = 12
-_NEW_THIS_ROUND: list[str] = [
+_NEW_THIS_ROUND_DECLARED: int = 13
+_NEW_THIS_ROUND: list[str] = []
+
+# Frozen round-12 tier (was _NEW_THIS_ROUND while round 12 was current) —
+# all verified green in CORRECTNESS_r12 window positions 000-007.
+_R12_TIER: list[str] = [
     "fn_substring_index",             # MySQL-style splitter, 5 regimes (r12)
     "llm_jaccard_containment_gap",    # truncation/quote dedup detector (r12)
     "llm_md5_draw_uniformity",        # hash-draw sampler canary (r12)
@@ -179,18 +183,23 @@ _R11_CHANGED: list[str] = [
     "llm_kmeans_clusters",
     "llm_consistent_hash_moves",
 ]
-
-# Tier 3 — green in a prior round but re-implemented/touched this round; a
-# stale green no longer covers the shipped code. Round 12 closes the two
-# ADVICE r11 query-path items: llm_novelty_decay's decile join flipped to
-# the left-join-with-0 form (a pure-recrawl decile with zero first-seen
-# grams now surfaces instead of silently dropping — both engines), and
-# llm_vocab_half_drift's midpoint moved from float `/ 2` to exact int64
-# `div 2`. Same values on every previously-green input, but both
-# expression trees changed, so the r11 greens predate the shipped code.
-_CHANGED_THIS_ROUND: list[str] = [
+_R12_CHANGED: list[str] = [
     "llm_novelty_decay",
     "llm_vocab_half_drift",
+]
+
+# Tier 3 — green in a prior round but re-implemented/touched this round; a
+# stale green no longer covers the shipped code. Round 13 closes the two
+# ADVICE r12 query-path items: llm_ivf_probe_sweep's recall column renamed
+# recall_centi → recall_milli (n_hits×100 over 10 ground-truth neighbors is
+# milli scale — same values, new schema, both engines), and
+# llm_front_coding_gain's counters coalesced to 0 on an empty vocabulary
+# (the sum-over-zero-rows aggregate read NULL while the oracle's count(*)
+# read 0). Both expression trees changed, so the r12 greens predate the
+# shipped code.
+_CHANGED_THIS_ROUND: list[str] = [
+    "llm_ivf_probe_sweep",
+    "llm_front_coding_gain",
 ]
 # Tier-3 decision, round 12: storage_corpus.IO_ROOT moved from a fixed
 # /tmp path to a per-process one (harness-concurrency isolation). That
@@ -325,53 +334,53 @@ _R6_TIER: list[str] = [
 ]
 
 # Tier 4 — budget fill: oldest still-standing verdicts first (VERDICT r8
-# #3 — no query's newest verdict should age past 5 rounds). The r1-r3
-# queue drained when CORRECTNESS_r11 landed; from round 12 the fill is a
-# pure freshness rotation and the oldest block is the 40 names whose
-# newest green is r4 (`python tools/newest_green.py` prints the queue).
+# #3 — no query's newest verdict should age past 5 rounds). The r4 queue
+# rotated when CORRECTNESS_r12 landed; the oldest block is now the 49
+# names whose newest green is r5 (`python tools/newest_green.py` prints
+# the queue). 49 does not fit alongside 7 new + 2 changed, so this is the
+# alphabetical HEAD (41 names) — the 8-name storage tail heads round 14.
 _FILL_REVERIFY: list[str] = [
-    # newest green is r04, alphabetical — the whole block fits the
-    # round-12 window (8 new + 2 changed + 40 fill = 50)
-    "analyze_ndv_sketch",
-    "analyze_table_stats",
-    "events_anomaly_minutes",
-    "events_asof_join",
-    "events_asof_join_forward",
-    "events_asof_join_nearest",
-    "events_interval_join_incidents",
-    "events_range_join_bands",
-    "events_session_funnel",
-    "events_transition_matrix",
-    "lateral_view_chained",
-    "llm_bigram_lm_score",
-    "llm_bigram_novelty",
-    "llm_chunk_dedup",
-    "llm_chunk_documents",
-    "llm_corpus_filter",
-    "llm_cross_dedup",
-    "llm_cross_source_dups",
-    "llm_curation_report",
-    "llm_dataset_card",
-    "llm_dedup_clusters",
-    "llm_embedding_centroids",
-    "llm_embedding_quantize",
-    "llm_feature_hashing",
-    "llm_minhash_clusters",
-    "llm_mixture_rates",
-    "llm_normalize_text",
-    "llm_pack_sequences",
-    "llm_split_assign",
-    "llm_stratified_sample",
-    "llm_tfidf_topterms",
-    "llm_tokenizer_fertility",
-    "llm_url_host_stats",
-    "llm_weighted_sample",
-    "multimodal_payload_dedup",
-    "storage_regex_serde",
-    "storage_schema_evolution",
-    "storage_textfile_roundtrip",
-    "subquery_correlated_scalar",
-    "subquery_in_having",
+    "agg_multi_distinct",
+    "cluster_by",
+    "cte_reuse",
+    "distribute_sort_by",
+    "events_churned_users",
+    "events_dau_wau",
+    "events_dedup_minute",
+    "events_retention_cohorts",
+    "events_session_window_native",
+    "events_sliding_window",
+    "events_stream_static_join",
+    "events_tumbling_window",
+    "except_all_keys",
+    "except_distinct",
+    "fn_conditional",
+    "fn_datetime",
+    "fn_explode_tokens",
+    "fn_format_printf",
+    "fn_hash_crypto",
+    "fn_mask",
+    "llm_ann_topk",
+    "llm_contamination_by_source",
+    "llm_dedup_keep_best",
+    "llm_embedding_dup_pairs",
+    "llm_embedding_outliers",
+    "llm_exact_dedup",
+    "llm_ivf_ann_topk",
+    "llm_knn_classify",
+    "llm_lsh_ann_topk",
+    "llm_minhash_dedup",
+    "llm_ngram_jaccard",
+    "llm_prefix_dup_rate",
+    "llm_simhash_dedup",
+    "llm_token_length_histogram",
+    "multimodal_frame_sample",
+    "multimodal_meta_sha",
+    "multimodal_resize_meta",
+    "storage_bucketed_join",
+    "storage_compacted_roundtrip",
+    "storage_csv_roundtrip",
+    "storage_drop_partition",
 ]
 
 # The frozen plan. Dark names derive to the front whether or not they are
@@ -386,6 +395,7 @@ _ROTATION_PLAN: list[str] = list(
         _NEW_THIS_ROUND
         + _CHANGED_THIS_ROUND
         + _FILL_REVERIFY
+        + _R12_TIER
         + _R11_TIER
         + _R10_TIER
         + _R9_TIER
@@ -394,6 +404,7 @@ _ROTATION_PLAN: list[str] = list(
         + _R9_CHANGED
         + _R10_CHANGED
         + _R11_CHANGED
+        + _R12_CHANGED
         + _R6_TIER
         + [
             "storage_rcfile_roundtrip",     # RCFile container (r5; JVM read path r6)

@@ -258,7 +258,7 @@ def llm_md5_draw_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN a.an IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_hits,
            CAST(SUM(CASE WHEN a.an IS NOT NULL THEN 1 ELSE 0 END) * 100
-                AS BIGINT) AS recall_centi
+                AS BIGINT) AS recall_milli
     FROM ps p CROSS JOIN exact e
     LEFT JOIN approx a ON a.ap = p.p AND a.aq = e.query_id
                        AND a.an = e.neighbor_id
@@ -273,7 +273,9 @@ def llm_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-out for capacity planning: if recall saturates at nprobe=2 the
     extra probe is wasted fan-out; if it is still climbing at 4, the
     coarse book is too fine for single-digit probes and either the cell
-    count or the probe budget must move. Same deterministic book as
+    count or the probe budget must move. recall_milli = n_hits × 100
+    over the 10 ground-truth neighbors, so perfect recall reads 1000
+    (milli — renamed from recall_centi, ADVICE r12). Same deterministic book as
     llm_recall_curve (every 17th corpus vector), same exact int64
     quantized-dot total order ((dot desc, id)) on both the probe ranking
     and both candidate rankings. Plan / 100 TB: cell assignment is one
@@ -336,7 +338,7 @@ def llm_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "p")
         .agg(
             hits.cast("bigint").alias("n_hits"),
-            (hits * 100).cast("bigint").alias("recall_centi"),
+            (hits * 100).cast("bigint").alias("recall_milli"),
         )
     )
 
@@ -575,8 +577,8 @@ def llm_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  END AS lcp
           FROM s)
     SELECT CAST(count(*) AS BIGINT) AS n_terms,
-           CAST(SUM(len(term)) AS BIGINT) AS total_chars,
-           CAST(SUM(lcp) AS BIGINT) AS saved_chars,
+           CAST(coalesce(SUM(len(term)), 0) AS BIGINT) AS total_chars,
+           CAST(coalesce(SUM(lcp), 0) AS BIGINT) AS saved_chars,
            CAST(SUM(lcp) * 1000 // SUM(len(term)) AS BIGINT) AS gain_milli
     FROM l
     """,
@@ -674,9 +676,18 @@ def front_coding_gain(v: DataFrame) -> DataFrame:
         ranked.join(F.broadcast(nxt), "rank", "left")
         .select("n", "total", "saved", boundary_lcp.alias("blcp"))
         .agg(
-            F.sum("n").cast("bigint").alias("n_terms"),
-            F.sum("total").cast("bigint").alias("total_chars"),
-            (F.sum("saved") + F.sum("blcp")).cast("bigint").alias("saved_chars"),
+            # coalesce-0 (ADVICE r12): an EMPTY vocabulary yields zero
+            # shard-summary rows, so the sums read NULL while the oracle's
+            # count(*) reads 0 — the counters must agree on the degenerate
+            # input. gain_milli stays NULL on empty in BOTH engines (a
+            # 0-term dictionary has no defined gain).
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_terms"),
+            F.coalesce(F.sum("total"), F.lit(0))
+            .cast("bigint")
+            .alias("total_chars"),
+            F.coalesce(F.sum("saved") + F.sum("blcp"), F.lit(0))
+            .cast("bigint")
+            .alias("saved_chars"),
             F.expr("(sum(saved) + sum(blcp)) * 1000 div sum(total)")
             .cast("bigint")
             .alias("gain_milli"),

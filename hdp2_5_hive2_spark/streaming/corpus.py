@@ -503,7 +503,7 @@ def streaming_interleave_scheduler(event_stream: DataFrame) -> DataFrame:
     therefore carries the last-seen ts per key and the operator RAISES on
     regression instead of diverging silently; a true late-data deployment
     would front this with a watermark-sorted stage. 100 TB notes: state is
-    two ints per stream key; the stateful shuffle keys on event_type (or
+    three ints per stream key (index, has_ts flag, last ts); the stateful shuffle keys on event_type (or
     any finer mux key a real service multiplexes by); vkey assignment is
     executor-side with no driver involvement, and the consumer-side cut is
     a bounded top-k."""
@@ -517,8 +517,15 @@ def streaming_interleave_scheduler(event_stream: DataFrame) -> DataFrame:
             StructField("vkey", LongType()),
         ]
     )
+    # Explicit has_ts flag instead of a -1 sentinel (ADVICE r12): a
+    # legitimate pre-1970 (negative epoch-second) last_ts must survive the
+    # state round-trip, or the ts-regression guard silently disarms.
     state_schema = StructType(
-        [StructField("i", LongType()), StructField("last_ts", LongType())]
+        [
+            StructField("i", LongType()),
+            StructField("has_ts", LongType()),
+            StructField("last_ts", LongType()),
+        ]
     )
     weights = {"purchase": 3, "click": 2}
 
@@ -526,9 +533,9 @@ def streaming_interleave_scheduler(event_stream: DataFrame) -> DataFrame:
         etype = str(key[0])
         wt = weights.get(etype, 1)
         step = 6 // wt
-        i, last_ts = state.get if state.exists else (0, None)
-        if last_ts is not None and last_ts < 0:
-            last_ts = None  # -1 sentinel: key seen but nothing indexed yet
+        i, has_ts, last_ts = state.get if state.exists else (0, 0, 0)
+        if not has_ts:
+            last_ts = None  # key seen but nothing indexed yet
         rows = []
         for pdf in pdfs:
             for ts, eid in zip(pdf["ts"], pdf["event_id"]):
@@ -547,7 +554,13 @@ def streaming_interleave_scheduler(event_stream: DataFrame) -> DataFrame:
             last_ts = ts
             out_ids.append(eid)
             out_keys.append(i * step)
-        state.update((int(i), int(last_ts) if last_ts is not None else -1))
+        state.update(
+            (
+                int(i),
+                1 if last_ts is not None else 0,
+                int(last_ts) if last_ts is not None else 0,
+            )
+        )
         if out_ids:
             yield pd.DataFrame(
                 {
@@ -570,8 +583,9 @@ def streaming_burstiness_monitor(event_stream: DataFrame) -> DataFrame:
     """STREAMING per-user burstiness monitor — the stateful twin of the
     batch events_interarrival_burstiness query (queries/pipeline4_corpus
     .py): events stream in per user (``user_id bigint, ts bigint`` epoch
-    SECONDS, ``event_id bigint``); keyed state carries the four
-    sufficient statistics (last_ts, n_gaps, Σgap, Σgap²) and every
+    SECONDS, ``event_id bigint``); keyed state carries an
+    explicit has_ts flag plus the four sufficient statistics (last_ts,
+    n_gaps, Σgap, Σgap²) and every
     trigger re-emits the user's current exact-integer CoV² verdict once
     it clears the >= 10-gap floor — the online bot-screen / rate-limiter
     feed, maintained in O(1) state per user with no reprocessing. The
@@ -586,7 +600,7 @@ def streaming_burstiness_monitor(event_stream: DataFrame) -> DataFrame:
     RAISES on ts regression instead of diverging. Seconds, not
     microseconds: gap² at microsecond resolution overflows int64 at
     realistic event spacing (the r11 pre-probe finding). 100 TB notes:
-    state is four ints per user; the stateful shuffle keys on user_id
+    state is five ints per user; the stateful shuffle keys on user_id
     (the stream's natural key); emission is append-mode, so downstream
     consumers read the latest row per user."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -602,8 +616,13 @@ def streaming_burstiness_monitor(event_stream: DataFrame) -> DataFrame:
             StructField("is_bursty", LongType()),
         ]
     )
+    # Explicit has_ts flag instead of a -1 sentinel (ADVICE r12): a
+    # legitimate pre-1970 (negative epoch-second) last_ts must survive the
+    # state round-trip, or the ts-regression guard silently disarms and the
+    # cross-trigger gap is dropped (stats would diverge from the batch twin).
     state_schema = StructType(
         [
+            StructField("has_ts", LongType()),
             StructField("last_ts", LongType()),
             StructField("n_gaps", LongType()),
             StructField("s1", LongType()),
@@ -614,11 +633,11 @@ def streaming_burstiness_monitor(event_stream: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         uid = int(key[0])
         if state.exists:
-            last_ts, n, s1, s2 = state.get
+            has_ts, last_ts, n, s1, s2 = state.get
         else:
-            last_ts, n, s1, s2 = None, 0, 0, 0
-        if last_ts is not None and last_ts < 0:
-            last_ts = None  # -1 sentinel: key seen but nothing ingested yet
+            has_ts, last_ts, n, s1, s2 = 0, 0, 0, 0, 0
+        if not has_ts:
+            last_ts = None  # key seen but nothing ingested yet
         rows = []
         for pdf in pdfs:
             for ts, eid in zip(pdf["ts"], pdf["event_id"]):
@@ -639,7 +658,13 @@ def streaming_burstiness_monitor(event_stream: DataFrame) -> DataFrame:
                 s2 += g * g
             last_ts = ts
         state.update(
-            (int(last_ts) if last_ts is not None else -1, int(n), int(s1), int(s2))
+            (
+                1 if last_ts is not None else 0,
+                int(last_ts) if last_ts is not None else 0,
+                int(n),
+                int(s1),
+                int(s2),
+            )
         )
         if rows and n >= 10 and s1 > 0:
             cov2 = (n * s2 - s1 * s1) * 1000 // (s1 * s1)

@@ -821,12 +821,38 @@ def test_substring_index_fuzz_parity(spark):
         )
         cases.append((s, d, rng.choice([-99, *range(-6, 7), 99])))
     cases += [("", ".", 2), ("...", ".", -2), ("a.b.c", ".", 0)]
+    # Self-overlapping delimiters, pinned (ADVICE r12): Spark scans
+    # occurrences advancing one position at a time, so '----' holds THREE
+    # occurrences of '--' (at 0, 1, 2), not the two a split() would see.
+    cases += [
+        ("----", "--", 1), ("----", "--", 2), ("----", "--", 3),
+        ("----", "--", -1), ("----", "--", -2), ("----", "--", -3),
+        ("---", "--", 2), ("---", "--", -2), ("aaa", "aa", 2),
+        ("aaaa", "aa", -2), ("δδδ", "δδ", 2),
+    ]
 
     def ssi(s: str, delim: str, count: int) -> str:
-        parts = s.split(delim)
-        if count == 0:
+        # Overlap-aware scan mirroring UTF8String.subStringIndex (Spark) /
+        # Hive's ordinalIndexOf: each search resumes one position past the
+        # PREVIOUS MATCH START, so self-overlapping delimiters ('--' in
+        # '----') count every offset — not the non-overlapping occurrences
+        # a split/join model sees (ADVICE r12).
+        if count == 0 or not delim:
             return ""
-        return delim.join(parts[:count] if count > 0 else parts[count:])
+        if count > 0:
+            idx = -1
+            for _ in range(count):
+                idx = s.find(delim, idx + 1)
+                if idx < 0:
+                    return s
+            return s[:idx]
+        idx = len(s) - len(delim) + 1
+        for _ in range(-count):
+            # occurrence start must be <= idx - 1
+            idx = s.rfind(delim, 0, idx - 1 + len(delim))
+            if idx < 0:
+                return s
+        return s[idx + len(delim):]
 
     df = spark.createDataFrame(
         [(i, s, d, c) for i, (s, d, c) in enumerate(cases)],

@@ -148,7 +148,7 @@ def test_ivf_probe_sweep_matches_numpy(spark):
             prev = hits
             want.add((int(qid), p, hits, hits * 100))
     got = {
-        (r.query_id, r.p, r.n_hits, r.recall_centi)
+        (r.query_id, r.p, r.n_hits, r.recall_milli)
         for r in REGISTRY["llm_ivf_probe_sweep"].fn(spark, SF_CORRECT).collect()
     }
     assert got == want
@@ -334,3 +334,16 @@ def test_front_coding_synthetic_vocab_exercises_internal_folds(spark):
         len(terms), total, saved, saved * 1000 // total,
     )
     assert saved > total // 2, "synthetic vocab must be prefix-heavy"
+
+
+def test_front_coding_gain_empty_vocab_counters_read_zero(spark):
+    """ADVICE r12: an empty vocabulary must read n_terms/total_chars/
+    saved_chars = 0 (matching the oracle's count(*) semantics) with
+    gain_milli NULL — not a row of NULL counters from the sum-over-zero-
+    rows aggregate."""
+    from hdp2_5_hive2_spark.queries.pipeline4_corpus import front_coding_gain
+
+    v = spark.createDataFrame([], "term string")
+    row = front_coding_gain(v).collect()[0]
+    assert (row.n_terms, row.total_chars, row.saved_chars) == (0, 0, 0)
+    assert row.gain_milli is None

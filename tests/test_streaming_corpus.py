@@ -776,3 +776,53 @@ def test_streaming_burstiness_monitor_raises_on_ts_regression(spark):
         assert "in-order-per-key ingestion precondition" in str(exc_info.value)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_burstiness_monitor_pre_1970_ts_state_roundtrip(spark):
+    """ADVICE r12: a legitimate negative epoch-second last_ts (pre-1970
+    data) must survive the state round-trip via the explicit has_ts flag —
+    the old -1 sentinel reinterpreted any stored negative ts as 'nothing
+    seen', dropping the cross-trigger gap and disarming the regression
+    guard. Twelve events at ts = -1200..-100 split across two triggers:
+    the final emission must count the boundary-spanning gap."""
+    import pandas as pd
+    from hdp2_5_hive2_spark.streaming import streaming_burstiness_monitor
+
+    ts = [-1200 + 100 * i + (7 if i % 3 == 0 else 0) for i in range(12)]
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    n, s1, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    ev = pd.DataFrame(
+        {"user_id": [1] * 12, "ts": ts, "event_id": list(range(12))}
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="stream_burst_neg_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        for i, pdf in enumerate((ev.iloc[:6], ev.iloc[6:])):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema("user_id bigint, ts bigint, event_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        mon = streaming_burstiness_monitor(stream)
+        out: list[tuple[int, object]] = []
+
+        def sink(bdf, bid):
+            pdf = bdf.toPandas()
+            if len(pdf):
+                out.append((int(bid), pdf))
+
+        q = mon.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        assert q.awaitTermination(300), "stream timed out (300s)"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert out, "the 11-gap user must emit once past the 10-gap floor"
+    last = sorted(out)[-1][1].iloc[0]
+    assert (int(last.n_gaps), int(last.s1), int(last.s2)) == (n, s1, s2), (
+        "cross-trigger gap over negative epoch seconds was dropped"
+    )
