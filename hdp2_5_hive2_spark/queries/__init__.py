@@ -21,5 +21,6 @@ from hdp2_5_hive2_spark.queries import pipeline_corpus  # noqa: F401  (r9 pipeli
 from hdp2_5_hive2_spark.queries import pipeline2_corpus  # noqa: F401  (r10 curation planning)
 from hdp2_5_hive2_spark.queries import pipeline3_corpus  # noqa: F401  (r11 graph/index health)
 from hdp2_5_hive2_spark.queries import pipeline4_corpus  # noqa: F401  (r12 sampling/serving ablations)
+from hdp2_5_hive2_spark.queries import pipeline5_corpus  # noqa: F401  (r13 arrival/mixture audits)
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -66,7 +66,15 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # _NEW_THIS_ROUND_DECLARED), which is immutable once the round's files are
 # in place — landing CORRECTNESS_r07.json cannot stale it.
 _NEW_THIS_ROUND_DECLARED: int = 13
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "llm_positional_boilerplate",   # top-term share per head position (r13)
+    "events_session_gap_sweep",     # sessions at gap thr 1800/3600/7200 (r13)
+    "events_diurnal_profile",       # hour-of-day load + peak-to-mean (r13)
+    "llm_windowed_ttr",             # 50-token-window TTR per source (r13)
+    "llm_ann_staleness_recall",     # recall@10 with every-5th dropped (r13)
+    "events_value_pareto",          # top-decile value share, cents (r13)
+    "events_type_mix_drift",        # half-vs-half type-mix L1 drift (r13)
+]
 
 # Frozen round-12 tier (was _NEW_THIS_ROUND while round 12 was current) —
 # all verified green in CORRECTNESS_r12 window positions 000-007.

@@ -1421,3 +1421,102 @@ def test_substring_index_is_pure_mapside_projection(spark):
         else ""
     )
     assert "c_custkey" in pushed, plan
+
+
+def test_positional_boilerplate_windows_partition_by_pos(spark):
+    """The per-position top-term rank window partitions by pos (16 bounded
+    groups); every keyed exchange carries pos-keyed aggregate rows (never
+    corpus text); the 16-row per-position doc totals attach as a
+    BroadcastHashJoin — no cartesian, no BNLJ."""
+    import re
+
+    plan = _executed(REGISTRY["llm_positional_boilerplate"].fn(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("pos"), m.group(0)
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        assert ex.split(",")[0].split("#")[0] == "pos", plan
+
+
+def test_session_gap_sweep_is_one_user_window_one_aggregate(spark):
+    """The sweep rides ONE user_id-partitioned lag window and ONE
+    conditional aggregate — no per-threshold re-scan or join fan-out; the
+    3-row unpivot is a Generate (stack) over the single aggregate row,
+    and the only non-scalar exchanges carry user_id keys."""
+    import re
+
+    plan = _executed(REGISTRY["events_session_gap_sweep"].fn(spark, SF_CORRECT))
+    assert plan.count("windowspecdefinition") >= 1, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("user_id"), m.group(0)
+    assert "Generate stack" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        assert ex.split(",")[0].split("#")[0] == "user_id", plan
+
+
+def test_diurnal_profile_is_24_row_aggregate_plus_scalar(spark):
+    """The profile is one partial+final hour aggregate (24-row exchange)
+    with the total/peak scalar attached as a 1-row broadcast — no window,
+    no sort, nothing event-sized past the map side."""
+    plan = _executed(REGISTRY["events_diurnal_profile"].fn(spark, SF_CORRECT))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_windowed_ttr_is_one_arrow_pass_no_joins(spark):
+    """The per-document window fold is per-doc work inside ONE Arrow pass
+    — no token ever shuffles, no join of any kind; the only keyed
+    exchange is the source-sized aggregate (the prefix_echo shape)."""
+    plan = _executed(REGISTRY["llm_windowed_ttr"].fn(spark, SF_CORRECT))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Join" not in plan, plan
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        assert ex.split(",")[0].split("#")[0] == "source", plan
+
+
+def test_ann_staleness_windows_partition_by_query(spark):
+    """Both rankings are Arrow top-k kernels (2 MapInPandas) whose merge
+    windows partition by query_id — never global; the stale view is a
+    pushed filter on the same scan, not a second corpus copy; the
+    exact-vs-stale hit join broadcasts (80-row sides)."""
+    import re
+
+    plan = _executed(REGISTRY["llm_ann_staleness_recall"].fn(spark, SF_CORRECT))
+    assert plan.count("MapInPandas") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("query_id"), m.group(0)
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        assert ex.split(",")[0].split("#")[0] == "query_id", plan
+
+
+def test_value_pareto_is_range_shard_fold_no_window(spark):
+    """The top-decile cut is the distributed-sort fold (the front-coding
+    recipe): the visible plan past the checkpoint fence is ONE Arrow cut
+    pass feeding a partial+final scalar aggregate — no window anywhere,
+    no join, no per-user rank materialized, and per-user rows never leave
+    their range shard."""
+    plan = _executed(REGISTRY["events_value_pareto"].fn(spark, SF_CORRECT))
+    assert "MapInPandas" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_type_mix_drift_shuffles_types_only(spark):
+    """The raw stream reduces map-side: every keyed exchange carries
+    (half, event_type)- or event_type-keyed aggregate rows; the midpoint
+    and totals attach as 1-row broadcasts; the type-basket left join is a
+    broadcast hash join."""
+    plan = _executed(REGISTRY["events_type_mix_drift"].fn(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for ex in plan.split("Exchange hashpartitioning(")[1:]:
+        key = ex.split(",")[0].split("#")[0]
+        assert key in ("half", "event_type"), (key, plan)

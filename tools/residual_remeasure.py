@@ -1,7 +1,6 @@
-"""Calibration-bracketed warm re-measure of the round-10 bench residuals
-(VERDICT r10 #2): `llm_bigram_lm_score` and `llm_chunk_dedup_keep_first`
-flagged >1.3x vs r9 in the judge's best window while 14 sibling flags
-cleared. Protocol (VERDICT r10 next-round #2):
+"""Calibration-bracketed warm re-measure of flagged bench residuals
+against their r9 anchors (VERDICT r10 #2; generalized per VERDICT r12 #1
+and #7 to take query names on the command line). Protocol:
 
 - same-process warm best-of-7, bench.py's exact warmup;
 - q9_product_profit and q10_returned_items as same-window controls;
@@ -10,10 +9,20 @@ cleared. Protocol (VERDICT r10 next-round #2):
   sample is recorded but non-probative;
 - host_calibration brackets before/after.
 
-Run it opportunistically (takes ~90 s); append each JSON line to
-PERF.md's round-11 section. A VALIDATED window with either residual
-still >1.3x ==> treat as a real regression and bisect session-conf
-drift (both modules are pre-r10 code with byte-identical plans).
+Usage:
+    python tools/residual_remeasure.py [--until-validated N]
+        [--names q1,q2,...] [--anchors q1=SEC,q2=SEC,...]
+
+Defaults re-measure the three r12 driver-shot risers (VERDICT r12 #1)
+against their r9 anchors: llm_semantic_dedup_lsh 2.109 s,
+llm_chunk_dedup_keep_first 0.28 s, llm_quantized_ann_recall 0.563 s.
+``--names`` picks probes whose anchors are already known (below);
+``--anchors`` adds or overrides anchor seconds for new probes. A probe
+still >1.3x inside a VALIDATED window ==> treat as a real regression and
+bisect session-conf drift.
+
+Run it opportunistically (takes ~2 min/window); append each JSON line to
+PERF.md's current-round section.
 """
 
 from __future__ import annotations
@@ -25,13 +34,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-R9 = {
+# r9-anchor seconds for every probe this tool has ever adjudicated
+# (BENCH_r09.json values; the chain every later round compares against).
+ANCHORS = {
     "q9_product_profit": 0.349,
     "q10_returned_items": 0.305,
     "llm_bigram_lm_score": 0.98,
     "llm_chunk_dedup_keep_first": 0.28,
+    "llm_semantic_dedup_lsh": 2.109,
+    "llm_quantized_ann_recall": 0.563,
 }
 CONTROLS = ("q9_product_profit", "q10_returned_items")
+DEFAULT_PROBES = (
+    "llm_semantic_dedup_lsh",
+    "llm_chunk_dedup_keep_first",
+    "llm_quantized_ann_recall",
+)
 
 
 def main() -> None:
@@ -43,8 +61,28 @@ def main() -> None:
     from hdp2_5_hive2_spark.session import get_session
 
     attempts = 1
-    if "--until-validated" in sys.argv:
-        attempts = int(sys.argv[sys.argv.index("--until-validated") + 1])
+    probes = list(DEFAULT_PROBES)
+    anchors = dict(ANCHORS)
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--until-validated":
+            attempts = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--names":
+            probes = [n for n in argv[i + 1].split(",") if n]
+            i += 2
+        elif argv[i] == "--anchors":
+            for kv in argv[i + 1].split(","):
+                k, v = kv.split("=", 1)
+                anchors[k] = float(v)
+            i += 2
+        else:
+            raise SystemExit(f"unknown arg {argv[i]!r}\n\n{__doc__}")
+    names = list(CONTROLS) + [p for p in probes if p not in CONTROLS]
+    missing = [n for n in names if n not in anchors]
+    if missing:
+        raise SystemExit(f"no anchor for {missing}; pass --anchors")
 
     sf_dir = "/root/testdata/sf0.1"
     spark = get_session(app_name="residual-remeasure")
@@ -56,7 +94,7 @@ def main() -> None:
     for attempt in range(attempts):
         cb = _host_calibration()
         out: dict[str, dict] = {}
-        for name in R9:
+        for name in names:
             best = float("inf")
             samples = []
             for _ in range(7):
@@ -67,11 +105,11 @@ def main() -> None:
                 best = min(best, dt)
             out[name] = {
                 "best": round(best, 3),
-                "ratio_vs_r9": round(best / R9[name], 3),
+                "ratio_vs_anchor": round(best / anchors[name], 3),
                 "samples": samples,
             }
         ca = _host_calibration()
-        validated = all(out[c]["ratio_vs_r9"] <= 1.15 for c in CONTROLS)
+        validated = all(out[c]["ratio_vs_anchor"] <= 1.15 for c in CONTROLS)
         print(
             json.dumps(
                 {

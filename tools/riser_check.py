@@ -25,6 +25,24 @@ fixed work between consecutive minutes, which made raw ratios
 uninterpretable. Records without calibration (r9 and earlier) behave
 exactly as before.
 
+Vector-work scaling + control gating (VERDICT r12 #2): md5-only scaling
+under-corrects on this host — under co-tenant load single-core md5 slows
+~1.15x while Spark/Arrow vector work slows 1.8x+ (the r12 session's
+matmul probe read 250-253 vs ~360 quiet), so md5-scaled warm verdicts
+printed three false REGRESSIONs that the control-gated window protocol
+then cleared. Two fixes, both in the verdict path:
+
+- the speed scale is now the MAX slowdown across BOTH embedded probes
+  (md5_hps and matmul_ps) — the probe family closer to the query's
+  actual work dominates;
+- q9_product_profit / q10_returned_items are re-measured warm in the
+  SAME adjudication window as same-window controls, and REGRESSION is
+  only printed when a probe's warm inflation exceeds the controls' own
+  inflation band (x1.15) — the residual_remeasure protocol folded in.
+  A probe inflating less than the untouched controls is host noise by
+  construction. The last line is one JSON record with the control
+  readings so the verdicts are auditable.
+
 Exit code 1 iff any REGRESSION stands.
 """
 
@@ -46,17 +64,31 @@ def _load(path: str) -> dict:
     return d
 
 
-def _calib_hps(rec: dict) -> float | None:
-    """Best single-core md5 reading recorded in a bench line (bench.py
-    embeds calib_before/calib_after since round 10). Best-of: the
-    less-degraded of the two brackets is the closer estimate of the
-    host's own speed band."""
-    readings = [
-        c["md5_hps"]
-        for k in ("calib_before", "calib_after")
-        if isinstance(c := rec.get(k), dict) and "md5_hps" in c
-    ]
-    return max(readings) if readings else None
+def _calib_speeds(rec: dict) -> dict[str, float]:
+    """Best fixed-work probe readings recorded in a bench line (bench.py
+    embeds calib_before/calib_after since round 10; matmul_ps since round
+    11 — absent or -1.0 entries are skipped). Best-of: the less-degraded
+    of the two brackets is the closer estimate of the host's own speed
+    band."""
+    out: dict[str, float] = {}
+    for probe in ("md5_hps", "matmul_ps"):
+        readings = [
+            c[probe]
+            for k in ("calib_before", "calib_after")
+            if isinstance(c := rec.get(k), dict) and c.get(probe, -1.0) > 0
+        ]
+        if readings:
+            out[probe] = max(readings)
+    return out
+
+
+def _slowdown(prev: dict[str, float], cur: dict[str, float]) -> float:
+    """Host slowdown estimate: the MAX prev/cur ratio across the probes
+    both records share (VERDICT r12 #2 — md5 alone under-corrects for
+    vector-heavy queries; whichever probe family degraded more bounds the
+    query inflation better). 1.0 when no probe is shared."""
+    ratios = [prev[p] / cur[p] for p in prev.keys() & cur.keys() if cur[p] > 0]
+    return max(ratios) if ratios else 1.0
 
 
 def main() -> int:
@@ -95,13 +127,13 @@ def main() -> int:
     # Host-speed scaling (PERF.md round 10): when both records carry the
     # embedded calibration, a slower host inflates every timing — the
     # speed-scaled ratio is the code signal, the raw ratio is not.
-    hp, hc = _calib_hps(prev_rec), _calib_hps(cur_rec)
-    flag_scale = 1.0
+    hp, hc = _calib_speeds(prev_rec), _calib_speeds(cur_rec)
+    flag_scale = _slowdown(hp, hc)
     if hp and hc:
-        flag_scale = hp / hc  # >1 means the current-suite host was slower
-        print(f"host calibration: prev {hp:,.0f} -> cur {hc:,.0f} md5/s; "
+        print(f"host calibration: prev {hp} -> cur {hc}; "
               f"speed-scaled suite ratio {sc / sp / flag_scale:.3f} "
-              f"(raw {sc / sp:.3f}, host slowdown {flag_scale:.3f}x)")
+              f"(raw {sc / sp:.3f}, host slowdown {flag_scale:.3f}x, "
+              f"max over shared probes)")
     flagged = [
         q for q in shared
         if cur[q] > prev[q] * factor * flag_scale and cur[q] > 0.3
@@ -123,9 +155,9 @@ def main() -> int:
     if hp:
         import bench as _bench
 
-        now = _bench._host_calibration()["md5_hps"]
-        verdict_scale = hp / now
-        print(f"host calibration at adjudication: {now:,.0f} md5/s; "
+        now = _bench._host_calibration()
+        verdict_scale = _slowdown(hp, {k: v for k, v in now.items() if v > 0})
+        print(f"host calibration at adjudication: {now}; "
               f"warm verdicts scaled by {verdict_scale:.3f}x")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -133,22 +165,62 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir).count()
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id bigint").count()
-    regressions = 0
-    for q in flagged:
+
+    def warm_best(q: str, n: int = 5) -> float:
         best = float("inf")
-        for _ in range(5):
+        for _ in range(n):
             t0 = time.perf_counter()
             REGISTRY[q].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
-        verdict = (
-            "REGRESSION" if best > prev[q] * factor * verdict_scale else "noise"
-        )
+        return best
+
+    # Same-window controls (VERDICT r12 #2): two untouched TPC-H queries
+    # re-measured in THIS window bound how much a clean query inflates on
+    # the current host. A flagged probe inflating no more than the
+    # controls is host noise, whatever the scaled threshold says.
+    controls = {
+        c: {"prev": prev[c], "warm": round(warm_best(c), 3)}
+        for c in ("q9_product_profit", "q10_returned_items")
+        if c in prev and c not in flagged
+    }
+    ctrl_ratio = max(
+        (v["warm"] / v["prev"] for v in controls.values()), default=1.0
+    )
+    if controls:
+        print(f"same-window controls: "
+              + ", ".join(f"{c} {v['prev']:.3f}->{v['warm']:.3f}s "
+                          f"({v['warm'] / v['prev']:.2f}x)"
+                          for c, v in controls.items())
+              + f"; control inflation band {ctrl_ratio:.2f}x")
+
+    regressions = 0
+    verdicts: dict[str, dict] = {}
+    for q in flagged:
+        best = warm_best(q)
+        ratio = best / prev[q]
+        above_threshold = best > prev[q] * factor * verdict_scale
+        above_controls = ratio > ctrl_ratio * 1.15
+        verdict = "REGRESSION" if above_threshold and above_controls else "noise"
         if verdict == "REGRESSION":
             regressions += 1
+        verdicts[q] = {
+            "prev": prev[q],
+            "suite": cur[q],
+            "warm_best": round(best, 3),
+            "ratio": round(ratio, 3),
+            "verdict": verdict,
+        }
         print(
             f"{q}: prev {prev[q]:.3f}s suite {cur[q]:.3f}s "
-            f"warm-best-of-5 {best:.3f}s -> {verdict}"
+            f"warm-best-of-5 {best:.3f}s ({ratio:.2f}x, controls "
+            f"{ctrl_ratio:.2f}x) -> {verdict}"
         )
+    print(json.dumps({
+        "verdict_scale": round(verdict_scale, 3),
+        "controls": controls,
+        "control_inflation": round(ctrl_ratio, 3),
+        "verdicts": verdicts,
+    }))
     return 1 if regressions else 0
 
 
