@@ -1,6 +1,7 @@
 from hdp2_5_hive2_spark.streaming.corpus import (
     resolve_dup_verdicts,
     streaming_burstiness_monitor,
+    streaming_session_gap_monitor,
     streaming_compaction_monitor,
     streaming_interleave_scheduler,
     resolve_image_verdicts,
@@ -25,6 +26,7 @@ __all__ = [
     "resolve_dup_verdicts",
     "streaming_image_dedup",
     "streaming_burstiness_monitor",
+    "streaming_session_gap_monitor",
     "streaming_compaction_monitor",
     "streaming_interleave_scheduler",
     "resolve_image_verdicts",

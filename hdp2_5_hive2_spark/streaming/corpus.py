@@ -686,3 +686,99 @@ def streaming_burstiness_monitor(event_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_session_gap_monitor(event_stream: DataFrame) -> DataFrame:
+    """STREAMING per-user session-gap monitor — the stateful twin of the
+    batch events_session_gap_sweep query (queries/pipeline5_corpus.py):
+    events stream in per user (``user_id bigint, ts bigint`` epoch
+    SECONDS, ``event_id bigint``); keyed state carries (has_ts, last_ts)
+    plus the three gap-over counters for thresholds 1800/3600/7200 s, and
+    every trigger re-emits the user's current counts — the online
+    sessionizer-calibration feed. Aggregating the LAST emission per user
+    as n_users + Σ counter reproduces the batch sweep's n_sessions row
+    for each threshold exactly (parity test in
+    tests/test_streaming_corpus.py).
+
+    Same contracts as streaming_burstiness_monitor: explicit has_ts flag
+    (a pre-1970 negative last_ts must survive the state round-trip —
+    ADVICE r12, applied at design time), and ingestion must be ts-ordered
+    PER KEY ACROSS triggers — the operator RAISES on ts regression
+    instead of silently missing or inventing session boundaries.
+    100 TB notes: state is five ints per user keyed on the stream's
+    natural shuffle key; thresholds are compile-time constants so each
+    arrival is three compares — no window, no re-scan."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("c1800", LongType()),
+            StructField("c3600", LongType()),
+            StructField("c7200", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("has_ts", LongType()),
+            StructField("last_ts", LongType()),
+            StructField("c1800", LongType()),
+            StructField("c3600", LongType()),
+            StructField("c7200", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        uid = int(key[0])
+        if state.exists:
+            has_ts, last_ts, c18, c36, c72 = state.get
+        else:
+            has_ts, last_ts, c18, c36, c72 = 0, 0, 0, 0, 0
+        if not has_ts:
+            last_ts = None  # key seen but nothing ingested yet
+        rows = []
+        for pdf in pdfs:
+            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+                rows.append((int(ts), int(eid)))
+        rows.sort()
+        if rows and last_ts is not None and rows[0][0] < last_ts:
+            raise ValueError(
+                f"session gap monitor user {uid}: trigger delivered "
+                f"ts {rows[0][0]} < last ingested ts {last_ts} — "
+                "in-order-per-key ingestion precondition violated "
+                "(session boundaries would silently shift)"
+            )
+        for ts, _ in rows:
+            if last_ts is not None:
+                g = ts - last_ts
+                c18 += 1 if g > 1800 else 0
+                c36 += 1 if g > 3600 else 0
+                c72 += 1 if g > 7200 else 0
+            last_ts = ts
+        state.update(
+            (
+                1 if last_ts is not None else 0,
+                int(last_ts) if last_ts is not None else 0,
+                int(c18),
+                int(c36),
+                int(c72),
+            )
+        )
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "c1800": [c18],
+                    "c3600": [c36],
+                    "c7200": [c72],
+                }
+            )
+
+    return event_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

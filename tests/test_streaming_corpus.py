@@ -826,3 +826,111 @@ def test_streaming_burstiness_monitor_pre_1970_ts_state_roundtrip(spark):
     assert (int(last.n_gaps), int(last.s1), int(last.s2)) == (n, s1, s2), (
         "cross-trigger gap over negative epoch seconds was dropped"
     )
+
+
+def test_streaming_session_gap_monitor_matches_batch_sweep(spark):
+    """Aggregating the monitor's LAST emission per user as
+    n_users + Σ counter must equal the batch events_session_gap_sweep
+    n_sessions row per threshold — the cross-trigger state contract:
+    gaps spanning micro-batch boundaries depend on last_ts carried in
+    state."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+    from hdp2_5_hive2_spark.streaming import streaming_session_gap_monitor
+
+    base = load_tables(spark, SF_CORRECT)["events"]
+    ev = (
+        base.select(
+            "user_id", F.col("ts").cast("long").alias("ts"), "event_id"
+        )
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    third = len(ev) // 3
+    files = [ev.iloc[:third], ev.iloc[third : 2 * third], ev.iloc[2 * third :]]
+
+    tmp = Path(tempfile.mkdtemp(prefix="stream_gap_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        for i, pdf in enumerate(files):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema("user_id bigint, ts bigint, event_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        mon = streaming_session_gap_monitor(stream)
+        out: list[tuple[int, object]] = []
+
+        def sink(bdf, bid):
+            pdf = bdf.toPandas()
+            if len(pdf):
+                out.append((int(bid), pdf))
+
+        q = mon.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        assert q.awaitTermination(300), "stream timed out (300s)"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert len(out) >= 3, "need >= 3 emitting triggers"
+    latest = {}
+    for bid, pdf in sorted(out):
+        for r in pdf.itertuples():
+            latest[int(r.user_id)] = (int(r.c1800), int(r.c3600), int(r.c7200))
+    n_users = len(latest)
+    got = {
+        thr: n_users + sum(v[i] for v in latest.values())
+        for i, thr in enumerate((1800, 3600, 7200))
+    }
+    want = {
+        int(r.thr): int(r.n_sessions)
+        for r in REGISTRY["events_session_gap_sweep"].fn(spark, SF_CORRECT).collect()
+    }
+    assert got == want
+    # counters are monotone in the threshold for every user
+    for c18, c36, c72 in latest.values():
+        assert c18 >= c36 >= c72
+
+
+def test_streaming_session_gap_monitor_raises_on_ts_regression(spark):
+    """Same loud-failure contract as the burstiness monitor: a late
+    trigger with an earlier ts for an already-seen user must ERROR, not
+    silently shift session boundaries."""
+    import pandas as pd
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hdp2_5_hive2_spark.streaming import streaming_session_gap_monitor
+
+    tmp = Path(tempfile.mkdtemp(prefix="stream_gap_late_"))
+    src = tmp / "in"
+    src.mkdir()
+    try:
+        a = pd.DataFrame({"user_id": [1, 1], "ts": [5000, 9000],
+                          "event_id": [0, 1]})
+        b = pd.DataFrame({"user_id": [1], "ts": [100], "event_id": [2]})
+        for i, pdf in enumerate((a, b)):
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema("user_id bigint, ts bigint, event_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        mon = streaming_session_gap_monitor(stream)
+        q = (
+            mon.writeStream.format("memory")
+            .queryName("session_gap_late_arrival")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+            raised = False
+        except StreamingQueryException as e:
+            raised = "precondition violated" in str(e)
+        assert raised, "late arrival must fail loudly, not corrupt state"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
