@@ -3,10 +3,13 @@ against their r9 anchors (VERDICT r10 #2; generalized per VERDICT r12 #1
 and #7 to take query names on the command line). Protocol:
 
 - same-process warm best-of-7, bench.py's exact warmup;
-- q9_product_profit and q10_returned_items as same-window controls;
-- the window COUNTS only if both controls read within 1.15x of their r9
-  numbers (q9 0.349 s, q10 0.305 s) — otherwise the host is hot and the
-  sample is recorded but non-probative;
+- q9_product_profit and q10_returned_items as same-window controls,
+  measured BEFORE AND AFTER the probes (r13 hardening: attempt 19 of the
+  r13 hunt opened quiet — q10 hit its r9 anchor exactly — then a
+  co-tenant burst landed mid-window and the late probes read 3-11x while
+  the opening controls had already "validated" the window; a window now
+  COUNTS only if BOTH control passes read within 1.15x of r9, closing
+  that blind spot);
 - host_calibration brackets before/after.
 
 Usage:
@@ -91,25 +94,44 @@ def main() -> None:
     for tbl in ("documents", "embeddings", "orders", "customer", "events"):
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
+    def warm_best(name: str, n: int = 7) -> tuple[float, list[float]]:
+        best = float("inf")
+        samples = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            samples.append(round(dt, 3))
+            best = min(best, dt)
+        return best, samples
+
     for attempt in range(attempts):
         cb = _host_calibration()
         out: dict[str, dict] = {}
         for name in names:
-            best = float("inf")
-            samples = []
-            for _ in range(7):
-                t0 = time.perf_counter()
-                REGISTRY[name].fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                samples.append(round(dt, 3))
-                best = min(best, dt)
+            best, samples = warm_best(name)
             out[name] = {
                 "best": round(best, 3),
                 "ratio_vs_anchor": round(best / anchors[name], 3),
                 "samples": samples,
             }
+        # close the window with a SECOND control pass: the opening
+        # controls prove the window started quiet, the closing ones that
+        # it stayed quiet through the probes (r13 attempt-19 lesson)
+        post: dict[str, dict] = {}
+        for name in CONTROLS:
+            best, samples = warm_best(name, 5)
+            post[name] = {
+                "best": round(best, 3),
+                "ratio_vs_anchor": round(best / anchors[name], 3),
+                "samples": samples,
+            }
         ca = _host_calibration()
-        validated = all(out[c]["ratio_vs_anchor"] <= 1.15 for c in CONTROLS)
+        validated = all(
+            out[c]["ratio_vs_anchor"] <= 1.15
+            and post[c]["ratio_vs_anchor"] <= 1.15
+            for c in CONTROLS
+        )
         print(
             json.dumps(
                 {
@@ -118,6 +140,7 @@ def main() -> None:
                     "calib_before": cb,
                     "calib_after": ca,
                     "timings": out,
+                    "post_controls": post,
                 }
             ),
             flush=True,
