@@ -125,17 +125,58 @@ def decontaminate(
     """Per-training-document count of distinct word ``n``-grams shared with
     the evaluation set: (id_col, n_hit_ngrams), hit documents only.
 
-    The eval n-gram set is broadcast (eval suites are small by construction),
-    so the training corpus never shuffles: map-side n-gram generation →
-    broadcast hash join → count aggregation over the matched rows only.
+    The eval n-gram set is broadcast (eval suites are small by construction)
+    INTO the training corpus's Arrow pass as a Python set, so the training
+    corpus never shuffles AND its n-grams never materialize as rows: each
+    task streams its documents, probes the set per window, and emits one
+    (id, n_hit_ngrams) row per hit document — already final, no join, no
+    aggregation. (r13 optimization: the previous shape emitted every
+    distinct train n-gram through Arrow into a broadcast hash join + count
+    — the join was map-side, but the n-gram rows themselves were the cost.)
     Callers drop or down-weight the returned ids.
     """
-    tr = word_ngram_rows(train, text_col, id_col, n)
-    ev = word_ngram_rows(eval_df, text_col, id_col, n).select("ngram").distinct()
+    spark = train.sparkSession
+    ev_set = frozenset(
+        r[0]
+        for r in word_ngram_rows(eval_df, text_col, id_col, n)
+        .select("ngram")
+        .distinct()
+        .collect()
+    )
+    ev_b = spark.sparkContext.broadcast(ev_set)
+    id_type = train.schema[id_col].dataType.simpleString()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ev = ev_b.value
+        for pdf in batches:
+            ids: list = []
+            hits: list[int] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = t.split() if isinstance(t, str) else []
+                if len(toks) < n:
+                    continue
+                seen: set[str] = set()
+                for j in range(len(toks) - n + 1):
+                    g = " ".join(toks[j : j + n])
+                    if g in ev:
+                        seen.add(g)
+                if seen:
+                    ids.append(i)
+                    hits.append(len(seen))
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64") if id_type == "bigint" else ids,
+                    "n_hit_ngrams": pd.array(hits, dtype="int64"),
+                }
+            )
+
     return (
-        tr.join(F.broadcast(ev), "ngram")
+        _arrow_fence(train.select(id_col, text_col))
+        .mapInPandas(gen, f"id {id_type}, n_hit_ngrams bigint")
+        # hit-docs-only agg: keeps the historical duplicate-id semantics
+        # (counts sum per id) at the cost of one duplicate-sized shuffle
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        .agg(F.sum("n_hit_ngrams").alias("n_hit_ngrams"))
         .withColumnRenamed("id", id_col)
     )
 
@@ -200,12 +241,27 @@ def connected_components(
     graphs); :func:`connected_components_star` is the diameter-independent
     alternative for adversarial graphs.
     """
+    # Materialize the edge pipeline ONCE before symmetrizing: the union
+    # references `edges` twice, and without this the entire upstream pair
+    # pipeline (LSH buckets, re-checks, ...) is planned — and executed —
+    # once per branch inside the sym checkpoint (guide §3.3: materialise
+    # an intermediate to truncate a duplicated plan).
+    e = edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d")).localCheckpoint(
+        eager=False
+    )
     sym = (
-        edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
-        .union(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .localCheckpoint(eager=False)  # reused every round
     )
-    lab = sym.select(F.col("s").alias("id")).distinct().withColumn("lab", F.col("id"))
+    # Seed each vertex with min(id, neighbors) — exactly the state after
+    # the first propagation round, for the same one-exchange cost as the
+    # plain distinct-vertex init (the groupBy shuffles either way), so
+    # diameter-1 components (the common dedup pair) converge one join
+    # round earlier. The fixpoint is unchanged: min-label propagation
+    # reaches the same labels from any head start along its own orbit.
+    lab = sym.groupBy(F.col("s").alias("id")).agg(
+        F.least(F.min("d"), F.first("s")).alias("lab")
+    )
     lab = lab.localCheckpoint(eager=True)
     prev_sum = lab.agg(F.sum("lab")).first()[0]
     for _ in range(max_iter):

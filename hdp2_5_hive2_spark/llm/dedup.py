@@ -219,6 +219,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     materialize_bands: bool = True,
     n_shingle: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact Jaccard verification.
 
@@ -249,6 +250,9 @@ def minhash_lsh_pairs(
         banded = _banded_memo(df, text_col, id_col, num_hashes, bands, n_shingle)
     else:
         banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, n_shingle=n_shingle)
+    # localCheckpoint: cand_ids feeds the semi-join probe (twice) AND the
+    # final verify join — without materialization the bucket self-join
+    # subtree is planned and executed once per consumer (guide §3.3).
     cand_ids = (
         banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
         .join(
@@ -259,13 +263,20 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if checkpoint:
+        cand_ids = cand_ids.localCheckpoint(eager=False)
     # no .distinct(): the semi join tolerates duplicate probe ids, and
     # skipping it saves a shuffle (the candidate list is small by design)
     touched = cand_ids.select(F.col("id_a").alias("cid")).union(
         cand_ids.select(F.col("id_b").alias("cid"))
     )
     cand_docs = df.join(touched, F.col(id_col) == F.col("cid"), "leftsemi")
+    # localCheckpoint: sh_small joins both pair sides; without it the whole
+    # semi-join + Arrow re-shingle subtree runs twice (guide §3.3 — this
+    # was 6 of llm_minhash_dedup's 14 Exchanges).
     sh_small = shingle_sets(cand_docs, text_col, id_col, n=n_shingle).select("id", "sh")
+    if checkpoint:
+        sh_small = sh_small.localCheckpoint(eager=False)
     cand = cand_ids.join(
         sh_small.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sh_small.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -449,9 +460,15 @@ def chunk_dup_stats(
     ints until one final double division."""
     from hdp2_5_hive2_spark.llm.text import chunk_documents
 
-    chunks = chunk_documents(
-        df, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col, id_col=id_col
-    ).select(id_col, F.md5("chunk_text").alias("fp"))
+    # chunks feeds the per-fp doc-count agg AND the join back —
+    # materialize the chunking pass once (guide §3.3).
+    chunks = (
+        chunk_documents(
+            df, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col, id_col=id_col
+        )
+        .select(id_col, F.md5("chunk_text").alias("fp"))
+        .localCheckpoint(eager=False)
+    )
     docs_per_fp = chunks.groupBy("fp").agg(
         F.count_distinct(F.col(id_col)).alias("n_docs")
     )
@@ -818,6 +835,7 @@ def setsim_join_pairs(
     tau_den: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity self-join with PREFIX FILTERING (the
     PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
@@ -846,12 +864,18 @@ def setsim_join_pairs(
     shuffles total: df count, prefix self-join, verify join."""
     if not (0 < tau_num <= tau_den):
         raise ValueError("tau must be in (0, 1]")
+    # toks feeds the df-count agg, the ranked join AND the verify sets —
+    # materialize the explode once (guide §3.3); at scale this trades a
+    # (doc, token)-sized local materialization for two re-explodes of the
+    # corpus.
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
         ).alias("_tok"),
     )
+    if checkpoint:
+        toks = toks.localCheckpoint(eager=False)
     dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     wdoc = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_tok").asc())
     wsz = Window.partitionBy("_id")
@@ -865,7 +889,12 @@ def setsim_join_pairs(
         )
     )
     prefix_len = F.col("_n") - F.ceil(F.col("_n") * tau_num / tau_den) + 1
+    # pref joins itself; without materialization the whole window+join
+    # subtree above runs once per self-join side (guide §3.3 — half of
+    # llm_setsim_join's 11 Exchanges).
     pref = ranked.where(F.col("_pos") <= prefix_len).select("_id", "_tok", "_n")
+    if checkpoint:
+        pref = pref.localCheckpoint(eager=False)
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "_tok")
@@ -882,7 +911,11 @@ def setsim_join_pairs(
         )
         .distinct()
     )
+    # sets joins the candidate pairs twice (da side, db side) —
+    # materialize once (guide §3.3).
     sets = toks.groupBy("_id").agg(F.sort_array(F.collect_list("_tok")).alias("_set"))
+    if checkpoint:
+        sets = sets.localCheckpoint(eager=False)
     inter = F.size(F.array_intersect(F.col("sa._set"), F.col("sb._set")))
     verified = (
         cand.join(sets.alias("sa"), F.col("da") == F.col("sa._id"))
@@ -951,7 +984,10 @@ def exact_substring_spans(
         .select(
             "_id",
             "p",
-            F.md5(F.expr(f"substring(_t, p + 1, {L})")).alias("h"),
+            # unhex: the 16-byte binary digest, not the 32-char hex string
+            # — same grouping (hex↔bytes is bijective), half the shuffle
+            # key bytes on the one corpus-wide exchange (guide §2.3).
+            F.unhex(F.md5(F.expr(f"substring(_t, p + 1, {L})"))).alias("h"),
         )
     )
     dup = (

@@ -128,7 +128,12 @@ def dhash_near_dup_pairs(
                 for i in range(4)
             ])
         ).alias("bv"),
-    ).select("_id", "b0", "b1", "b2", "b3", "bv.band", "bv.val")
+    ).select("_id", "b0", "b1", "b2", "b3", "bv.band", "bv.val").localCheckpoint(
+        # bands self-joins below; without materialization the entire
+        # upstream (payload decode + dHash Arrow passes) is planned and
+        # executed once per join side (guide §3.3).
+        eager=False
+    )
     if max_bucket is not None:
         from pyspark.sql import Window
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.llm.text import token_count, tokens
@@ -109,7 +109,10 @@ def tfidf_top_terms(
     Output: (id_col, term, tf, df_term, score), ties broken by term asc.
     The per-doc rank filter compiles to WindowGroupLimit (top-k pushdown),
     so each partition keeps a k-row heap per doc, never a full sort."""
-    tf = term_frequencies(df, text_col, id_col)
+    # tf feeds both the df-count aggregation and the scored join;
+    # materialize once or the explode+agg subtree runs per consumer
+    # (guide §3.3 — this was 3 of llm_tfidf_topterms' 7 Exchanges).
+    tf = term_frequencies(df, text_col, id_col).localCheckpoint(eager=False)
     dfq = doc_frequencies(tf, id_col)
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -514,6 +517,9 @@ def bigram_lm_score(
         model_rows.groupBy("ngram")
         .agg(F.sum("cnt").alias("c_bg"))
         .withColumn("w1", F.split(F.col("ngram"), " ")[0])
+        # vocab-sized; feeds both the prefix-count agg and the q join —
+        # materialize once (guide §3.3)
+        .localCheckpoint(eager=False)
     )
     cp = cb.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
     q = cb.join(cp, "w1").select(
@@ -655,7 +661,7 @@ def feature_hash_vectors(
 
 def dsir_importance_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     dim: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -698,19 +704,45 @@ def dsir_importance_weights(
             "_b", bucket
         )
 
-    doc_toks = bucketed(df, [id_col])
-    feats = doc_toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        *[
-            F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).alias(f"_f{i}")
-            for i in range(dim)
-        ],
+    # ONE tokenize/bucket pass over the raw corpus. `target` may be a
+    # boolean Column over df's rows (the common "target is a slice of the
+    # corpus" case): the flag rides the explode, and BOTH dim-sized LM
+    # rows then derive from the per-doc histograms — exact integer sums,
+    # identical to re-tokenizing, at a third of the corpus passes. A
+    # DataFrame target (a genuinely separate domain sample) still gets its
+    # own tokenize pass, but the raw-LM row derives from feats either way.
+    is_target_col = isinstance(target, Column)
+    flag_sel = [target.alias("_tf")] if is_target_col else []
+    doc_toks = bucketed(df, [id_col, *flag_sel])
+    feats = (
+        doc_toks.groupBy(id_col)
+        .agg(
+            *([F.first("_tf").alias("_tf")] if is_target_col else []),
+            F.count(F.lit(1)).alias("n_tokens"),
+            *[
+                F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).alias(f"_f{i}")
+                for i in range(dim)
+            ],
+        )
+        # feats feeds the final join AND (as exact partial sums) the LM
+        # rows; materialize once or the explode+agg subtree runs per
+        # consumer (guide §3.3).
+        .localCheckpoint(eager=False)
     )
-    # dim-sized LM count rows (one-row frames, broadcast below)
+
+    # coalesce: an EMPTY frame's sum() aggregates are NULL, which would
+    # silently NULL every weight — with add-one smoothing an empty
+    # target is legitimate (uniform LM), so zero-fill instead
+    def lm_row_from_feats(frame: DataFrame, prefix: str) -> DataFrame:
+        return frame.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias(f"{prefix}_total"),
+            *[
+                F.coalesce(F.sum(f"_f{i}"), F.lit(0)).alias(f"{prefix}{i}")
+                for i in range(dim)
+            ],
+        )
+
     def lm_row(frame: DataFrame, prefix: str) -> DataFrame:
-        # coalesce: an EMPTY frame's sum() aggregates are NULL, which would
-        # silently NULL every weight — with add-one smoothing an empty
-        # target is legitimate (uniform LM), so zero-fill instead
         return bucketed(frame, []).agg(
             F.count(F.lit(1)).alias(f"{prefix}_total"),
             *[
@@ -721,8 +753,13 @@ def dsir_importance_weights(
             ],
         )
 
-    joined = feats.crossJoin(F.broadcast(lm_row(target, "_t"))).crossJoin(
-        F.broadcast(lm_row(df, "_r"))
+    t_row = (
+        lm_row_from_feats(feats.where(F.col("_tf")), "_t")
+        if is_target_col
+        else lm_row(target, "_t")
+    )
+    joined = feats.crossJoin(F.broadcast(t_row)).crossJoin(
+        F.broadcast(lm_row_from_feats(feats, "_r"))
     )
     # ln p̂_t[b] − ln p̂_r[b] = ln(t_b+1) − ln(T+dim) − ln(r_b+1) + ln(R+dim)
     w_const = F.log(F.col("_r_total") + dim) - F.log(F.col("_t_total") + dim)

@@ -567,10 +567,17 @@ def lsh_dup_pairs(
     False candidates cost only the re-check, never a wrong pair.
 
     100 TB plan: signatures are one numpy matmul per Arrow batch (map
-    side); the only shuffle is the (tbl, sig) bucket self-join, whose
-    fan-out is bounded by bucket occupancy (raise `bits` to split hot
-    buckets); the exact re-check is map-side Arrow. No all-pairs stage at
-    any scale."""
+    side); the only corpus-sized shuffle is the (tbl, sig) bucket
+    self-join, and it carries ONLY (id, tbl, sig) rows — ~20 bytes per
+    signature instead of the full vector payload (guide §8: decide with
+    small rows, attach the heavy bytes once). Vectors re-attach to the
+    DEDUPLICATED candidate pairs by two id-keyed joins against the input
+    (broadcast when the corpus is small, shuffle-by-id at scale — either
+    way the vector table moves at most twice, vs `tables`× when the
+    banded rows carried it); the exact re-check is map-side Arrow. The
+    banded frame is localCheckpoint-materialized once — it feeds both
+    self-join sides, and exchange reuse does not dedupe Python-kernel
+    subtrees. No all-pairs stage at any scale."""
     import numpy as np
     import pandas as pd
 
@@ -591,7 +598,6 @@ def lsh_dup_pairs(
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy().repeat(tables),
-                    "nv": [v for v in pdf["nv"] for _ in range(tables)],
                     "tbl": np.tile(np.arange(tables, dtype=np.int32), len(pdf)),
                     "sig": sig.reshape(-1),
                 }
@@ -599,18 +605,25 @@ def lsh_dup_pairs(
 
     v = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("nv"))
     banded = v.mapInPandas(
-        gen, f"id {id_type}, nv array<double>, tbl int, sig bigint"
-    )
-    a = banded.select(
-        F.col("id").alias("query_id"), F.col("nv").alias("qv"), "tbl", "sig"
-    )
-    b = banded.select(
-        F.col("id").alias("neighbor_id"), F.col("nv").alias("cv"), "tbl", "sig"
-    )
-    cand = (
+        gen, f"id {id_type}, tbl int, sig bigint"
+    ).localCheckpoint(eager=False)
+    a = banded.select(F.col("id").alias("query_id"), "tbl", "sig")
+    b = banded.select(F.col("id").alias("neighbor_id"), "tbl", "sig")
+    cand_ids = (
         a.join(b, ["tbl", "sig"])
         .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = (
+        cand_ids.join(
+            v.select(F.col("id").alias("query_id"), F.col("nv").alias("qv")),
+            "query_id",
+        )
+        .join(
+            v.select(F.col("id").alias("neighbor_id"), F.col("nv").alias("cv")),
+            "neighbor_id",
+        )
         .select("query_id", "neighbor_id", "cv", "qv")
     )
     return (
@@ -1291,7 +1304,13 @@ def kmeans_lloyd(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("bigint"),
     )
-    base = df.select(F.col(id_col).alias("id"), q.alias("q"))
+    # Quantize once and materialize: every Lloyd round (and the seed
+    # collect) re-reads this frame — without the checkpoint each of the
+    # iters+1 assign passes re-runs scan + quantize + the parallelism
+    # fence's exchange (guide §3.3 / §5: materialize a reused intermediate).
+    base = _arrow_fence(
+        df.select(F.col(id_col).alias("id"), q.alias("q"))
+    ).localCheckpoint(eager=False)
     seeds = base.orderBy("id").limit(k).collect()
     if len(seeds) < k:
         raise ValueError(f"kmeans_lloyd: need >= {k} rows, got {len(seeds)}")
@@ -1322,9 +1341,7 @@ def kmeans_lloyd(
                     }
                 )
 
-        # size-stats fence: df.rdd probing costs 40-80 ms of physical
-        # planning per fresh DataFrame (PERF.md r7)
-        return _arrow_fence(base).mapInPandas(
+        return base.mapInPandas(
             gen, "id bigint, q array<bigint>, cid bigint, d2 bigint"
         )
 

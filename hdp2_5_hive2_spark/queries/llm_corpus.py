@@ -2496,14 +2496,43 @@ def llm_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = f.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
     kept = counts.filter((F.col("c") >= 2) & (F.col("c") <= 50)).select("fp")
-    a = f.join(kept, "fp").alias("a")
-    b = f.join(kept, "fp").alias("b")
+    # r13 optimization: the former kept⋈f self-join (a⋈b on fp) shuffled f
+    # twice and joined three times; instead, collect each SURVIVING bucket
+    # (≤ 50 members by the hot cap, so the agg buffer is bounded) and
+    # expand its ordered pairs in one Arrow pass — one exchange of f
+    # replaces two, and the pair fan-out never touches the join machinery.
+    # Pair multiplicity matches the join exactly: per bucket, sorted
+    # member positions i<j with ids[i] != ids[j] ⇔ join rows a.doc<b.doc.
+    buckets = f.join(kept, "fp").groupBy("fp").agg(
+        F.collect_list("doc_id").alias("ids")
+    )
+
+    def expand(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            for ids in pdf["ids"]:
+                s = sorted(int(x) for x in ids)
+                m = len(s)
+                for i in range(m):
+                    ai = s[i]
+                    for j in range(i + 1, m):
+                        if s[j] != ai:
+                            out_a.append(ai)
+                            out_b.append(s[j])
+            yield pd.DataFrame(
+                {
+                    "doc_a": pd.array(out_a, dtype="int64"),
+                    "doc_b": pd.array(out_b, dtype="int64"),
+                }
+            )
+
     pairs = (
-        a.join(b, "fp")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select("ids")
+        .mapInPandas(expand, "doc_a bigint, doc_b bigint")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(20)
@@ -6199,19 +6228,39 @@ def llm_jsonl_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hdp2_5_hive2_spark.queries.storage_corpus import IO_ROOT
 
+    # r13 optimization (guide §2.6): the six codec fixtures are
+    # independent write jobs dominated by single-threaded per-shard
+    # encoders — materialize the doc slice once (eager checkpoint: six
+    # concurrent lazy materializations would race), shard it 16 ways so
+    # each codec's encode parallelizes, and submit the writes from a
+    # thread pool so their tasks back-fill each other's encode tails.
+    # Shard count/concurrency change the fixture layout only — the query
+    # aggregates per codec, which is shard-invariant.
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = (
         load_tables(spark, sf_dir)["documents"]
         .where(F.col("doc_id") % 2 == 0)
         .select("doc_id", "text")
-        .repartition(4)
+        .repartition(16)
+        .localCheckpoint(eager=True)
     )
+    codecs = ("plain", "gzip", "zstd", "bzip2", "xz")
+
+    def write_one(codec: str) -> None:
+        if codec == "seekable":
+            write_jsonl_seekable(
+                docs, f"{IO_ROOT}/jsonl_shards/seekable", lines_per_frame=40
+            )
+        else:
+            write_jsonl_shards(docs, f"{IO_ROOT}/jsonl_shards/{codec}", codec=codec)
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(write_one, (*codecs, "seekable")))
     paths: list[str] = []
-    for codec in ("plain", "gzip", "zstd", "bzip2", "xz"):
-        root = f"{IO_ROOT}/jsonl_shards/{codec}"
-        write_jsonl_shards(docs, root, codec=codec)
-        paths.extend(sorted(_glob.glob(f"{root}/part-*")))
+    for codec in codecs:
+        paths.extend(sorted(_glob.glob(f"{IO_ROOT}/jsonl_shards/{codec}/part-*")))
     seek_root = f"{IO_ROOT}/jsonl_shards/seekable"
-    write_jsonl_seekable(docs, seek_root, lines_per_frame=40)
     seek_lines = read_jsonl_seekable(
         spark, sorted(_glob.glob(f"{seek_root}/part-*"))
     ).select("path", "line_idx", "line")

@@ -179,7 +179,14 @@ def test_ngram_jaccard_default_is_band_pruned(spark):
     the exhaustive exact-Jaccard ground truth."""
     d = load_tables(spark, SF_CORRECT)["documents"]
     pruned = dedup.ngram_jaccard_pairs(d, threshold=0.8)
-    plan = pruned._jdf.queryExecution().analyzed().toString()
+    # checkpoint=False exposes the un-materialized plan (the production
+    # default localCheckpoints the candidate/verify frames since r13,
+    # which hides the band join behind an RDD scan); same computation.
+    bare = dedup.minhash_lsh_pairs(
+        d, num_hashes=32, bands=16, threshold=0.8,
+        materialize_bands=False, checkpoint=False,
+    )
+    plan = bare._jdf.queryExecution().analyzed().toString()
     assert "band_hash" in plan, "default path should join on MinHash bands"
     got = {(r.id_a, r.id_b) for r in pruned.collect()}
     exact = {
@@ -700,6 +707,31 @@ def test_dsir_weights_tilt_toward_target(spark):
     assert got[1] > got[2], got
     with pytest.raises(ValueError, match="dim >= 1"):
         dsir_importance_weights(raw, target, dim=0)
+
+
+def test_dsir_target_column_equals_dataframe_path(spark):
+    """The r13 one-pass path (target as a boolean Column over df) must
+    reproduce the DataFrame-target path BIT FOR BIT: every count it derives
+    (per-doc histograms summed into the LM rows) is exact int64, and the
+    weight expression is the same fixed-bucket-order tree, so the doubles
+    are identical — not merely close."""
+    from hdp2_5_hive2_spark.llm.retrieval import dsir_importance_weights
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle join agg scan", "s0"),
+            (2, "llama alpaca vicuna gecko emu", "s1"),
+            (3, "spark scan scan shuffle", "s0"),
+            (4, "", "s1"),
+            (5, "emu join", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    via_df = dsir_importance_weights(df, df.filter(F.col("source") == "s0"), dim=4)
+    via_col = dsir_importance_weights(df, F.col("source") == "s0", dim=4)
+    a = sorted((r.doc_id, r.n_tokens, r.weight) for r in via_df.collect())
+    b = sorted((r.doc_id, r.n_tokens, r.weight) for r in via_col.collect())
+    assert a == b, (a, b)
 
 
 def test_containment_pairs_planted_and_negative(spark):

@@ -162,17 +162,20 @@ def test_q2_no_broadcast_aggregate_single_fact_shuffle(spark):
 
 
 def test_decontaminate_broadcasts_eval_ngrams(spark):
-    """The train-side n-gram stream must meet the eval set via a BROADCAST
-    hash join (eval suites are small by construction) — a sort-merge join
-    here would shuffle the full training corpus' n-grams at 100 TB."""
+    """The eval n-gram set rides a Python broadcast INTO the train-side
+    Arrow pass (r13 optimization): no join machinery at all — the train
+    corpus' n-grams never exist as rows, so nothing can shuffle them at
+    100 TB. The only hash exchange is the hit-docs-only aggregation."""
     from hdp2_5_hive2_spark.llm import curation
 
     d = load_tables(spark, SF_CORRECT)["documents"]
     ev = d.where(F.col("doc_id") % 29 == 0)
     tr = d.where(F.col("doc_id") % 29 != 0)
     plan = _executed(curation.decontaminate(tr, ev, n=8))
-    assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_stratified_sample_uses_window_group_limit(spark):
@@ -451,8 +454,10 @@ def test_fingerprint_overlap_reuses_checkpointed_pass(spark):
 
 def test_dsir_weights_broadcast_lms_single_doc_shuffle(spark):
     """DSIR: both LM distributions ride broadcasts (dim-sized one-row
-    frames); the only hashpartitioning exchanges are doc-keyed (the feature
-    histogram) — the corpus itself never re-shuffles for the scoring join."""
+    frames) over the MATERIALIZED per-doc histogram (r13: feats is
+    localCheckpoint'ed — its one doc-keyed exchange runs once, inside the
+    materialization, instead of once per consumer); the scoring join adds
+    NO hashpartitioning exchange of its own."""
     from hdp2_5_hive2_spark.llm import retrieval
 
     d = load_tables(spark, SF_CORRECT)["documents"]
@@ -460,7 +465,16 @@ def test_dsir_weights_broadcast_lms_single_doc_shuffle(spark):
         retrieval.dsir_importance_weights(d, d.filter(F.col("source") == "src0"), dim=8)
     )
     assert plan.count("BroadcastExchange") == 2, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan  # the materialized feats
+    # Column-target one-pass path: same broadcast shape, and the target LM
+    # now derives from the same materialized histogram (no second
+    # tokenize subtree anywhere in the plan).
+    plan2 = _executed(
+        retrieval.dsir_importance_weights(d, F.col("source") == "src0", dim=8)
+    )
+    assert plan2.count("BroadcastExchange") == 2, plan2
+    assert plan2.count("Exchange hashpartitioning") == 0, plan2
 
 
 def test_token_diversity_doc_keyed_aggregations_only(spark):
@@ -803,8 +817,12 @@ def test_setsim_prefix_join_prunes_tokens(spark):
         [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
         "doc_id long, text string",
     )
+    # checkpoint=False: the production default materializes the prefix
+    # frame (r13 — the self-join otherwise executes the window subtree
+    # twice), which hides the filter behind an RDD scan; the structural
+    # pin inspects the un-materialized plan, same computation.
     plan = (
-        setsim_join_pairs(df, tau_num=9, tau_den=10)
+        setsim_join_pairs(df, tau_num=9, tau_den=10, checkpoint=False)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
