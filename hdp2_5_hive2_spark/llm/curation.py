@@ -259,10 +259,12 @@ def connected_components(
     # diameter-1 components (the common dedup pair) converge one join
     # round earlier. The fixpoint is unchanged: min-label propagation
     # reaches the same labels from any head start along its own orbit.
+    # Each round's label frame is a LAZY checkpoint materialized by its own
+    # convergence-sum action — one job per round (materialize + sum in the
+    # same pass) instead of the former two (eager checkpoint, then sum).
     lab = sym.groupBy(F.col("s").alias("id")).agg(
         F.least(F.min("d"), F.first("s")).alias("lab")
-    )
-    lab = lab.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = lab.agg(F.sum("lab")).first()[0]
     for _ in range(max_iter):
         nbr = sym.join(lab, sym["d"] == lab["id"]).select(
@@ -272,7 +274,7 @@ def connected_components(
             lab.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)  # truncate lineage across rounds
+            .localCheckpoint(eager=False)  # truncate lineage across rounds
         )
         cur_sum = lab.agg(F.sum("lab")).first()[0]
         if cur_sum == prev_sum:
@@ -623,7 +625,9 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the take(1) probe (and the first round's scans) materialize
+        # it — one job instead of an eager-checkpoint job plus the probe
+        .localCheckpoint(eager=False)
     )
     if not e.take(1):
         return e.select(F.col("a").alias("id"), F.col("b").alias("cluster_rep"))
@@ -665,7 +669,8 @@ def connected_components_star(
             .union(mins2.select(F.col("m").alias("a"), F.col("u").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the convergence anti-joins materialize it in-pass
+            .localCheckpoint(eager=False)
         )
         changed = (
             ss.exceptAll(e).take(1) or e.exceptAll(ss).take(1)
@@ -1022,8 +1027,8 @@ def pagerank_int(
     )
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     e2 = sym.join(deg, "s").localCheckpoint(eager=False)
-    nodes = deg.select(F.col("s").alias("id")).localCheckpoint(eager=True)
-    n_nodes = nodes.count()
+    nodes = deg.select(F.col("s").alias("id")).localCheckpoint(eager=False)
+    n_nodes = nodes.count()  # materializes the lazy checkpoint in the same job
     if n_nodes == 0:
         return nodes.select("id", F.lit(0).cast("bigint").alias("rank_q"))
     ranks = nodes.select("id", F.lit(s_scale // n_nodes).cast("bigint").alias("rq"))
@@ -1044,7 +1049,11 @@ def pagerank_int(
                     + F.expr("(17 * coalesce(sin, CAST(0 AS BIGINT))) div 20")
                 ).alias("rq"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: rounds have no convergence probe, so the caller's one
+            # action computes the whole chain — each round's RDD persists
+            # as it is reached (lineage still truncated per round), without
+            # an eager job per iteration
+            .localCheckpoint(eager=False)
         )
     return ranks.select("id", F.col("rq").alias("rank_q"))
 

@@ -603,12 +603,14 @@ def containment_pairs(
     None keeps perfect recall for oracle-exact fixtures."""
     from hdp2_5_hive2_spark.llm.text import winnow_fingerprints
 
+    # fp feeds both self-join sides (and the optional bucket-cap count) —
+    # materialize the winnowing Arrow pass once (guide §3.3).
     fp = winnow_fingerprints(df, text_col=text_col, k=k, w=w).select(
         F.col(id_col).alias("id"),
         F.length(F.col(text_col)).alias("n_chars"),
         F.col("n_kgrams"),
         F.explode("fps").alias("fp"),
-    )
+    ).localCheckpoint(eager=False)
     if max_bucket is not None:
         keep = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_n")).filter(
             (F.col("_n") >= 2) & (F.col("_n") <= max_bucket)
@@ -752,6 +754,9 @@ def minhash_lsh_pairs_cross(
         )
         .select("new_id", "ref_id")
         .dropDuplicates(["new_id", "ref_id"])
+        # feeds both semi-join probes AND the verify join — materialize
+        # once (guide §3.3), as in minhash_lsh_pairs
+        .localCheckpoint(eager=False)
     )
     new_docs = new_df.join(
         cand_ids.select(F.col("new_id").alias("cid")),

@@ -548,7 +548,12 @@ def llm_dup_2hop_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     counts = f.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
-    kept = counts.filter((F.col("c") >= 2) & (F.col("c") <= 50)).select("fp")
+    # kept feeds both join sides — materialize or the count agg runs twice
+    kept = (
+        counts.filter((F.col("c") >= 2) & (F.col("c") <= 50))
+        .select("fp")
+        .localCheckpoint(eager=False)
+    )
     a = f.join(kept, "fp").alias("a")
     b = f.join(kept, "fp").alias("b")
     edges = (
