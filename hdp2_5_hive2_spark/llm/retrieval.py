@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.llm.text import token_count, tokens
+from hdp2_5_hive2_spark.llm.text import plan_checkpoint
 
 
 def bounded_rank(
@@ -62,6 +63,11 @@ def bounded_rank(
     rank order matches a multi-column orderBy exactly (never encode the
     composite as a delimiter-joined string: tokens may contain bytes below
     the delimiter and invert the order — ADVICE r8)."""
+    # Materialize the (bounded, <= a few hundred rows) input once: the
+    # triangular join references df twice, and without this the ENTIRE
+    # upstream pipeline that produced the top-k runs once per side
+    # (guide §3.3) — bounded_rank sits at the tail of a dozen queries.
+    df = plan_checkpoint(df)
     probe = df.select(
         F.col(score_col).alias("_rb_s"), F.col(id_col).alias("_rb_i")
     )
@@ -162,7 +168,9 @@ def bm25_rank(
             f"bm25_rank: id column {id_col!r} collides with the positional "
             "per-term slot names (_t0.._tn)"
         )
-    tf_all = term_frequencies(df, text_col, id_col)
+    # tf_all feeds both the query-term filter and the df counts —
+    # materialize the explode+agg once (guide §3.3)
+    tf_all = plan_checkpoint(term_frequencies(df, text_col, id_col))
     tf = tf_all.filter(F.col("term").isin(terms))
     dfq = doc_frequencies(tf_all, id_col).filter(F.col("term").isin(terms))
     stats = df.agg(
@@ -303,7 +311,9 @@ def query_likelihood_rank(
         raise ValueError("query_likelihood_rank requires at least one term")
     if mu < 1:
         raise ValueError("query_likelihood_rank: mu must be >= 1")
-    tf_all = term_frequencies(df, text_col, id_col)
+    # tf_all feeds both the query-term filter and the df counts —
+    # materialize the explode+agg once (guide §3.3)
+    tf_all = term_frequencies(df, text_col, id_col).localCheckpoint(eager=False)
     tf = tf_all.filter(F.col("term").isin(terms))
     cf = tf_all.groupBy("term").agg(F.sum("tf").alias("cf")).filter(
         F.col("term").isin(terms)

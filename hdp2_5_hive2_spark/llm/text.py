@@ -33,6 +33,18 @@ def _max_partition_bytes(spark) -> int:
     return int(raw) * mult
 
 
+_MATERIALIZE_REUSED = True  # plan tests flip this to inspect full plans
+
+
+def plan_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint for a frame consumed by 2+ downstream subtrees
+    (guide §3.3: materialize a reused intermediate so its upstream is not
+    planned and executed once per consumer). Structural plan tests set
+    ``_MATERIALIZE_REUSED = False`` to see the un-materialized plan; the
+    computation is identical either way."""
+    return df.localCheckpoint(eager=False) if _MATERIALIZE_REUSED else df
+
+
 def _arrow_fence(df: DataFrame) -> DataFrame:
     """Parallelism fence for Arrow kernels: mapInPandas inherits the input
     partitioning, so a small input (a single-file fixture scan) would run

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark import stats
+from hdp2_5_hive2_spark.llm.text import plan_checkpoint
 from hdp2_5_hive2_spark.catalog import load_tables
 from hdp2_5_hive2_spark.llm import curation, dedup, retrieval, similarity, text
 from hdp2_5_hive2_spark.queries.registry import query
@@ -4214,9 +4215,12 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = retrieval.bigram_lm_score(d).select(
         "doc_id", F.expr("score_q div n_bigrams").alias("avg_q")
     )
+    # ranked feeds the total agg and the bucket projection — materialize
+    # once or the full LM + two-phase-rank pipeline runs twice (guide §3.3)
     ranked = curation.balanced_shards(
         scored, n_shards=3, weight_col="avg_q"
     ).select("doc_id", "avg_q", "rank")
+    ranked = plan_checkpoint(ranked)
     tot = ranked.agg(F.count(F.lit(1)).alias("n_total"))
     bucket = F.expr("((rank - 1) * 3) div n_total")
     return (
@@ -4969,10 +4973,13 @@ def llm_hll_ngram_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimator's true error per group (~18% stddev at m=32)."""
     d = load_tables(spark, sf_dir)["documents"]
     ngs = curation.word_ngram_rows(d, n=3).withColumnRenamed("id", "doc_id")
+    # src feeds the register pass and both exact-NDV legs; regs feeds the
+    # per-source and merged estimates — materialize each once (guide §3.3)
     src = ngs.join(F.broadcast(d.select("doc_id", "source")), "doc_id").select(
         "source", "ngram"
-    )
-    regs = stats.hll_registers(src, "ngram", ["source"], p=5)
+)
+    src = plan_checkpoint(src)
+    regs = plan_checkpoint(stats.hll_registers(src, "ngram", ["source"], p=5))
     per = stats.hll_estimate(regs, ["source"], p=5)
     glob = stats.hll_estimate(stats.hll_merge(regs, []), [], p=5).select(
         F.lit("__ALL__").alias("source"), "v_zero", "s_num", "hll_ndv"
@@ -5159,10 +5166,14 @@ def llm_hll_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split", F.when(b < 90, F.lit("train")).otherwise(F.lit("held"))
     )
     ngs = curation.word_ngram_rows(docs, n=3).withColumnRenamed("id", "doc_id")
+    # g feeds the HLL register pass AND both exact-distinct legs —
+    # materialize the Arrow n-gram pass once (guide §3.3); regs feeds the
+    # merged and per-split estimates.
     g = ngs.join(
         F.broadcast(docs.select("doc_id", "split")), "doc_id"
     ).select("split", F.col("ngram").alias("ng"))
-    regs = stats.hll_registers(g, "ng", ["split"], p=5)
+    g = plan_checkpoint(g)
+    regs = plan_checkpoint(stats.hll_registers(g, "ng", ["split"], p=5))
     union_regs = stats.hll_merge(regs, [])
     est = stats.hll_estimate(regs, ["split"], p=5).select("split", "hll_ndv")
     est_u = stats.hll_estimate(union_regs, [], p=5).select(
@@ -5179,8 +5190,8 @@ def llm_hll_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__U__").alias("est_union"),
         )
     )
-    tr = g.filter(F.col("split") == "train").select("ng").distinct()
-    hd = g.filter(F.col("split") == "held").select("ng").distinct()
+    tr = plan_checkpoint(g.filter(F.col("split") == "train").select("ng").distinct())
+    hd = plan_checkpoint(g.filter(F.col("split") == "held").select("ng").distinct())
     exact = (
         tr.agg(F.count(F.lit(1)).alias("exact_train"))
         .crossJoin(hd.agg(F.count(F.lit(1)).alias("exact_held")))
@@ -5352,9 +5363,12 @@ def llm_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat-ws(' ') key would invert on tokens containing control bytes
     below 0x20, which split-on-whitespace does not strip (ADVICE r8)."""
     d = load_tables(spark, sf_dir)["documents"]
+    # dt feeds the unigram counts and both pair-join sides — materialize
+    # the distinct (doc, token) explode once (guide §3.3)
     dt = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     ).distinct()
+    dt = plan_checkpoint(dt)
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     ca = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     a = dt.alias("a")
@@ -5894,11 +5908,14 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdp2_5_hive2_spark.llm import curation
 
     d = load_tables(spark, sf_dir)["documents"]
+    # sng feeds the size agg and both intersection sides — materialize
+    # the Arrow n-gram pass once (guide §3.3)
     sng = (
         curation.word_ngram_rows(d, "text", "source", n=8)
         .select(F.col("id").alias("source"), "ngram")
         .distinct()
     )
+    sng = plan_checkpoint(sng)
     sz = sng.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sng.alias("a")

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.llm.text import plan_checkpoint
 from hdp2_5_hive2_spark.llm import curation, retrieval, similarity
 from hdp2_5_hive2_spark.llm import text as llm_text
 from hdp2_5_hive2_spark.llm.text import token_count
@@ -464,7 +465,8 @@ def llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global rank over the distinct-gram table."""
     d = load_tables(spark, sf_dir)["documents"]
     grams = curation.word_ngram_counts(d, "text", "doc_id", 8).select("ngram", "cnt")
-    cnt = grams.groupBy("ngram").agg(F.sum("cnt").alias("c"))
+    # cnt feeds the total agg and three top-N cuts — materialize once
+    cnt = plan_checkpoint(grams.groupBy("ngram").agg(F.sum("cnt").alias("c")))
     tot = cnt.agg(F.sum("c").cast("bigint").alias("total"))
     outs = []
     for n_top in (10, 100, 1000):
@@ -704,7 +706,9 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    ngd = curation.word_ngram_rows(corpus, "text", "doc_id", 8)
+    # ngd feeds the per-doc size agg and both self-join sides —
+    # materialize the Arrow n-gram pass once (guide §3.3)
+    ngd = plan_checkpoint(curation.word_ngram_rows(corpus, "text", "doc_id", 8))
     na = ngd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = ngd.alias("a"), ngd.alias("b")
     inter = (
@@ -868,7 +872,9 @@ def llm_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, [("query", 3), ("table", 2), ("merge", 2), ("spark", 1), ("join", 1)],
         topk=15,
     ).select("doc_id", F.col("rank").alias("r_b"))
-    common = run_a.join(run_b, "doc_id")
+    # common feeds the triangular pair join (twice) and the n_common agg —
+    # materialize once or BOTH splade runs execute three times (guide §3.3)
+    common = plan_checkpoint(run_a.join(run_b, "doc_id"))
     x, y = common.alias("x"), common.alias("y")
     pairs = x.join(y, F.col("x.doc_id") < F.col("y.doc_id")).select(
         F.when(
@@ -1448,11 +1454,16 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["embeddings"]
     corpus = e.filter(F.col("vec_id") >= 8)
     q0 = e.filter(F.col("vec_id") == 0)
+    # pool feeds the vec prune and the rel join; vecs feeds both pair
+    # sides — materialize each once (guide §3.3)
     pool = similarity.quantized_dot_topk(corpus, q0, k=12).select(
         F.col("neighbor_id").alias("vec_id"), F.col("dot").alias("rel")
-    )
-    vecs = corpus.join(pool.select("vec_id"), "vec_id").select(
-        "vec_id", similarity.as_double_array("embedding").alias("v")
+)
+    pool = plan_checkpoint(pool)
+    vecs = plan_checkpoint(
+        corpus.join(pool.select("vec_id"), "vec_id").select(
+            "vec_id", similarity.as_double_array("embedding").alias("v")
+        )
     )
     a = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("qv"))
     b = vecs.select(F.col("vec_id").alias("ib"), F.col("v").alias("cv"))

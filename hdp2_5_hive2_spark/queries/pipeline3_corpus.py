@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.catalog import load_tables
+from hdp2_5_hive2_spark.llm.text import plan_checkpoint
 from hdp2_5_hive2_spark.llm import curation, retrieval, similarity
 from hdp2_5_hive2_spark.llm import text as llm_text
 from hdp2_5_hive2_spark.queries.llm_corpus import _ngram_cte
@@ -102,12 +103,17 @@ def llm_dup_triangle_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    keep_ids = deg.filter(F.col("deg") <= 64).select("id")
+    # keep_ids joins twice and keep feeds three consumers (both path
+    # sides + the closing probe) — materialize both or the degree agg and
+    # the capped edge list replan/re-execute per consumer (guide §3.3;
+    # this plan carried 61 Exchanges before).
+    keep_ids = plan_checkpoint(deg.filter(F.col("deg") <= 64).select("id"))
     keep = (
         edges.join(keep_ids.withColumnRenamed("id", "doc_a"), "doc_a")
         .join(keep_ids.withColumnRenamed("id", "doc_b"), "doc_b")
         .select("doc_a", "doc_b")
     )
+    keep = plan_checkpoint(keep)
     paths = (
         keep.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .join(keep.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c")), "b")
@@ -575,7 +581,9 @@ def llm_quant_scale_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("neighbor_id").alias("vec_id"),
             )
         )
-    t10 = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    # t10 feeds the reference filter AND the overlap join — materialize
+    # once or all three quantized top-k passes run twice (guide §3.3)
+    t10 = plan_checkpoint(parts[0].unionAll(parts[1]).unionAll(parts[2]))
     ref = (
         t10.filter(F.col("scale") == 1024)
         .select("qid", "vec_id")
@@ -784,7 +792,9 @@ def llm_cross_source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = ngd.groupBy("ngram").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 64
     )
-    nr = ngd.join(rare.select("ngram"), "ngram")
+    # ngd feeds the df agg and the pruned join; nr feeds both pair sides —
+    # materialize each once (guide §3.3)
+    nr = plan_checkpoint(plan_checkpoint(ngd).join(rare.select("ngram"), "ngram"))
     a = nr.select(
         F.col("ngram"), F.col("id").alias("ida"), F.col("source").alias("sa")
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark import stats
+from hdp2_5_hive2_spark.llm.text import plan_checkpoint
 from hdp2_5_hive2_spark.catalog import load_tables
 from hdp2_5_hive2_spark.queries.registry import query
 from hdp2_5_hive2_spark.streaming import events as ev
@@ -1615,7 +1616,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select((F.col("end_us") + 1).alias("t"), F.lit(-1).alias("delta"))
     )
     day = F.floor(F.col("t") / F.lit(86_400_000_000))
-    d = d.withColumn("_day", day)
+    # the delta frame feeds the per-day bases AND the running sum —
+    # materialize once or the sessionize pipeline runs twice (guide §3.3)
+    d = plan_checkpoint(d.withColumn("_day", day))
     in_day = Window.partitionBy("_day").orderBy(
         F.col("t").asc(), F.col("delta").desc()
     ).rowsBetween(Window.unboundedPreceding, 0)
@@ -1633,7 +1636,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bases), "_day")
         .select("t", (F.col("_base") + F.col("_run_in")).alias("run"))
     )
-    m = r.groupBy("t").agg(F.max("run").alias("run_t"))
+    m = plan_checkpoint(r.groupBy("t").agg(F.max("run").alias("run_t")))
     p = m.agg(F.max("run_t").alias("peak"))
     return (
         m.join(F.broadcast(p), F.col("run_t") == F.col("peak"))

@@ -24,6 +24,20 @@ def _run(name):
     return REGISTRY[name].fn(_SPARK, SF_CORRECT)
 
 
+
+import pytest
+
+
+@pytest.fixture
+def full_plans(monkeypatch):
+    """Disable reused-frame materialization (llm.text.plan_checkpoint) so a
+    structural pin can see the whole un-materialized plan; the production
+    default materializes reused frames (r13 optimization) which hides
+    their upstream behind an RDD scan. Computation is identical."""
+    from hdp2_5_hive2_spark.llm import text as _text
+    monkeypatch.setattr(_text, "_MATERIALIZE_REUSED", False)
+
+
 def test_q6_filters_pushed_to_scan(spark):
     df = REGISTRY["q6_forecast_revenue"].fn(spark, SF_CORRECT)
     plan = _executed(df)
@@ -219,7 +233,7 @@ def test_tfidf_topk_uses_window_group_limit_and_broadcast_vocab(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_bm25_filters_terms_before_join(spark):
+def test_bm25_filters_terms_before_join(spark, full_plans):
     """The query-term IN filter must sit below the joins (on the exploded
     token stream before aggregation), so the scored frame is (matching docs
     x |query|) sized, not corpus sized."""
@@ -273,7 +287,7 @@ def test_vocab_coverage_bounded_heap_no_window(spark):
     ) <= 1, plan
 
 
-def test_bm25_and_dsir_rank_without_single_partition_window(spark):
+def test_bm25_and_dsir_rank_without_single_partition_window(spark, full_plans):
     """VERDICT r6 #2: bm25_rank and the DSIR top-k query must plan the
     global top-k as TakeOrderedAndProject (bounded per-partition heaps) and
     rank survivors window-free — the executed plans contain NO window
@@ -985,7 +999,7 @@ def test_jsonl_field_extraction_stays_jvm_side(spark, tmp_path):
     assert plan.count("HashAggregate") == 2, plan  # partial + final
 
 
-def test_token_lift_topk_is_bounded_heap_not_window(spark):
+def test_token_lift_topk_is_bounded_heap_not_window(spark, full_plans):
     """llm_token_lift's top-20 must cut via TakeOrderedAndProject
     (per-partition 20-row heaps) and rank via bounded_rank — at 100 TB the
     support-filtered pair set is millions of rows, and the partition-less
@@ -1039,7 +1053,7 @@ def test_no_partitionless_ranking_window_in_package():
     )
 
 
-def test_source_overlap_ngrams_come_from_arrow_kernel(spark):
+def test_source_overlap_ngrams_come_from_arrow_kernel(spark, full_plans):
     """The 8-gram stream must be the Arrow kernel (MapInPandas), never an
     interpreted Catalyst higher-order chain — the r8 rework measured the
     lambda form at 2.3x the kernel's wall time because it ran the corpus
@@ -1049,7 +1063,7 @@ def test_source_overlap_ngrams_come_from_arrow_kernel(spark):
     assert "lambdafunction" not in plan, plan
 
 
-def test_splade_filters_terms_before_aggregation(spark):
+def test_splade_filters_terms_before_aggregation(spark, full_plans):
     """Posting-list plan: the query-term filter sits below the tf
     aggregation (inverted-index access — only matching postings ever
     aggregate), the impact weights are a codegen CASE (no weights join),
@@ -1201,7 +1215,7 @@ def test_dedup_threshold_sweep_joins_stay_bounded(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
-def test_mixture_interleave_cut_is_bounded_and_window_partitioned(spark):
+def test_mixture_interleave_cut_is_bounded_and_window_partitioned(spark, full_plans):
     """The global 30-row cut must compile to TakeOrderedAndProject (a
     bounded heap, never a full sort of the keyed corpus), and the
     per-source index window must stay PARTITIONED by source — a global
@@ -1248,7 +1262,7 @@ def test_vocab_half_drift_basket_is_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_quant_ablation_rankings_partition_by_query(spark):
+def test_quant_ablation_rankings_partition_by_query(spark, full_plans):
     """All per-scale top-k merge windows must partition by query_id, and
     the three quantization passes are Arrow kernels."""
     import re
@@ -1291,7 +1305,7 @@ def test_length_gini_window_partitioned_by_source(spark):
         assert m.group(1).startswith("source"), m.group(0)
 
 
-def test_interleave_schedule_cut_is_bounded_and_window_partitioned(spark):
+def test_interleave_schedule_cut_is_bounded_and_window_partitioned(spark, full_plans):
     """Same contract as the mixture_interleave pin: the 30-row global cut
     is a TakeOrderedAndProject heap and the per-type index window stays
     PARTITIONED by event_type."""
@@ -1408,7 +1422,7 @@ def test_length_bands_windows_partition_by_source(spark):
         assert ex.split(",")[0].split("#")[0] == "source", plan
 
 
-def test_front_coding_is_distributed_sorted_adjacency(spark):
+def test_front_coding_is_distributed_sorted_adjacency(spark, full_plans):
     """The vocab sort must be DISTRIBUTED (range partitioning — each shard
     a dictionary block), the per-shard LCP fold one Arrow pass, and the
     boundary stitching window-free (bounded_rank over the config-bounded
