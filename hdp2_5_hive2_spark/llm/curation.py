@@ -45,13 +45,17 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hdp2_5_hive2_spark.llm.text import _arrow_fence
+from hdp2_5_hive2_spark.llm.text import _arrow_fence, plan_checkpoint
 
 
 def _shuffle_n(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
+# Loud ceiling on decontaminate's driver-collected eval n-gram set: ~10M
+# grams ≈ 0.5-1 GB of driver strings — the documented edge of the
+# "eval suites are small by construction" contract (ADVICE r13).
+_MAX_EVAL_NGRAMS = 10_000_000
 
 
 
@@ -134,15 +138,31 @@ def decontaminate(
     distinct train n-gram through Arrow into a broadcast hash join + count
     — the join was map-side, but the n-gram rows themselves were the cost.)
     Callers drop or down-weight the returned ids.
+
+    Small-eval contract (ADVICE r13): the distinct eval n-gram set is
+    collect()ed to the driver — MMLU-and-friends scale (≈10^6 grams) by
+    design. The ``_MAX_EVAL_NGRAMS`` guard fails LOUDLY past 10M grams
+    instead of silently OOMing the driver; an "eval" set that large is a
+    corpus, and belongs on the shared_ngram_edges join path. The broadcast
+    lives as long as the returned frame (the Arrow closure holds the only
+    reference, so the ContextCleaner reclaims executor copies once the
+    frame is garbage-collected); repeated calls do not accumulate.
     """
     spark = train.sparkSession
-    ev_set = frozenset(
-        r[0]
-        for r in word_ngram_rows(eval_df, text_col, id_col, n)
+    ev_rows = (
+        word_ngram_rows(eval_df, text_col, id_col, n)
         .select("ngram")
         .distinct()
+        .limit(_MAX_EVAL_NGRAMS + 1)
         .collect()
     )
+    if len(ev_rows) > _MAX_EVAL_NGRAMS:
+        raise ValueError(
+            f"decontaminate: eval suite exceeds {_MAX_EVAL_NGRAMS} distinct "
+            f"{n}-grams — that is a corpus, not an eval set; use the "
+            "shared_ngram_edges join path instead of driver broadcast"
+        )
+    ev_set = frozenset(r[0] for r in ev_rows)
     ev_b = spark.sparkContext.broadcast(ev_set)
     id_type = train.schema[id_col].dataType.simpleString()
 
@@ -204,7 +224,7 @@ def shared_ngram_edges(
     """
     ng = word_ngram_rows(df, text_col, id_col, n)
     if checkpoint:
-        ng = ng.localCheckpoint(eager=False)
+        ng = ng.transform(plan_checkpoint)
     # Rows are distinct within a document, so count(*) per ngram == doc freq.
     rare = (
         ng.groupBy("ngram")
@@ -246,12 +266,12 @@ def connected_components(
     # pipeline (LSH buckets, re-checks, ...) is planned — and executed —
     # once per branch inside the sym checkpoint (guide §3.3: materialise
     # an intermediate to truncate a duplicated plan).
-    e = edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d")).localCheckpoint(
-        eager=False
+    e = edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d")).transform(
+        plan_checkpoint
     )
     sym = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .localCheckpoint(eager=False)  # reused every round
+        .transform(plan_checkpoint)  # reused every round
     )
     # Seed each vertex with min(id, neighbors) — exactly the state after
     # the first propagation round, for the same one-exchange cost as the
@@ -264,19 +284,39 @@ def connected_components(
     # same pass) instead of the former two (eager checkpoint, then sum).
     lab = sym.groupBy(F.col("s").alias("id")).agg(
         F.least(F.min("d"), F.first("s")).alias("lab")
-    ).localCheckpoint(eager=False)
-    prev_sum = lab.agg(F.sum("lab")).first()[0]
+    ).transform(plan_checkpoint)
+    prev_sum = None
+    have_prev = False
     for _ in range(max_iter):
         nbr = sym.join(lab, sym["d"] == lab["id"]).select(
             sym["s"].alias("id"), F.col("lab")
         )
-        lab = (
+        new_lab = (
             lab.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=False)  # truncate lineage across rounds
+            .transform(plan_checkpoint)  # truncate lineage across rounds
         )
-        cur_sum = lab.agg(F.sum("lab")).first()[0]
+        if not have_prev:
+            # ONE job computes BOTH convergence sums (r14, guide §1.2): the
+            # seed labels are a lazy checkpoint, so they materialize inside
+            # this same action while the round-1 branch derives from them —
+            # previously the seed sum was its own job, paying a full extra
+            # job launch per CC call. Diameter-1 graphs (the dedup-pair
+            # common case) now finish label propagation in ONE job.
+            sums = {
+                r["_r"]: r["_s"]
+                for r in lab.select(F.lit(0).alias("_r"), "lab")
+                .unionByName(new_lab.select(F.lit(1).alias("_r"), "lab"))
+                .groupBy("_r")
+                .agg(F.sum("lab").alias("_s"))
+                .collect()
+            }
+            prev_sum, cur_sum = sums.get(0), sums.get(1)
+            have_prev = True
+        else:
+            cur_sum = new_lab.agg(F.sum("lab")).first()[0]
+        lab = new_lab
         if cur_sum == prev_sum:
             return lab.select(F.col("id"), F.col("lab").alias("cluster_rep"))
         prev_sum = cur_sum
@@ -626,8 +666,13 @@ def connected_components_star(
         .filter(F.col("a") != F.col("b"))
         .distinct()
         # lazy: the take(1) probe (and the first round's scans) materialize
-        # it — one job instead of an eager-checkpoint job plus the probe
-        .localCheckpoint(eager=False)
+        # it — one job instead of an eager-checkpoint job plus the probe.
+        # DETERMINISM PRECONDITION (ADVICE r13): take(1) computes only the
+        # partitions it scans; the rest materialize later under other jobs.
+        # Safe because this subtree (hash/agg/join over deterministic
+        # inputs) is set-deterministic — do NOT feed sample()/rand()/
+        # first-order-dependent aggs through a lazily probed checkpoint.
+        .transform(plan_checkpoint)
     )
     if not e.take(1):
         return e.select(F.col("a").alias("id"), F.col("b").alias("cluster_rep"))
@@ -670,7 +715,7 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .distinct()
             # lazy: the convergence anti-joins materialize it in-pass
-            .localCheckpoint(eager=False)
+            .transform(plan_checkpoint)
         )
         changed = (
             ss.exceptAll(e).take(1) or e.exceptAll(ss).take(1)
@@ -1023,11 +1068,11 @@ def pagerank_int(
     sym = (
         edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .union(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    e2 = sym.join(deg, "s").localCheckpoint(eager=False)
-    nodes = deg.select(F.col("s").alias("id")).localCheckpoint(eager=False)
+    e2 = sym.join(deg, "s").transform(plan_checkpoint)
+    nodes = deg.select(F.col("s").alias("id")).transform(plan_checkpoint)
     n_nodes = nodes.count()  # materializes the lazy checkpoint in the same job
     if n_nodes == 0:
         return nodes.select("id", F.lit(0).cast("bigint").alias("rank_q"))
@@ -1053,7 +1098,7 @@ def pagerank_int(
             # action computes the whole chain — each round's RDD persists
             # as it is reached (lineage still truncated per round), without
             # an eager job per iteration
-            .localCheckpoint(eager=False)
+            .transform(plan_checkpoint)
         )
     return ranks.select("id", F.col("rq").alias("rank_q"))
 
@@ -1079,7 +1124,7 @@ def graph_stats(
     e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).where(
         F.col("a") < F.col("b")
     )
-    e = e.localCheckpoint(eager=False)
+    e = e.transform(plan_checkpoint)
     deg = (
         e.select(F.col("a").alias("v"))
         .union(e.select(F.col("b").alias("v")))

@@ -29,6 +29,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from hdp2_5_hive2_spark.llm.text import plan_checkpoint
 
 __all__ = ["dhash_bands", "image_dhash", "dhash_near_dup_pairs", "hamming_matrix"]
 
@@ -128,11 +129,11 @@ def dhash_near_dup_pairs(
                 for i in range(4)
             ])
         ).alias("bv"),
-    ).select("_id", "b0", "b1", "b2", "b3", "bv.band", "bv.val").localCheckpoint(
+    ).select("_id", "b0", "b1", "b2", "b3", "bv.band", "bv.val").transform(
         # bands self-joins below; without materialization the entire
         # upstream (payload decode + dHash Arrow passes) is planned and
         # executed once per join side (guide §3.3).
-        eager=False
+        plan_checkpoint
     )
     if max_bucket is not None:
         from pyspark.sql import Window

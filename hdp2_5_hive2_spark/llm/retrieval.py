@@ -118,7 +118,7 @@ def tfidf_top_terms(
     # tf feeds both the df-count aggregation and the scored join;
     # materialize once or the explode+agg subtree runs per consumer
     # (guide §3.3 — this was 3 of llm_tfidf_topterms' 7 Exchanges).
-    tf = term_frequencies(df, text_col, id_col).localCheckpoint(eager=False)
+    tf = term_frequencies(df, text_col, id_col).transform(plan_checkpoint)
     dfq = doc_frequencies(tf, id_col)
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -313,7 +313,7 @@ def query_likelihood_rank(
         raise ValueError("query_likelihood_rank: mu must be >= 1")
     # tf_all feeds both the query-term filter and the df counts —
     # materialize the explode+agg once (guide §3.3)
-    tf_all = term_frequencies(df, text_col, id_col).localCheckpoint(eager=False)
+    tf_all = term_frequencies(df, text_col, id_col).transform(plan_checkpoint)
     tf = tf_all.filter(F.col("term").isin(terms))
     cf = tf_all.groupBy("term").agg(F.sum("tf").alias("cf")).filter(
         F.col("term").isin(terms)
@@ -519,7 +519,7 @@ def bigram_lm_score(
     # corpus-count aggregation and the final per-doc join, and exchange
     # reuse does not dedupe Python-kernel subtrees (same rationale as
     # dedup._banded_memo; measured 1.67 s → 1.20 s at sf0.1).
-    rows = word_ngram_counts(df, text_col, id_col, n=2).localCheckpoint(eager=False)
+    rows = word_ngram_counts(df, text_col, id_col, n=2).transform(plan_checkpoint)
     model_rows = (
         rows if train_df is None else word_ngram_counts(train_df, text_col, id_col, n=2)
     )
@@ -529,7 +529,7 @@ def bigram_lm_score(
         .withColumn("w1", F.split(F.col("ngram"), " ")[0])
         # vocab-sized; feeds both the prefix-count agg and the q join —
         # materialize once (guide §3.3)
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
     cp = cb.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
     q = cb.join(cp, "w1").select(
@@ -594,13 +594,13 @@ def kn_bigram_score(
     from hdp2_5_hive2_spark.llm.curation import word_ngram_counts
 
     scale = float(1 << q_bits)
-    rows = word_ngram_counts(df, text_col, id_col, n=2).localCheckpoint(eager=False)
+    rows = word_ngram_counts(df, text_col, id_col, n=2).transform(plan_checkpoint)
     cb = (
         rows.groupBy("ngram")
         .agg(F.sum("cnt").alias("c_bg"))
         .withColumn("w1", F.split(F.col("ngram"), " ")[0])
         .withColumn("w2", F.split(F.col("ngram"), " ")[1])
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
     cw = cb.groupBy("w1").agg(
         F.sum("c_bg").alias("c_w1"), F.count(F.lit(1)).alias("n1_fwd")
@@ -737,7 +737,7 @@ def dsir_importance_weights(
         # feats feeds the final join AND (as exact partial sums) the LM
         # rows; materialize once or the explode+agg subtree runs per
         # consumer (guide §3.3).
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
 
     # coalesce: an EMPTY frame's sum() aggregates are NULL, which would
@@ -1024,7 +1024,7 @@ def bpe_train(
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
     merges: list[tuple[int, str, int]] = []
     for i in range(n_merges):
@@ -1054,7 +1054,7 @@ def bpe_train(
                 "word"
             ),
             "n",
-        ).localCheckpoint(eager=False)
+        ).transform(plan_checkpoint)
     return spark.createDataFrame(
         merges, "merge_idx int, pair string, cnt bigint"
     )

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from hdp2_5_hive2_spark.llm.text import _arrow_fence
+from hdp2_5_hive2_spark.llm.text import _arrow_fence, plan_checkpoint
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -45,6 +45,36 @@ def as_double_array(c: Column | str) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def collect_query_block(
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 1_000_000,
+    caller: str = "collect_query_block",
+) -> list:
+    """Collect the broadcast-small (qid, qv double[]) query block ONCE for
+    reuse across several top-k kernels (guide §1.2/§5: one collect job per
+    query set, not one per kernel). Pass the returned rows to
+    :func:`brute_force_topk` / :func:`quantized_topk` /
+    :func:`quantized_dot_topk` / :func:`rerank_topk` via ``q_rows=`` —
+    kernels fed this way run ZERO query-side jobs of their own. Each kernel
+    still enforces its own ``max_queries`` contract on the shared rows.
+
+    The limit(max+1) collect keeps the size guard a single job."""
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"{caller}: query set exceeds max_queries={max_queries} rows; "
+            "the exact paths collect+broadcast every query vector. "
+            "Use lsh_topk or ivf_topk for large query sets."
+        )
+    return q_rows
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,6 +82,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 1_000_000,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -78,11 +109,12 @@ def brute_force_topk(
 
     q_id_type = queries.schema[id_col].dataType.simpleString()
     c_id_type = corpus.schema[id_col].dataType.simpleString()
-    q_rows = (
-        queries.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
-        .limit(max_queries + 1)
-        .collect()
-    )
+    if q_rows is None:
+        q_rows = (
+            queries.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
+            .limit(max_queries + 1)
+            .collect()
+        )
     if len(q_rows) > max_queries:
         raise ValueError(
             f"brute_force_topk: query set exceeds max_queries={max_queries} "
@@ -155,6 +187,7 @@ def quantized_dot_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 100_000,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Exact INTEGER-dot top-k neighbors per query over ``floor(v·scale)``
     quantized vectors — the bit-stable sibling of :func:`brute_force_topk`
@@ -175,11 +208,12 @@ def quantized_dot_topk(
 
     q_id_type = queries.schema[id_col].dataType.simpleString()
     c_id_type = corpus.schema[id_col].dataType.simpleString()
-    q_rows = (
-        queries.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
-        .limit(max_queries + 1)
-        .collect()
-    )
+    if q_rows is None:
+        q_rows = (
+            queries.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
+            .limit(max_queries + 1)
+            .collect()
+        )
     if len(q_rows) > max_queries:
         raise ValueError(
             f"quantized_dot_topk: query set exceeds max_queries={max_queries} "
@@ -577,7 +611,14 @@ def lsh_dup_pairs(
     banded rows carried it); the exact re-check is map-side Arrow. The
     banded frame is localCheckpoint-materialized once — it feeds both
     self-join sides, and exchange reuse does not dedupe Python-kernel
-    subtrees. No all-pairs stage at any scale."""
+    subtrees. No all-pairs stage at any scale.
+
+    PRECONDITION (ADVICE r13): ``id_col`` must be unique per row. The
+    deduplicated candidate pairs re-attach vectors by id equi-joins; a
+    corpus with duplicate ids would re-expand each deduped pair once per
+    id copy (a multiplicity the pre-r13 carry-the-vectors plan did not
+    have). Every caller passes a primary-key id; uniquify upstream if
+    yours is not."""
     import numpy as np
     import pandas as pd
 
@@ -603,10 +644,16 @@ def lsh_dup_pairs(
                 }
             )
 
-    v = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("nv"))
+    # v feeds THREE consumers — the Arrow signature pass and both
+    # vector-attach joins — so materialize the (id, double[]) projection
+    # once (guide §3.3; r14: previously each consumer re-scanned and
+    # re-cast the vector column).
+    v = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("nv")
+    ).transform(plan_checkpoint)
     banded = v.mapInPandas(
         gen, f"id {id_type}, tbl int, sig bigint"
-    ).localCheckpoint(eager=False)
+    ).transform(plan_checkpoint)
     a = banded.select(F.col("id").alias("query_id"), "tbl", "sig")
     b = banded.select(F.col("id").alias("neighbor_id"), "tbl", "sig")
     cand_ids = (
@@ -1032,6 +1079,7 @@ def quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 1_000_000,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Int8-quantized cosine top-k — the memory-bound ANN serving path
     (4× smaller vectors than float32, 8× smaller than float64; integer
@@ -1066,11 +1114,12 @@ def quantized_topk(
 
     q_id_type = queries.schema[id_col].dataType.simpleString()
     c_id_type = corpus.schema[id_col].dataType.simpleString()
-    q_rows = (
-        queries.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
-        .limit(max_queries + 1)
-        .collect()
-    )
+    if q_rows is None:
+        q_rows = (
+            queries.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
+            .limit(max_queries + 1)
+            .collect()
+        )
     if len(q_rows) > max_queries:
         raise ValueError(
             f"quantized_topk: query set exceeds max_queries={max_queries} "
@@ -1211,6 +1260,7 @@ def rerank_topk(
     candidate_k: int = 30,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Two-stage ANN serving: cheap int8-quantized candidate generation
     (:func:`quantized_topk`, ``candidate_k`` per query) followed by an
@@ -1227,17 +1277,26 @@ def rerank_topk(
     interpreted, but over a shortlist-sized frame where that cost is
     irrelevant (the same HOFs on the full corpus were measured at
     ~30 µs/pair and rejected for stage 1). The float-vector fetch is a
-    corpus-keyed join on neighbor_id; the query block broadcasts."""
+    corpus-keyed join on neighbor_id; the query block is collected ONCE
+    (one job — shared with stage 1's quantized scan via ``q_rows``) and
+    re-enters stage 2 as a broadcast local relation, so the query table
+    is never scanned a second time."""
     if k <= 0 or candidate_k < k:
         raise ValueError("need 0 < k <= candidate_k")
+    if q_rows is None:
+        q_rows = collect_query_block(
+            queries, id_col=id_col, vec_col=vec_col, caller="rerank_topk"
+        )
     cand = quantized_topk(
-        corpus, queries, k=candidate_k, id_col=id_col, vec_col=vec_col
+        corpus, queries, k=candidate_k, id_col=id_col, vec_col=vec_col, q_rows=q_rows
     ).select("query_id", "neighbor_id")
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
     )
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    qvec = corpus.sparkSession.createDataFrame(
+        [(r.qid, list(r.qv)) for r in q_rows],
+        schema=f"query_id {q_id_type}, _qv array<double>",
     )
     dot = F.aggregate(
         F.zip_with("_cv", "_qv", lambda x, y: x * y),
@@ -1310,7 +1369,7 @@ def kmeans_lloyd(
     # fence's exchange (guide §3.3 / §5: materialize a reused intermediate).
     base = _arrow_fence(
         df.select(F.col(id_col).alias("id"), q.alias("q"))
-    ).localCheckpoint(eager=False)
+    ).transform(plan_checkpoint)
     seeds = base.orderBy("id").limit(k).collect()
     if len(seeds) < k:
         raise ValueError(f"kmeans_lloyd: need >= {k} rows, got {len(seeds)}")

@@ -13,6 +13,8 @@ n-gram aggregation (one shuffle on the n-gram key).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -33,15 +35,33 @@ def _max_partition_bytes(spark) -> int:
     return int(raw) * mult
 
 
-_MATERIALIZE_REUSED = True  # plan tests flip this to inspect full plans
+# Plan tests flip this to inspect full plans; operators honor it via
+# plan_checkpoint. SPARK_GRAFT_LINEAGE=1 disables every reused-frame
+# materialization at session start: localCheckpoint blocks have NO lineage,
+# so at real scale an executor loss fails the job instead of recomputing —
+# the knob trades the re-execution savings back for full fault tolerance
+# (VERDICT r13 What's-wrong #2; policy paragraph in PERF.md). Default
+# unchanged: materialize (the bench/local mode has no executor-loss risk).
+_MATERIALIZE_REUSED = os.environ.get("SPARK_GRAFT_LINEAGE", "") != "1"
 
 
 def plan_checkpoint(df: DataFrame) -> DataFrame:
     """Lazy localCheckpoint for a frame consumed by 2+ downstream subtrees
     (guide §3.3: materialize a reused intermediate so its upstream is not
     planned and executed once per consumer). Structural plan tests set
-    ``_MATERIALIZE_REUSED = False`` to see the un-materialized plan; the
-    computation is identical either way."""
+    ``_MATERIALIZE_REUSED = False`` to see the un-materialized plan — as
+    does ``SPARK_GRAFT_LINEAGE=1`` (lineage-preserving mode for clusters
+    where executor loss must recompute, not fail); the computation is
+    identical either way.
+
+    DETERMINISM PRECONDITION (ADVICE r13): a lazy localCheckpoint
+    materializes only the partitions its FIRST action scans (a take(1)
+    probe computes one partition; the rest materialize later under other
+    jobs). Every upstream fed through here must therefore be
+    set-deterministic — no sample(), no first/collect_list-order
+    dependence, no rand() — or the late-materialized partitions could
+    disagree with the probed one. All current call sites satisfy this
+    (hash/agg/join pipelines over deterministic inputs)."""
     return df.localCheckpoint(eager=False) if _MATERIALIZE_REUSED else df
 
 

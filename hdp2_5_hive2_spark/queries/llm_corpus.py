@@ -2493,7 +2493,7 @@ def llm_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = (
         text.winnow_fingerprints(d, k=3, w=4)
         .select("doc_id", F.explode("fps").alias("fp"))
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
     counts = f.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
     kept = counts.filter((F.col("c") >= 2) & (F.col("c") <= 50)).select("fp")
@@ -3012,11 +3012,14 @@ def llm_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument. Output (query_id, n_overlap) is all-integer."""
     e = load_tables(spark, sf_dir)["embeddings"]
     corpus, queries = e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
-    exact = similarity.brute_force_topk(corpus=corpus, queries=queries, k=10).select(
-        "query_id", "neighbor_id"
-    )
+    # ONE query-collect job shared by both kernels (guide §1.2: the exact
+    # and quantized scans need the same broadcast-small query block).
+    qb = similarity.collect_query_block(queries, caller="llm_quantized_ann_recall")
+    exact = similarity.brute_force_topk(
+        corpus=corpus, queries=queries, k=10, q_rows=qb
+    ).select("query_id", "neighbor_id")
     quant = (
-        similarity.quantized_topk(corpus=corpus, queries=queries, k=10)
+        similarity.quantized_topk(corpus=corpus, queries=queries, k=10, q_rows=qb)
         .select("query_id", "neighbor_id")
         .withColumn("_m", F.lit(1))
     )

@@ -1016,8 +1016,8 @@ def llm_dup_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded-round discipline as connected_components; lineage is cut
     every round (localCheckpoint) so the plan stays flat."""
     d = load_tables(spark, sf_dir)["documents"]
-    edges = curation.shared_ngram_edges(d, n=16, max_df=100).localCheckpoint(
-        eager=False
+    edges = curation.shared_ngram_edges(d, n=16, max_df=100).transform(
+        plan_checkpoint
     )
     for _ in range(12):
         nodes = edges.select(F.col("doc_a").alias("node")).unionAll(
@@ -1033,7 +1033,7 @@ def llm_dup_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(keep.withColumnRenamed("node", "doc_a"), "doc_a")
             .join(keep.withColumnRenamed("node", "doc_b"), "doc_b")
             .select("doc_a", "doc_b")
-            .localCheckpoint(eager=False)
+            .transform(plan_checkpoint)
         )
     nodes = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
         edges.select(F.col("doc_b").alias("doc_id"))

@@ -571,9 +571,13 @@ def llm_quant_scale_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 8)
     corpus = emb.filter(F.col("vec_id") >= 8)
+    # ONE query-collect job shared by all three scale rungs (guide §1.2).
+    qb = similarity.collect_query_block(
+        queries, max_queries=100_000, caller="llm_quant_scale_ablation"
+    )
     parts = []
     for scale in (256, 1024, 4096):
-        tk = similarity.quantized_dot_topk(corpus, queries, k=10, scale=scale)
+        tk = similarity.quantized_dot_topk(corpus, queries, k=10, scale=scale, q_rows=qb)
         parts.append(
             tk.select(
                 F.lit(scale).cast("bigint").alias("scale"),

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.catalog import load_tables
 from hdp2_5_hive2_spark.llm import curation, retrieval, similarity
-from hdp2_5_hive2_spark.llm.text import _arrow_fence
+from hdp2_5_hive2_spark.llm.text import _arrow_fence, plan_checkpoint
 from hdp2_5_hive2_spark.queries.llm_corpus import _ngram_cte
 from hdp2_5_hive2_spark.queries.registry import query
 
@@ -95,8 +95,8 @@ def llm_jaccard_containment_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     count joins the BOUNDED candidate list back to per-doc gram lists on
     (doc, ngram) — pair-count × doc-size rows, both capped."""
     d = load_tables(spark, sf_dir)["documents"]
-    ng = curation.word_ngram_rows(d, "text", "doc_id", 8).localCheckpoint(
-        eager=False
+    ng = curation.word_ngram_rows(d, "text", "doc_id", 8).transform(
+        plan_checkpoint
     )
     rare = (
         ng.groupBy("ngram")
@@ -290,7 +290,12 @@ def llm_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8)
     cents = corpus.filter(F.col("vec_id") % 17 == 8)
     c_cell = similarity.quantized_cell_assign(corpus, cents)
-    q_probe = similarity.quantized_dot_topk(cents, queries, k=4).select(
+    # ONE query-collect job shared by the probe and ground-truth rankings
+    # (guide §1.2).
+    qb = similarity.collect_query_block(
+        queries, max_queries=100_000, caller="llm_ivf_probe_sweep"
+    )
+    q_probe = similarity.quantized_dot_topk(cents, queries, k=4, q_rows=qb).select(
         F.col("query_id").alias("qid"),
         F.col("neighbor_id").alias("cell"),
         F.col("rank").alias("probe_rank"),
@@ -327,7 +332,7 @@ def llm_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("p", "query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
-    exact = similarity.quantized_dot_topk(corpus, queries, k=10).select(
+    exact = similarity.quantized_dot_topk(corpus, queries, k=10, q_rows=qb).select(
         "query_id", "neighbor_id"
     )
     hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
@@ -612,7 +617,7 @@ def llm_front_coding_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
     return front_coding_gain(v)
 

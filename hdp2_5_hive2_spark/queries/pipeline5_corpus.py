@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from hdp2_5_hive2_spark.catalog import load_tables
 from hdp2_5_hive2_spark.llm import similarity
-from hdp2_5_hive2_spark.llm.text import _arrow_fence
+from hdp2_5_hive2_spark.llm.text import _arrow_fence, plan_checkpoint
 from hdp2_5_hive2_spark.queries.registry import query
 
 
@@ -347,10 +347,14 @@ def llm_ann_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") >= 8)
     queries = e.filter(F.col("vec_id") < 8)
     stale = corpus.filter(F.col("vec_id") % 5 != 0)
-    exact = similarity.quantized_dot_topk(corpus, queries, k=10).select(
+    # ONE query-collect job shared by the live and stale passes (guide §1.2).
+    qb = similarity.collect_query_block(
+        queries, max_queries=100_000, caller="llm_ann_staleness_recall"
+    )
+    exact = similarity.quantized_dot_topk(corpus, queries, k=10, q_rows=qb).select(
         "query_id", "neighbor_id"
     )
-    approx = similarity.quantized_dot_topk(stale, queries, k=10).select(
+    approx = similarity.quantized_dot_topk(stale, queries, k=10, q_rows=qb).select(
         F.col("query_id").alias("aq"),
         F.col("neighbor_id").alias("an"),
         F.lit(1).alias("hit"),
@@ -432,7 +436,7 @@ def events_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         u.repartitionByRange(F.col("cents").desc(), F.col("user_id").asc())
         .sortWithinPartitions(F.col("cents").desc(), F.col("user_id").asc())
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

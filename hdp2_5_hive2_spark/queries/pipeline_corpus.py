@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from hdp2_5_hive2_spark.catalog import load_tables
 from hdp2_5_hive2_spark.llm import curation, retrieval, similarity
 from hdp2_5_hive2_spark.llm import text as llm_text
-from hdp2_5_hive2_spark.llm.text import token_count
+from hdp2_5_hive2_spark.llm.text import plan_checkpoint, token_count
 from hdp2_5_hive2_spark.queries.registry import query
 
 # Shared tokenization CTE (DuckDB side) — mirrors llm.text.tokens.
@@ -545,14 +545,14 @@ def llm_dup_2hop_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = (
         llm_text.winnow_fingerprints(d, k=3, w=4)
         .select("doc_id", F.explode("fps").alias("fp"))
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
     counts = f.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
     # kept feeds both join sides — materialize or the count agg runs twice
     kept = (
         counts.filter((F.col("c") >= 2) & (F.col("c") <= 50))
         .select("fp")
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
     a = f.join(kept, "fp").alias("a")
     b = f.join(kept, "fp").alias("b")
@@ -562,7 +562,7 @@ def llm_dup_2hop_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(plan_checkpoint)
     )
     nbrs = edges.select(
         F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")

@@ -174,7 +174,11 @@ def acid_update(spark: SparkSession, path: str, predicate, set_map: dict) -> int
     new versions in ``delta_N_N``."""
     wid = _next_write_id(path)
     snap = _read_with_rowids(spark, path).where(predicate)
-    # one pass is read twice (ROW__IDs + new versions); keep it cheap
+    # one pass is read twice (ROW__IDs + new versions); keep it cheap.
+    # CORRECTNESS, not optimization — deliberately NOT plan_checkpoint /
+    # SPARK_GRAFT_LINEAGE-toggleable: the second read happens AFTER the
+    # delete_delta write below, and an un-materialized re-scan would see
+    # this statement's own delete.
     snap = snap.localCheckpoint(eager=False)
     snap.select(_ROWID).write.mode("errorifexists").parquet(
         os.path.join(path, f"delete_delta_{wid:07d}_{wid:07d}")

@@ -241,6 +241,22 @@ def test_minhash_banded_frame_memoized_across_operators(spark):
     assert c is not a  # different params -> different signature frame
 
 
+def test_banded_memo_cannot_survive_between_registry_invocations(spark):
+    """bench.py times each query best-of-N via REGISTRY[...].fn(); the banded
+    memo must be cleared at every invocation so repetitions recompute the
+    Arrow signature pass cold (VERDICT r13 What's-wrong #1 — a memo kept
+    across timed runs is a result cache). Within ONE invocation the sharing
+    stays (previous test)."""
+    from hdp2_5_hive2_spark.queries import REGISTRY
+
+    d = load_tables(spark, SF_CORRECT)["documents"]
+    a = dedup._banded_memo(d, "text", "doc_id", 32, 16, 3)
+    REGISTRY["llm_minhash_dedup"].fn(spark, SF_CORRECT)  # plan build only
+    assert dedup._BANDED_MEMO, "invocation should repopulate the memo"
+    b = dedup._banded_memo(d, "text", "doc_id", 32, 16, 3)
+    assert b is not a  # the wrapper cleared the pre-invocation entry
+
+
 # ---- curation: decontamination / connected components / sampling ----------
 
 
